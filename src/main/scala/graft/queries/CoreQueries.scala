@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.TimeBuckets
+import graft.operators.KeepLatest
+
+/** Relational core: aggregation, broadcast dim joins, semi/anti joins,
+  * keep-latest, explode, top-k, time buckets (SURVEY.md §2.4–§2.7).
+  *
+  * Scale notes baked into each plan:
+  *  - dims (`customer`/`nation`/`region`) are `broadcast()` — no shuffle of
+  *    the fact side, the join runs map-side on every executor;
+  *  - double-typed SUMs go through DECIMAL(18,2) so partial aggregation
+  *    order (map-side combine across 1000 executors) cannot perturb the
+  *    result — exact arithmetic, still codegen'd;
+  *  - keep-latest is a single hash-partitioned `row_number`, not a global
+  *    sort.
+  */
+object CoreQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q01_agg_pricing",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+            sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+              .cast(DecimalType(28, 4))).as("sum_disc_price"),
+            round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+              count(lit(1)), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS sum_disc_price,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    GraftQuery(
+      "q02_hourly_agg",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.groupBy(
+            TimeBuckets.hourStart(col("ts")).as("hour_start"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      },
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        event_type, COUNT(*) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events GROUP BY 1, 2"""),
+      bench = true),
+
+    GraftQuery(
+      "q03_time_buckets",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        TimeBuckets.withBuckets(ev, "ts", "ts")
+          .select("event_id", "ts_h", "ts_d", "ts_w", "ts_m")
+      },
+      Some("""SELECT event_id,
+        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ts_h,
+        CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ts_d,
+        CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS ts_w,
+        CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS ts_m
+        FROM events""")),
+
+    GraftQuery(
+      "q04_dim_enrich",
+      (s, dir) => {
+        // J1-J3 analog: fact → chained broadcast dim joins (probe/task/param
+        // in the reference, customer/nation/region here). No fact shuffle.
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+          .select(o("o_orderkey"), o("o_totalprice"),
+            c("c_name"), n("n_name").as("nation_name"), r("r_name").as("region_name"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, c_name,
+        n_name AS nation_name, r_name AS region_name
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey"""),
+      bench = true),
+
+    GraftQuery(
+      "q05_exists_semi",
+      (s, dir) => {
+        // J7 analog (heartbeat branch): rows whose key exists in the dim.
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    GraftQuery(
+      "q06_not_exists_anti",
+      (s, dir) => {
+        // J7 analog (register branch): rows missing from the dim.
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    GraftQuery(
+      "q07_keep_latest",
+      (s, dir) => {
+        // W1: ReplacingMergeTree / c_p_pinfo_real semantics — latest row per
+        // key. One shuffle on the key; ties broken by event_id.
+        val ev = Tables.events(s, dir)
+        KeepLatest(ev, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          .select("user_id", "event_id", "event_type", "value")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1"""),
+      bench = true),
+
+    GraftQuery(
+      "q08_explode_tokens",
+      (s, dir) => {
+        // U3 analog: 1 parent row → N child rows (detail explosion), then a
+        // grouped count. Explode is a codegen'd Generator, agg is map-side
+        // partial + one shuffle on token.
+        val d = Tables.load(s, dir, "documents")
+        d.select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token""")),
+
+    GraftQuery(
+      "q09_json_extract",
+      (s, dir) => {
+        // F14: pull a field out of the semi-structured props payload.
+        val ev = Tables.events(s, dir)
+        ev.select(col("event_type"),
+            regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+              .cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT event_type,
+        SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+        COUNT(*) AS n
+        FROM events GROUP BY event_type""")),
+
+    GraftQuery(
+      "q10_topk",
+      (s, dir) => {
+        // §2.7: top-k = TakeOrderedAndProject physical op — no global sort,
+        // each partition keeps k rows, driver merges k×partitions.
+        val o = Tables.load(s, dir, "orders")
+        o.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+  )
+}
