@@ -10,10 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object SafeMath {
 
+  /** Half-up rounding on the BINARY double value: `floor(x·10ˢ + 0.5)/10ˢ`.
+    *
+    * Used instead of `functions.round` everywhere a rounded double is part
+    * of a gated result: Spark's `round` goes through the decimal string
+    * (`BigDecimal.valueOf`) while DuckDB rounds the binary value — they
+    * disagree on values like 74.195. This formulation is identical FP
+    * arithmetic on any engine; [[roundHalfUpSql]] is the oracle-side twin.
+    */
+  def roundHalfUp(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p + 0.5) / p
+  }
+
+  /** Oracle-side twin of [[roundHalfUp]]. `E0` suffixes force DOUBLE
+    * literals (DuckDB would otherwise use exact DECIMAL arithmetic). */
+  def roundHalfUpSql(x: String, scale: Int): String = {
+    val p = math.pow(10, scale)
+    s"(FLOOR(($x) * ${p}E0 + 0.5E0) / ${p}E0)"
+  }
+
   /** `n / d` rounded to `scale`, 0 when the denominator is 0 or null.
     * Reference: `CONSOLE/handler/parser/HttpDataParser.java:35,58,95`. */
   def safeDiv(n: Column, d: Column, scale: Int = 4): Column =
-    when(d.isNull || d === 0, lit(0.0)).otherwise(round(n / d, scale))
+    when(d.isNull || d === 0, lit(0.0)).otherwise(roundHalfUp(n / d, scale))
 
   /** Timestamp repair (never drop): if |now − ts| exceeds `maxSkewSec`,
     * replace with `now`. Reference clamps at 108000 s (30 h):

@@ -33,15 +33,16 @@ object CoreQueries {
             sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
               (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
               .cast(DecimalType(28, 4))).as("sum_disc_price"),
-            round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
-              count(lit(1)), 4).as("avg_qty"),
+            graft.functions.SafeMath.roundHalfUp(
+              sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+                count(lit(1)), 4).as("avg_qty"),
             count(lit(1)).as("count_order"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS sum_disc_price,
-        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        (FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
         COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
       bench = true),
@@ -115,14 +116,17 @@ object CoreQueries {
     GraftQuery(
       "q06_not_exists_anti",
       (s, dir) => {
-        // J7 analog (register branch): rows missing from the dim.
+        // J7 analog (register branch): rows missing from the dim. The dim
+        // side is filtered first (predicate pushdown), keeping the anti
+        // join non-trivial at every SF.
         val c = Tables.load(s, dir, "customer")
-        val o = Tables.load(s, dir, "orders")
+        val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400000)
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000)""")),
 
     GraftQuery(
       "q07_keep_latest",

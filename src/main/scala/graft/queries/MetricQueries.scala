@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.operators.{GameMetrics, HttpMetrics}
+
+/** Protocol metric derivation over the driver testdata (SURVEY.md §2.8
+  * F4-F7, §2.5 A2-A3). Lineitem columns are mapped onto the probe-report
+  * field names, then the library transforms derive the same quantities the
+  * reference computes per record.
+  */
+object MetricQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q14_http_page_metrics",
+      (s, dir) => {
+        // F4/F5: conn/text/first-screen/page costs + zero-safe speeds.
+        // Pure per-row arithmetic — no shuffle at any scale.
+        val li = Tables.load(s, dir, "lineitem")
+        val mapped = li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("page_size"),
+          (col("l_quantity") * 100.0).as("trans_body_cost"),
+          (col("l_partkey") % 97).cast("double").as("dns_cost"),
+          (col("l_suppkey") % 53).cast("double").as("tcp_cost"),
+          (col("l_linenumber") * 3).cast("double").as("ssl_cost"),
+          ((col("l_orderkey") % 11) * 50.0).as("element_load_cost"),
+          (col("l_extendedprice") / 10.0).as("element_total_size"))
+        HttpMetrics.deriveScalars(mapped, firstScreenFactor = 0.5)
+          .select("l_orderkey", "l_linenumber", "conn_cost", "avg_speed",
+            "text_cost", "first_screen_cost", "page_total_cost", "page_avg_speed")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, conn_cost,
+        CASE WHEN trans_body_cost = 0 THEN 0 ELSE (FLOOR((page_size / (trans_body_cost / 1000)) * 10000.0 + 0.5) / 10000.0) END AS avg_speed,
+        conn_cost + trans_body_cost AS text_cost,
+        (conn_cost + trans_body_cost) + element_load_cost * 0.5 AS first_screen_cost,
+        (conn_cost + trans_body_cost) + element_load_cost AS page_total_cost,
+        CASE WHEN ((conn_cost + trans_body_cost) + element_load_cost) = 0 THEN 0
+          ELSE (FLOOR(((page_size + element_total_size) / (((conn_cost + trans_body_cost) + element_load_cost) / 1000)) * 10000.0 + 0.5) / 10000.0) END AS page_avg_speed
+        FROM (SELECT l_orderkey, l_linenumber,
+          l_extendedprice AS page_size,
+          l_quantity * 100.0 AS trans_body_cost,
+          CAST(l_partkey % 97 AS DOUBLE) + CAST(l_suppkey % 53 AS DOUBLE) + CAST(l_linenumber * 3 AS DOUBLE) AS conn_cost,
+          (l_orderkey % 11) * 50.0 AS element_load_cost,
+          l_extendedprice / 10.0 AS element_total_size
+          FROM lineitem)"""),
+      bench = true),
+
+    GraftQuery(
+      "q15_http_detail_agg",
+      (s, dir) => {
+        // A2/A3 at scale: the reference's per-record loop over the element
+        // array becomes a two-level distributed aggregate — partial
+        // map-side combine, one shuffle on the parent key, then a
+        // broadcast-size per-thread max. DECIMAL sums keep the result
+        // independent of partial-agg order.
+        val li = Tables.load(s, dir, "lineitem")
+        val elems = li.select(
+          col("l_orderkey").as("parent_id"),
+          (col("l_linenumber") % 4).as("thread_num"),
+          when(col("l_returnflag") === "N", lit(0)).otherwise(lit(1)).as("element_status"),
+          (col("l_quantity") * 10.0).cast(DecimalType(18, 4)).as("element_size"),
+          // roundHalfUp BEFORE the decimal cast: double→decimal rounding of
+          // an arbitrary double is engine-dependent at the half boundary.
+          graft.functions.SafeMath.roundHalfUp(
+              col("l_extendedprice") / 1000.0 + (col("l_partkey") % 50), 4)
+            .cast(DecimalType(18, 4)).as("element_total_cost"))
+        val perParent = elems.groupBy("parent_id").agg(
+          count(lit(1)).as("elements_sum"),
+          sum(when(col("element_status") === 0, 1L).otherwise(0L)).as("elements_success_sum"),
+          sum(when(col("element_status") =!= 0, 1L).otherwise(0L)).as("elements_fail_sum"),
+          sum(col("element_size")).as("element_total_size"))
+        val perThread = elems.groupBy("parent_id", "thread_num")
+          .agg(sum(col("element_total_cost")).as("thread_cost"))
+          .groupBy("parent_id")
+          .agg(max(col("thread_cost")).as("element_load_cost"))
+        perParent.join(perThread, Seq("parent_id"))
+          .withColumn("elements_success_rate",
+            graft.functions.SafeMath.roundHalfUp(
+              col("elements_success_sum").cast("double") / col("elements_sum") * 100, 4))
+      },
+      Some("""SELECT a.parent_id, a.elements_sum, a.elements_success_sum,
+          a.elements_fail_sum, a.element_total_size, b.element_load_cost,
+          (FLOOR((CAST(a.elements_success_sum AS DOUBLE) / a.elements_sum * 100) * 10000.0 + 0.5) / 10000.0) AS elements_success_rate
+        FROM (
+          SELECT l_orderkey AS parent_id, COUNT(*) AS elements_sum,
+            SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS elements_success_sum,
+            SUM(CASE WHEN l_returnflag = 'N' THEN 0 ELSE 1 END) AS elements_fail_sum,
+            SUM(CAST(l_quantity * 10.0 AS DECIMAL(18,4))) AS element_total_size
+          FROM lineitem GROUP BY 1) a
+        JOIN (
+          SELECT parent_id, MAX(thread_cost) AS element_load_cost FROM (
+            SELECT l_orderkey AS parent_id, l_linenumber % 4 AS thread_num,
+              SUM(CAST((FLOOR((l_extendedprice / 1000.0 + (l_partkey % 50)) * 10000.0E0 + 0.5E0) / 10000.0E0) AS DECIMAL(18,4))) AS thread_cost
+            FROM lineitem GROUP BY 1, 2) GROUP BY 1) b
+        USING (parent_id)"""),
+      bench = true),
+
+    GraftQuery(
+      "q16_game_metrics",
+      (s, dir) => {
+        // F6: GAME conn_cost falls back to the probe-reported value when
+        // dns/tcp/ssl are all zero; avg_speed computed when unreported.
+        val li = Tables.load(s, dir, "lineitem")
+        val mapped = li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("page_size"),
+          (col("l_quantity") * 50.0).as("trans_body_cost"),
+          (col("l_partkey") % 5).cast("double").as("dns_cost"),
+          (col("l_suppkey") % 3).cast("double").as("tcp_cost"),
+          (col("l_linenumber") % 2).cast("double").as("ssl_cost"),
+          ((col("l_orderkey") % 4) * 25.0).as("avg_speed"),
+          (col("l_tax") * 1000.0).as("conn_cost"))
+        GameMetrics.derive(mapped)
+          .select("l_orderkey", "l_linenumber", "conn_cost", "avg_speed")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        CASE WHEN dns_cost = 0 AND tcp_cost = 0 AND ssl_cost = 0 THEN conn_cost0
+          ELSE dns_cost + tcp_cost + ssl_cost END AS conn_cost,
+        CASE WHEN avg_speed0 = 0 THEN
+            (CASE WHEN trans_body_cost = 0 THEN 0 ELSE (FLOOR((page_size / (trans_body_cost / 1000)) * 10000.0 + 0.5) / 10000.0) END)
+          ELSE avg_speed0 END AS avg_speed
+        FROM (SELECT l_orderkey, l_linenumber,
+          l_extendedprice AS page_size,
+          l_quantity * 50.0 AS trans_body_cost,
+          CAST(l_partkey % 5 AS DOUBLE) AS dns_cost,
+          CAST(l_suppkey % 3 AS DOUBLE) AS tcp_cost,
+          CAST(l_linenumber % 2 AS DOUBLE) AS ssl_cost,
+          (l_orderkey % 4) * 25.0 AS avg_speed0,
+          l_tax * 1000.0 AS conn_cost0
+          FROM lineitem)"""))
+  )
+}
