@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.SafeMath
+import graft.operators.SetDiff
+
+/** Stream-shape operators gated in batch form: timestamp clamp, union of
+  * routed branches, CDC set diff, null-defaulting, rollup
+  * (SURVEY.md §2.3 P9-P10, §2.7, §2.4 J8).
+  */
+object NqsQueries {
+
+  /** Fixed "now" so the clamp is replay-deterministic (the reference uses
+    * wall-clock; tests would never converge). */
+  private val NowLit = "2024-01-20 00:00:00"
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q17_ts_clamp",
+      (s, dir) => {
+        // P9: stale/garbled timestamps repaired to "now", never dropped.
+        val ev = Tables.events(s, dir)
+        val now = to_timestamp(lit(NowLit))
+        ev.select(col("event_id"),
+          unix_timestamp(SafeMath.clampTimestamp(col("ts"), now)).as("ts_fixed"))
+      },
+      Some(s"""SELECT event_id,
+        CASE WHEN ABS(CAST(epoch(TIMESTAMP '$NowLit') AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)) > 108000
+          THEN CAST(epoch(TIMESTAMP '$NowLit') AS BIGINT)
+          ELSE CAST(floor(epoch(ts)) AS BIGINT) END AS ts_fixed
+        FROM events""")),
+
+    GraftQuery(
+      "q18_union_branches",
+      (s, dir) => {
+        // §2.7: register/heartbeat branches re-unioned into one sink table.
+        val ev = Tables.events(s, dir)
+        val a = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), lit("register").as("kind"))
+        val b = ev.filter(col("event_type") =!= "signup")
+          .select(col("event_id"), col("user_id"), lit("heartbeat").as("kind"))
+        a.unionByName(b)
+      },
+      Some("""SELECT event_id, user_id, 'register' AS kind FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT event_id, user_id, 'heartbeat' AS kind FROM events WHERE event_type <> 'signup'""")),
+
+    GraftQuery(
+      "q19_cdc_set_diff",
+      (s, dir) => {
+        // J8: stored set vs reported set → insert/update/delete actions.
+        val ev = Tables.events(s, dir)
+        val current = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(count(lit(1)).as("n_current"))
+        val report = ev.filter(col("event_type") === "login" || col("event_type") === "click")
+          .groupBy("user_id").agg(count(lit(1)).as("n_report"))
+        SetDiff(current, report, Seq("user_id"))
+      },
+      Some("""SELECT COALESCE(c.user_id, r.user_id) AS user_id, c.n_current, r.n_report,
+        CASE WHEN c.user_id IS NULL THEN 'insert'
+             WHEN r.user_id IS NULL THEN 'delete'
+             ELSE 'update' END AS action
+        FROM (SELECT user_id, COUNT(*) AS n_current FROM events WHERE event_type = 'signup' GROUP BY 1) c
+        FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_report FROM events WHERE event_type IN ('login','click') GROUP BY 1) r
+        ON c.user_id = r.user_id""")),
+
+    GraftQuery(
+      "q20_null_defaults",
+      (s, dir) => {
+        // P10: sink-side null coercion after an outer join.
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(col("c_custkey"),
+            SafeMath.defStr(col("o_orderstatus")).as("status"),
+            SafeMath.defDouble(col("o_totalprice")).as("amount"),
+            SafeMath.defNum(col("o_orderkey")).as("order_key"))
+      },
+      Some("""SELECT c_custkey, COALESCE(o_orderstatus, '') AS status,
+        COALESCE(o_totalprice, 0) AS amount, COALESCE(o_orderkey, 0) AS order_key
+        FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        ON c_custkey = o_custkey""")),
+
+    GraftQuery(
+      "q21_rollup",
+      (s, dir) => {
+        // §2.5: multi-level aggregation the reference delegates to
+        // ClickHouse; Spark computes all grouping sets in one pass.
+        val li = Tables.load(s, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
+  )
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Spark-native windowed aggregations (SURVEY.md §2.9, build-plan §7 step 8)
+  * — the capability the reference delegates to ClickHouse GROUP BYs over
+  * materialized bucket columns. Gated in batch mode (the `window()` /
+  * `session_window()` expressions are identical in Structured Streaming;
+  * the streaming harness is exercised in StreamingSpec).
+  *
+  * Scale note: tumbling/sliding windows are plain hash aggregations on
+  * (window, dims) — map-side partial agg then one shuffle. Session windows
+  * shuffle once on user and sort within partitions.
+  */
+object WindowQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q22_tumbling_window",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+      },
+      Some("""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS window_start,
+        event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events GROUP BY 1, 2"""),
+      bench = true),
+
+    GraftQuery(
+      "q23_sliding_window",
+      (s, dir) => {
+        // 1h windows sliding every 30m: each event lands in exactly two.
+        val ev = Tables.events(s, dir)
+        ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+      },
+      Some("""SELECT ws AS window_start, event_type, COUNT(*) AS n,
+          SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM (
+          SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS ws, event_type, value FROM events
+          UNION ALL
+          SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800 AS ws, event_type, value FROM events)
+        GROUP BY 1, 2""")),
+
+    GraftQuery(
+      "q24_session_window",
+      (s, dir) => {
+        // Per-user sessions with a 30-minute inactivity gap. Timestamps are
+        // truncated to whole seconds on BOTH sides so nanosecond precision
+        // differences cannot flip a boundary.
+        val ev = Tables.events(s, dir)
+        ev.withColumn("tss", date_trunc("second", col("ts")))
+          .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            unix_timestamp(col("session_window.start")).as("session_start"),
+            col("n"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        s AS (
+          SELECT user_id, sec,
+            CASE WHEN LAG(sec) OVER w IS NULL
+                   OR sec - LAG(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        g AS (
+          SELECT user_id, sec,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s)
+        SELECT user_id, MIN(sec) AS session_start, COUNT(*) AS n
+        FROM g GROUP BY user_id, sid"""),
+      bench = true)
+  )
+}

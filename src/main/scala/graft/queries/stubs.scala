@@ -1,8 +1,6 @@
 package graft.queries
 
 // Placeholder registries — filled in as each operator family lands.
-object NqsQueries    { val queries: Seq[GraftQuery] = Seq.empty }
 object TextQueries   { val queries: Seq[GraftQuery] = Seq.empty }
 object DedupQueries  { val queries: Seq[GraftQuery] = Seq.empty }
 object VectorQueries { val queries: Seq[GraftQuery] = Seq.empty }
-object WindowQueries { val queries: Seq[GraftQuery] = Seq.empty }

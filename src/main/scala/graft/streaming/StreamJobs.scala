@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.nqs.{ProbePipelines, TaskDataPipeline}
+import graft.score.{PQConfig, PQDefaults}
+
+/** Structured Streaming harness for the three NQS jobs (SURVEY.md §2.9).
+  *
+  * Semantics mapping from the reference's Flink topology:
+  *  - 10 s tumbling processing-time windows that only BATCH records
+  *    (no cross-record aggregation) → micro-batches with
+  *    `Trigger.ProcessingTime("10 seconds")` — the faithful equivalent (T1);
+  *  - the count-1000 early-fire trigger (T2) has no Structured Streaming
+  *    counterpart → bound batch size at the source instead
+  *    (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`); documented divergence;
+  *  - per-record MySQL/Redis side effects (T6) → separate output frames
+  *    written in the same `foreachBatch`, transactionally per batch;
+  *  - at-least-once + ClickHouse ReplacingMergeTree dedup (T8/O8) →
+  *    checkpointed source offsets + content-hash row ids + `dropDuplicates`
+  *    at the sink = idempotent replay.
+  */
+object StreamJobs {
+
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("10 seconds")
+
+  /** Raw message stream from a directory of text files (one message per
+    * line) — the offline stand-in for the Kafka source; swap for
+    * `format("kafka")` + `subscribe` in production (S1). */
+  def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
+  /** Task-data job: every micro-batch runs the full parse→enrich→score
+    * pipeline and appends parent + detail-child facts, deduplicated on the
+    * content-hash id within the batch (cross-batch dedup is the read-side
+    * keep-latest view, as in the reference's ReplacingMergeTree). */
+  def runTaskData(raw: DataFrame, dims: TaskDataPipeline.Dims, outDir: String,
+      checkpointDir: String, cfg: PQConfig = PQDefaults.config,
+      nowEpoch: Long = System.currentTimeMillis() / 1000,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val facts = TaskDataPipeline(batch, dims, cfg, nowEpoch)
+        val details = TaskDataPipeline.explodeHttpDetails(facts, cfg)
+        facts.drop("detail").dropDuplicates("id")
+          .write.mode("append").parquet(s"$outDir/gw_facts")
+        details.dropDuplicates("id")
+          .write.mode("append").parquet(s"$outDir/gw_http_detail")
+        ()
+      }
+      .start()
+
+  /** Heartbeat job: facts + new-probe registrations as two sinks. */
+  def runHeartbeat(raw: DataFrame, probes: DataFrame, probeAccessType: DataFrame,
+      ipRegion: DataFrame, outDir: String, checkpointDir: String,
+      nowEpoch: Long = System.currentTimeMillis() / 1000,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (facts, newProbes) =
+          ProbePipelines.heartbeatJob(batch, probes, probeAccessType, ipRegion, nowEpoch)
+        facts.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_heartbeat")
+        newProbes.dropDuplicates("probe_id").write.mode("append").parquet(s"$outDir/new_probes")
+        ()
+      }
+      .start()
+
+  /** Gateway-info job: five outputs from one parsed stream (T7 side
+    * outputs → five filtered branches written per batch). */
+  def runGatewayInfo(raw: DataFrame, storedAccessTypes: DataFrame, outDir: String,
+      checkpointDir: String, nowEpoch: Long = System.currentTimeMillis() / 1000,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = ProbePipelines.gatewayInfoJob(batch, storedAccessTypes, nowEpoch)
+        out.pinfo.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_pinfo")
+        out.traffic.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_traffic")
+        out.status.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_status")
+        out.pon.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_pon")
+        out.accessDiff.write.mode("append").parquet(s"$outDir/access_diff")
+        ()
+      }
+      .start()
+
+  /** W1: the `c_p_pinfo_real` keep-latest view over an appended fact dir. */
+  def latestView(spark: SparkSession, factDir: String, key: String,
+      orderCol: String): DataFrame =
+    graft.operators.KeepLatest(
+      spark.read.parquet(factDir), Seq(key),
+      Seq(col(orderCol).desc))
+}
