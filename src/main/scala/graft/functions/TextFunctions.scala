@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting. All pure Catalyst expressions (codegen'd,
+  * per-row, zero shuffle) so they run at full scan speed over 100 TB —
+  * the difference between these and a UDF is the whole ballgame at scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: alphabetic runs count ~1 token per 4
+    * chars (ceil), digits and other non-space symbols 1 each — a cheap,
+    * deterministic stand-in for a real tokenizer's token count. */
+  def bpeTokenEstimate(text: Column): Column = {
+    val pieces = regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]"), lit(0))
+    aggregate(pieces, lit(0L), (acc, p) =>
+      acc + when(p.rlike("^[A-Za-z]+$"), ceil(length(p) / lit(4.0)).cast("long"))
+        .otherwise(lit(1L)))
+  }
+
+  /** Default English-ish stopword set used by the quality heuristic. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "for", "on", "with", "as", "at", "by", "it")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Stopwords): Column = {
+    val t = tokens(text)
+    val hits = size(filter(t, x => x.isInCollection(stopwords)))
+    when(size(t) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(t))
+  }
+
+  /** Punctuation density (punct chars / total chars). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+          .cast("double") / length(text))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / size(t))
+  }
+
+  /** Composite document-quality score in [0,1]: rewards mid-length docs
+    * with natural stopword density, penalizes punctuation soup. The exact
+    * weighting is a heuristic; the point is the shape — cheap per-row
+    * signals composed into one filterable column. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lengthTerm = least(n / lit(100.0), lit(1.0)) // saturates at 100 tokens
+    val stopTerm = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctTerm = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
+    SafeMath.roundHalfUp(
+      lengthTerm * lit(0.4) + stopTerm * lit(0.3) + punctTerm * lit(0.3), 4)
+  }
+
+  /** N-gram-heuristic language ID over a handful of scripts/languages:
+    * script detection by Unicode range, then stopword voting for Latin
+    * scripts. Returns en/es/de/fr/zh/ja/ko/ru/und. */
+  def langId(text: Column): Column = {
+    def ratio(pattern: String): Column =
+      size(regexp_extract_all(text, lit(pattern), lit(0))).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0))
+    def votes(words: Seq[String]): Column =
+      size(filter(tokens(lower(text)), x => x.isInCollection(words)))
+    val es = votes(Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es"))
+    val de = votes(Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit"))
+    val fr = votes(Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+    val en = votes(Stopwords)
+    when(ratio("[\\x{4E00}-\\x{9FFF}]") > 0.05, lit("zh"))
+      .when(ratio("[\\x{3040}-\\x{30FF}]") > 0.05, lit("ja"))
+      .when(ratio("[\\x{AC00}-\\x{D7AF}]") > 0.05, lit("ko"))
+      .when(ratio("[\\x{0400}-\\x{04FF}]") > 0.05, lit("ru"))
+      .when(en >= es && en >= de && en >= fr && en > 0, lit("en"))
+      .when(es >= de && es >= fr && es > 0, lit("es"))
+      .when(de >= fr && de > 0, lit("de"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  /** Canonical-content fingerprint: md5 of casefolded, punctuation-stripped,
+    * whitespace-collapsed text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Word k-shingles (default 3) — the unit set for Jaccard similarity. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) < k, array())
+      .otherwise(transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+}

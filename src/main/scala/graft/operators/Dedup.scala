@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication family for training-data pipelines. Four tiers, cheapest
+  * first — at 100 TB you run exact + MinHash-LSH; the exact-Jaccard pass
+  * is the verifier on LSH candidates, never a full cross-join.
+  *
+  *  - [[exactGroups]]: hash-groupBy on a canonical fingerprint — one
+  *    shuffle of (hash, id), no text movement.
+  *  - [[jaccardPairs]]: exact n-gram Jaccard via shingle inverted index:
+  *    explode shingles → self-join on shingle → count co-occurrences.
+  *    Shuffles scale with Σ shingles, not |docs|² — but hot shingles blow
+  *    up, so LSH is the scale path and this the verifier.
+  *  - [[minhashLsh]]: MinHash signatures banded into LSH buckets; only
+  *    same-bucket docs become candidate pairs, verified with exact
+  *    Jaccard. Tunable (numHashes × bands) precision/recall.
+  *  - [[simhash]]: 64-bit near-dup fingerprint; hamming-close docs
+  *    cluster by rotating prefix blocks.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: canonical id = min doc id per fingerprint.
+    * Input needs (idCol, textCol); output one row per duplicated content. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Distinct (id, shingle) pairs — the inverted-index rows. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), k)).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, k).cache()
+    val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val co = idx.as("x").join(idx.as("y"), col("x.sh") === col("y.sh"))
+      .filter(col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature: for hash seed i, min over shingles of
+    * xxhash64(shingle, seed=i). Returns array<long> of length numHashes. */
+  def minhashSignature(text: Column, numHashes: Int, k: Int = 3): Column = {
+    val sh = TextFunctions.shingles(text, k)
+    val hashes = (0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH candidate pairs + exact-Jaccard verification.
+    * bands × rowsPerBand = numHashes; docs sharing any band-hash become
+    * candidates. The band join shuffles (bandId, bandHash) keys only. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("doc"), col(textCol).as("text"),
+      minhashSignature(col(textCol), numHashes, k).as("sig"))
+      .filter(size(col("sig")) > 0 && !exists(col("sig"), _.isNull))
+    val banded = sig.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b).as("bh")))))
+      .select(col("doc"), col("col.band").as("band"), col("col.bh").as("bh"))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard (join back the shingle sets)
+    val idx = shingleIndex(docs, idCol, textCol, k)
+    val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(idx.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(idx.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over token xxhash64s: bit j of the fingerprint is the
+    * sign of Σ±1 over tokens' bit j. Pure expressions via bit arithmetic. */
+  def simhash(text: Column): Column = {
+    val hs = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  *  - [[cosineTopK]]: brute-force scan — the correctness baseline. One
+  *    codegen'd pass over the vectors, `TakeOrderedAndProject` for the
+  *    top-k (no global sort); the query vector travels as a literal.
+  *  - [[lshCosineTopK]]: the scale path — random-hyperplane LSH buckets
+  *    (sign bits of random projections). Only same-bucket vectors are
+  *    scored: at 1000 executors the bucket join prunes ~(1 - 1/2^bits)
+  *    of the corpus per probe, trading recall for a ~2^bits speedup;
+  *    multi-probe (flipping one bit) recovers most recall.
+  *  - [[ivfTopK]]: inverted-file variant — k-means-ish coarse centroids
+  *    picked by deterministic sampling; vectors assigned to nearest
+  *    centroid once (one shuffle), queries scored only against the
+  *    nProbe nearest cells.
+  *
+  * All dot products are double-cast before multiply-accumulate so results
+  * are reproducible across engines and partitionings.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of an array column with a literal vector. */
+  def dotLit(vec: Column, q: Seq[Double]): Column =
+    aggregate(
+      zip_with(transform(vec, _.cast("double")),
+        array(q.map(lit): _*), (x, w) => x * w),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normLit(q: Seq[Double]): Double = math.sqrt(q.map(x => x * x).sum)
+
+  /** Sequential L2 norm of an array column. */
+  def norm(vec: Column): Column =
+    sqrt(aggregate(transform(vec, _.cast("double")), lit(0.0),
+      (acc, x) => acc + x * x))
+
+  /** Cosine similarity against a literal query vector, rounded to `scale`
+    * so downstream top-k cuts are reproducible. */
+  def cosineLit(vec: Column, q: Seq[Double], scale: Int = 6): Column =
+    graft.functions.SafeMath.roundHalfUp(
+      dotLit(vec, q) / (norm(vec) * lit(normLit(q))), scale)
+
+  /** Brute-force cosine top-k: returns (idCol, cos) for the k nearest. */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame =
+    embeddings
+      .select(col(idCol), cosineLit(col(vecCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Random-hyperplane sign bucket for a vector: `bits` pseudo-random
+    * hyperplanes derived deterministically from (seed, bit, dim). */
+  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
+    def plane(b: Int): Seq[Double] =
+      (0 until dim).map { d =>
+        // deterministic pseudo-gaussian via hash → uniform(-1,1)
+        val h = scala.util.hashing.MurmurHash3.productHash((seed, b, d))
+        (h.toDouble / Int.MaxValue)
+      }
+    val bitCols = (0 until bits).map { b =>
+      when(dotLit(vec, plane(b)) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed cosine top-k: scores only vectors in the query's bucket
+    * plus one-bit-flip probe buckets. */
+  def lshCosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, bits: Int = 8, seed: Int = 42): DataFrame = {
+    val dim = query.size
+    val qRow = embeddings.sparkSession.range(1)
+      .select(array(query.map(lit): _*).as("qv"))
+    val qBucket = qRow.select(lshBucket(col("qv"), dim, bits, seed).as("b"))
+      .collect()(0).getLong(0)
+    val probes = qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))
+    embeddings
+      .withColumn("__bucket", lshBucket(col(vecCol), dim, bits, seed))
+      .filter(col("__bucket").isInCollection(probes))
+      .select(col(idCol), cosineLit(col(vecCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF: assign every vector to its nearest of `nCells` centroids (picked
+    * deterministically as the first vectors by id — kmeans init would
+    * iterate the same machinery), then score only the `nProbe` cells
+    * nearest the query. Returns the top-k within probed cells. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids: Array[(Int, Seq[Double])] = embeddings
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](0).toSeq.map(_.toDouble)
+      }
+    // one flat distances array, then argmin — a pairwise when-chain would
+    // duplicate every dot-product subtree per comparison and blow up the
+    // expression tree exponentially.
+    def nearestCell(vec: Column): Column = {
+      val dists = array(centroids.map { case (_, c) =>
+        -dotLit(vec, c) / lit(normLit(c))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val qCells = centroids
+      .map { case (i, c) =>
+        val qn = normLit(query)
+        val dot = query.zip(c).map { case (a, b) => a * b }.sum
+        i -> -dot / (normLit(c) * qn)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    embeddings
+      .withColumn("__cell", nearestCell(col(vecCol)))
+      .filter(col("__cell").isin(qCells: _*))
+      .select(col(idCol), cosineLit(col(vecCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis operators over the documents table (token counting,
+  * quality scoring, language ID, fingerprinting). Every metric is pure
+  * per-row Catalyst expression work — full scan speed, no shuffle except
+  * the final rollup.
+  */
+object TextQueries {
+
+  private val BpePat = "[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]"
+  /** DuckDB-side twins of TextFunctions: same tokenization, same fold. */
+  private val ToksSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val TokCountSql = s"len($ToksSql)"
+  private val BpeSql =
+    s"""COALESCE(list_sum(list_transform(regexp_extract_all(text, '$BpePat'),
+        p -> CASE WHEN regexp_full_match(p, '[A-Za-z]+')
+          THEN CAST(ceil(length(p) / 4.0E0) AS BIGINT) ELSE 1 END)), 0)"""
+  private def votesSql(words: Seq[String]): String =
+    s"""len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+        x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"""
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q25_token_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+          sum(TextFunctions.bpeTokenEstimate(col("text"))).as("n_bpe"),
+          sum(col("n_chars")).as("sum_chars"))
+      },
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM($TokCountSql) AS BIGINT) AS n_tokens,
+        CAST(SUM($BpeSql) AS BIGINT) AS n_bpe,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY source"""),
+      bench = true),
+
+    GraftQuery(
+      "q26_quality_score",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      },
+      Some {
+        val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
+        val stopRatio = s"""(CASE WHEN $TokCountSql = 0 THEN 0.0E0 ELSE
+          CAST(len(list_filter($ToksSql, x -> list_contains([$stopList], x))) AS DOUBLE) / $TokCountSql END)"""
+        val punctRatio = s"""(CASE WHEN length(text) = 0 THEN 0.0E0 ELSE
+          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END)"""
+        val meanLen = s"""(CASE WHEN $TokCountSql = 0 THEN 0.0E0 ELSE
+          CAST(list_sum(list_transform($ToksSql, x -> length(x))) AS DOUBLE) / $TokCountSql END)"""
+        val quality = s"""(FLOOR((least(CAST($TokCountSql AS DOUBLE) / 100.0E0, 1.0E0) * 0.4E0 +
+          least($stopRatio * 4.0E0, 1.0E0) * 0.3E0 +
+          greatest(1.0E0 - $punctRatio * 5.0E0, 0.0E0) * 0.3E0) * 10000.0E0 + 0.5E0) / 10000.0E0)"""
+        s"""SELECT doc_id, $TokCountSql AS n_tokens, $stopRatio AS stop_ratio,
+          $punctRatio AS punct_ratio, $meanLen AS mean_token_len,
+          $quality AS quality FROM documents"""
+      }),
+
+    GraftQuery(
+      "q27_lang_id",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), col("lang").as("declared_lang"),
+          TextFunctions.langId(col("text")).as("detected_lang"))
+      },
+      Some {
+        def ratio(p: String) =
+          s"(CAST(len(regexp_extract_all(text, '$p')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0E0))"
+        val en = votesSql(TextFunctions.Stopwords)
+        val es = votesSql(Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es"))
+        val de = votesSql(Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit"))
+        val fr = votesSql(Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+        s"""SELECT doc_id, lang AS declared_lang,
+          CASE WHEN ${ratio("[\\x{4E00}-\\x{9FFF}]")} > 0.05E0 THEN 'zh'
+               WHEN ${ratio("[\\x{3040}-\\x{30FF}]")} > 0.05E0 THEN 'ja'
+               WHEN ${ratio("[\\x{AC00}-\\x{D7AF}]")} > 0.05E0 THEN 'ko'
+               WHEN ${ratio("[\\x{0400}-\\x{04FF}]")} > 0.05E0 THEN 'ru'
+               WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+               WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
+               WHEN $de >= $fr AND $de > 0 THEN 'de'
+               WHEN $fr > 0 THEN 'fr'
+               ELSE 'und' END AS detected_lang
+          FROM documents"""
+      }),
+
+    GraftQuery(
+      "q28_fingerprint",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      },
+      Some("""SELECT doc_id,
+        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents"""))
+  )
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Semantics tests for the training-data-pipeline operators: dedup family
+  * (exact / Jaccard / MinHash-LSH / SimHash), similarity search
+  * (brute-force vs LSH vs IVF recall), text analysis, multimodal plumbing.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "THE  quick   brown fox jumps over the lazy dog"), // exact after normalize
+    (4L, "completely different content about spark engines"),
+    (5L, "the quick brown fox jumps over the lazy dog")     // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalize case and whitespace") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("canonical_id") === 1L)
+    assert(groups(0).getAs[Long]("n_copies") === 3L) // docs 1, 3, 5
+  }
+
+  test("jaccard pairs find near-dups above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs((1L, 5L)) === 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH candidates recover the exact-jaccard pairs on dups") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, k = 2, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs agree on every band → always candidates; verified
+    // jaccard then matches the exact pass
+    assert(exact.subsetOf(lsh) || lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 5L)))
+  }
+
+  test("simhash: identical docs equal, near-dups hamming-close, different docs far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(5L))
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(4L)))
+    assert(hamming(h(1L), h(2L)) <= 16)
+  }
+
+  test("LSH and IVF similarity recall the brute-force top-1") {
+    val vecs = (0 until 100).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 7).collect()(0)
+      .getSeq[Float](1).map(_.toDouble).toSeq
+    val brute = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0))
+    assert(brute.head === 7L) // self is nearest
+    val lsh = Similarity.lshCosineTopK(vecs, "vec_id", "embedding", q, 5, bits = 6)
+      .collect().map(_.getLong(0))
+    assert(lsh.contains(7L))
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, 5, nCells = 8, nProbe = 4)
+      .collect().map(_.getLong(0))
+    assert(ivf.contains(7L))
+  }
+
+  test("text functions: tokens, bpe estimate, quality bounds, lang id") {
+    val t = Seq((1L, "Hello world, this is a test with the and of in 42!"))
+      .toDF("id", "text")
+    val r = t.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.bpeTokenEstimate(col("text")).as("bpe"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langId(col("text")).as("lang")).collect()(0)
+    assert(r.getAs[Int]("n") === 12)
+    assert(r.getAs[Long]("bpe") > 12) // subwords + punct + digits ≥ words
+    assert(r.getAs[Double]("q") >= 0.0 && r.getAs[Double]("q") <= 1.0)
+    assert(r.getAs[String]("lang") === "en")
+    val zh = t.select(TextFunctions.langId(lit("这是一个中文测试文档内容")).as("l"))
+      .collect()(0).getString(0)
+    assert(zh === "zh")
+  }
+
+  test("multimodal: stub decode preserves ids, size binning, meta schema") {
+    val d = Multimodal.withBinaryFromText(docs, "text")
+    val meta = Multimodal.decodeMeta(d, "doc_id", "media_bytes", sizeBins = 4)
+    assert(meta.schema === Multimodal.mediaMetaSchema)
+    val rows = meta.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Long]("byte_len") === "the quick brown fox jumps over the lazy dog".length)
+    val planned = Multimodal.frameSamplePlan(
+      Multimodal.resizeStub(meta, 320, 240), 4)
+    val p1 = planned.filter(col("media_id") === 1).collect()(0)
+    assert(p1.getAs[Int]("resized_width") <= 320)
+    assert(p1.getAs[scala.collection.Seq[Int]]("sample_frames").nonEmpty)
+  }
+}

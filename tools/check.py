@@ -55,12 +55,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: {str(e).splitlines()[-1]}"); n_fail += 1
-    # queries without oracle: rows-only check
+    # queries without oracle: rows-only check (driven by the declared name
+    # list so a query that threw and wrote nothing still FAILs)
     have = set(oracles)
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = d.rstrip("/").split("/")[-1]
+    import os
+    names_file = f"{out_dir}/names.json"
+    all_names = (json.load(open(names_file)) if os.path.exists(names_file)
+                 else [d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")])
+    for name in sorted(all_names):
         if name in have: continue
-        files = glob.glob(f"{d}/*.parquet")
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
         rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
         print(f"{'PASS' if rows > 0 else 'FAIL'} {name} (rows-only: {rows})")
         if rows > 0: n_pass += 1
