@@ -18,10 +18,16 @@ object Parse {
     * bad_msg when probe_id/task_id/task_type_name missing
     * (`DataMessage.java:21-42`). */
   def dataUpload(raw: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.types.{ArrayType, StringType}
     raw
-      .select(explode(from_json(col("value"), ArrayType(Schemas.dataUpload))).as("m"))
-      .select(col("m.*"))
+      // two-step parse: first split the array into raw element strings so
+      // the polymorphic `detail` payload (HTTP elements, DNS domains,
+      // TRACE hops — same key, different shapes) survives as raw JSON
+      // for the per-protocol detail parsers (U3).
+      .select(explode(from_json(col("value"), ArrayType(StringType))).as("raw_msg"))
+      .withColumn("m", from_json(col("raw_msg"), Schemas.dataUpload))
+      .select(col("m.*"),
+        get_json_object(col("raw_msg"), "$.detail").as("detail_json"))
       .withColumn("bad_msg",
         col("probe_id").isNull || trim(col("probe_id")) === "" ||
         col("task_id").isNull || trim(col("task_id")) === "" ||

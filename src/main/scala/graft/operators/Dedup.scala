@@ -116,6 +116,35 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs, brute force: every (a < b)
+    * pair scored. Quadratic — the correctness baseline and the verifier
+    * for [[embeddingNearDupsLsh]]; never run this on the full corpus at
+    * scale. */
+  def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosineCols(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Embedding near-dups at scale: random-hyperplane LSH bucket blocking —
+    * pairs form only inside a bucket (one shuffle on the bucket id), then
+    * exact cosine verification. Near-identical vectors agree on every
+    * sign bit, so true near-dups stay in one bucket. */
+  def embeddingNearDupsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int = 12, seed: Int = 42): DataFrame = {
+    val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.lshBucket(col(vecCol), dim, bits, seed).as("bucket"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .withColumn("cos", Similarity.cosineCols(col("x.v"), col("y.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos"))
+  }
+
   /** 64-bit SimHash over token xxhash64s: bit j of the fingerprint is the
     * sign of Σ±1 over tokens' bit j. Pure expressions via bit arithmetic. */
   def simhash(text: Column): Column = {

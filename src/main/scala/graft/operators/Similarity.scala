@@ -44,6 +44,15 @@ object Similarity {
     graft.functions.SafeMath.roundHalfUp(
       dotLit(vec, q) / (norm(vec) * lit(normLit(q))), scale)
 
+  /** Cosine similarity of two array columns (same rounding contract). */
+  def cosineCols(a: Column, b: Column, scale: Int = 6): Column = {
+    val dot = aggregate(
+      zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")),
+        (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    graft.functions.SafeMath.roundHalfUp(dot / (norm(a) * norm(b)), scale)
+  }
+
   /** Brute-force cosine top-k: returns (idCol, cos) for the k nearest. */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame =

@@ -175,6 +175,30 @@ object CoreQueries {
         FROM events GROUP BY event_type""")),
 
     GraftQuery(
+      "q39_distinct_agg",
+      (s, dir) => {
+        // §2.5: distinct aggregation (Spark expands to a two-phase
+        // partial-distinct plan — no full row shuffle).
+        val ev = Tables.events(s, dir)
+        ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        COUNT(*) AS n_events FROM events GROUP BY event_type""")),
+
+    GraftQuery(
+      "q40_approx_distinct",
+      (s, dir) => {
+        // HLL++ sketch — engine-specific estimates, so rows-only gate;
+        // at 100 TB this replaces exact distinct wherever ±2% is fine.
+        val ev = Tables.events(s, dir)
+        ev.groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      },
+      None),
+
+    GraftQuery(
       "q10_topk",
       (s, dir) => {
         // §2.7: top-k = TakeOrderedAndProject physical op — no global sort,

@@ -59,6 +59,39 @@ object VectorQueries {
       None),
 
     GraftQuery(
+      "q37_embedding_near_dup",
+      (s, dir) => {
+        // dup-guaranteed corpus (id-shifted copy) so pairs exist at every
+        // SF; brute-force pass = the oracle-checkable baseline.
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        graft.operators.Dedup.embeddingNearDups(corpus, "vec_id", "embedding", 0.95)
+      },
+      Some {
+        val corpus = s"""(SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)"""
+        s"""SELECT id_a, id_b, cos FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ${cosSql("a.embedding", "b.embedding")} AS cos
+          FROM $corpus a JOIN $corpus b ON a.vec_id < b.vec_id)
+          WHERE cos >= 0.95E0"""
+      }),
+
+    GraftQuery(
+      "q38_embedding_near_dup_lsh",
+      (s, dir) => {
+        // the scale path: LSH sign-bucket blocking, exact verify in-bucket.
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        graft.operators.Dedup.embeddingNearDupsLsh(
+          corpus, "vec_id", "embedding", Dim, threshold = 0.95, bits = 12)
+      },
+      None,
+      bench = true),
+
+    GraftQuery(
       "q36_multimodal_meta",
       (s, dir) => {
         // binary media column + stub decode through the real mapPartitions

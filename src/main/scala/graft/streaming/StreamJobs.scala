@@ -52,6 +52,14 @@ object StreamJobs {
           .write.mode("append").parquet(s"$outDir/gw_facts")
         details.dropDuplicates("id")
           .write.mode("append").parquet(s"$outDir/gw_http_detail")
+        // K6: post-save event branch (the reference pushes saved-record
+        // notifications with the alarm template to a Kafka topic —
+        // `WindowDataParser.java:174-187`); swap this writer for
+        // `format("kafka")` in production.
+        facts.select("id", "task_id", "task_param_id", "alarm_template_id",
+            "task_type_name", "test_time")
+          .dropDuplicates("id")
+          .write.mode("append").parquet(s"$outDir/saved_events")
         ()
       }
       .start()

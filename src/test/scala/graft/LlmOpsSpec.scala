@@ -84,6 +84,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ivf.contains(7L))
   }
 
+  test("embedding near-dup: LSH blocking recovers the brute-force pairs") {
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat).toSeq)
+    }
+    // 3 near-identical copies (tiny perturbation of vec 5)
+    val dups = (0 until 3).map { j =>
+      (100L + j, base(5)._2.map(v => v + 1e-4f * j))
+    }
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(vecs, "vec_id", "embedding",
+      dim = 16, threshold = 0.999, bits = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(brute.contains((5L, 100L)))
+    assert(lsh === brute) // identical sign patterns → same buckets
+  }
+
   test("text functions: tokens, bpe estimate, quality bounds, lang id") {
     val t = Seq((1L, "Hello world, this is a test with the and of in 42!"))
       .toDF("id", "text")

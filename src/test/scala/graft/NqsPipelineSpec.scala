@@ -152,6 +152,37 @@ class NqsPipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("id")).distinct.length === 2)
   }
 
+  test("DNS/TRACE detail explosion via raw detail_json capture") {
+    import spark.implicits._
+    val dnsMsg =
+      s"""{"probe_id":"p-0001","task_id":"t-0002","task_type_name":"DNS",
+         |"task_from":10,"test_time":$Now,"time_cost":35.0,"success_rate":99.0,
+         |"detail":[{"domain":"a.com","dns_cost":30.0,"success_rate":100.0},
+         |{"domain":"b.com","dns_cost":250.0,"success_rate":50.0}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val traceMsg =
+      s"""{"probe_id":"p-0001","task_id":"t-0002","task_type_name":"TRACE",
+         |"task_from":10,"test_time":$Now,
+         |"detail":[{"hops":1,"ip":"10.0.0.1","rtt":2.0,"jitter":0.1,"lost_rate":0.0},
+         |{"hops":2,"ip":"1.1.1.1","rtt":15.0,"jitter":1.0,"lost_rate":0.01}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val raw = Seq(s"[$dnsMsg,$traceMsg]").toDF("value")
+    val facts2 = TaskDataPipeline(raw, dims(spark), nowEpoch = Now)
+    val dnsChildren = DetailSpecs.explode(facts2, DetailSpecs.dnsDetail)
+    val rows = dnsChildren.orderBy("element_idx").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("domain") === "a.com")
+    assert(rows(0).getAs[String]("task_type_name") === "DNS_DETAIL")
+    // DNS_DETAIL criteria: dns_cost 30 → band (0,40]; success 100 → (70,100]
+    assert(rows(0).getAs[Double]("score") > 90.0)
+    assert(rows(1).getAs[Double]("score") < rows(0).getAs[Double]("score"))
+    val traceChildren = DetailSpecs.explode(facts2, DetailSpecs.traceDetail)
+    val t = traceChildren.orderBy("element_idx").collect()
+    assert(t.length === 2)
+    assert(t(0).getAs[Long]("hops") === 1L)
+    assert(t(0).getAs[Double]("score") === 0.0) // no TRACE_DETAIL criteria
+  }
+
   test("heartbeat job: register/heartbeat split, geo synthesis, port status") {
     import spark.implicits._
     val raw = Seq(
