@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.score.{PQDefaults, ScoreEngine}
+import graft.score.ScoreEngine.Source
+import graft.sources.FactWriter
+
+/** SQL function surface + fact storage layout. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("pq_score functions callable from spark.sql, equal to Column API") {
+    GraftFunctions.register(spark)
+    Seq((20.0, 0.005), (5000.0, 0.0), (100.0, 0.5))
+      .toDF("rtt", "lost_rate").createOrReplaceTempView("pings")
+    val viaSql = spark.sql("SELECT pq_score_ping(rtt, lost_rate) AS s FROM pings")
+      .collect().map(_.getDouble(0)).toSeq
+    val viaCol = spark.table("pings")
+      .select(ScoreEngine.scoreFor(PQDefaults.config.byProtocol("PING"),
+        n => Source(col(n), n)).as("s"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql(1) === 0.0) // outlier via SQL path too
+  }
+
+  test("pq_score arity is validated with metric names in the error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT pq_score_ping(1.0)").collect()
+    }
+    assert(e.getMessage.contains("rtt") || e.getCause.getMessage.contains("rtt"))
+  }
+
+  test("extensions class registers the full function family") {
+    val names = GraftFunctions.functionNames()
+    assert(names.contains("pq_score_http") && names.contains("pq_score_ftp"))
+    assert(GraftFunctions.injections(PQDefaults.config).size === names.size)
+  }
+
+  test("fact writer: day-partitioned, shard-clustered, prunable, expirable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-facts").toFile.getAbsolutePath
+    val day0 = 1723420800L - (1723420800L % 86400)
+    val facts = Seq(
+      ("p1", 5L, day0, 100.0), ("p2", 6L, day0, 50.0),
+      ("p1", 5L, day0 + 86400, 70.0))
+      .toDF("probe_id", "task_param_id", "test_time_d", "score")
+    FactWriter.write(facts, s"$tmp/gw", "test_time_d", "probe_id",
+      Seq("task_param_id", "probe_id"), shards = 2)
+    // partition dirs exist
+    val dirs = new java.io.File(s"$tmp/gw").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet === Set(s"test_time_d=$day0", s"test_time_d=${day0 + 86400}"))
+    // pruning: filter on the partition col reads one partition
+    val pruned = spark.read.parquet(s"$tmp/gw").filter(col("test_time_d") === day0)
+    assert(pruned.count() === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains(s"test_time_d=${day0 + 86400}"))
+    // retention
+    val expired = FactWriter.expiredPartitions(s"$tmp/gw", "test_time_d", day0 + 1)
+    assert(expired.length === 1 && expired.head.contains(s"test_time_d=$day0"))
+  }
+}

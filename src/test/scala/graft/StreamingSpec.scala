@@ -72,6 +72,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.count() === 1) // resolved at read, as in the reference (O8)
   }
 
+  test("event-time windowed aggregation with watermark over a file stream") {
+    // T4 extended mode: event-time tumbling windows + 10-minute watermark,
+    // append output — late rows beyond the watermark are dropped.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-wm").toFile.getAbsolutePath
+    val srcDir = s"$tmp/src"; new java.io.File(srcDir).mkdirs()
+    val rows = Seq(
+      s"""{"probe_id":"p1","ts":1723420800,"score":90.0}""",
+      s"""{"probe_id":"p1","ts":1723420805,"score":70.0}""",
+      s"""{"probe_id":"p2","ts":1723421400,"score":50.0}""")
+    Files.writeString(java.nio.file.Path.of(s"$srcDir/a.txt"), rows.mkString("\n"))
+    val schema = "probe_id STRING, ts LONG, score DOUBLE"
+    val stream = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .json(srcDir)
+      .withColumn("event_time", to_timestamp(col("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes"), col("probe_id"))
+      .agg(count(lit(1)).as("n"), avg(col("score")).as("avg_score"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // windows close only when the watermark passes; a second batch with a
+    // later event advances it and emits the first window
+    Files.writeString(java.nio.file.Path.of(s"$srcDir/b.txt"),
+      s"""{"probe_id":"p2","ts":1723424000,"score":10.0}""")
+    val q2 = stream.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val out = spark.table("wm_out2")
+      .select(col("probe_id"), col("n"), col("avg_score")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.contains(("p1", 2L, 80.0)))
+    assert(out.contains(("p2", 1L, 50.0)))
+  }
+
   test("keep-latest view returns newest row per key") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-latest").toFile.getAbsolutePath
