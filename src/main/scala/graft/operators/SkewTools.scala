@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (SURVEY.md §4; the "hot key" problem at 100 TB).
+  *
+  * AQE's skew-join splitting handles most cases at runtime; explicit
+  * salting remains the tool when one join/grouping key dominates so badly
+  * that even split partitions won't fit (a single probe or task id holding
+  * a double-digit percentage of the stream).
+  *
+  *  - [[saltedJoin]]: fact rows get a deterministic salt in [0, n); the
+  *    dim side is replicated n× with every salt value; the join key
+  *    becomes (key, salt) so one hot key spreads across n partitions.
+  *    Result is row-identical to the unsalted join.
+  *  - [[saltedAgg]]: two-phase aggregation through a salted intermediate
+  *    key — for algebraic aggregates (sum/count/min/max) where even
+  *    map-side partial aggregation leaves one hot reduce partition.
+  */
+object SkewTools {
+
+  def saltedJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltN: Int, joinType: String = "inner"): DataFrame = {
+    // deterministic salt from the full fact row (replay-stable, unlike
+    // rand()); any well-spread hash works
+    val salt = pmod(hash(facts.columns.map(col): _*), lit(saltN))
+    val f = facts.withColumn("__salt", salt)
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltN - 1))))
+    f.join(d, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase salted sum/count: partial per (keys, salt), final per keys.
+    * `sumCols` are summed, plus a `n_rows` count. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      saltN: Int): DataFrame = {
+    val salt = pmod(hash(df.columns.map(col): _*), lit(saltN))
+    val partial = df.withColumn("__salt", salt)
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sumCols.map(c => sum(col(c)).as(s"__s_$c")): _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        sumCols.map(c => sum(col(s"__s_$c")).as(s"sum_$c")): _*)
+  }
+}

@@ -199,6 +199,43 @@ object CoreQueries {
       None),
 
     GraftQuery(
+      "q41_percentiles",
+      (s, dir) => {
+        // §2.5 analytics the reference delegates to ClickHouse: exact
+        // interpolated percentiles (sort-based; for 100 TB use
+        // approx_percentile and accept the sketch error).
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy("l_returnflag").agg(
+          graft.functions.SafeMath.roundHalfUp(
+            percentile(col("l_quantity"), lit(0.5)), 6).as("p50_qty"),
+          graft.functions.SafeMath.roundHalfUp(
+            percentile(col("l_quantity"), lit(0.9)), 6).as("p90_qty"),
+          graft.functions.SafeMath.roundHalfUp(
+            percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95_price"))
+      },
+      Some(s"""SELECT l_returnflag,
+        ${graft.functions.SafeMath.roundHalfUpSql("quantile_cont(l_quantity, 0.5)", 6)} AS p50_qty,
+        ${graft.functions.SafeMath.roundHalfUpSql("quantile_cont(l_quantity, 0.9)", 6)} AS p90_qty,
+        ${graft.functions.SafeMath.roundHalfUpSql("quantile_cont(l_extendedprice, 0.95)", 6)} AS p95_price
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    GraftQuery(
+      "q42_salted_join",
+      (s, dir) => {
+        // skew-proof fact⋈dim join: row-identical to the plain join (the
+        // oracle IS the plain join), hot keys spread across 8 salts.
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        graft.operators.SkewTools.saltedJoin(li, o, Seq("l_orderkey"), saltN = 8)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem)
+        JOIN (SELECT o_orderkey AS l_orderkey, o_totalprice FROM orders)
+        USING (l_orderkey)""")),
+
+    GraftQuery(
       "q10_topk",
       (s, dir) => {
         // §2.7: top-k = TakeOrderedAndProject physical op — no global sort,

@@ -46,6 +46,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(GraftFunctions.injections(PQDefaults.config).size === names.size)
   }
 
+  test("salted join and salted agg equal their unsalted counterparts") {
+    import graft.operators.SkewTools
+    val facts = (1 to 200).map(i => (i % 3L, i.toLong, i * 1.5))
+      .toDF("k", "row_id", "v") // key 0/1/2, heavily skewed by design
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "unused"))
+      .toDF("k", "name")
+    val plain = facts.join(dim, Seq("k")).orderBy("row_id")
+      .collect().map(_.toSeq).toSeq
+    val salted = SkewTools.saltedJoin(facts, dim, Seq("k"), saltN = 7)
+      .orderBy("row_id").collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+    val aggPlain = facts.groupBy("k").agg(count(lit(1)), sum(col("v")))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val aggSalted = SkewTools.saltedAgg(facts, Seq("k"), Seq("v"), saltN = 7)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(aggSalted === aggPlain)
+  }
+
   test("fact writer: day-partitioned, shard-clustered, prunable, expirable") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-facts").toFile.getAbsolutePath
     val day0 = 1723420800L - (1723420800L % 86400)
