@@ -40,13 +40,18 @@ object GraftFunctions {
       .map(c => s"pq_score_${c.protocol.toLowerCase}")
 
   /** Register on a live session (temp functions). */
-  def register(spark: SparkSession, cfg: PQConfig = PQDefaults.config): Unit =
+  def register(spark: SparkSession, cfg: PQConfig = PQDefaults.config): Unit = {
     cfg.criteria.filterNot(_.protocol == "SPEED").foreach { c =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"pq_score_${c.protocol.toLowerCase}",
         builderFor(cfg, c.protocol),
         "built-in")
     }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash",
+      exprs => graft.expressions.RollingHash(exprs.head),
+      "built-in")
+  }
 
   /** Injection list for [[GraftExtensions]]. */
   private[graft] def injections(cfg: PQConfig)

@@ -97,6 +97,18 @@ object TextQueries {
       }),
 
     GraftQuery(
+      "q43_rolling_hash",
+      (s, dir) => {
+        // custom Catalyst Expression with doGenCode (whole-stage codegen);
+        // oracle mirrors the exact codepoint fold.
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"),
+          graft.expressions.RollingHash.rolling_hash(col("text")).as("rhash"))
+      },
+      Some(s"""SELECT doc_id, ${graft.expressions.RollingHash.oracleSql("text")} AS rhash
+        FROM documents""")),
+
+    GraftQuery(
       "q28_fingerprint",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")

@@ -46,6 +46,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(GraftFunctions.injections(PQDefaults.config).size === names.size)
   }
 
+  test("rolling_hash: eval == codegen == hand computation; SQL-registered") {
+    import graft.expressions.RollingHash
+    val df = Seq((1L, "abc"), (2L, ""), (3L, "the quick brown fox"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), RollingHash.rolling_hash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand fold: ((0*31+97)%M*31+98)%M*31+99 % M
+    val abc = (( (97L * 31 + 98) % 1000000007L) * 31 + 99) % 1000000007L
+    assert(got(1L) === abc)
+    assert(got(2L) === 0L)
+    assert(got(3L) === RollingHash.hash("the quick brown fox"))
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("rh_docs")
+    val viaSql = spark.sql("SELECT rolling_hash(text) AS h FROM rh_docs WHERE id = 1")
+      .collect()(0).getLong(0)
+    assert(viaSql === abc)
+  }
+
   test("salted join and salted agg equal their unsalted counterparts") {
     import graft.operators.SkewTools
     val facts = (1 to 200).map(i => (i % 3L, i.toLong, i * 1.5))

@@ -110,6 +110,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(("p2", 1L, 50.0)))
   }
 
+  test("flatMapGroupsWithState first-seen: intra-batch novelty is deterministic") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{Classified, KeyedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KeyedEvent]
+    // batch 1: p1 twice (register + heartbeat in ONE batch), p2 once
+    input.addData(KeyedEvent("p1", 2), KeyedEvent("p1", 1), KeyedEvent("p2", 3))
+    val q = StatefulOps.firstSeen(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("first_seen").start()
+    q.processAllAvailable()
+    // batch 2: p1 again (known), p3 new
+    input.addData(KeyedEvent("p1", 4), KeyedEvent("p3", 5))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("first_seen").as[Classified].collect()
+      .map(c => (c.key, c.ordinal) -> c.is_first).toMap
+    assert(out(("p1", 1L)) === true)   // earliest in batch = registration
+    assert(out(("p1", 2L)) === false)  // same batch, later = heartbeat
+    assert(out(("p2", 3L)) === true)
+    assert(out(("p1", 4L)) === false)  // state persisted across batches
+    assert(out(("p3", 5L)) === true)
+  }
+
   test("keep-latest view returns newest row per key") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-latest").toFile.getAbsolutePath
