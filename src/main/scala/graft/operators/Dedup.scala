@@ -32,11 +32,17 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** Distinct (id, shingle) pairs — the inverted-index rows. */
+  /** Distinct (id, shingle-hash) pairs — the inverted-index rows. Shingles
+    * are joined by xxhash64, not by string: the shuffle ships 8-byte keys
+    * instead of ~40-byte text, and the join is a long-compare. Collision
+    * probability over even 10^9 distinct shingles is ~where
+    * n²/2^65 ≈ 3% — and a collision only inflates one intersection count
+    * by 1; for exact-exact guarantees join the strings. */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     docs.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), k)).as("sh"))
+        explode(TextFunctions.shingles(col(textCol), k)).as("sh_str"))
+      .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
       .distinct()
 
   /** Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold). */

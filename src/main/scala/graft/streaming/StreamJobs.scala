@@ -64,7 +64,12 @@ object StreamJobs {
       }
       .start()
 
-  /** Heartbeat job: facts + new-probe registrations as two sinks. */
+  /** Heartbeat job: facts + new-probe registrations as two sinks.
+    *
+    * The probes dim is augmented per batch with the registrations already
+    * written by EARLIER batches (the reference mutates MySQL mid-stream
+    * for the same effect, T6): a probe registering in batch 1 is a
+    * heartbeat from batch 2 on, not a duplicate registration. */
   def runHeartbeat(raw: DataFrame, probes: DataFrame, probeAccessType: DataFrame,
       ipRegion: DataFrame, outDir: String, checkpointDir: String,
       nowEpoch: Long = System.currentTimeMillis() / 1000,
@@ -73,8 +78,20 @@ object StreamJobs {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val registered =
+          try spark.read.parquet(s"$outDir/new_probes")
+            .select(col("probe_id").as("id"))
+          catch { case _: Throwable => // first batch: sink not created yet
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.StringType))))
+          }
+        val knownProbes = probes.select("id").unionByName(registered)
         val (facts, newProbes) =
-          ProbePipelines.heartbeatJob(batch, probes, probeAccessType, ipRegion, nowEpoch)
+          ProbePipelines.heartbeatJob(batch, knownProbes, probeAccessType, ipRegion, nowEpoch)
         facts.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_heartbeat")
         newProbes.dropDuplicates("probe_id").write.mode("append").parquet(s"$outDir/new_probes")
         ()

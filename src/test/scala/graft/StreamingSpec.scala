@@ -110,6 +110,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(("p2", 1L, 50.0)))
   }
 
+  test("heartbeat stream: a probe registering in batch 1 heartbeats in batch 2") {
+    import spark.implicits._
+    val SEP = ""
+    val tmp = Files.createTempDirectory("graft-hb").toFile.getAbsolutePath
+    val srcDir = s"$tmp/src"; new java.io.File(srcDir).mkdirs()
+    def msg(id: String): String =
+      s"""{"info":{"id":"$id","soft_ver":"1.0","so_ver":"0.1","task_queue_size":0,"task_size":0},"time":$Now}$SEP""" + "1.2.3.4"
+    Files.writeString(java.nio.file.Path.of(s"$srcDir/a.txt"), msg("p-7777"))
+    Files.writeString(java.nio.file.Path.of(s"$srcDir/b.txt"), msg("p-7777"))
+    val pat = Seq.empty[(String, String, Int, String)]
+      .toDF("probe_id", "access_type_name", "is_default", "connect_status")
+    val q = graft.streaming.StreamJobs.runHeartbeat(
+      graft.streaming.StreamJobs.fileSource(spark, srcDir, maxFilesPerTrigger = 1),
+      dims(spark).probes, pat, dims(spark).ipRegion,
+      s"$tmp/out", s"$tmp/ck", nowEpoch = Now,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    // both messages produced heartbeat facts, but only ONE registration
+    assert(spark.read.parquet(s"$tmp/out/c_p_heartbeat").count() === 2)
+    val regs = spark.read.parquet(s"$tmp/out/new_probes")
+      .filter(col("probe_id") === "p-7777")
+    assert(regs.count() === 1)
+  }
+
   test("flatMapGroupsWithState first-seen: intra-batch novelty is deterministic") {
     import spark.implicits._
     import graft.streaming.StatefulOps
