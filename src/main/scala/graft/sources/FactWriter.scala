@@ -31,6 +31,13 @@ object FactWriter {
       .partitionBy(dayBucketCol)
       .parquet(outDir)
 
+  /** Schema-evolution read (SURVEY.md §2.2 K7 / §4 O10): the reference's
+    * dead-code sink auto-ALTERed ClickHouse tables when new columns
+    * appeared; with parquet appends, new columns just land in newer files
+    * and `mergeSchema` unifies them at read (old rows null-filled). */
+  def readEvolved(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Retention: drop day partitions older than `cutoffEpochDay` — a
     * directory-level delete, no data rewrite (the TTL analog). */
   def expiredPartitions(outDir: String, dayBucketCol: String,

@@ -64,6 +64,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === abc)
   }
 
+  test("schema evolution: appended columns unify under mergeSchema read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evo").toFile.getAbsolutePath
+    Seq(("p1", 1L)).toDF("probe_id", "test_time")
+      .write.mode("append").parquet(s"$tmp/t")
+    Seq(("p2", 2L, 99.5)).toDF("probe_id", "test_time", "new_metric")
+      .write.mode("append").parquet(s"$tmp/t")
+    val merged = FactWriter.readEvolved(spark, s"$tmp/t")
+      .select("probe_id", "test_time", "new_metric")
+    val byId = merged.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId("p1") === None && byId("p2") === Some(99.5))
+  }
+
   test("salted join and salted agg equal their unsalted counterparts") {
     import graft.operators.SkewTools
     val facts = (1 to 200).map(i => (i % 3L, i.toLong, i * 1.5))
