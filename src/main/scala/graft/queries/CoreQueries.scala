@@ -236,6 +236,30 @@ object CoreQueries {
         USING (l_orderkey)""")),
 
     GraftQuery(
+      "q44_set_ops",
+      (s, dir) => {
+        // §2.7: the reference has union only; intersect/except come free
+        // in Spark (hash-aggregated semi/anti under the hood).
+        val ev = Tables.events(s, dir)
+        def users(t: String) =
+          ev.filter(col("event_type") === t).select("user_id")
+        val both = users("click").intersect(users("purchase"))
+          .withColumn("set_kind", lit("click_and_purchase"))
+        val only = users("click").except(users("purchase"))
+          .withColumn("set_kind", lit("click_only"))
+        both.unionByName(only)
+      },
+      Some("""SELECT user_id, 'click_and_purchase' AS set_kind FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT user_id, 'click_only' AS set_kind FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'purchase')""")),
+
+    GraftQuery(
       "q10_topk",
       (s, dir) => {
         // §2.7: top-k = TakeOrderedAndProject physical op — no global sort,
