@@ -85,6 +85,37 @@ object NqsQueries {
         ON c_custkey = o_custkey""")),
 
     GraftQuery(
+      "q45_cube",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_price"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
+    GraftQuery(
+      "q46_pivot",
+      (s, dir) => {
+        // wide-format rollup: one column per event type (the BI-facing
+        // shape downstream ClickHouse consumers build by hand).
+        val ev = Tables.events(s, dir)
+        ev.groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+      },
+      Some("""SELECT user_id,
+        COUNT(*) FILTER (event_type = 'click') AS click,
+        COUNT(*) FILTER (event_type = 'view') AS view,
+        COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (event_type = 'signup') AS signup,
+        COUNT(*) FILTER (event_type = 'error') AS error
+        FROM events GROUP BY user_id""")),
+
+    GraftQuery(
       "q21_rollup",
       (s, dir) => {
         // §2.5: multi-level aggregation the reference delegates to

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.score.{PQDefaults, ScoreEngine}
+import graft.score.ScoreEngine.Source
+import graft.functions.TimeBuckets
+
+/** Property-based invariants (SURVEY.md §5 item 2): score bounds and
+  * outlier behavior across random metric vectors; time-bucket ordering and
+  * idempotence; explosion count preservation. Generators run with fixed
+  * seeds so failures reproduce.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val metricGen: Gen[Double] = Gen.oneOf(
+    Gen.choose(-100.0, 10000.0),
+    Gen.oneOf(0.0, -1.0, 100.0, 5000.0, 0.01, 0.7), // rule boundaries
+    Gen.choose(0.0, 1.0))
+
+  test("property: every protocol score is in [0,100] for any input batch") {
+    val ping = PQDefaults.config.byProtocol("PING")
+    val game = PQDefaults.config.byProtocol("GAME")
+    for (seed <- 1L to 10L) {
+      val triples = sample(Gen.listOfN(50, Gen.zip(metricGen, metricGen, metricGen)), seed)
+      val df = triples.toDF("rtt", "lost_rate", "tcp_delay")
+        .withColumn("conn_cost", col("rtt") + 1)
+      val scores = df.select(
+          ScoreEngine.scoreFor(ping, n => Source(col(n), n)).as("p"),
+          ScoreEngine.scoreFor(game, n => Source(col(n), n)).as("g"))
+        .collect()
+      scores.foreach { r =>
+        assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 100.0, s"seed $seed")
+        assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 100.0, s"seed $seed")
+      }
+    }
+  }
+
+  test("property: any fired outlier rule zeroes the whole score") {
+    val ping = PQDefaults.config.byProtocol("PING")
+    val outlierRtt = Gen.oneOf(Gen.choose(-1000.0, 0.0), Gen.choose(5000.0, 1e7))
+    val rows = (1L to 40L).map(seed =>
+      (sample(outlierRtt, seed), sample(Gen.choose(0.0, 99.0), seed)))
+    val scores = rows.toDF("rtt", "lost_rate")
+      .select(ScoreEngine.scoreFor(ping, n => Source(col(n), n)))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(_ === 0.0))
+  }
+
+  test("property: bucket ordering ts_m <= ts_w|ts_d <= ts_h <= ts, idempotent") {
+    val epochs = (1L to 50L).map(seed => sample(Gen.choose(0L, 4102444800L), seed))
+    val rows = TimeBuckets.withBuckets(
+        epochs.toDF("e").withColumn("ts", to_timestamp(col("e"))), "ts", "b")
+      .select("e", "b_h", "b_d", "b_w", "b_m").collect()
+    rows.foreach { r =>
+      val (e, h, d, w, m) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // m and w are mutually unordered (a month can start mid-week)
+      assert(m <= d && w <= d && d <= h && h <= e)
+      assert(h % 3600 === 0 && d % 86400 === 0)
+      assert(w % 86400 === 0 && d - w < 7 * 86400)
+    }
+    // idempotence: bucketing a bucket start returns itself
+    val starts = rows.map(_.getLong(1))
+    val again = TimeBuckets.withBuckets(
+        starts.toSeq.toDF("e").withColumn("ts", to_timestamp(col("e"))), "ts", "b")
+      .select("e", "b_h").collect()
+    again.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("property: detail explosion preserves element counts") {
+    for (seed <- 1L to 10L) {
+      val sizes = sample(Gen.listOfN(5, Gen.choose(0, 6)), seed)
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"w$j").toArray)
+      }.toDF("id", "elems")
+      val exploded = docs.select(col("id"), explode(col("elems")))
+      assert(exploded.count() === sizes.sum.toLong)
+      val perParent = exploded.groupBy("id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        assert(perParent.getOrElse(i.toLong, 0L) === n.toLong)
+      }
+    }
+  }
+}
