@@ -46,6 +46,36 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(GraftFunctions.injections(PQDefaults.config).size === names.size)
   }
 
+  test("Graft.init: SQL over tables + engine functions in one call") {
+    Graft.init(spark, "/root/testdata/sf0.001")
+    val n = spark.sql("SELECT COUNT(*) FROM lineitem").collect()(0).getLong(0)
+    assert(n === 6000L)
+    val scored = spark.sql(
+      """SELECT pq_score_ping(value, 0.05) AS s, rolling_hash(event_type) AS h
+         FROM events LIMIT 5""").collect()
+    assert(scored.forall(r => r.getDouble(0) >= 0 && r.getDouble(0) <= 100))
+    assert(scored.forall(r => r.getLong(1) > 0))
+  }
+
+  test("WindowedAgg API: tumbling/sliding/session shapes") {
+    import graft.streaming.WindowedAgg
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val t = WindowedAgg.tumbling(ev, "ts", "1 hour", Seq("event_type"),
+      Seq(count(lit(1)).as("n")))
+    assert(t.columns.toSeq === Seq("window_start", "window_end", "event_type", "n"))
+    assert(t.count() > 0)
+    val sl = WindowedAgg.sliding(ev, "ts", "1 hour", "30 minutes", Seq.empty,
+      Seq(count(lit(1)).as("n")))
+    // sliding doubles the window rows vs tumbling of the same duration
+    val tTotal = t.agg(sum(col("n"))).collect()(0).getLong(0)
+    val slTotal = sl.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(slTotal === 2 * tTotal)
+    val se = WindowedAgg.session(ev, "ts", "30 minutes", Seq("user_id"),
+      Seq(count(lit(1)).as("n")))
+    assert(se.columns.toSeq === Seq("window_start", "window_end", "user_id", "n"))
+    assert(se.agg(sum(col("n"))).collect()(0).getLong(0) === ev.count())
+  }
+
   test("rolling_hash: eval == codegen == hand computation; SQL-registered") {
     import graft.expressions.RollingHash
     val df = Seq((1L, "abc"), (2L, ""), (3L, "the quick brown fox"))
