@@ -151,6 +151,41 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos"))
   }
 
+  /** Connected-component cluster assignment over near-dup pairs: every
+    * document in a component gets the component's minimum id as its
+    * cluster (= the canonical survivor). Iterative min-label propagation —
+    * each round is one shuffle join; rounds ≈ log(component diameter),
+    * and near-dup graphs have tiny diameters. The GraphX-free formulation
+    * keeps the whole pipeline in DataFrames (AQE, broadcast of the
+    * shrinking frontier, etc.). */
+  def clusterAssignments(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("cluster")).as("n_cluster"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over token xxhash64s: bit j of the fingerprint is the
     * sign of Σ±1 over tokens' bit j. Pure expressions via bit arithmetic. */
   def simhash(text: Column): Column = {

@@ -61,6 +61,40 @@ object DedupQueries {
         WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""),
       bench = true),
 
+    GraftQuery(
+      "q47_dedup_clusters",
+      (s, dir) => {
+        // connected components over the near-dup pairs: each doc →
+        // min-id of its component (the canonical survivor).
+        val pairs = Dedup.jaccardPairs(corpus(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.8)
+        Dedup.clusterAssignments(pairs)
+      },
+      Some(s"""WITH RECURSIVE
+        edges AS (
+          SELECT doc_a, doc_b FROM (
+            WITH idx AS (
+              SELECT DISTINCT doc_id AS doc, sh FROM (
+                SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
+            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+            co AS (
+              SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
+              FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
+            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM edges
+          UNION SELECT doc_b, doc_a FROM edges),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+        FROM reach GROUP BY src"""),
+      bench = true),
+
     // MinHash banding + SimHash use engine-internal hash functions with no
     // DuckDB equivalent → rows-only gate; semantics covered by DedupSpec.
     GraftQuery(

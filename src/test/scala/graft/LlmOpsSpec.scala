@@ -57,6 +57,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 5L)))
   }
 
+  test("cluster assignment: chained pairs collapse to one component min") {
+    // components: {1,2,3,5} via chain 1-2, 2-3, 1-5; {7,8}; isolated nodes absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 5L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.clusterAssignments(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("simhash: identical docs equal, near-dups hamming-close, different docs far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
