@@ -26,23 +26,29 @@ object CoreQueries {
       "q01_agg_pricing",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
+        // Sums run in DECIMAL (partial-agg order independent), but the
+        // FINAL output is pinned to DOUBLE on both sides: the driver hashes
+        // rendered values, and Spark DECIMAL ("261.60") vs DuckDB
+        // SUM→DECIMAL(38,x)→float ("261.6") flip the hash on any value with
+        // trailing zeros.
         li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
-            sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
             sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
               (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-              .cast(DecimalType(28, 4))).as("sum_disc_price"),
+              .cast(DecimalType(28, 4))).cast("double").as("sum_disc_price"),
             graft.functions.SafeMath.roundHalfUp(
               sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
                 count(lit(1)), 4).as("avg_qty"),
             count(lit(1)).as("count_order"))
       },
-      Some("""SELECT l_returnflag, l_linestatus,
-        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS sum_disc_price,
-        (FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        ${graft.functions.SafeMath.roundHalfUpSql(
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_qty,
         COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
       bench = true),
@@ -56,11 +62,11 @@ object CoreQueries {
             col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),
-            sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       },
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         event_type, COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2"""),
       bench = true),
 
@@ -169,8 +175,10 @@ object CoreQueries {
           .groupBy("event_type")
           .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       },
+      // CAST(SUM AS BIGINT): DuckDB SUM(BIGINT)→HUGEINT renders as float
+      // ("99111.0") in the driver compare while Spark emits LongType.
       Some("""SELECT event_type,
-        SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+        CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         COUNT(*) AS n
         FROM events GROUP BY event_type""")),
 

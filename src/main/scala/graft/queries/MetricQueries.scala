@@ -68,15 +68,19 @@ object MetricQueries {
           graft.functions.SafeMath.roundHalfUp(
               col("l_extendedprice") / 1000.0 + (col("l_partkey") % 50), 4)
             .cast(DecimalType(18, 4)).as("element_total_cost"))
+        // Final output types pinned DOUBLE/BIGINT on both sides: DuckDB
+        // SUM(BIGINT)→HUGEINT and SUM(DECIMAL)→DECIMAL(38,4) render
+        // differently from Spark's LongType/DECIMAL(28,4) in the driver's
+        // hash compare ("99111" vs "99111.0", "261.60" vs "261.6").
         val perParent = elems.groupBy("parent_id").agg(
           count(lit(1)).as("elements_sum"),
           sum(when(col("element_status") === 0, 1L).otherwise(0L)).as("elements_success_sum"),
           sum(when(col("element_status") =!= 0, 1L).otherwise(0L)).as("elements_fail_sum"),
-          sum(col("element_size")).as("element_total_size"))
+          sum(col("element_size")).cast("double").as("element_total_size"))
         val perThread = elems.groupBy("parent_id", "thread_num")
           .agg(sum(col("element_total_cost")).as("thread_cost"))
           .groupBy("parent_id")
-          .agg(max(col("thread_cost")).as("element_load_cost"))
+          .agg(max(col("thread_cost")).cast("double").as("element_load_cost"))
         perParent.join(perThread, Seq("parent_id"))
           .withColumn("elements_success_rate",
             graft.functions.SafeMath.roundHalfUp(
@@ -84,15 +88,15 @@ object MetricQueries {
       },
       Some("""SELECT a.parent_id, a.elements_sum, a.elements_success_sum,
           a.elements_fail_sum, a.element_total_size, b.element_load_cost,
-          (FLOOR((CAST(a.elements_success_sum AS DOUBLE) / a.elements_sum * 100) * 10000.0 + 0.5) / 10000.0) AS elements_success_rate
+          (FLOOR((CAST(a.elements_success_sum AS DOUBLE) / a.elements_sum * 100) * 10000.0E0 + 0.5E0) / 10000.0E0) AS elements_success_rate
         FROM (
           SELECT l_orderkey AS parent_id, COUNT(*) AS elements_sum,
-            SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS elements_success_sum,
-            SUM(CASE WHEN l_returnflag = 'N' THEN 0 ELSE 1 END) AS elements_fail_sum,
-            SUM(CAST(l_quantity * 10.0 AS DECIMAL(18,4))) AS element_total_size
+            CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS elements_success_sum,
+            CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 0 ELSE 1 END) AS BIGINT) AS elements_fail_sum,
+            CAST(SUM(CAST(l_quantity * 10.0 AS DECIMAL(18,4))) AS DOUBLE) AS element_total_size
           FROM lineitem GROUP BY 1) a
         JOIN (
-          SELECT parent_id, MAX(thread_cost) AS element_load_cost FROM (
+          SELECT parent_id, CAST(MAX(thread_cost) AS DOUBLE) AS element_load_cost FROM (
             SELECT l_orderkey AS parent_id, l_linenumber % 4 AS thread_num,
               SUM(CAST((FLOOR((l_extendedprice / 1000.0 + (l_partkey % 50)) * 10000.0E0 + 0.5E0) / 10000.0E0) AS DECIMAL(18,4))) AS thread_cost
             FROM lineitem GROUP BY 1, 2) GROUP BY 1) b

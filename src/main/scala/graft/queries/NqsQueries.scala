@@ -90,10 +90,12 @@ object NqsQueries {
         val li = Tables.load(s, dir, "lineitem")
         li.cube(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_price"))
+            // DOUBLE pin: r01 passed only because every price sum happened
+            // to have nonzero cents — a trailing-zero sum flips the hash.
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
       },
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
 
     GraftQuery(
@@ -124,10 +126,12 @@ object NqsQueries {
         li.rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(
             count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
+            // final DOUBLE pin on both sides — DECIMAL renderings differ
+            // in the driver's hash compare (q01 comment).
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
       },
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
   )
 }

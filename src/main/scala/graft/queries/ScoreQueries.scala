@@ -96,7 +96,10 @@ object ScoreQueries {
           .groupBy("hour_start", "event_type")
           .agg(
             count(lit(1)).as("n"),
-            sum(col("score").cast(DecimalType(12, 2))).as("sum_score"),
+            // sum in DECIMAL (order-independent), final output pinned to
+            // DOUBLE on both sides — driver hashes rendered values, and
+            // Spark DECIMAL "261.60" vs DuckDB decimal→float "261.6" differ.
+            sum(col("score").cast(DecimalType(12, 2))).cast("double").as("sum_score"),
             graft.functions.SafeMath.roundHalfUp(
               sum(col("score").cast(DecimalType(12, 2))).cast("double") /
                 count(lit(1)), 4).as("avg_score"))
@@ -104,8 +107,9 @@ object ScoreQueries {
       Some {
         val scoreSql = ScoreEngine.scoreForSql(cfg.byProtocol("PING"), src)
         s"""SELECT hour_start, event_type, COUNT(*) AS n,
-          SUM(CAST(score AS DECIMAL(12,2))) AS sum_score,
-          (FLOOR((CAST(SUM(CAST(score AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0) AS avg_score
+          CAST(SUM(CAST(score AS DECIMAL(12,2))) AS DOUBLE) AS sum_score,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "CAST(SUM(CAST(score AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)", 4)} AS avg_score
           FROM (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
             event_type, $scoreSql AS score FROM events)
           GROUP BY hour_start, event_type"""

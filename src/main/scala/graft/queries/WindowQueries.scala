@@ -24,12 +24,14 @@ object WindowQueries {
         val ev = Tables.events(s, dir)
         ev.groupBy(window(col("ts"), "15 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+            // DOUBLE pin on both sides (q01 comment): DECIMAL renderings
+            // with trailing zeros flip the driver's hash compare.
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
           .select(unix_timestamp(col("window.start")).as("window_start"),
             col("event_type"), col("n"), col("sum_value"))
       },
       Some("""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS window_start,
-        event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2"""),
       bench = true),
 
@@ -40,12 +42,12 @@ object WindowQueries {
         val ev = Tables.events(s, dir)
         ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
           .select(unix_timestamp(col("window.start")).as("window_start"),
             col("event_type"), col("n"), col("sum_value"))
       },
       Some("""SELECT ws AS window_start, event_type, COUNT(*) AS n,
-          SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM (
           SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS ws, event_type, value FROM events
           UNION ALL

@@ -4,29 +4,62 @@
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Runs each oracle_sql.json query in DuckDB over the sfDir parquet tables,
-loads the corresponding Spark parquet result, sorts columns by name and
-rows by value, rounds floats, and diffs.
+loads the corresponding Spark parquet result, sorts columns by name, and
+compares EXACT value renderings — no rounding, no decimal→float coercion.
+The real driver hashes rendered values, so a Spark DECIMAL "261.60" vs a
+DuckDB decimal-sum-read-as-float "261.6" is a FAIL here exactly like it is
+there (this check was previously lossy and reported a false 47/47 in r01).
 """
-import sys, json, glob, math
+import sys, json, glob
 import duckdb
 import pandas as pd
+import numpy as np
 
-ROUND = 6
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def render_cell(v) -> str:
+    """Canonical rendering of one value, preserving type distinctions.
+
+    float64 99111.0 -> "99111.0"; int64 99111 -> "99111";
+    Decimal("261.60") -> "261.60" — all distinct, as in the driver's hash.
+    """
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (np.ndarray, list)):
+        return "[" + ",".join(render_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def rendered(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame()
     for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(ROUND)
-        elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            # decimals etc → float
-            try:
-                df[c] = pd.to_numeric(df[c]).astype(float).round(ROUND)
-            except (ValueError, TypeError):
-                pass
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+        col = df[c]
+        if str(col.dtype).startswith("datetime"):
+            col = col.astype("datetime64[us]")
+        out[c] = col.map(render_cell)
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def dtypes_of(df: pd.DataFrame) -> dict:
+    d = {}
+    for c in sorted(df.columns):
+        k = str(df[c].dtype)
+        if k == "object" and len(df) and df[c].notna().any():
+            k = f"object<{type(df[c].dropna().iloc[0]).__name__}>"
+        d[c] = k
+    return d
+
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
@@ -40,21 +73,26 @@ def main(sf_dir: str, out_dir: str) -> int:
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = normalize(pd.concat([pd.read_parquet(f) for f in files]))
-            want = normalize(con.execute(oracles[name]).df())
+            got_raw = pd.concat([pd.read_parquet(f) for f in files])
+            want_raw = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        got, want = rendered(got_raw), rendered(want_raw)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}")
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
-        try:
-            pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                          check_exact=False, rtol=1e-6, atol=1e-6)
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
-        except AssertionError as e:
-            print(f"FAIL {name}: {str(e).splitlines()[-1]}"); n_fail += 1
+        neq = (got.values != want.values)
+        if neq.any():
+            r, c = map(int, np.argwhere(neq)[0])
+            col = got.columns[c]
+            print(f"FAIL {name}: value mismatch at sorted-row {r} col {col}: "
+                  f"spark={got.iat[r, c]!r} oracle={want.iat[r, c]!r} "
+                  f"(dtypes spark={dtypes_of(got_raw)[col]} oracle={dtypes_of(want_raw)[col]}; "
+                  f"{int(neq.sum())} cells differ)")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
     # queries without oracle: rows-only check (driven by the declared name
     # list so a query that threw and wrote nothing still FAILs)
     have = set(oracles)
@@ -71,6 +109,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         else: n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
