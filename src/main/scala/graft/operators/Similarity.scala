@@ -61,30 +61,41 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
-  /** Random-hyperplane sign bucket for a vector: `bits` pseudo-random
-    * hyperplanes derived deterministically from (seed, bit, dim). */
+  /** Hyperplane `b` of the random-hyperplane LSH family: `dim` pseudo-random
+    * coefficients in (-1, 1) derived deterministically from (seed, b, d).
+    * Public so oracle SQL can embed the identical literals. */
+  def plane(seed: Int, b: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      // deterministic pseudo-gaussian via hash → uniform(-1,1)
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, b, d))
+      (h.toDouble / Int.MaxValue)
+    }
+
+  /** Random-hyperplane sign bucket for a vector column. */
   def lshBucket(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
-    def plane(b: Int): Seq[Double] =
-      (0 until dim).map { d =>
-        // deterministic pseudo-gaussian via hash → uniform(-1,1)
-        val h = scala.util.hashing.MurmurHash3.productHash((seed, b, d))
-        (h.toDouble / Int.MaxValue)
-      }
     val bitCols = (0 until bits).map { b =>
-      when(dotLit(vec, plane(b)) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      when(dotLit(vec, plane(seed, b, dim)) >= 0, shiftleft(lit(1L), b))
+        .otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Same bucket computed driver-side for a known query vector — plain
+    * Scala arithmetic with the exact FP fold order of [[dotLit]] (zip,
+    * multiply, left-fold sum from 0.0), so it lands in the same bucket
+    * the expression would. No Spark job for one vector. */
+  def lshBucketLocal(q: Seq[Double], bits: Int, seed: Int = 42): Long =
+    (0 until bits).foldLeft(0L) { (acc, b) =>
+      val dot = q.zip(plane(seed, b, q.size)).map { case (x, w) => x * w }.sum
+      if (dot >= 0) acc | (1L << b) else acc
+    }
 
   /** LSH-bucketed cosine top-k: scores only vectors in the query's bucket
     * plus one-bit-flip probe buckets. */
   def lshCosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, bits: Int = 8, seed: Int = 42): DataFrame = {
     val dim = query.size
-    val qRow = embeddings.sparkSession.range(1)
-      .select(array(query.map(lit): _*).as("qv"))
-    val qBucket = qRow.select(lshBucket(col("qv"), dim, bits, seed).as("b"))
-      .collect()(0).getLong(0)
+    val qBucket = lshBucketLocal(query, bits, seed)
     val probes = qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))
     embeddings
       .withColumn("__bucket", lshBucket(col(vecCol), dim, bits, seed))

@@ -18,16 +18,36 @@ object VectorQueries {
       .select("embedding").collect()(0)
       .getSeq[Float](0).toSeq.map(_.toDouble)
 
-  /** DuckDB twin of Similarity.cosineLit: element-indexed double products,
-    * left-fold sums — identical FP op order to the Spark expression. */
-  private def cosSql(vecExpr: String, qExpr: String): String = {
-    def dot(a: String, b: String) =
-      s"""list_reduce(list_transform(range(1, ${Dim + 1}),
-          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
-    s"""(FLOOR((${dot(vecExpr, qExpr)} /
-        (sqrt(${dot(vecExpr, vecExpr)}) * sqrt(${dot(qExpr, qExpr)})))
+  /** Left-fold dot of two vector columns — identical FP op order to
+    * Similarity's zip-multiply-fold expressions (DuckDB list_reduce folds
+    * left from the first element; Spark folds from 0.0 — equal for
+    * doubles since 0.0 + x == x). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  /** DuckDB twin of Similarity.cosineLit / cosineCols. */
+  private def cosSql(vecExpr: String, qExpr: String): String =
+    s"""(FLOOR((${dotSql(vecExpr, qExpr)} /
+        (sqrt(${dotSql(vecExpr, vecExpr)}) * sqrt(${dotSql(qExpr, qExpr)})))
         * 1000000.0E0 + 0.5E0) / 1000000.0E0)"""
+
+  /** Dot of a vector column with a literal hyperplane — the plane doubles
+    * are embedded E0-formatted (fmtD) so DuckDB parses the exact binary
+    * values Spark's lit() carries. */
+  private def dotPlaneSql(vecExpr: String, p: Seq[Double]): String = {
+    val lits = p.map(graft.score.ScoreEngine.fmtD).mkString("[", ", ", "]")
+    s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+        i -> CAST($vecExpr[i] AS DOUBLE) * ($lits)[i]), (x, y) -> x + y)"""
   }
+
+  /** DuckDB twin of Similarity.lshBucket: sum of distinct powers of two
+    * equals the bitwise OR the Spark expression builds. */
+  private def bucketSql(vecExpr: String, bits: Int, seed: Int = 42): String =
+    (0 until bits).map { b =>
+      s"""(CASE WHEN ${dotPlaneSql(vecExpr, Similarity.plane(seed, b, Dim))} >= 0
+          THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+    }.mkString("(", " + ", ")")
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -41,14 +61,23 @@ object VectorQueries {
         ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
       bench = true),
 
-    // LSH/IVF variants prune via engine-side hashing/centroids → rows-only
-    // gate; recall vs brute force is asserted in SimilaritySpec.
+    // LSH/IVF oracles mirror the pruning itself: the hyperplanes are
+    // deterministic literals (Similarity.plane) embedded in the SQL, the
+    // centroids are data-derived in SQL exactly as ivfTopK derives them.
     GraftQuery(
       "q34_lsh_cosine_topk",
       (s, dir) => Similarity.lshCosineTopK(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 10, bits = 8),
-      None,
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        eb AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket
+               FROM embeddings),
+        qb AS (SELECT ${bucketSql("qv", 8)} AS qbucket FROM q)
+        SELECT vec_id, cos FROM (
+          SELECT eb.vec_id, ${cosSql("eb.embedding", "q.qv")} AS cos
+          FROM eb, q, qb
+          WHERE bit_count(xor(eb.bucket, qb.qbucket)) <= 1)
+        ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
       bench = true),
 
     GraftQuery(
@@ -56,7 +85,32 @@ object VectorQueries {
       (s, dir) => Similarity.ivfTopK(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 10, nCells = 16, nProbe = 4),
-      None),
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,
+                 embedding AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+        dists AS (
+          SELECT e.vec_id, c.ci,
+                 -(${dotSql("e.embedding", "c.cv")}) / sqrt(${dotSql("c.cv", "c.cv")}) AS dist
+          FROM embeddings e CROSS JOIN cents c),
+        cells AS (
+          SELECT vec_id, CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
+          FROM (SELECT vec_id, list(dist ORDER BY ci) AS dl FROM dists GROUP BY vec_id)),
+        qcells AS (
+          SELECT c.ci AS cell
+          FROM cents c CROSS JOIN q
+          ORDER BY -(${dotSql("q.qv", "c.cv")}) /
+                   (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("q.qv", "q.qv")})),
+                   c.ci
+          LIMIT 4)
+        SELECT vec_id, cos FROM (
+          SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos
+          FROM embeddings e
+          JOIN cells ON e.vec_id = cells.vec_id
+          JOIN qcells ON cells.cell = qcells.cell
+          CROSS JOIN q)
+        ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
 
     GraftQuery(
       "q37_embedding_near_dup",
@@ -88,7 +142,17 @@ object VectorQueries {
         graft.operators.Dedup.embeddingNearDupsLsh(
           corpus, "vec_id", "embedding", Dim, threshold = 0.95, bits = 12)
       },
-      None,
+      Some {
+        val corpus = s"""(SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)"""
+        s"""WITH eb AS (SELECT vec_id, embedding,
+              ${bucketSql("embedding", 12)} AS bucket FROM $corpus)
+          SELECT id_a, id_b, cos FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ${cosSql("a.embedding", "b.embedding")} AS cos
+            FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          WHERE cos >= 0.95E0"""
+      },
       bench = true),
 
     GraftQuery(
