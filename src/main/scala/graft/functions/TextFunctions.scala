@@ -92,6 +92,13 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  /** 60-bit integer key from the first 15 hex chars of md5 — an
+    * engine-portable hash: DuckDB folds the same 15 chars to the identical
+    * BIGINT, so operators keyed on this (MinHash, SimHash) are fully
+    * oracle-checkable, unlike xxhash64/murmur which exist only in Spark. */
+  def md5Key60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** Canonical-content fingerprint: md5 of casefolded, punctuation-stripped,
     * whitespace-collapsed text — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -45,12 +45,28 @@ object Dedup {
       .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
       .distinct()
 
-  /** Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold). */
+  /** Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold) over
+    * the df-capped shingle universe: shingles appearing in more than
+    * `dfCap` documents are dropped from the index BEFORE the self-join
+    * (and from the per-doc set sizes, so the Jaccard stays internally
+    * consistent). Without the cap the self-join's output scales with
+    * Σ per-shingle df² — one stop-phrase trigram shared by 10^6 docs makes
+    * 10^12 candidate rows at corpus scale. With it, the join output is
+    * bounded by |shingles| × dfCap².
+    *
+    * No explicit cache: `capped` is referenced three times inside ONE
+    * plan, and its distinct/aggregate shuffles are deduplicated by
+    * Spark's ReuseExchange — nothing is left pinned in the block manager
+    * after the query (the previous cache() here leaked the full shingle
+    * index for the session's lifetime). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, k).cache()
-    val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val co = idx.as("x").join(idx.as("y"), col("x.sh") === col("y.sh"))
+      k: Int = 3, threshold: Double = 0.8, dfCap: Int = 100): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, k)
+    val hot = idx.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("sh")
+    val capped = idx.join(hot, Seq("sh"), "left_anti")
+    val sizes = capped.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val co = capped.as("x").join(capped.as("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -62,8 +78,23 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signature: for hash seed i, min over shingles of
-    * xxhash64(shingle, seed=i). Returns array<long> of length numHashes.
+  /** Prime modulus and per-seed affine coefficients for the MinHash
+    * family h_i(x) = (a_i * x + b_i) mod P over 31-bit keys. All values
+    * stay below 2^62 so the arithmetic is overflow-free in any engine's
+    * BIGINT — the whole family is therefore exactly reproducible in the
+    * DuckDB oracle (unlike xxhash64, which only Spark computes). */
+  private[graft] val MinhashP = 2147483647L // 2^31 - 1
+  private[graft] def mhA(i: Int): Long =
+    (scala.util.hashing.MurmurHash3.productHash(("mh-a", i)).toLong
+      & 0x7fffffffL) % (MinhashP - 1) + 1
+  private[graft] def mhB(i: Int): Long =
+    (scala.util.hashing.MurmurHash3.productHash(("mh-b", i)).toLong
+      & 0x7fffffffL) % MinhashP
+  private[graft] val BandM = 1000003L // band-fold multiplier
+
+  /** MinHash signature: sig[i] = min over shingles of
+    * (a_i * key(shingle) + b_i) mod P, key = md5-derived 31-bit integer.
+    * Returns array<long> of length numHashes.
     *
     * Computed as ONE fold over the shingle array producing all minima at
     * once — the naive `array(array_min(transform(sh, ...)), ...)` form
@@ -72,12 +103,14 @@ object Dedup {
     * downstream reference (16 hashes × 3 references = 48 tokenizations
     * per row — measured 350+ s at sf0.1 vs <2 s for this form). */
   def minhashSignature(text: Column, numHashes: Int, k: Int = 3): Column = {
-    val sh = TextFunctions.shingles(text, k)
+    val keys = transform(TextFunctions.shingles(text, k),
+      s => TextFunctions.md5Key60(s) % MinhashP)
     val maxSig = array_repeat(lit(Long.MaxValue), numHashes)
-    when(size(sh) === 0, array().cast("array<bigint>"))
-      .otherwise(aggregate(sh, maxSig, (acc, s) =>
+    when(size(keys) === 0, array().cast("array<bigint>"))
+      .otherwise(aggregate(keys, maxSig, (acc, h) =>
         zip_with(acc,
-          array((0 until numHashes).map(i => xxhash64(s, lit(i))): _*),
+          array((0 until numHashes).map(i =>
+            (h * mhA(i) + mhB(i)) % MinhashP): _*),
           (a, b) => least(a, b))))
   }
 
@@ -92,21 +125,26 @@ object Dedup {
     val sig = docs.select(col(idCol).as("doc"),
       minhashSignature(col(textCol), numHashes, k).as("sig"))
       .filter(size(col("sig")) > 0)
-    // materialize before the self-join: projection collapse would
-    // otherwise inline the signature computation into BOTH join sides
+    // band key: overflow-free arithmetic fold of the band's signature
+    // slice (init b+1 so identical slices in different bands collide
+    // only by chance) — 8-byte join keys the oracle reproduces exactly.
+    // posexplode AFTER a projection of sig: projection collapse would
+    // otherwise inline the signature computation into BOTH join sides.
     val banded = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          hash(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b).as("bh")))))
+          aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
+            (b + 1).cast("long"),
+            (acc, x) => (acc * lit(BandM) + x) % lit(MinhashP)).as("bh")))))
       .select(col("doc"), col("col.band").as("band"), col("col.bh").as("bh"))
-      .cache()
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard (join back the shingle sets)
-    val idx = shingleIndex(docs, idCol, textCol, k).cache()
+    // verify candidates with exact Jaccard (join back the shingle sets);
+    // no cache — identical subtrees dedup via ReuseExchange in-plan
+    val idx = shingleIndex(docs, idCol, textCol, k)
     val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(idx.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -160,41 +198,84 @@ object Dedup {
     * shrinking frontier, etc.). */
   def clusterAssignments(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
+      .localCheckpoint()
+    // Convergence probe: labels only ever decrease, so the (exact,
+    // overflow-free DECIMAL) sum of all labels strictly decreases until
+    // the fixpoint — one scan of the checkpointed frame per round instead
+    // of the previous join + count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // 1) min label over neighbors (one hop)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("cluster")).as("n_cluster"))
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("node"), "left")
         .select(col("node"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
             .as("cluster"))
-        .cache()
-      val changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count()
+      // 2) pointer jump: adopt the label of one's label. Labels are always
+      // node ids, so the lookup hits; chains halve each round → O(log d)
+      // rounds on component diameter d instead of O(d).
+      val next = stepped.as("s")
+        .join(stepped.select(col("node").as("cluster"),
+          col("cluster").as("p_cluster")).as("p"), Seq("cluster"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("p_cluster"), col("cluster")))
+            .as("cluster"))
+        // truncate lineage every round: without this the plan re-derives
+        // the whole iteration history on any executor loss, and the
+        // optimizer walks an ever-growing tree
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterAssignments did not converge in $maxIter rounds — " +
+          "raise maxIter (pointer jumping needs ~log2(component diameter))")
     labels
   }
 
-  /** 64-bit SimHash over token xxhash64s: bit j of the fingerprint is the
-    * sign of Σ±1 over tokens' bit j. Pure expressions via bit arithmetic. */
+  /** SimHash bit width: 60 usable bits from the md5-derived token key. */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over md5-derived token keys: bit j of the fingerprint
+    * is the sign of Σ±1 over tokens' bit j.
+    *
+    * ONE fold over the token-key array accumulates all 60 vote counters
+    * at once — the previous per-bit form re-referenced the tokenization
+    * from 64 separate aggregates, and projection collapse re-inlined it
+    * per bit (the same trap minhashSignature documents). The md5 keying
+    * makes the fingerprint engine-portable, so q32 gets a full oracle. */
   def simhash(text: Column): Column = {
-    val hs = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val votes = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val keys = transform(TextFunctions.tokens(text),
+      t => TextFunctions.md5Key60(t))
+    val votes = aggregate(keys, array_repeat(lit(0L), SimhashBits),
+      (acc, h) => zip_with(acc,
+        array((0 until SimhashBits).map(j =>
+          when(h.bitwiseAND(lit(1L << j)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*),
+        (a, b) => a + b))
+    // Σ of distinct powers of two == the bitwise OR of the set bits
+    aggregate(
+      zip_with(votes, array((0 until SimhashBits).map(j => lit(1L << j)): _*),
+        (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 }

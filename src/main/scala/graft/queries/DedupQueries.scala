@@ -32,6 +32,25 @@ object DedupQueries {
          i -> array_to_string(
            list_slice(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), i + 1, i + 3), ' '))"""
 
+  /** Shared CTE fragment: distinct (doc, shingle) inverted index over the
+    * df-capped shingle universe — the twin of Dedup's shingleIndex +
+    * hot-shingle drop (dfCap=100). */
+  private val CappedIdxSql =
+    s"""idx0 AS (
+          SELECT DISTINCT doc_id AS doc, sh FROM (
+            SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
+        idx AS (
+          SELECT doc, sh FROM idx0
+          WHERE sh NOT IN (SELECT sh FROM idx0 GROUP BY sh HAVING COUNT(*) > 100))"""
+
+  /** DuckDB twin of TextFunctions.md5Key60 over a hex-string expression:
+    * left fold acc*16+digit over the first 15 md5 hex chars. */
+  private def md5FoldSql(hexExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, 16),
+          j -> CAST(strpos('0123456789abcdef', substr($hexExpr, j, 1)) - 1 AS BIGINT))),
+        (a, v) -> a * 16 + v)"""
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q29_exact_dedup",
@@ -45,9 +64,7 @@ object DedupQueries {
       "q30_jaccard_pairs",
       (s, dir) => Dedup.jaccardPairs(corpus(s, dir), "doc_id", "text",
         k = 3, threshold = 0.8),
-      Some(s"""WITH idx AS (
-          SELECT DISTINCT doc_id AS doc, sh FROM (
-            SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
+      Some(s"""WITH $CappedIdxSql,
         sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
         co AS (
           SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
@@ -73,9 +90,7 @@ object DedupQueries {
       Some(s"""WITH RECURSIVE
         edges AS (
           SELECT doc_a, doc_b FROM (
-            WITH idx AS (
-              SELECT DISTINCT doc_id AS doc, sh FROM (
-                SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
+            WITH $CappedIdxSql,
             sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
             co AS (
               SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
@@ -95,13 +110,53 @@ object DedupQueries {
         FROM reach GROUP BY src"""),
       bench = true),
 
-    // MinHash banding + SimHash use engine-internal hash functions with no
-    // DuckDB equivalent → rows-only gate; semantics covered by DedupSpec.
+    // MinHash + SimHash run on md5-derived integer keys and overflow-free
+    // modular arithmetic, so DuckDB reproduces the exact signatures,
+    // band keys, and fingerprints — full hash gates, not rows-only.
     GraftQuery(
       "q31_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(corpus(s, dir), "doc_id", "text",
         numHashes = 16, bands = 4, k = 3, threshold = 0.8),
-      None,
+      Some {
+        val P = Dedup.MinhashP
+        val numHashes = 16; val bands = 4; val rows = numHashes / bands
+        val sigCols = (0 until numHashes).map(i =>
+          s"MIN((key * ${Dedup.mhA(i)} + ${Dedup.mhB(i)}) % $P) AS s$i")
+          .mkString(", ")
+        def bh(j: Int): String =
+          (0 until rows).foldLeft(s"CAST(${j + 1} AS BIGINT)")((acc, r) =>
+            s"(($acc * ${Dedup.BandM} + s${j * rows + r}) % $P)")
+        val bandSelects = (0 until bands).map(j =>
+          s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""WITH shingled AS (
+            SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $CorpusSql),
+          keys AS (
+            SELECT doc, (${md5FoldSql("h")}) % $P AS key
+            FROM (SELECT doc, md5(sh) AS h FROM shingled)),
+          sigs AS (SELECT doc, $sigCols FROM keys GROUP BY doc),
+          banded AS ($bandSelects),
+          cand AS (
+            SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc),
+          idx AS (
+            SELECT DISTINCT doc_id AS doc, sh FROM (
+              SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
+          sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+          inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN idx xa ON xa.doc = c.doc_a
+            JOIN idx xb ON xb.doc = c.doc_b AND xa.sh = xb.sh
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+            CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) AS jaccard
+          FROM inter
+          JOIN sizes a ON a.doc = doc_a
+          JOIN sizes b ON b.doc = doc_b
+          WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""
+      },
       bench = true),
 
     GraftQuery(
@@ -110,6 +165,22 @@ object DedupQueries {
         val d = Tables.load(s, dir, "documents")
         d.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash64"))
       },
-      None)
+      Some {
+        val votes = (0 until Dedup.SimhashBits).map(j =>
+          s"SUM(CASE WHEN (key & ${1L << j}) <> 0 THEN 1 ELSE -1 END) AS v$j")
+          .mkString(", ")
+        val bits = (0 until Dedup.SimhashBits).map(j =>
+          s"(CASE WHEN coalesce(v$j, 0) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        s"""WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+            FROM documents),
+          keys AS (
+            SELECT doc_id, ${md5FoldSql("h")} AS key
+            FROM (SELECT doc_id, md5(t) AS h FROM toks)),
+          votes AS (SELECT doc_id, $votes FROM keys GROUP BY doc_id)
+          SELECT d.doc_id, CAST(coalesce($bits, 0) AS BIGINT) AS simhash64
+          FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id"""
+      })
   )
 }
