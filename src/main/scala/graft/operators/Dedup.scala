@@ -54,28 +54,38 @@ object Dedup {
     * 10^12 candidate rows at corpus scale. With it, the join output is
     * bounded by |shingles| × dfCap².
     *
-    * No explicit cache: `capped` is referenced three times inside ONE
-    * plan, and its distinct/aggregate shuffles are deduplicated by
-    * Spark's ReuseExchange — nothing is left pinned in the block manager
-    * after the query (the previous cache() here leaked the full shingle
-    * index for the session's lifetime). */
+    * Materialization contract: the shingle index is persisted for the
+    * duration of the computation (it feeds the df-cap, the sizes, and
+    * both self-join sides), the small result is materialized with
+    * localCheckpoint, and the intermediates are unpersisted before
+    * returning — nothing stays pinned in the block manager afterwards
+    * (the previous lazy cache() here leaked the full shingle index for
+    * the session's lifetime). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, dfCap: Int = 100): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val idx = shingleIndex(docs, idCol, textCol, k)
-    val hot = idx.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("sh")
-    val capped = idx.join(hot, Seq("sh"), "left_anti")
-    val sizes = capped.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val co = capped.as("x").join(capped.as("y"), col("x.sh") === col("y.sh"))
-      .filter(col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hot = idx.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select("sh")
+      val capped = idx.join(hot, Seq("sh"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sizes = capped.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+        val co = capped.as("x").join(capped.as("y"), col("x.sh") === col("y.sh"))
+          .filter(col("x.doc") < col("y.doc"))
+          .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+          .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+          .localCheckpoint()
+      } finally capped.unpersist()
+    } finally idx.unpersist()
   }
 
   /** Prime modulus and per-seed affine coefficients for the MinHash
@@ -103,15 +113,19 @@ object Dedup {
     * downstream reference (16 hashes × 3 references = 48 tokenizations
     * per row — measured 350+ s at sf0.1 vs <2 s for this form). */
   def minhashSignature(text: Column, numHashes: Int, k: Int = 3): Column = {
-    val keys = transform(TextFunctions.shingles(text, k),
-      s => TextFunctions.md5Key60(s) % MinhashP)
     val maxSig = array_repeat(lit(Long.MaxValue), numHashes)
-    when(size(keys) === 0, array().cast("array<bigint>"))
-      .otherwise(aggregate(keys, maxSig, (acc, h) =>
-        zip_with(acc,
-          array((0 until numHashes).map(i =>
-            (h * mhA(i) + mhB(i)) % MinhashP): _*),
-          (a, b) => least(a, b))))
+    // emptiness is gated on the cheap token count — guarding on
+    // size(shingles) or size(keys) would force the expensive subtree to
+    // evaluate twice per row (the projection-collapse trap)
+    when(size(TextFunctions.tokens(text)) < k, array().cast("array<bigint>"))
+      .otherwise(aggregate(
+        transform(TextFunctions.shingles(text, k),
+          s => TextFunctions.md5Key60(s) % MinhashP),
+        maxSig, (acc, h) =>
+          zip_with(acc,
+            array((0 until numHashes).map(i =>
+              (h * mhA(i) + mhB(i)) % MinhashP): _*),
+            (a, b) => least(a, b))))
   }
 
   /** LSH candidate pairs + exact-Jaccard verification.
@@ -137,27 +151,37 @@ object Dedup {
             (b + 1).cast("long"),
             (acc, x) => (acc * lit(BandM) + x) % lit(MinhashP)).as("bh")))))
       .select(col("doc"), col("col.band").as("band"), col("col.bh").as("bh"))
-    val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-      .distinct()
-    // verify candidates with exact Jaccard (join back the shingle sets);
-    // no cache — identical subtrees dedup via ReuseExchange in-plan
-    val idx = shingleIndex(docs, idCol, textCol, k)
-    val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(idx.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(idx.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candidates = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc") < col("y.doc"))
+        .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+        .distinct()
+      // verify candidates with exact Jaccard (join back the shingle sets);
+      // like jaccardPairs, persist-for-the-call + eager result, so the
+      // signatures and the index are computed exactly once and released
+      val idx = shingleIndex(docs, idCol, textCol, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+        // intersection via composite-key join (doc_b, sh): the second join
+        // matches shingles IN the join instead of exploding |A|×|B| rows
+        // per candidate pair and filtering afterwards
+        val inter = candidates
+          .join(idx.select(col("doc").as("doc_a"), col("sh")), "doc_a")
+          .join(idx.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+          .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_a", "doc_b", "jaccard")
+          .localCheckpoint()
+      } finally idx.unpersist()
+    } finally banded.unpersist()
   }
 
   /** Embedding-cosine near-duplicate pairs, brute force: every (a < b)
