@@ -26,14 +26,43 @@ object ProbePipelines {
     */
   def heartbeatJob(raw: DataFrame, probes: DataFrame, probeAccessType: DataFrame,
       ipRegion: DataFrame, nowEpoch: Long): (DataFrame, DataFrame) = {
-    val parsed = Parse.heartbeat(raw).filter(!col("bad_msg")).drop("bad_msg")
+    val parsed = parseClampHeartbeat(raw, nowEpoch)
+    val (regs, beats) = Enrich.splitByExistence(parsed, probes)
+    buildHeartbeatOutputs(regs, beats, probeAccessType, ipRegion, nowEpoch)
+  }
+
+  /** Heartbeat parse + P9 timestamp clamp — the stateless prefix, usable
+    * directly on a streaming DataFrame (pure expressions). */
+  def parseClampHeartbeat(raw: DataFrame, nowEpoch: Long): DataFrame =
+    Parse.heartbeat(raw).filter(!col("bad_msg")).drop("bad_msg")
       .withColumn("heartbeat_time",
         when(col("heartbeat_time").isNull ||
             abs(lit(nowEpoch) - col("heartbeat_time")) > 108000L, lit(nowEpoch))
           .otherwise(col("heartbeat_time")))
 
-    val (regs, beats) = Enrich.splitByExistence(parsed, probes)
+  /** Heartbeat job over a stream pre-classified by
+    * [[graft.streaming.StatefulOps.firstSeenRows]]: a row is a
+    * registration iff the state store says it's the first sighting AND
+    * the probe isn't in the static dim — no re-read of the registration
+    * sink, no per-batch growth. */
+  def heartbeatJobClassified(classified: DataFrame, probes: DataFrame,
+      probeAccessType: DataFrame, ipRegion: DataFrame,
+      nowEpoch: Long): (DataFrame, DataFrame) = {
+    val ids = probes.select(col("id").as("probe_id"))
+    val regs = classified.filter(col("is_first"))
+      .join(broadcast(ids), Seq("probe_id"), "left_anti")
+      .drop("is_first")
+    val beats = classified
+      .join(broadcast(ids), Seq("probe_id"), "left_semi")
+      .unionByName(classified.filter(!col("is_first"))
+        .join(broadcast(ids), Seq("probe_id"), "left_anti"))
+      .drop("is_first")
+    buildHeartbeatOutputs(regs, beats, probeAccessType, ipRegion, nowEpoch)
+  }
 
+  private def buildHeartbeatOutputs(regs: DataFrame, beats: DataFrame,
+      probeAccessType: DataFrame, ipRegion: DataFrame,
+      nowEpoch: Long): (DataFrame, DataFrame) = {
     // register branch: geo from internet_ip (J5), alias synthesis (F15),
     // region_path (F16); status 10 = newly alive.
     val geo = ipRegion.select(

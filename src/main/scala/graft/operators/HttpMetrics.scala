@@ -84,7 +84,7 @@ object HttpMetrics {
           (acc, e) => acc + coalesce(e.getField("element_size"), lit(0.0))), lit(0.0)))
       .withColumn("elements_success_rate",
         when(n.isNull || n === 0, lit(0.0))
-          .otherwise(round(successes.cast("double") / n * 100, 4)))
+          .otherwise(SafeMath.roundHalfUp(successes.cast("double") / n * 100, 4)))
       .withColumn("element_load_cost",
         coalesce(array_max(perThreadSums), lit(0.0)))
       .withColumn(detailCol, col("__detail_enriched"))

@@ -45,6 +45,46 @@ object StatefulOps {
       }
   }
 
+  /** Row-preserving first-seen classifier for a streaming DataFrame: tags
+    * every row with `is_first` — true iff the key was never seen in any
+    * earlier batch AND the row has the earliest ordinal for its key within
+    * this batch. State lives in the state store (checkpointed with the
+    * query, RocksDB-backed on a cluster), so "already registered" never
+    * requires re-reading an ever-growing sink directory — the state lookup
+    * is O(keys in batch) regardless of stream lifetime. */
+  def firstSeenRows(df: DataFrame, keyCol: String, ordinalCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.BooleanType
+    val schema = df.schema
+    val outSchema = schema.add("is_first", BooleanType, nullable = false)
+    val keyIdx = schema.fieldIndex(keyCol)
+    val ordIdx = schema.fieldIndex(ordinalCol)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[SeenState] =
+      Encoders.product[SeenState]
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(outSchema)
+    def ord(r: Row): Long = r.get(ordIdx) match {
+      case null      => Long.MinValue
+      case n: Number => n.longValue()
+      case other     => other.toString.hashCode.toLong
+    }
+    df.groupByKey((r: Row) =>
+        Option(r.get(keyIdx)).map(_.toString).getOrElse(""))(Encoders.STRING)
+      .flatMapGroupsWithState[SeenState, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[SeenState]) =>
+          val batch = rows.toSeq.sortBy(ord)
+          if (state.exists) {
+            batch.iterator.map(r => Row.fromSeq(r.toSeq :+ false))
+          } else {
+            state.update(SeenState(ord(batch.head)))
+            batch.iterator.zipWithIndex.map { case (r, i) =>
+              Row.fromSeq(r.toSeq :+ (i == 0))
+            }
+          }
+      }
+  }
+
   /** Batch-mode equivalence surface (same semantics, one shot): first
     * event per key by ordinal is the registration. */
   def firstSeenBatch(df: DataFrame, keyCol: String, ordinalCol: String): DataFrame = {

@@ -66,37 +66,32 @@ object StreamJobs {
 
   /** Heartbeat job: facts + new-probe registrations as two sinks.
     *
-    * The probes dim is augmented per batch with the registrations already
-    * written by EARLIER batches (the reference mutates MySQL mid-stream
-    * for the same effect, T6): a probe registering in batch 1 is a
-    * heartbeat from batch 2 on, not a duplicate registration. */
+    * Register-vs-heartbeat is decided by `StatefulOps.firstSeenRows`
+    * UPSTREAM of the sink: the state store remembers which probes ever
+    * registered (checkpointed, replay-safe), so a probe registering in
+    * batch 1 heartbeats from batch 2 on. The previous design re-read the
+    * whole append-only `new_probes` sink every batch — an unbounded
+    * per-batch scan over the stream's lifetime (and a blind first-batch
+    * catch); the state lookup is O(batch keys) forever. */
   def runHeartbeat(raw: DataFrame, probes: DataFrame, probeAccessType: DataFrame,
       ipRegion: DataFrame, outDir: String, checkpointDir: String,
       nowEpoch: Long = System.currentTimeMillis() / 1000,
-      trigger: Trigger = DefaultTrigger): StreamingQuery =
-    raw.writeStream
+      trigger: Trigger = DefaultTrigger): StreamingQuery = {
+    val classified = StatefulOps.firstSeenRows(
+      ProbePipelines.parseClampHeartbeat(raw, nowEpoch),
+      keyCol = "probe_id", ordinalCol = "heartbeat_time")
+    classified.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val registered =
-          try spark.read.parquet(s"$outDir/new_probes")
-            .select(col("probe_id").as("id"))
-          catch { case _: Throwable => // first batch: sink not created yet
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("id",
-                  org.apache.spark.sql.types.StringType))))
-          }
-        val knownProbes = probes.select("id").unionByName(registered)
-        val (facts, newProbes) =
-          ProbePipelines.heartbeatJob(batch, knownProbes, probeAccessType, ipRegion, nowEpoch)
+        val (facts, newProbes) = ProbePipelines.heartbeatJobClassified(
+          batch, probes, probeAccessType, ipRegion, nowEpoch)
         facts.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_heartbeat")
         newProbes.dropDuplicates("probe_id").write.mode("append").parquet(s"$outDir/new_probes")
         ()
       }
       .start()
+  }
 
   /** Gateway-info job: five outputs from one parsed stream (T7 side
     * outputs → five filtered branches written per batch). */
