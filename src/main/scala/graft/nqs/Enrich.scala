@@ -75,6 +75,33 @@ object Enrich {
       .drop("__geo_province", "__geo_city", "__geo_operator")
   }
 
+  /** J4 faithful variant: ip → region via the RANGE lookup when the dim is
+    * an interval table `(range_start, range_end, province_name, city_name,
+    * district_name, operator, code)` — the shape of the reference's ipdb
+    * (`IPHelper.java:35-67`). Runs [[graft.operators.IpGeo.withGeo]]
+    * (bucketed broadcast equi-join + municipality fix-ups) and overrides
+    * task-level defaults where the lookup resolved. */
+  def withHostGeoRanges(events: DataFrame, ipRanges: DataFrame,
+      ipCol: String = "host_ip"): DataFrame = {
+    val resolved = graft.operators.IpGeo.withGeo(
+      events.withColumnRenamed("host_province", "__in_province")
+        .withColumnRenamed("host_city", "__in_city")
+        .withColumnRenamed("operator", "__in_operator"),
+      ipCol, ipRanges)
+    resolved
+      .withColumn("host_province",
+        when(col("province_name") =!= graft.operators.IpGeo.DefaultName,
+          col("province_name")).otherwise(col("__in_province")))
+      .withColumn("host_city",
+        when(col("city_name") =!= graft.operators.IpGeo.DefaultName,
+          col("city_name")).otherwise(col("__in_city")))
+      .withColumn("operator",
+        when(col("operator") =!= graft.operators.IpGeo.DefaultName,
+          col("operator")).otherwise(col("__in_operator")))
+      .drop("__in_province", "__in_city", "__in_operator",
+        "province_name", "city_name", "district_name", "region_code")
+  }
+
   /** J6: default access-type port per probe → heartbeat status
     * (connected → 10, else 20; `WindowHeartbeatProcessFunction.java:101-113`). */
   def withDefaultPortStatus(heartbeats: DataFrame, probeAccessType: DataFrame): DataFrame = {

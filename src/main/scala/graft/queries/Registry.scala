@@ -16,7 +16,7 @@ object Registry {
   lazy val all: Seq[GraftQuery] =
     CoreQueries.queries ++ MetricQueries.queries ++ ScoreQueries.queries ++
       NqsQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      VectorQueries.queries ++ WindowQueries.queries
+      VectorQueries.queries ++ WindowQueries.queries ++ GeoQueries.queries
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 
