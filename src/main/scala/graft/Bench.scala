@@ -34,7 +34,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt prefixes stdout with [info], which broke the driver's JSON
+    // extraction in round 1 — emit on BOTH channels it might scrape and
+    // also drop the line in a file next to the data dir for good measure
+    println(json)
+    System.err.println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("bench.json"), json + "\n")
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

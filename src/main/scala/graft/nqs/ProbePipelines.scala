@@ -191,10 +191,49 @@ object ProbePipelines {
       .filter(!(col("action") === "delete" &&
         col("access_type_name") === "default_name"))
 
-    GwOutputs(pinfo, traffic, status, pon, accessDiff)
+    // probe-dim maintenance (T6 redesign of `ProbeInfoThread.java:95-115`):
+    // the reference UPDATEs the MySQL probe row with the gateway-reported
+    // attributes when an info message arrives; here it's an output frame —
+    // latest report per probe per batch, alias following probe_name when
+    // one is reported (the alias_modified guard is the dim owner's merge
+    // rule, applied at upsert time).
+    val dimUpdates = graft.operators.KeepLatest(
+      parsed.filter(col("probe_info").isNotNull)
+        .select(
+          col("probe_id").as("id"), col("info_time"),
+          when(col("probe_info.pc") === "ÿÿÿÿ", lit("DT741-csf"))
+            .otherwise(col("probe_info.pc")).as("pc"),
+          col("probe_info.vendor").as("vendor"),
+          col("probe_info.sn").as("sn"),
+          col("probe_info.mac").as("mac"),
+          col("probe_info.loid").as("loid"),
+          col("probe_info.pppoe_username").as("pppoe_username"),
+          col("probe_info.hb_interval").as("hb_interval"),
+          col("probe_info.probe_name").as("probe_name"),
+          when(col("probe_info.probe_name").isNotNull &&
+              trim(col("probe_info.probe_name")) =!= "",
+            col("probe_info.probe_name")).as("probe_alias_suggested"))
+        .withColumn("update_time", lit(nowEpoch)),
+      Seq("id"), Seq(col("info_time").desc))
+
+    GwOutputs(pinfo, traffic, status, pon, accessDiff, dimUpdates)
   }
+
+  /** New-probe default-task notifications
+    * (`WindowRegisterProcessFunction.java:143-148`): the reference pushes
+    * {probeId, provinceCode, cityCode, districtCode} to a Redis queue per
+    * registration so the task generator creates the probe's default task
+    * set; here the queue is an output frame derived from the registration
+    * branch. */
+  def defaultTaskNotices(newProbes: DataFrame): DataFrame =
+    newProbes.select(
+      col("probe_id"),
+      coalesce(col("g_province_code"), lit("000000")).as("province_code"),
+      coalesce(col("g_city_code"), lit("000000")).as("city_code"),
+      coalesce(col("g_district_code"), lit("000000")).as("district_code"),
+      col("create_time"))
 
   final case class GwOutputs(
       pinfo: DataFrame, traffic: DataFrame, status: DataFrame,
-      pon: DataFrame, accessDiff: DataFrame)
+      pon: DataFrame, accessDiff: DataFrame, probeDimUpdates: DataFrame)
 }

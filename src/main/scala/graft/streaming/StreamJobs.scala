@@ -86,8 +86,33 @@ object StreamJobs {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (facts, newProbes) = ProbePipelines.heartbeatJobClassified(
           batch, probes, probeAccessType, ipRegion, nowEpoch)
-        facts.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_heartbeat")
-        newProbes.dropDuplicates("probe_id").write.mode("append").parquet(s"$outDir/new_probes")
+        // sink through the typed catalog (reference c_p_heartbeat DDL):
+        // probe_name/type come from the probe dim with the reference's
+        // ValKit defaults (""/0); conform() drops pipeline-internal
+        // columns and fails compile-shape drift loudly
+        def dimAttr(name: String, t: String): org.apache.spark.sql.Column =
+          (if (probes.columns.contains(name)) col(name) else lit(null))
+            .cast(t).as(s"__dim_$name")
+        val probeAttrs = probes.select(
+          Seq(col("id").as("probe_id"), dimAttr("probe_name", "string"),
+            dimAttr("type", "long")): _*)
+        val heartbeatRows = facts.dropDuplicates("id")
+          .join(broadcast(probeAttrs), Seq("probe_id"), "left")
+          .withColumn("probe_name", coalesce(col("__dim_probe_name"), lit("")))
+          .withColumn("probe_type", lit(null).cast("string"))
+          .withColumn("type", coalesce(col("__dim_type"), lit(0L)))
+          .withColumn("heartbeat_time_par", to_timestamp(col("heartbeat_time")))
+        graft.sources.OutputCatalog.writeConformed(
+          heartbeatRows, "c_p_heartbeat", s"$outDir/c_p_heartbeat")
+        val regs = newProbes.dropDuplicates("probe_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          regs.write.mode("append").parquet(s"$outDir/new_probes")
+          // default-task generation queue (the reference's Redis lpush on
+          // registration) as a sink the task generator consumes
+          ProbePipelines.defaultTaskNotices(regs)
+            .write.mode("append").parquet(s"$outDir/default_task_notices")
+        } finally regs.unpersist()
         ()
       }
       .start()
@@ -108,6 +133,9 @@ object StreamJobs {
         out.status.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_status")
         out.pon.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_pon")
         out.accessDiff.write.mode("append").parquet(s"$outDir/access_diff")
+        // probe-dim maintenance (ProbeInfoThread T6 redesign): latest
+        // gateway-reported attributes per probe, consumed as dim upserts
+        out.probeDimUpdates.write.mode("append").parquet(s"$outDir/probe_dim_updates")
         ()
       }
       .start()
