@@ -34,18 +34,18 @@ object MetricQueries {
             "text_cost", "first_screen_cost", "page_total_cost", "page_avg_speed")
       },
       Some("""SELECT l_orderkey, l_linenumber, conn_cost,
-        CASE WHEN trans_body_cost = 0 THEN 0 ELSE (FLOOR((page_size / (trans_body_cost / 1000)) * 10000.0 + 0.5) / 10000.0) END AS avg_speed,
+        CASE WHEN trans_body_cost = 0 THEN 0 ELSE (FLOOR((page_size / (trans_body_cost / 1000)) * 10000.0E0 + 0.5E0) / 10000.0E0) END AS avg_speed,
         conn_cost + trans_body_cost AS text_cost,
-        (conn_cost + trans_body_cost) + element_load_cost * 0.5 AS first_screen_cost,
+        (conn_cost + trans_body_cost) + element_load_cost * 0.5E0 AS first_screen_cost,
         (conn_cost + trans_body_cost) + element_load_cost AS page_total_cost,
         CASE WHEN ((conn_cost + trans_body_cost) + element_load_cost) = 0 THEN 0
-          ELSE (FLOOR(((page_size + element_total_size) / (((conn_cost + trans_body_cost) + element_load_cost) / 1000)) * 10000.0 + 0.5) / 10000.0) END AS page_avg_speed
+          ELSE (FLOOR(((page_size + element_total_size) / (((conn_cost + trans_body_cost) + element_load_cost) / 1000)) * 10000.0E0 + 0.5E0) / 10000.0E0) END AS page_avg_speed
         FROM (SELECT l_orderkey, l_linenumber,
           l_extendedprice AS page_size,
-          l_quantity * 100.0 AS trans_body_cost,
+          l_quantity * 100.0E0 AS trans_body_cost,
           CAST(l_partkey % 97 AS DOUBLE) + CAST(l_suppkey % 53 AS DOUBLE) + CAST(l_linenumber * 3 AS DOUBLE) AS conn_cost,
-          (l_orderkey % 11) * 50.0 AS element_load_cost,
-          l_extendedprice / 10.0 AS element_total_size
+          (l_orderkey % 11) * 50.0E0 AS element_load_cost,
+          l_extendedprice / 10.0E0 AS element_total_size
           FROM lineitem)"""),
       bench = true),
 
@@ -93,12 +93,12 @@ object MetricQueries {
           SELECT l_orderkey AS parent_id, COUNT(*) AS elements_sum,
             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS elements_success_sum,
             CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 0 ELSE 1 END) AS BIGINT) AS elements_fail_sum,
-            CAST(SUM(CAST(l_quantity * 10.0 AS DECIMAL(18,4))) AS DOUBLE) AS element_total_size
+            CAST(SUM(CAST(l_quantity * 10.0E0 AS DECIMAL(18,4))) AS DOUBLE) AS element_total_size
           FROM lineitem GROUP BY 1) a
         JOIN (
           SELECT parent_id, CAST(MAX(thread_cost) AS DOUBLE) AS element_load_cost FROM (
             SELECT l_orderkey AS parent_id, l_linenumber % 4 AS thread_num,
-              SUM(CAST((FLOOR((l_extendedprice / 1000.0 + (l_partkey % 50)) * 10000.0E0 + 0.5E0) / 10000.0E0) AS DECIMAL(18,4))) AS thread_cost
+              SUM(CAST((FLOOR((l_extendedprice / 1000.0E0 + (l_partkey % 50)) * 10000.0E0 + 0.5E0) / 10000.0E0) AS DECIMAL(18,4))) AS thread_cost
             FROM lineitem GROUP BY 1, 2) GROUP BY 1) b
         USING (parent_id)"""),
       bench = true),
@@ -125,16 +125,16 @@ object MetricQueries {
         CASE WHEN dns_cost = 0 AND tcp_cost = 0 AND ssl_cost = 0 THEN conn_cost0
           ELSE dns_cost + tcp_cost + ssl_cost END AS conn_cost,
         CASE WHEN avg_speed0 = 0 THEN
-            (CASE WHEN trans_body_cost = 0 THEN 0 ELSE (FLOOR((page_size / (trans_body_cost / 1000)) * 10000.0 + 0.5) / 10000.0) END)
+            (CASE WHEN trans_body_cost = 0 THEN 0 ELSE (FLOOR((page_size / (trans_body_cost / 1000)) * 10000.0E0 + 0.5E0) / 10000.0E0) END)
           ELSE avg_speed0 END AS avg_speed
         FROM (SELECT l_orderkey, l_linenumber,
           l_extendedprice AS page_size,
-          l_quantity * 50.0 AS trans_body_cost,
+          l_quantity * 50.0E0 AS trans_body_cost,
           CAST(l_partkey % 5 AS DOUBLE) AS dns_cost,
           CAST(l_suppkey % 3 AS DOUBLE) AS tcp_cost,
           CAST(l_linenumber % 2 AS DOUBLE) AS ssl_cost,
-          (l_orderkey % 4) * 25.0 AS avg_speed0,
-          l_tax * 1000.0 AS conn_cost0
+          (l_orderkey % 4) * 25.0E0 AS avg_speed0,
+          l_tax * 1000.0E0 AS conn_cost0
           FROM lineitem)"""))
   )
 }

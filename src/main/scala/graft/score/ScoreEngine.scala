@@ -126,7 +126,7 @@ object ScoreEngine {
       .map(b => s"WHEN ${bandCondSql(b, v)} THEN ${interpSql(m, b, v)}")
       .mkString(" ")
     val fallback = m.bands.last.lower * m.weight
-    s"(CASE WHEN ($v) IS NULL THEN 0.0 $bands ELSE ${fmtD(fallback)} END)"
+    s"(CASE WHEN ($v) IS NULL THEN 0.0E0 $bands ELSE ${fmtD(fallback)} END)"
   }
 
   def outlierCondSql(m: PQMetric, v: String): String =
@@ -142,14 +142,14 @@ object ScoreEngine {
   def scoreForSql(c: PQCriteria, src: String => Source): String = {
     val outlier = c.metrics.map(m => outlierCondSql(m, src(m.name).sql)).mkString("(", " OR ", ")")
     val total = c.metrics.map(m => metricScoreSql(m, src(m.name).sql)).mkString("(", " + ", ")")
-    val clamped = s"(CASE WHEN $total > 100 THEN 100.0 WHEN $total < 0 THEN 0.0 ELSE $total END)"
-    s"(CASE WHEN $outlier THEN 0.0 ELSE ${graft.functions.SafeMath.roundHalfUpSql(clamped, 2)} END)"
+    val clamped = s"(CASE WHEN $total > 100 THEN 100.0E0 WHEN $total < 0 THEN 0.0E0 ELSE $total END)"
+    s"(CASE WHEN $outlier THEN 0.0E0 ELSE ${graft.functions.SafeMath.roundHalfUpSql(clamped, 2)} END)"
   }
 
   def scoreAllSql(cfg: PQConfig, protocolSql: String, src: String => Source): String = {
     val branches = cfg.criteria.filterNot(_.protocol == "SPEED")
       .map(c => s"WHEN ($protocolSql) = '${c.protocol}' THEN ${scoreForSql(c, src)}")
       .mkString(" ")
-    s"(CASE WHEN ($protocolSql) = 'SPEED' THEN 0.0 $branches ELSE 0.0 END)"
+    s"(CASE WHEN ($protocolSql) = 'SPEED' THEN 0.0E0 $branches ELSE 0.0E0 END)"
   }
 }
