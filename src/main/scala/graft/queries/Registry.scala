@@ -16,7 +16,8 @@ object Registry {
   lazy val all: Seq[GraftQuery] =
     CoreQueries.queries ++ MetricQueries.queries ++ ScoreQueries.queries ++
       NqsQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      VectorQueries.queries ++ WindowQueries.queries ++ GeoQueries.queries
+      VectorQueries.queries ++ WindowQueries.queries ++ GeoQueries.queries ++
+      PipelineQueries.queries
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 
