@@ -120,6 +120,287 @@ object PipelineQueries {
         FROM b""")),
 
     GraftQuery(
+      "q52_task_data_ping",
+      (s, dir) => {
+        // The FULL task-data pipeline on PING messages: P1 array explode,
+        // P5/P6 envelope+payload, P9 clamp, J1-J4 enrich chain with geo
+        // override, A4 protocol-dispatched scoring (incl. outlier rules),
+        // F2 content-hash id, F3 buckets. Two measurements per message
+        // exercise the one-Kafka-message=JSON-array contract.
+        val k = col("c_custkey")
+        val t = lit(Now) - (k % 60) * 3600
+        def meas(taskSel: Column, tt: Column, rtt: Column, lost: Column) =
+          concat(
+            lit("""{"probe_id":"p-"""), k % 30,
+            lit("""","task_id":"t-"""), taskSel,
+            lit("""","task_type_name":"PING","test_time":"""), tt,
+            lit(""","host_ip":"1.2.3."""), k % 40,
+            lit("""","rtt":"""), rtt,
+            lit(""","jitter":"""), k % 35,
+            lit(""","lost_rate":"""), lost, lit("}"))
+        val raw = Tables.load(s, dir, "customer").select(concat(
+          lit("["),
+          meas(k % 7, t, k % 130, k % 105), lit(","),
+          meas((k + 3) % 7, t - 60, (k + 17) % 130, (k + 31) % 105),
+          lit("]")).as("value"))
+        val n = Tables.load(s, dir, "nation")
+        val nk = col("n_nationkey")
+        val probes = n.select(
+          concat(lit("p-"), nk).as("id"),
+          concat(lit("PN"), nk).as("probe_name"),
+          concat(lit("PA"), nk).as("probe_alias"),
+          concat(lit("pu"), nk).as("pppoe_username"),
+          concat(lit("lo"), nk).as("loid"),
+          concat(lit("sn"), nk).as("sn"),
+          concat(lit("9.9.9."), nk).as("ip"),
+          concat(lit("pc"), nk).as("pc"),
+          concat(lit("vd"), nk % 4).as("vendor"),
+          concat(lit("PC"), nk).as("province_code"),
+          concat(lit("PV"), nk).as("province_name"),
+          concat(lit("CC"), nk).as("city_code"),
+          concat(lit("CN"), nk).as("city_name"),
+          concat(lit("DC"), nk).as("district_code"),
+          concat(lit("DN"), nk).as("district_name"),
+          concat(lit("TC"), nk).as("town_code"),
+          concat(lit("TN"), nk).as("town_name"))
+        val r = Tables.load(s, dir, "region")
+        val rk = col("r_regionkey")
+        val tasks = r.select(
+          concat(lit("t-"), rk).as("id"),
+          concat(lit("md5-"), rk).as("task_md5"),
+          (rk + 5).as("task_param_id"),
+          concat(lit("AT"), rk).as("access_type_name"),
+          concat(lit("di"), rk).as("dest_id"),
+          concat(lit("dn"), rk).as("dest_name"),
+          concat(lit("da"), rk).as("dest_addr"),
+          concat(lit("HP"), rk).as("host_province"),
+          concat(lit("HC"), rk).as("host_city"),
+          concat(lit("OP"), rk).as("operator"))
+        val params = r.select(
+          (rk + 5).as("id"),
+          concat(lit("TPN"), rk).as("task_param_name"),
+          rk.as("alarm_template_id"))
+        val geo = n.select(
+          concat(lit("1.2.3."), nk).as("ip"),
+          concat(lit("GP"), nk).as("province_name"),
+          concat(lit("GC"), nk).as("city_name"),
+          concat(lit("GO"), nk).as("operator"))
+        val facts = graft.nqs.TaskDataPipeline(
+          raw, graft.nqs.TaskDataPipeline.Dims(probes, tasks, params, geo),
+          nowEpoch = Now)
+        facts.select("id", "probe_id", "task_id", "task_param_id",
+          "task_type_name", "test_time", "rtt", "jitter", "lost_rate",
+          "probe_name", "province_code", "host_province", "host_city",
+          "operator", "task_param_name", "alarm_template_id", "score",
+          "test_time_h", "test_time_d", "create_time")
+      },
+      Some {
+        val scoreSql = graft.score.ScoreEngine.scoreForSql(
+          graft.score.PQDefaults.config.byProtocol("PING"),
+          name => if (Set("rtt", "lost_rate").contains(name))
+            graft.score.ScoreEngine.Source(col(name), s"($name)")
+          else graft.score.ScoreEngine.Source(
+            lit(null).cast("double"), "CAST(NULL AS DOUBLE)"))
+        s"""WITH base AS (SELECT c_custkey AS k FROM customer),
+          meas AS (
+            SELECT k, 'p-' || (k % 30) AS probe_id, 't-' || (k % 7) AS task_id,
+              CAST(CASE WHEN (k % 60) * 3600 > 108000 THEN $Now
+                ELSE $Now - (k % 60) * 3600 END AS BIGINT) AS test_time,
+              '1.2.3.' || (k % 40) AS host_ip,
+              CAST(k % 130 AS DOUBLE) AS rtt,
+              CAST(k % 35 AS DOUBLE) AS jitter,
+              CAST(k % 105 AS DOUBLE) AS lost_rate
+            FROM base
+            UNION ALL
+            SELECT k, 'p-' || (k % 30), 't-' || ((k + 3) % 7),
+              CAST(CASE WHEN (k % 60) * 3600 + 60 > 108000 THEN $Now
+                ELSE $Now - (k % 60) * 3600 - 60 END AS BIGINT),
+              '1.2.3.' || (k % 40),
+              CAST((k + 17) % 130 AS DOUBLE),
+              CAST(k % 35 AS DOUBLE),
+              CAST((k + 31) % 105 AS DOUBLE)
+            FROM base),
+          probes AS (SELECT 'p-' || n_nationkey AS probe_id,
+            'PN' || n_nationkey AS probe_name,
+            'PC' || n_nationkey AS province_code FROM nation),
+          tasks AS (SELECT 't-' || r_regionkey AS task_id,
+            CAST(r_regionkey + 5 AS BIGINT) AS task_param_id,
+            'HP' || r_regionkey AS hp, 'HC' || r_regionkey AS hc,
+            'OP' || r_regionkey AS op FROM region),
+          params AS (SELECT CAST(r_regionkey + 5 AS BIGINT) AS task_param_id,
+            'TPN' || r_regionkey AS task_param_name,
+            CAST(r_regionkey AS BIGINT) AS alarm_template_id FROM region),
+          geo AS (SELECT '1.2.3.' || n_nationkey AS ip,
+            'GP' || n_nationkey AS gp, 'GC' || n_nationkey AS gc,
+            'GO' || n_nationkey AS gop FROM nation)
+          SELECT
+            sha256(m.probe_id || '|' || m.task_id || '|' || 'PING' || '|' || m.test_time) AS id,
+            m.probe_id, m.task_id, t.task_param_id,
+            'PING' AS task_type_name, m.test_time, m.rtt, m.jitter,
+            m.lost_rate, p.probe_name, p.province_code,
+            CASE WHEN g.ip IS NOT NULL THEN g.gp ELSE t.hp END AS host_province,
+            CASE WHEN g.ip IS NOT NULL THEN g.gc ELSE t.hc END AS host_city,
+            CASE WHEN g.ip IS NOT NULL THEN g.gop ELSE t.op END AS operator,
+            pa.task_param_name, pa.alarm_template_id,
+            $scoreSql AS score,
+            CAST(epoch(date_trunc('hour', make_timestamp(m.test_time * 1000000))) AS BIGINT) AS test_time_h,
+            CAST(epoch(date_trunc('day', make_timestamp(m.test_time * 1000000))) AS BIGINT) AS test_time_d,
+            CAST($Now AS BIGINT) AS create_time
+          FROM meas m
+          LEFT JOIN probes p ON p.probe_id = m.probe_id
+          LEFT JOIN tasks t ON t.task_id = m.task_id
+          LEFT JOIN params pa ON pa.task_param_id = t.task_param_id
+          LEFT JOIN geo g ON g.ip = m.host_ip"""
+      }),
+
+    GraftQuery(
+      "q53_http_detail_children",
+      (s, dir) => {
+        // U3/J9: HTTP detail arrays exploded into re-scored child facts
+        // carrying the parent's content-hash id — through the REAL
+        // pipeline + explodeHttpDetails.
+        val k = col("c_custkey")
+        val t = lit(Now) - (k % 60) * 3600
+        def el(i: Int) = {
+          val dl = when(k % 50 === 0, lit(0)).otherwise((k % 400) + 10 * i)
+          concat(
+            lit(s"""{"element_name":"el$i","element_num":"""), (k % 9) + i,
+            lit(""","element_url":"u","dns_cost":"""), (k % 20) + i,
+            lit(""","tcp_cost":"""), k % 15,
+            if (i == 0) concat(lit(""","ssl_cost":"""), k % 5) else lit(""),
+            lit(""","element_download_cost":"""), dl,
+            lit(""","first_byte_cost":"""), k % 60,
+            lit(""","thread_num":"""), k % 4,
+            lit(""","element_status":"""), (k + i) % 5,
+            lit(""","element_size":"""), (k % 300) * 10,
+            lit(""","element_http_code":"200","is_localnet":"0","host_ip":"8.8.8."""),
+            k % 99, lit(""""}"""))
+        }
+        val raw = Tables.load(s, dir, "customer").select(concat(
+          lit("""[{"probe_id":"p-"""), k % 30,
+          lit("""","task_id":"t-"""), k % 7,
+          lit("""","task_type_name":"HTTP","test_time":"""), t,
+          lit(""","host_ip":"1.2.3."""), k % 40,
+          lit("""","detail":["""), el(0), lit(","), el(1),
+          lit("]}]")).as("value"))
+        val n = Tables.load(s, dir, "nation")
+        val nk = col("n_nationkey")
+        val probes = n.select(
+          concat(lit("p-"), nk).as("id"),
+          concat(lit("PN"), nk).as("probe_name"),
+          concat(lit("PA"), nk).as("probe_alias"),
+          concat(lit("pu"), nk).as("pppoe_username"),
+          concat(lit("lo"), nk).as("loid"),
+          concat(lit("sn"), nk).as("sn"),
+          concat(lit("9.9.9."), nk).as("ip"),
+          concat(lit("pc"), nk).as("pc"),
+          concat(lit("vd"), nk % 4).as("vendor"),
+          concat(lit("PC"), nk).as("province_code"),
+          concat(lit("PV"), nk).as("province_name"),
+          concat(lit("CC"), nk).as("city_code"),
+          concat(lit("CN"), nk).as("city_name"),
+          concat(lit("DC"), nk).as("district_code"),
+          concat(lit("DN"), nk).as("district_name"),
+          concat(lit("TC"), nk).as("town_code"),
+          concat(lit("TN"), nk).as("town_name"))
+        val r = Tables.load(s, dir, "region")
+        val rk = col("r_regionkey")
+        val tasks = r.select(
+          concat(lit("t-"), rk).as("id"),
+          concat(lit("md5-"), rk).as("task_md5"),
+          (rk + 5).as("task_param_id"),
+          concat(lit("AT"), rk).as("access_type_name"),
+          concat(lit("di"), rk).as("dest_id"),
+          concat(lit("dn"), rk).as("dest_name"),
+          concat(lit("da"), rk).as("dest_addr"),
+          concat(lit("HP"), rk).as("host_province"),
+          concat(lit("HC"), rk).as("host_city"),
+          concat(lit("OP"), rk).as("operator"))
+        val params = r.select(
+          (rk + 5).as("id"),
+          concat(lit("TPN"), rk).as("task_param_name"),
+          rk.as("alarm_template_id"))
+        val geo = n.select(
+          concat(lit("1.2.3."), nk).as("ip"),
+          concat(lit("GP"), nk).as("province_name"),
+          concat(lit("GC"), nk).as("city_name"),
+          concat(lit("GO"), nk).as("operator"))
+        val facts = graft.nqs.TaskDataPipeline(
+          raw, graft.nqs.TaskDataPipeline.Dims(probes, tasks, params, geo),
+          nowEpoch = Now)
+        graft.nqs.TaskDataPipeline.explodeHttpDetails(facts)
+          .select("parent_id", "id", "element_idx", "element_name",
+            "element_num", "dns_cost", "tcp_cost", "ssl_cost",
+            "element_download_cost", "first_byte_cost", "thread_num",
+            "element_status", "element_size", "conn_cost", "text_cost",
+            "avg_speed", "score", "probe_id", "task_id", "task_param_id",
+            "task_type_name", "test_time", "test_time_h", "create_time",
+            "province_code", "city_code")
+      },
+      Some {
+        val scoreSql = graft.score.ScoreEngine.scoreForSql(
+          graft.score.PQDefaults.config.byProtocol("HTTP_DETAIL"),
+          name => if (Set("dns_cost", "conn_cost", "text_cost",
+              "avg_speed").contains(name))
+            graft.score.ScoreEngine.Source(col(name), s"($name)")
+          else graft.score.ScoreEngine.Source(
+            lit(null).cast("double"), "CAST(NULL AS DOUBLE)"))
+        val elSelects = Seq(0, 1).map { i =>
+          val ssl = if (i == 0) "CAST(k % 5 AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT k, CAST($i AS INTEGER) AS element_idx,
+            'el$i' AS element_name, CAST((k % 9) + $i AS BIGINT) AS element_num,
+            CAST((k % 20) + $i AS DOUBLE) AS dns_cost,
+            CAST(k % 15 AS DOUBLE) AS tcp_cost,
+            $ssl AS ssl_cost,
+            CAST(CASE WHEN k % 50 = 0 THEN 0 ELSE (k % 400) + ${10 * i} END AS DOUBLE) AS element_download_cost,
+            CAST(k % 60 AS DOUBLE) AS first_byte_cost,
+            CAST(k % 4 AS BIGINT) AS thread_num,
+            CAST((k + $i) % 5 AS BIGINT) AS element_status,
+            CAST((k % 300) * 10 AS DOUBLE) AS element_size
+          FROM base"""
+        }.mkString(" UNION ALL ")
+        val avgSpeedSql = graft.functions.SafeMath.roundHalfUpSql(
+          "(element_size) / ((element_download_cost) / 1000)", 4)
+        s"""WITH base AS (SELECT c_custkey AS k FROM customer),
+          els AS ($elSelects),
+          env AS (SELECT k, 'p-' || (k % 30) AS probe_id,
+            't-' || (k % 7) AS task_id,
+            CAST(CASE WHEN (k % 60) * 3600 > 108000 THEN $Now
+              ELSE $Now - (k % 60) * 3600 END AS BIGINT) AS test_time
+            FROM base),
+          probes AS (SELECT 'p-' || n_nationkey AS probe_id,
+            'PC' || n_nationkey AS province_code,
+            'CC' || n_nationkey AS city_code FROM nation),
+          tasks AS (SELECT 't-' || r_regionkey AS task_id,
+            CAST(r_regionkey + 5 AS BIGINT) AS task_param_id FROM region),
+          flat AS (
+            SELECT e.*, v.probe_id, v.task_id, v.test_time,
+              sha256(v.probe_id || '|' || v.task_id || '|' || 'HTTP' || '|' || v.test_time) AS parent_id,
+              COALESCE(e.dns_cost, 0) + COALESCE(e.tcp_cost, 0) + COALESCE(e.ssl_cost, 0) AS conn_cost
+            FROM els e JOIN env v ON e.k = v.k),
+          flat2 AS (
+            SELECT f.*,
+              f.conn_cost + COALESCE(f.element_download_cost, 0) AS text_cost,
+              CASE WHEN (element_download_cost / 1000) = 0 OR element_download_cost IS NULL
+                THEN 0.0E0 ELSE $avgSpeedSql END AS avg_speed
+            FROM flat f)
+          SELECT parent_id,
+            sha256(parent_id || '|' || element_idx || '|' || test_time) AS id,
+            element_idx, element_name, element_num, dns_cost, tcp_cost,
+            ssl_cost, element_download_cost, first_byte_cost, thread_num,
+            element_status, element_size, conn_cost, text_cost, avg_speed,
+            $scoreSql AS score,
+            f.probe_id, f.task_id, t.task_param_id,
+            'HTTP_DETAIL' AS task_type_name, test_time,
+            CAST(epoch(date_trunc('hour', make_timestamp(test_time * 1000000))) AS BIGINT) AS test_time_h,
+            CAST($Now AS BIGINT) AS create_time,
+            p.province_code, p.city_code
+          FROM flat2 f
+          LEFT JOIN probes p ON p.probe_id = f.probe_id
+          LEFT JOIN tasks t ON t.task_id = f.task_id"""
+      }),
+
+    GraftQuery(
       "q51_register_enrich",
       (s, dir) => {
         // J5 register geo + F15 alias synthesis + F16 region_path through
