@@ -401,6 +401,117 @@ object PipelineQueries {
       }),
 
     GraftQuery(
+      "q54_dns_detail_children",
+      (s, dir) => {
+        // U1/U3 non-HTTP children: the DNS detail spec explodes the raw
+        // detail_json (captured before typed parsing, so the
+        // protocol-specific element shape survives) into scored
+        // DNS_DETAIL child facts.
+        val k = col("c_custkey")
+        val t = lit(Now) - (k % 60) * 3600
+        def el(i: Int) = concat(
+          lit(s"""{"domain":"d$i.example","dns_cost":"""), (k + 9 * i) % 25,
+          lit(""","success_rate":"""), (k + 13 * i) % 101,
+          lit(""","host_ip":"7.7.7."""), k % 9, lit(""""}"""))
+        val raw = Tables.load(s, dir, "customer").select(concat(
+          lit("""[{"probe_id":"p-"""), k % 30,
+          lit("""","task_id":"t-"""), k % 7,
+          lit("""","task_type_name":"DNS","test_time":"""), t,
+          lit(""","time_cost":"""), k % 80,
+          lit(""","success_rate":"""), k % 101,
+          lit(""","detail":["""), el(0), lit(","), el(1),
+          lit("]}]")).as("value"))
+        val n = Tables.load(s, dir, "nation")
+        val nk = col("n_nationkey")
+        val probes = n.select(
+          concat(lit("p-"), nk).as("id"),
+          concat(lit("PN"), nk).as("probe_name"),
+          concat(lit("PA"), nk).as("probe_alias"),
+          concat(lit("pu"), nk).as("pppoe_username"),
+          concat(lit("lo"), nk).as("loid"),
+          concat(lit("sn"), nk).as("sn"),
+          concat(lit("9.9.9."), nk).as("ip"),
+          concat(lit("pc"), nk).as("pc"),
+          concat(lit("vd"), nk % 4).as("vendor"),
+          concat(lit("PC"), nk).as("province_code"),
+          concat(lit("PV"), nk).as("province_name"),
+          concat(lit("CC"), nk).as("city_code"),
+          concat(lit("CN"), nk).as("city_name"),
+          concat(lit("DC"), nk).as("district_code"),
+          concat(lit("DN"), nk).as("district_name"),
+          concat(lit("TC"), nk).as("town_code"),
+          concat(lit("TN"), nk).as("town_name"))
+        val r = Tables.load(s, dir, "region")
+        val rk = col("r_regionkey")
+        val tasks = r.select(
+          concat(lit("t-"), rk).as("id"),
+          concat(lit("md5-"), rk).as("task_md5"),
+          (rk + 5).as("task_param_id"),
+          concat(lit("AT"), rk).as("access_type_name"),
+          concat(lit("di"), rk).as("dest_id"),
+          concat(lit("dn"), rk).as("dest_name"),
+          concat(lit("da"), rk).as("dest_addr"),
+          concat(lit("HP"), rk).as("host_province"),
+          concat(lit("HC"), rk).as("host_city"),
+          concat(lit("OP"), rk).as("operator"))
+        val params = r.select(
+          (rk + 5).as("id"),
+          concat(lit("TPN"), rk).as("task_param_name"),
+          rk.as("alarm_template_id"))
+        val geo = n.select(
+          concat(lit("1.2.3."), nk).as("ip"),
+          concat(lit("GP"), nk).as("province_name"),
+          concat(lit("GC"), nk).as("city_name"),
+          concat(lit("GO"), nk).as("operator"))
+        val facts = graft.nqs.TaskDataPipeline(
+          raw, graft.nqs.TaskDataPipeline.Dims(probes, tasks, params, geo),
+          nowEpoch = Now)
+        graft.nqs.DetailSpecs.explode(facts, graft.nqs.DetailSpecs.dnsDetail)
+          .select("parent_id", "id", "element_idx", "domain", "dns_cost",
+            "success_rate", "host_ip", "task_type_name", "score",
+            "probe_id", "task_id", "task_param_id", "test_time",
+            "test_time_h", "create_time")
+      },
+      Some {
+        val scoreSql = graft.score.ScoreEngine.scoreForSql(
+          graft.score.PQDefaults.config.byProtocol("DNS_DETAIL"),
+          name => if (Set("dns_cost", "success_rate").contains(name))
+            graft.score.ScoreEngine.Source(col(name), s"($name)")
+          else graft.score.ScoreEngine.Source(
+            lit(null).cast("double"), "CAST(NULL AS DOUBLE)"))
+        val elSelects = Seq(0, 1).map { i =>
+          s"""SELECT k, CAST($i AS INTEGER) AS element_idx,
+            'd$i.example' AS domain,
+            CAST((k + ${9 * i}) % 25 AS DOUBLE) AS dns_cost,
+            CAST((k + ${13 * i}) % 101 AS DOUBLE) AS success_rate,
+            '7.7.7.' || (k % 9) AS host_ip
+          FROM base"""
+        }.mkString(" UNION ALL ")
+        s"""WITH base AS (SELECT c_custkey AS k FROM customer),
+          els AS ($elSelects),
+          env AS (SELECT k, 'p-' || (k % 30) AS probe_id,
+            't-' || (k % 7) AS task_id,
+            CAST(CASE WHEN (k % 60) * 3600 > 108000 THEN $Now
+              ELSE $Now - (k % 60) * 3600 END AS BIGINT) AS test_time
+            FROM base),
+          tasks AS (SELECT 't-' || r_regionkey AS task_id,
+            CAST(r_regionkey + 5 AS BIGINT) AS task_param_id FROM region)
+          SELECT
+            sha256(v.probe_id || '|' || v.task_id || '|' || 'DNS' || '|' || v.test_time) AS parent_id,
+            sha256(sha256(v.probe_id || '|' || v.task_id || '|' || 'DNS' || '|' || v.test_time)
+              || '|' || e.element_idx || '|' || v.test_time) AS id,
+            e.element_idx, e.domain, e.dns_cost, e.success_rate, e.host_ip,
+            'DNS_DETAIL' AS task_type_name,
+            $scoreSql AS score,
+            v.probe_id, v.task_id, t.task_param_id, v.test_time,
+            CAST(epoch(date_trunc('hour', make_timestamp(v.test_time * 1000000))) AS BIGINT) AS test_time_h,
+            CAST($Now AS BIGINT) AS create_time
+          FROM els e
+          JOIN env v ON e.k = v.k
+          LEFT JOIN tasks t ON t.task_id = v.task_id"""
+      }),
+
+    GraftQuery(
       "q51_register_enrich",
       (s, dir) => {
         // J5 register geo + F15 alias synthesis + F16 region_path through
