@@ -104,6 +104,94 @@ object MetricQueries {
       bench = true),
 
     GraftQuery(
+      "q55_detail_agg_hof",
+      (s, dir) => {
+        // A2/A3/F7 in the array-HOF form (the per-record shape the
+        // reference computes inside its window loop): per-element derived
+        // metrics and per-parent aggregates computed INSIDE the detail
+        // array — no explode, no shuffle. Two elements per thread keep
+        // the per-thread sums two-addend (addition is commutative, so the
+        // oracle's SUM order can't perturb the double).
+        val k = col("c_custkey")
+        def el(i: Int) = struct(
+          lit(s"e$i").as("element_name"),
+          ((k + i) % 7).cast("long").as("element_num"),
+          lit("u").as("element_url"),
+          ((k + 3 * i) % 40).cast("double").as("dns_cost"),
+          ((k + i) % 25).cast("double").as("tcp_cost"),
+          (when(k % 4 === lit(i % 4), lit(null))
+            .otherwise((k + i) % 9)).cast("double").as("ssl_cost"),
+          (when(k % 31 === 0, lit(0)).otherwise((k + 11 * i) % 500))
+            .cast("double").as("element_download_cost"),
+          ((k + i) % 60).cast("double").as("first_byte_cost"),
+          lit(i % 2).cast("long").as("thread_num"),
+          ((k + i) % 3).cast("long").as("element_status"),
+          (((k + i) % 200) * 5).cast("double").as("element_size"),
+          lit("200").as("element_http_code"),
+          lit("0").as("is_localnet"),
+          lit("5.5.5.5").as("host_ip"))
+        val df = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("pk"),
+            array(el(0), el(1), el(2), el(3)).as("detail"))
+        HttpMetrics.deriveDetailAgg(df)
+          .select(col("pk"), col("elements_sum"), col("elements_success_sum"),
+            col("elements_fail_sum"), col("element_total_size"),
+            col("elements_success_rate"), col("element_load_cost"),
+            element_at(col("detail"), 1).getField("conn_cost").as("e0_conn_cost"),
+            element_at(col("detail"), 2).getField("element_total_cost").as("e1_total_cost"),
+            element_at(col("detail"), 3).getField("avg_speed").as("e2_avg_speed"))
+      },
+      Some {
+        val avgSpeedSql = graft.functions.SafeMath.roundHalfUpSql(
+          "(element_size) / ((element_download_cost) / 1000)", 4)
+        val elSelects = Seq(0, 1, 2, 3).map { i =>
+          s"""SELECT k, $i AS i,
+            CAST((k + ${3 * i}) % 40 AS DOUBLE) AS dns_cost,
+            CAST((k + $i) % 25 AS DOUBLE) AS tcp_cost,
+            CASE WHEN k % 4 = ${i % 4} THEN NULL
+              ELSE CAST((k + $i) % 9 AS DOUBLE) END AS ssl_cost,
+            CAST(CASE WHEN k % 31 = 0 THEN 0
+              ELSE (k + ${11 * i}) % 500 END AS DOUBLE) AS element_download_cost,
+            CAST(${i % 2} AS BIGINT) AS thread_num,
+            CAST((k + $i) % 3 AS BIGINT) AS element_status,
+            CAST(((k + $i) % 200) * 5 AS DOUBLE) AS element_size
+          FROM base"""
+        }.mkString(" UNION ALL ")
+        s"""WITH base AS (SELECT c_custkey AS k FROM customer),
+          els0 AS ($elSelects),
+          els AS (
+            SELECT e.*,
+              COALESCE(dns_cost, 0) + COALESCE(tcp_cost, 0) + COALESCE(ssl_cost, 0) AS conn_cost,
+              COALESCE(dns_cost, 0) + COALESCE(tcp_cost, 0) + COALESCE(ssl_cost, 0)
+                + COALESCE(element_download_cost, 0) AS element_total_cost,
+              CASE WHEN (element_download_cost / 1000) = 0 OR element_download_cost IS NULL
+                THEN 0.0E0 ELSE $avgSpeedSql END AS avg_speed
+            FROM els0 e),
+          threads AS (
+            SELECT k, thread_num, SUM(element_total_cost) AS thread_cost
+            FROM els GROUP BY k, thread_num),
+          agg AS (
+            SELECT e.k,
+              CAST(COUNT(*) AS INTEGER) AS elements_sum,
+              CAST(SUM(CASE WHEN element_status = 0 THEN 1 ELSE 0 END) AS INTEGER) AS elements_success_sum,
+              SUM(COALESCE(element_size, 0)) AS element_total_size
+            FROM els e GROUP BY e.k),
+          mx AS (SELECT k, MAX(thread_cost) AS element_load_cost FROM threads GROUP BY k)
+          SELECT b.k AS pk, a.elements_sum, a.elements_success_sum,
+            CAST(a.elements_sum - a.elements_success_sum AS INTEGER) AS elements_fail_sum,
+            CAST(a.element_total_size AS DOUBLE) AS element_total_size,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(a.elements_success_sum AS DOUBLE) / a.elements_sum * 100", 4)} AS elements_success_rate,
+            CAST(mx.element_load_cost AS DOUBLE) AS element_load_cost,
+            (SELECT conn_cost FROM els WHERE els.k = b.k AND i = 0) AS e0_conn_cost,
+            (SELECT element_total_cost FROM els WHERE els.k = b.k AND i = 1) AS e1_total_cost,
+            (SELECT avg_speed FROM els WHERE els.k = b.k AND i = 2) AS e2_avg_speed
+          FROM base b
+          JOIN agg a ON a.k = b.k
+          JOIN mx ON mx.k = b.k"""
+      }),
+
+    GraftQuery(
       "q16_game_metrics",
       (s, dir) => {
         // F6: GAME conn_cost falls back to the probe-reported value when
