@@ -137,6 +137,8 @@ object ProbePipelines {
         col("probe_info.sn").as("sn"),
         col("probe_info.loid").as("loid"),
         col("probe_info.pppoe_username").as("pppoe_username"),
+        // the raw payload JSON too — the c_p_pinfo table stores it whole
+        to_json(col("probe_info")).as("probe_info"),
         to_json(col("access_type_info")).as("access_type_info"),
         to_json(col("traffic_info")).as("traffic_info"),
         to_json(col("status_info")).as("status_info"),

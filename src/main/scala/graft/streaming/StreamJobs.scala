@@ -128,10 +128,24 @@ object StreamJobs {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val out = ProbePipelines.gatewayInfoJob(batch, storedAccessTypes, nowEpoch)
-        out.pinfo.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_pinfo")
-        out.traffic.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_traffic")
-        out.status.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_status")
-        out.pon.dropDuplicates("id").write.mode("append").parquet(s"$outDir/c_p_pon")
+        // catalog sinks: the pipeline keys time as info_time; the
+        // reference tables call it timesheet — rename + derive the
+        // Datetime partition column, then conform to the typed schema
+        def sink(df: DataFrame, table: String): Unit = {
+          val t = df
+            .withColumnRenamed("info_time", "timesheet")
+            .withColumnRenamed("info_time_h", "timesheet_h")
+            .withColumnRenamed("info_time_d", "timesheet_d")
+            .withColumnRenamed("info_time_w", "timesheet_w")
+            .withColumnRenamed("info_time_m", "timesheet_m")
+            .withColumn("timesheet_par", to_timestamp(col("timesheet")))
+          graft.sources.OutputCatalog.writeConformed(
+            t.dropDuplicates("id"), table, s"$outDir/$table")
+        }
+        sink(out.pinfo, "c_p_pinfo")
+        sink(out.traffic, "c_p_traffic")
+        sink(out.status, "c_p_status")
+        sink(out.pon, "c_p_pon")
         out.accessDiff.write.mode("append").parquet(s"$outDir/access_diff")
         // probe-dim maintenance (ProbeInfoThread T6 redesign): latest
         // gateway-reported attributes per probe, consumed as dim upserts

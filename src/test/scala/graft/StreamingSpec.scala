@@ -24,6 +24,40 @@ class StreamingSpec extends AnyFunSuite {
     .getOrCreate()
   import NqsFixtures._
 
+  test("gateway-info stream writes catalog-conformed typed sinks") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-gw").toFile.getAbsolutePath
+    val srcDir = s"$tmp/src"; new java.io.File(srcDir).mkdirs()
+    val gw =
+      s"""{"probe_id":"p-0001","time":$Now,
+         |"probe_info":{"id":"p-0001","pc":"DT741-csf","vendor":"v","sn":"s"},
+         |"status_info":{"cpu_rate":12.5,"ram_rate":43.1,"run_time":"86400"},
+         |"sgw_info":{"pon_info":{"current":12.0,"rx_power":-215000.0,
+         |  "tx_power":2.1,"temperature":45.0,"voltage":3.3}}}"""
+        .stripMargin.replaceAll("\n", "")
+    Files.writeString(java.nio.file.Path.of(s"$srcDir/a.txt"), gw)
+    val stored = Seq.empty[(String, String, String)]
+      .toDF("probe_id", "access_type_name", "connect_status")
+    val q = StreamJobs.runGatewayInfo(
+      StreamJobs.fileSource(spark, srcDir), stored,
+      s"$tmp/out", s"$tmp/ck", nowEpoch = Now,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    // every catalog sink reads back with EXACTLY the reference DDL schema
+    for (t <- Seq("c_p_pinfo", "c_p_status", "c_p_pon")) {
+      val df = spark.read.parquet(s"$tmp/out/$t")
+      val want = graft.sources.OutputCatalog.tables(t).schema
+      assert(df.schema.fieldNames.sorted.toSeq ===
+        want.fieldNames.sorted.toSeq, t)
+      assert(df.count() === 1, t)
+    }
+    val pon = spark.read.parquet(s"$tmp/out/c_p_pon").collect()(0)
+    assert(pon.getAs[Double]("rx_power") === -21.5)
+    assert(pon.getAs[Long]("timesheet") === Now)
+    val st = spark.read.parquet(s"$tmp/out/c_p_status").collect()(0)
+    assert(st.getAs[String]("run_time") === "86400")
+  }
+
   test("streaming file-source run matches the batch pipeline exactly") {
     val tmp = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
     val srcDir = s"$tmp/src"; val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
