@@ -143,51 +143,8 @@ object PipelineQueries {
           meas(k % 7, t, k % 130, k % 105), lit(","),
           meas((k + 3) % 7, t - 60, (k + 17) % 130, (k + 31) % 105),
           lit("]")).as("value"))
-        val n = Tables.load(s, dir, "nation")
-        val nk = col("n_nationkey")
-        val probes = n.select(
-          concat(lit("p-"), nk).as("id"),
-          concat(lit("PN"), nk).as("probe_name"),
-          concat(lit("PA"), nk).as("probe_alias"),
-          concat(lit("pu"), nk).as("pppoe_username"),
-          concat(lit("lo"), nk).as("loid"),
-          concat(lit("sn"), nk).as("sn"),
-          concat(lit("9.9.9."), nk).as("ip"),
-          concat(lit("pc"), nk).as("pc"),
-          concat(lit("vd"), nk % 4).as("vendor"),
-          concat(lit("PC"), nk).as("province_code"),
-          concat(lit("PV"), nk).as("province_name"),
-          concat(lit("CC"), nk).as("city_code"),
-          concat(lit("CN"), nk).as("city_name"),
-          concat(lit("DC"), nk).as("district_code"),
-          concat(lit("DN"), nk).as("district_name"),
-          concat(lit("TC"), nk).as("town_code"),
-          concat(lit("TN"), nk).as("town_name"))
-        val r = Tables.load(s, dir, "region")
-        val rk = col("r_regionkey")
-        val tasks = r.select(
-          concat(lit("t-"), rk).as("id"),
-          concat(lit("md5-"), rk).as("task_md5"),
-          (rk + 5).as("task_param_id"),
-          concat(lit("AT"), rk).as("access_type_name"),
-          concat(lit("di"), rk).as("dest_id"),
-          concat(lit("dn"), rk).as("dest_name"),
-          concat(lit("da"), rk).as("dest_addr"),
-          concat(lit("HP"), rk).as("host_province"),
-          concat(lit("HC"), rk).as("host_city"),
-          concat(lit("OP"), rk).as("operator"))
-        val params = r.select(
-          (rk + 5).as("id"),
-          concat(lit("TPN"), rk).as("task_param_name"),
-          rk.as("alarm_template_id"))
-        val geo = n.select(
-          concat(lit("1.2.3."), nk).as("ip"),
-          concat(lit("GP"), nk).as("province_name"),
-          concat(lit("GC"), nk).as("city_name"),
-          concat(lit("GO"), nk).as("operator"))
         val facts = graft.nqs.TaskDataPipeline(
-          raw, graft.nqs.TaskDataPipeline.Dims(probes, tasks, params, geo),
-          nowEpoch = Now)
+          raw, PipelineFixtures.dims(s, dir), nowEpoch = Now)
         facts.select("id", "probe_id", "task_id", "task_param_id",
           "task_type_name", "test_time", "rtt", "jitter", "lost_rate",
           "probe_name", "province_code", "host_province", "host_city",
@@ -283,51 +240,8 @@ object PipelineQueries {
           lit(""","host_ip":"1.2.3."""), k % 40,
           lit("""","detail":["""), el(0), lit(","), el(1),
           lit("]}]")).as("value"))
-        val n = Tables.load(s, dir, "nation")
-        val nk = col("n_nationkey")
-        val probes = n.select(
-          concat(lit("p-"), nk).as("id"),
-          concat(lit("PN"), nk).as("probe_name"),
-          concat(lit("PA"), nk).as("probe_alias"),
-          concat(lit("pu"), nk).as("pppoe_username"),
-          concat(lit("lo"), nk).as("loid"),
-          concat(lit("sn"), nk).as("sn"),
-          concat(lit("9.9.9."), nk).as("ip"),
-          concat(lit("pc"), nk).as("pc"),
-          concat(lit("vd"), nk % 4).as("vendor"),
-          concat(lit("PC"), nk).as("province_code"),
-          concat(lit("PV"), nk).as("province_name"),
-          concat(lit("CC"), nk).as("city_code"),
-          concat(lit("CN"), nk).as("city_name"),
-          concat(lit("DC"), nk).as("district_code"),
-          concat(lit("DN"), nk).as("district_name"),
-          concat(lit("TC"), nk).as("town_code"),
-          concat(lit("TN"), nk).as("town_name"))
-        val r = Tables.load(s, dir, "region")
-        val rk = col("r_regionkey")
-        val tasks = r.select(
-          concat(lit("t-"), rk).as("id"),
-          concat(lit("md5-"), rk).as("task_md5"),
-          (rk + 5).as("task_param_id"),
-          concat(lit("AT"), rk).as("access_type_name"),
-          concat(lit("di"), rk).as("dest_id"),
-          concat(lit("dn"), rk).as("dest_name"),
-          concat(lit("da"), rk).as("dest_addr"),
-          concat(lit("HP"), rk).as("host_province"),
-          concat(lit("HC"), rk).as("host_city"),
-          concat(lit("OP"), rk).as("operator"))
-        val params = r.select(
-          (rk + 5).as("id"),
-          concat(lit("TPN"), rk).as("task_param_name"),
-          rk.as("alarm_template_id"))
-        val geo = n.select(
-          concat(lit("1.2.3."), nk).as("ip"),
-          concat(lit("GP"), nk).as("province_name"),
-          concat(lit("GC"), nk).as("city_name"),
-          concat(lit("GO"), nk).as("operator"))
         val facts = graft.nqs.TaskDataPipeline(
-          raw, graft.nqs.TaskDataPipeline.Dims(probes, tasks, params, geo),
-          nowEpoch = Now)
+          raw, PipelineFixtures.dims(s, dir), nowEpoch = Now)
         graft.nqs.TaskDataPipeline.explodeHttpDetails(facts)
           .select("parent_id", "id", "element_idx", "element_name",
             "element_num", "dns_cost", "tcp_cost", "ssl_cost",
@@ -421,51 +335,8 @@ object PipelineQueries {
           lit(""","success_rate":"""), k % 101,
           lit(""","detail":["""), el(0), lit(","), el(1),
           lit("]}]")).as("value"))
-        val n = Tables.load(s, dir, "nation")
-        val nk = col("n_nationkey")
-        val probes = n.select(
-          concat(lit("p-"), nk).as("id"),
-          concat(lit("PN"), nk).as("probe_name"),
-          concat(lit("PA"), nk).as("probe_alias"),
-          concat(lit("pu"), nk).as("pppoe_username"),
-          concat(lit("lo"), nk).as("loid"),
-          concat(lit("sn"), nk).as("sn"),
-          concat(lit("9.9.9."), nk).as("ip"),
-          concat(lit("pc"), nk).as("pc"),
-          concat(lit("vd"), nk % 4).as("vendor"),
-          concat(lit("PC"), nk).as("province_code"),
-          concat(lit("PV"), nk).as("province_name"),
-          concat(lit("CC"), nk).as("city_code"),
-          concat(lit("CN"), nk).as("city_name"),
-          concat(lit("DC"), nk).as("district_code"),
-          concat(lit("DN"), nk).as("district_name"),
-          concat(lit("TC"), nk).as("town_code"),
-          concat(lit("TN"), nk).as("town_name"))
-        val r = Tables.load(s, dir, "region")
-        val rk = col("r_regionkey")
-        val tasks = r.select(
-          concat(lit("t-"), rk).as("id"),
-          concat(lit("md5-"), rk).as("task_md5"),
-          (rk + 5).as("task_param_id"),
-          concat(lit("AT"), rk).as("access_type_name"),
-          concat(lit("di"), rk).as("dest_id"),
-          concat(lit("dn"), rk).as("dest_name"),
-          concat(lit("da"), rk).as("dest_addr"),
-          concat(lit("HP"), rk).as("host_province"),
-          concat(lit("HC"), rk).as("host_city"),
-          concat(lit("OP"), rk).as("operator"))
-        val params = r.select(
-          (rk + 5).as("id"),
-          concat(lit("TPN"), rk).as("task_param_name"),
-          rk.as("alarm_template_id"))
-        val geo = n.select(
-          concat(lit("1.2.3."), nk).as("ip"),
-          concat(lit("GP"), nk).as("province_name"),
-          concat(lit("GC"), nk).as("city_name"),
-          concat(lit("GO"), nk).as("operator"))
         val facts = graft.nqs.TaskDataPipeline(
-          raw, graft.nqs.TaskDataPipeline.Dims(probes, tasks, params, geo),
-          nowEpoch = Now)
+          raw, PipelineFixtures.dims(s, dir), nowEpoch = Now)
         graft.nqs.DetailSpecs.explode(facts, graft.nqs.DetailSpecs.dnsDetail)
           .select("parent_id", "id", "element_idx", "domain", "dns_cost",
             "success_rate", "host_ip", "task_type_name", "score",
@@ -510,6 +381,118 @@ object PipelineQueries {
           JOIN env v ON e.k = v.k
           LEFT JOIN tasks t ON t.task_id = v.task_id"""
       }),
+
+    GraftQuery(
+      "q56_dns_resolution_children",
+      (s, dir) => {
+        // the third detail spec (DNS_RESOLUTION → DNS_RESOLUTION_DETAIL):
+        // same machinery as q54, different element shape + child criteria
+        // (time_cost-keyed).
+        val k = col("c_custkey")
+        val t = lit(Now) - (k % 60) * 3600
+        def el(i: Int) = concat(
+          lit(s"""{"domain":"r$i.example","time_cost":"""), (k + 7 * i) % 90,
+          lit(""","success_rate":"""), (k + 5 * i) % 101, lit("}"))
+        val raw = Tables.load(s, dir, "customer").select(concat(
+          lit("""[{"probe_id":"p-"""), k % 30,
+          lit("""","task_id":"t-"""), k % 7,
+          lit("""","task_type_name":"DNS_RESOLUTION","test_time":"""), t,
+          lit(""","detail":["""), el(0), lit(","), el(1),
+          lit("]}]")).as("value"))
+        val facts = graft.nqs.TaskDataPipeline(
+          raw, PipelineFixtures.dims(s, dir), nowEpoch = Now)
+        graft.nqs.DetailSpecs.explode(facts,
+            graft.nqs.DetailSpecs.dnsResolutionDetail)
+          .select("parent_id", "id", "element_idx", "domain", "time_cost",
+            "success_rate", "task_type_name", "score", "probe_id",
+            "task_id", "test_time", "create_time")
+      },
+      Some {
+        val scoreSql = graft.score.ScoreEngine.scoreForSql(
+          graft.score.PQDefaults.config.byProtocol("DNS_RESOLUTION_DETAIL"),
+          name => if (Set("time_cost", "success_rate").contains(name))
+            graft.score.ScoreEngine.Source(col(name), s"($name)")
+          else graft.score.ScoreEngine.Source(
+            lit(null).cast("double"), "CAST(NULL AS DOUBLE)"))
+        val elSelects = Seq(0, 1).map { i =>
+          s"""SELECT k, CAST($i AS INTEGER) AS element_idx,
+            'r$i.example' AS domain,
+            CAST((k + ${7 * i}) % 90 AS DOUBLE) AS time_cost,
+            CAST((k + ${5 * i}) % 101 AS DOUBLE) AS success_rate
+          FROM base"""
+        }.mkString(" UNION ALL ")
+        s"""WITH base AS (SELECT c_custkey AS k FROM customer),
+          els AS ($elSelects),
+          env AS (SELECT k, 'p-' || (k % 30) AS probe_id,
+            't-' || (k % 7) AS task_id,
+            CAST(CASE WHEN (k % 60) * 3600 > 108000 THEN $Now
+              ELSE $Now - (k % 60) * 3600 END AS BIGINT) AS test_time
+            FROM base)
+          SELECT
+            sha256(v.probe_id || '|' || v.task_id || '|' || 'DNS_RESOLUTION' || '|' || v.test_time) AS parent_id,
+            sha256(sha256(v.probe_id || '|' || v.task_id || '|' || 'DNS_RESOLUTION' || '|' || v.test_time)
+              || '|' || e.element_idx || '|' || v.test_time) AS id,
+            e.element_idx, e.domain, e.time_cost, e.success_rate,
+            'DNS_RESOLUTION_DETAIL' AS task_type_name,
+            $scoreSql AS score,
+            v.probe_id, v.task_id, v.test_time,
+            CAST($Now AS BIGINT) AS create_time
+          FROM els e JOIN env v ON e.k = v.k"""
+      }),
+
+    GraftQuery(
+      "q57_probe_dim_updates",
+      (s, dir) => {
+        // T6 dim-maintenance output: two gateway reports per probe →
+        // keep-latest per probe with pc sentinel repair and the
+        // alias-follows-probe_name rule.
+        val k = col("s_suppkey")
+        def msg(i: Int) = {
+          // k%29 keeps every timestamp inside the clamp window, so the
+          // newer report (i=0) deterministically wins the keep-latest
+          val t = lit(Now) - (k % 29) * 3600 - lit(i * 60)
+          val pc = if (i == 0) when(k % 10 === 0, lit("ÿÿÿÿ"))
+            .otherwise(concat(lit("M"), k % 5)) else concat(lit("N"), k % 5)
+          concat(
+            lit("""{"probe_id":"gw-"""), k, lit("""","time":"""), t,
+            lit(""","probe_info":{"id":"gw-"""), k,
+            lit("""","pc":""""), pc,
+            lit("""","vendor":"vd"""), (k + i) % 4,
+            lit("""","sn":"sn"""), k,
+            lit("""","mac":"mac"""), k,
+            lit("""","loid":"lo"""), k,
+            lit("""","pppoe_username":"pu"""), k,
+            lit("""","hb_interval":"""), (k % 5 + 1) * 60,
+            if (i == 0) concat(lit(""","probe_name":"PN"""), k, lit(""""}"""))
+            else lit("}"),
+            lit("}"))
+        }
+        val raw = Tables.load(s, dir, "supplier")
+          .select(explode(array(msg(0), msg(1))).as("value"))
+        val noStored = s.range(0).select(
+          col("id").cast("string").as("probe_id"),
+          col("id").cast("string").as("access_type_name"),
+          col("id").cast("string").as("connect_status"))
+        ProbePipelines.gatewayInfoJob(raw, noStored, Now)
+          .probeDimUpdates
+          .select("id", "info_time", "pc", "vendor", "sn", "mac", "loid",
+            "pppoe_username", "hb_interval", "probe_name",
+            "probe_alias_suggested", "update_time")
+      },
+      Some(s"""SELECT 'gw-' || s_suppkey AS id,
+          CAST($Now - (s_suppkey % 29) * 3600 AS BIGINT) AS info_time,
+          CASE WHEN s_suppkey % 10 = 0 THEN 'DT741-csf'
+               ELSE 'M' || (s_suppkey % 5) END AS pc,
+          'vd' || (s_suppkey % 4) AS vendor,
+          'sn' || s_suppkey AS sn,
+          'mac' || s_suppkey AS mac,
+          'lo' || s_suppkey AS loid,
+          'pu' || s_suppkey AS pppoe_username,
+          CAST((s_suppkey % 5 + 1) * 60 AS INTEGER) AS hb_interval,
+          'PN' || s_suppkey AS probe_name,
+          'PN' || s_suppkey AS probe_alias_suggested,
+          CAST($Now AS BIGINT) AS update_time
+        FROM supplier""")),
 
     GraftQuery(
       "q51_register_enrich",
@@ -565,4 +548,55 @@ object PipelineQueries {
           CAST($Now AS BIGINT) AS create_time
         FROM r LEFT JOIN g ON g.ip = r.internet_ip"""))
   )
+}
+
+/** Deterministic dims shared by the pipeline gates: probes from nation,
+  * tasks/params from region, geo from nation — the same derivations the
+  * oracles re-state in SQL. */
+object PipelineFixtures {
+  def dims(s: SparkSession, dir: String): graft.nqs.TaskDataPipeline.Dims = {
+    val n = Tables.load(s, dir, "nation")
+    val nk = col("n_nationkey")
+    val probes = n.select(
+      concat(lit("p-"), nk).as("id"),
+      concat(lit("PN"), nk).as("probe_name"),
+      concat(lit("PA"), nk).as("probe_alias"),
+      concat(lit("pu"), nk).as("pppoe_username"),
+      concat(lit("lo"), nk).as("loid"),
+      concat(lit("sn"), nk).as("sn"),
+      concat(lit("9.9.9."), nk).as("ip"),
+      concat(lit("pc"), nk).as("pc"),
+      concat(lit("vd"), nk % 4).as("vendor"),
+      concat(lit("PC"), nk).as("province_code"),
+      concat(lit("PV"), nk).as("province_name"),
+      concat(lit("CC"), nk).as("city_code"),
+      concat(lit("CN"), nk).as("city_name"),
+      concat(lit("DC"), nk).as("district_code"),
+      concat(lit("DN"), nk).as("district_name"),
+      concat(lit("TC"), nk).as("town_code"),
+      concat(lit("TN"), nk).as("town_name"))
+    val r = Tables.load(s, dir, "region")
+    val rk = col("r_regionkey")
+    val tasks = r.select(
+      concat(lit("t-"), rk).as("id"),
+      concat(lit("md5-"), rk).as("task_md5"),
+      (rk + 5).as("task_param_id"),
+      concat(lit("AT"), rk).as("access_type_name"),
+      concat(lit("di"), rk).as("dest_id"),
+      concat(lit("dn"), rk).as("dest_name"),
+      concat(lit("da"), rk).as("dest_addr"),
+      concat(lit("HP"), rk).as("host_province"),
+      concat(lit("HC"), rk).as("host_city"),
+      concat(lit("OP"), rk).as("operator"))
+    val params = r.select(
+      (rk + 5).as("id"),
+      concat(lit("TPN"), rk).as("task_param_name"),
+      rk.as("alarm_template_id"))
+    val geo = n.select(
+      concat(lit("1.2.3."), nk).as("ip"),
+      concat(lit("GP"), nk).as("province_name"),
+      concat(lit("GC"), nk).as("city_name"),
+      concat(lit("GO"), nk).as("operator"))
+    graft.nqs.TaskDataPipeline.Dims(probes, tasks, params, geo)
+  }
 }

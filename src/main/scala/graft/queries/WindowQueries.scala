@@ -59,7 +59,11 @@ object WindowQueries {
       (s, dir) => {
         // Per-user sessions with a 30-minute inactivity gap. Timestamps are
         // truncated to whole seconds on BOTH sides so nanosecond precision
-        // differences cannot flip a boundary.
+        // differences cannot flip a boundary. The gap boundary is
+        // INCLUSIVE: an event exactly 1800 s after the previous one joins
+        // the session (verified empirically — Spark merges a window whose
+        // start equals the current session end), so the oracle starts a
+        // new session only when the gap is STRICTLY greater.
         val ev = Tables.events(s, dir)
         ev.withColumn("tss", date_trunc("second", col("ts")))
           .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
@@ -73,7 +77,7 @@ object WindowQueries {
         s AS (
           SELECT user_id, sec,
             CASE WHEN LAG(sec) OVER w IS NULL
-                   OR sec - LAG(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+                   OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
         g AS (
           SELECT user_id, sec,
