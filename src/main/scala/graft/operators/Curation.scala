@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-data curation operators: deterministic sampling, sequence
+  * packing, benchmark decontamination, and embedding quantization. All
+  * pure expressions + at most one window/semi-join shuffle — and every
+  * one is deterministic (hash-based, not RNG-based) so pipelines are
+  * replay-safe and the driver gate can hash-compare them.
+  */
+object Curation {
+
+  /** Deterministic keep/drop decision: md5-derived 60-bit key of
+    * (salt || key) mod 10000 against rate×10000. Unlike rand()-based
+    * sampling this is stable across retries/replays and engines. */
+  def hashKeep(key: Column, rate: Double, salt: String): Column =
+    TextFunctions.md5Key60(concat(lit(salt), key)) % 10000L <
+      lit(math.round(rate * 10000).min(10000L))
+
+  /** Stratified deterministic sampling: per-stratum rates with a default.
+    * One scan, zero shuffle — the sample decision is a per-row hash. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "graft"): DataFrame = {
+    val threshold = rates.foldLeft(
+      when(lit(false), lit(0L))) { case (acc, (stratum, rate)) =>
+        acc.when(col(strataCol) === stratum,
+          lit(math.round(rate * 10000).min(10000L)))
+      }.otherwise(lit(math.round(defaultRate * 10000).min(10000L)))
+    df.filter(
+      TextFunctions.md5Key60(concat(lit(salt), col(keyCol))) % 10000L
+        < threshold)
+  }
+
+  /** Concatenate-and-chunk sequence packing (the standard LLM-pretraining
+    * layout): documents ordered by `idCol` within each `groupCol` stream
+    * are laid head-to-tail; a document's bin is the chunk its FIRST token
+    * lands in. One window shuffle on the group key; at 100 TB the group
+    * (language/source shard) bounds the window state. */
+  def packBins(df: DataFrame, groupCol: String, idCol: String,
+      tokens: Column, binTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.withColumn("n_tokens", tokens)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      // tokens-before-this-doc / cap; exact in double (< 2^53)
+      .withColumn("bin",
+        ((col("__cum") - col("n_tokens")) / binTokens).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Benchmark decontamination: flag every document sharing at least one
+    * word k-shingle with the benchmark set. Shuffles (hash, id) pairs
+    * only; the benchmark side is tiny → broadcast semi-join. */
+  def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 5): DataFrame = {
+    val docSh = docs.select(col(idCol).as("__doc"),
+        explode(TextFunctions.shingles(col(textCol), k)).as("__sh"))
+      .distinct()
+    val benchSh = benchmark
+      .select(explode(TextFunctions.shingles(col(benchTextCol), k)).as("__sh"))
+      .distinct()
+    val hits = docSh.join(broadcast(benchSh), Seq("__sh"), "left_semi")
+      .select(col("__doc")).distinct()
+      .withColumn("__hit", lit(true))
+    docs.join(hits, docs(idCol) === hits("__doc"), "left")
+      .withColumn("is_contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__doc", "__hit")
+  }
+
+  /** Max-abs int8 quantization of a float-vector column: 4× smaller
+    * shuffle/storage for ANN at a small recall cost. Rounding is the
+    * engine-portable floor(x+0.5) form. Returns struct(scale, codes). */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, v => abs(v.cast("double"))))
+    val scale = when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs)
+    struct(
+      scale.as("scale"),
+      transform(vec, v =>
+        floor(v.cast("double") * scale + 0.5).cast("int")).as("codes"))
+  }
+
+  /** Cosine of a quantized vector against a literal query, computed on the
+    * dequantized values (code/scale) with [[Similarity]]'s fold order. */
+  def dequantCosine(quant: Column, query: Seq[Double], scale: Int = 6): Column = {
+    val deq = transform(quant.getField("codes"),
+      c => when(quant.getField("scale") === 0.0, lit(0.0))
+        .otherwise(c.cast("double") / quant.getField("scale")))
+    graft.functions.SafeMath.roundHalfUp(
+      aggregate(zip_with(deq, array(query.map(lit): _*), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) /
+        (sqrt(aggregate(transform(deq, x => x * x), lit(0.0),
+          (acc, x) => acc + x)) * lit(Similarity.normLit(query))), scale)
+  }
+}

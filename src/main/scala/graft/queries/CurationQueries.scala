@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Curation
+
+/** Training-data curation gates: deterministic stratified sampling,
+  * sequence packing, benchmark decontamination, and int8-quantized
+  * similarity — the operations between "raw crawl" and "training batches"
+  * at 100 TB, each hash-gated against a DuckDB twin.
+  */
+object CurationQueries {
+
+  private val Dim = 64
+
+  /** DuckDB twin of TextFunctions.md5Key60: left fold acc*16+digit over
+    * the first 15 md5 hex chars of `e`. */
+  private def md5Key60Sql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, 16),
+          j -> CAST(strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1 AS BIGINT))),
+        (a, v) -> a * 16 + v)"""
+
+  private val Toks5Sql =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+  private val Shingles5Sql =
+    s"""list_transform(
+         range(0, greatest(len($Toks5Sql) - 4, 0)),
+         i -> array_to_string(list_slice($Toks5Sql, i + 1, i + 5), ' '))"""
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q58_quantized_cosine_topk",
+      (s, dir) => {
+        // int8 max-abs quantization (4× smaller vectors at scale), then
+        // brute-force top-k on the dequantized values.
+        val e = Tables.load(s, dir, "embeddings")
+        val query = e.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0)
+          .getSeq[Float](0).toSeq.map(_.toDouble)
+        e.select(col("vec_id"),
+            Curation.quantizeInt8(col("embedding")).as("q"))
+          .select(col("vec_id"),
+            Curation.dequantCosine(col("q"), query).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        val deq = s"""list_transform(range(1, ${Dim + 1}),
+          i -> CASE WHEN scale = 0.0E0 THEN 0.0E0
+            ELSE CAST(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * scale + 0.5E0) AS INTEGER) AS DOUBLE) / scale END)"""
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          sc AS (
+            SELECT vec_id, embedding,
+              CASE WHEN list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) = 0.0E0
+                THEN 0.0E0
+                ELSE 127.0E0 / list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) END AS scale
+            FROM embeddings),
+          deq AS (SELECT vec_id, $deq AS dv FROM sc)
+          SELECT vec_id, cos FROM (
+            SELECT d.vec_id,
+              (FLOOR((${dotSql("dv", "qv")} /
+                (sqrt(${dotSql("dv", "dv")}) * sqrt(${dotSql("qv", "qv")})))
+                * 1000000.0E0 + 0.5E0) / 1000000.0E0) AS cos
+            FROM deq d, q)
+          ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+      },
+      bench = true),
+
+    GraftQuery(
+      "q59_stratified_sample",
+      (s, dir) => {
+        // per-language deterministic sampling: hash-mod decision, no RNG,
+        // no shuffle — replay-safe curation.
+        val d = Tables.load(s, dir, "documents")
+        Curation.stratifiedSample(d, "doc_id", "lang",
+            Map("en" -> 0.5, "zh" -> 0.9), defaultRate = 0.25,
+            salt = "graft-s59")
+          .select("doc_id", "lang", "source")
+      },
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        WHERE (${md5Key60Sql("'graft-s59' || doc_id")}) % 10000 <
+          CASE WHEN lang = 'en' THEN 5000
+               WHEN lang = 'zh' THEN 9000
+               ELSE 2500 END""")),
+
+    GraftQuery(
+      "q60_pack_bins",
+      (s, dir) => {
+        // concatenate-and-chunk packing into 2048-token bins per language
+        // stream: one window shuffle on the stream key.
+        val d = Tables.load(s, dir, "documents")
+        Curation.packBins(d, "lang", "doc_id",
+            graft.functions.TextFunctions.tokenCount(col("text")).cast("long"),
+            binTokens = 2048L)
+          .select("doc_id", "lang", "n_tokens", "bin")
+      },
+      Some(s"""SELECT doc_id, lang,
+          CAST(len($Toks5Sql) AS BIGINT) AS n_tokens,
+          CAST((SUM(CAST(len($Toks5Sql) AS BIGINT))
+              OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - len($Toks5Sql)) // 2048 AS BIGINT) AS bin
+        FROM documents""")),
+
+    GraftQuery(
+      "q61_decontaminate",
+      (s, dir) => {
+        // benchmark decontamination: any shared word 5-gram with the
+        // benchmark slice flags the document.
+        val d = Tables.load(s, dir, "documents")
+        val bench = d.filter(col("doc_id") % 25 === 0)
+        Curation.flagContaminated(d, "doc_id", "text", bench, "text", k = 5)
+          .select("doc_id", "lang", "is_contaminated")
+      },
+      Some(s"""WITH docsh AS (
+          SELECT DISTINCT doc_id AS doc, sh FROM (
+            SELECT doc_id, unnest($Shingles5Sql) AS sh FROM documents)),
+        bsh AS (
+          SELECT DISTINCT sh FROM (
+            SELECT unnest($Shingles5Sql) AS sh FROM documents
+            WHERE doc_id % 25 = 0)),
+        hits AS (
+          SELECT DISTINCT doc FROM docsh WHERE sh IN (SELECT sh FROM bsh))
+        SELECT d.doc_id, d.lang, (h.doc IS NOT NULL) AS is_contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc = d.doc_id"""),
+      bench = true)
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Semantics of the curation operators: deterministic sampling,
+  * concatenate-and-chunk packing, decontamination, int8 quantization. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("stratified sample is deterministic and rate-shaped") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val s1 = Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.0)
+    val s2 = Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.0)
+    // identical across runs (no RNG)
+    assert(s1.collect().map(_.getLong(0)).toSet ===
+      s2.collect().map(_.getLong(0)).toSet)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates hold to within a few percent at n=2000 per stratum
+    assert(math.abs(byLang("en") - 1000L) < 150, byLang)
+    assert(math.abs(byLang("zh") - 200L) < 80, byLang)
+    // different salt → different sample
+    val s3 = Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.0, salt = "other")
+    assert(s3.collect().map(_.getLong(0)).toSet !==
+      s1.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packBins lays documents head-to-tail per stream") {
+    val df = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 100L), ("a", 4L, 3000L),
+      ("b", 1L, 2049L)).toDF("lang", "doc_id", "tok")
+    val out = Curation.packBins(df, "lang", "doc_id", col("tok"), 2048L)
+      .select("lang", "doc_id", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("a", 1L)) === 0L) // starts at token 0
+    assert(out(("a", 2L)) === 0L) // starts at 1000
+    assert(out(("a", 3L)) === 0L) // starts at 2000
+    assert(out(("a", 4L)) === 1L) // starts at 2100 → second chunk
+    assert(out(("b", 1L)) === 0L) // independent stream
+  }
+
+  test("decontamination flags exactly the overlapping docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta epsilon different tail"),
+      (4L, "too short to shingle")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("xx alpha beta gamma delta epsilon yy"))
+      .toDF("text")
+    val out = Curation.flagContaminated(docs, "doc_id", "text", bench, "text")
+      .select("doc_id", "is_contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) === true)  // shares "alpha beta gamma delta epsilon"
+    assert(out(2L) === false)
+    assert(out(3L) === true)
+    assert(out(4L) === false) // < 5 tokens → no shingles
+  }
+
+  test("int8 quantization bounds the cosine error") {
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, (0 until 64).map(d =>
+        math.sin(i * 64 + d).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val query = (0 until 64).map(d => math.cos(d * 0.1))
+    val exact = graft.operators.Similarity
+      .cosineTopK(vecs, "vec_id", "embedding", query, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quant = vecs
+      .select(col("vec_id"), Curation.quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"), Curation.dequantCosine(col("q"), query).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    quant.foreach { case (id, c) =>
+      assert(math.abs(c - exact(id)) < 0.02, s"vec $id: $c vs ${exact(id)}")
+    }
+  }
+}
