@@ -84,15 +84,22 @@ object Curation {
   }
 
   /** Cosine of a quantized vector against a literal query, computed on the
-    * dequantized values (code/scale) with [[Similarity]]'s fold order. */
-  def dequantCosine(quant: Column, query: Seq[Double], scale: Int = 6): Column = {
-    val deq = transform(quant.getField("codes"),
-      c => when(quant.getField("scale") === 0.0, lit(0.0))
-        .otherwise(c.cast("double") / quant.getField("scale")))
-    graft.functions.SafeMath.roundHalfUp(
-      aggregate(zip_with(deq, array(query.map(lit): _*), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x) /
-        (sqrt(aggregate(transform(deq, x => x * x), lit(0.0),
-          (acc, x) => acc + x)) * lit(Similarity.normLit(query))), scale)
-  }
+    * dequantized values (code/scale) with [[Similarity]]'s fold order.
+    * The quant struct AND the dequantized array are let-bound
+    * ([[TextFunctions.bindOnce]]) so callers can reference the result of
+    * [[quantizeInt8]] freely without projection collapse re-inlining the
+    * max-abs scan per reference. */
+  def dequantCosine(quant: Column, query: Seq[Double], scale: Int = 6): Column =
+    TextFunctions.bindOnce(quant) { q =>
+      val deq0 = transform(q.getField("codes"),
+        c => when(q.getField("scale") === 0.0, lit(0.0))
+          .otherwise(c.cast("double") / q.getField("scale")))
+      TextFunctions.bindOnce(deq0) { deq =>
+        graft.functions.SafeMath.roundHalfUp(
+          aggregate(zip_with(deq, array(query.map(lit): _*), (x, w) => x * w),
+            lit(0.0), (acc, x) => acc + x) /
+            (sqrt(aggregate(transform(deq, x => x * x), lit(0.0),
+              (acc, x) => acc + x)) * lit(Similarity.normLit(query))), scale)
+      }
+    }
 }
