@@ -17,7 +17,8 @@ object Registry {
     CoreQueries.queries ++ MetricQueries.queries ++ ScoreQueries.queries ++
       NqsQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       VectorQueries.queries ++ WindowQueries.queries ++ GeoQueries.queries ++
-      PipelineQueries.queries ++ CurationQueries.queries
+      PipelineQueries.queries ++ CurationQueries.queries ++
+      StreamQueries.queries
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,296 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Tables
+import graft.streaming.StreamJobs
+
+/** The Structured Streaming jobs driver-gated END-TO-END: synthesized
+  * wire messages are staged as text files with controlled modification
+  * times, the REAL streaming jobs run to completion with
+  * `Trigger.AvailableNow` (multiple micro-batches via
+  * `maxFilesPerTrigger=1`), and the gate reads back the SINK parquet —
+  * so the file source, checkpointing, `foreachBatch` sink writes,
+  * within-batch id dedup (T8), cross-batch first-seen state (the
+  * register/heartbeat split), and typed-catalog conformance (K1/K2/K4/
+  * K8) are all inside the DuckDB hash compare, not just unit tests.
+  *
+  * Determinism notes: sink row SETS are batching-invariant (every
+  * synthesized fact has a unique content-hash id), and the one
+  * batching-SENSITIVE output (which sighting registers a probe) is
+  * pinned by file modification times — `FileStreamSource` processes
+  * oldest-first, and the first-seen classifier breaks intra-batch ties
+  * by the same ordinal, so either batching yields the same rows.
+  */
+object StreamQueries {
+
+  private val Now = 1705708800L // fixed "now" → deterministic clamps/ids
+
+  /** Stage each frame (single `value` string column) as ONE text file
+    * named by its index, modification times strictly increasing in
+    * sequence order. Returns the input directory. */
+  private def stage(base: Path, frames: Seq[DataFrame]): Path = {
+    val inDir = base.resolve("in")
+    Files.createDirectories(inDir)
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val staging = base.resolve(s"stage$i")
+      df.coalesce(1).write.mode("overwrite").text(staging.toString)
+      val part = Files.list(staging).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val target = inDir.resolve(f"$i%04d.txt")
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target,
+        FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    inDir
+  }
+
+  /** Run a staged stream job to completion and return the named sink,
+    * detached from the temp dir (localCheckpoint) so the caller gets a
+    * plain DataFrame. */
+  private def runStaged(spark: SparkSession, frames: Seq[DataFrame],
+      sinkTable: String)(
+      start: (DataFrame, String, String) => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream")
+    val inDir = stage(base, frames)
+    val raw = StreamJobs.fileSource(spark, inDir.toString, maxFilesPerTrigger = 1)
+    val q = start(raw, base.resolve("out").toString, base.resolve("ckpt").toString)
+    q.awaitTermination()
+    spark.read.parquet(base.resolve("out").resolve(sinkTable).toString)
+      .localCheckpoint()
+  }
+
+  // ---- task-data job (K1/K2/A5/T1/T5/T8) --------------------------------
+
+  private def pingMeas(k: Column, task: Column, t: Column, rtt: Column,
+      lost: Column): Column =
+    concat(
+      lit("""{"probe_id":"p-"""), k % 30,
+      lit("""","task_id":"t-"""), task,
+      lit("""","task_type_name":"PING","test_time":"""), t,
+      lit(""","host_ip":"1.2.3."""), k % 40,
+      lit("""","rtt":"""), rtt,
+      lit(""","jitter":"""), k % 35,
+      lit(""","lost_rate":"""), lost, lit("}"))
+
+  // ---- heartbeat job (K4/K8/T5 + cross-batch first-seen) ----------------
+
+  private def hbMsg(k: Column, t: Column): Column =
+    concat(
+      lit("""{"info":{"id":"p-"""), k,
+      lit("""","soft_ver":"v"""), k % 5,
+      lit("""","so_ver":"s"""), k % 3,
+      lit("""","task_queue_size":"""), k % 7,
+      lit(""","task_size":"""), k % 11,
+      lit("""},"time":"""), t, lit("}"),
+      lit("\u0002"), concat(lit("9.0.0."), k % 200))
+
+  private def hbT1(k: Column): Column = lit(Now) - (k % 20) * 3600 - 3600
+
+  private def emptyProbes(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").cast("string").as("id"))
+
+  private def accessTypeDim(s: SparkSession, dir: String): DataFrame = {
+    val c = col("c_custkey")
+    Tables.load(s, dir, "customer").select(
+      concat(lit("p-"), c).as("probe_id"),
+      when(c % 3 === 0, lit(1)).otherwise(lit(0)).as("is_default"),
+      when(c % 2 === 0, lit("connected")).otherwise(lit("down"))
+        .as("connect_status"))
+  }
+
+  private def ipRegionDim(s: SparkSession, dir: String): DataFrame = {
+    val c = col("c_custkey")
+    Tables.load(s, dir, "customer").filter(c < 200).select(
+      concat(lit("9.0.0."), c).as("ip"),
+      concat(lit("P"), c % 30).as("province_code"),
+      concat(lit("PN"), c % 30).as("province_name"),
+      concat(lit("C"), c % 90).as("city_code"),
+      concat(lit("CN"), c % 90).as("city_name"),
+      when(c % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("D"), c)).as("district_code"),
+      when(c % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("DN"), c)).as("district_name"),
+      (c % 360).cast("double").as("longitude"),
+      (c % 180).cast("double").as("latitude"))
+  }
+
+  private def heartbeatFrames(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val k = col("c_custkey")
+    val cust = Tables.load(s, dir, "customer")
+    Seq(
+      cust.select(hbMsg(k, hbT1(k)).as("value")),
+      cust.select(hbMsg(k, hbT1(k) + 3600).as("value")))
+  }
+
+  private val bucketSql: String => String = col =>
+    Seq("hour" -> "h", "day" -> "d", "week" -> "w", "month" -> "m").map {
+      case (unit, suf) =>
+        s"CAST(epoch(date_trunc('$unit', make_timestamp($col * 1000000))) AS BIGINT) AS ${col}_$suf"
+    }.mkString(",\n          ")
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q62_stream_task_facts",
+      (s, dir) => {
+        // Two micro-batches of PING task-data through runTaskData; batch
+        // 1 carries every measurement TWICE in one wire array — the
+        // within-batch content-id dedup (T8) must collapse them or the
+        // row count (and hash) breaks.
+        val k = col("c_custkey")
+        val t1 = lit(Now) - (k % 1000) * 60 - 60
+        val cust = Tables.load(s, dir, "customer")
+        val m1 = pingMeas(k, k % 7, t1, k % 130, k % 105)
+        val m2 = pingMeas(k, (k + 3) % 7, t1 - 30, (k + 17) % 130, (k + 31) % 105)
+        val frames = Seq(
+          cust.select(concat(lit("["), m1, lit(","), m1, lit("]")).as("value")),
+          cust.select(concat(lit("["), m2, lit("]")).as("value")))
+        val dims = PipelineFixtures.dims(s, dir)
+        runStaged(s, frames, "gw_facts") { (raw, out, ckpt) =>
+          StreamJobs.runTaskData(raw, dims, out, ckpt, nowEpoch = Now,
+            trigger = Trigger.AvailableNow())
+        }.select("id", "probe_id", "task_id", "task_param_id",
+          "task_type_name", "test_time", "rtt", "jitter", "lost_rate",
+          "probe_name", "province_code", "host_province", "host_city",
+          "operator", "task_param_name", "alarm_template_id", "score",
+          "test_time_h", "test_time_d", "create_time")
+      },
+      Some {
+        val scoreSql = graft.score.ScoreEngine.scoreForSql(
+          graft.score.PQDefaults.config.byProtocol("PING"),
+          name => if (Set("rtt", "lost_rate").contains(name))
+            graft.score.ScoreEngine.Source(col(name), s"($name)")
+          else graft.score.ScoreEngine.Source(
+            lit(null).cast("double"), "CAST(NULL AS DOUBLE)"))
+        s"""WITH base AS (SELECT c_custkey AS k FROM customer),
+          meas AS (
+            SELECT k, 'p-' || (k % 30) AS probe_id, 't-' || (k % 7) AS task_id,
+              CAST($Now - (k % 1000) * 60 - 60 AS BIGINT) AS test_time,
+              '1.2.3.' || (k % 40) AS host_ip,
+              CAST(k % 130 AS DOUBLE) AS rtt,
+              CAST(k % 35 AS DOUBLE) AS jitter,
+              CAST(k % 105 AS DOUBLE) AS lost_rate
+            FROM base
+            UNION ALL
+            SELECT k, 'p-' || (k % 30), 't-' || ((k + 3) % 7),
+              CAST($Now - (k % 1000) * 60 - 90 AS BIGINT),
+              '1.2.3.' || (k % 40),
+              CAST((k + 17) % 130 AS DOUBLE),
+              CAST(k % 35 AS DOUBLE),
+              CAST((k + 31) % 105 AS DOUBLE)
+            FROM base),
+          probes AS (SELECT 'p-' || n_nationkey AS probe_id,
+            'PN' || n_nationkey AS probe_name,
+            'PC' || n_nationkey AS province_code FROM nation),
+          tasks AS (SELECT 't-' || r_regionkey AS task_id,
+            CAST(r_regionkey + 5 AS BIGINT) AS task_param_id,
+            'HP' || r_regionkey AS hp, 'HC' || r_regionkey AS hc,
+            'OP' || r_regionkey AS op FROM region),
+          params AS (SELECT CAST(r_regionkey + 5 AS BIGINT) AS task_param_id,
+            'TPN' || r_regionkey AS task_param_name,
+            CAST(r_regionkey AS BIGINT) AS alarm_template_id FROM region),
+          geo AS (SELECT '1.2.3.' || n_nationkey AS ip,
+            'GP' || n_nationkey AS gp, 'GC' || n_nationkey AS gc,
+            'GO' || n_nationkey AS gop FROM nation)
+          SELECT
+            sha256(m.probe_id || '|' || m.task_id || '|' || 'PING' || '|' || m.test_time) AS id,
+            m.probe_id, m.task_id, t.task_param_id,
+            'PING' AS task_type_name, m.test_time, m.rtt, m.jitter,
+            m.lost_rate, p.probe_name, p.province_code,
+            CASE WHEN g.ip IS NOT NULL THEN g.gp ELSE t.hp END AS host_province,
+            CASE WHEN g.ip IS NOT NULL THEN g.gc ELSE t.hc END AS host_city,
+            CASE WHEN g.ip IS NOT NULL THEN g.gop ELSE t.op END AS operator,
+            pa.task_param_name, pa.alarm_template_id,
+            $scoreSql AS score,
+            CAST(epoch(date_trunc('hour', make_timestamp(m.test_time * 1000000))) AS BIGINT) AS test_time_h,
+            CAST(epoch(date_trunc('day', make_timestamp(m.test_time * 1000000))) AS BIGINT) AS test_time_d,
+            CAST($Now AS BIGINT) AS create_time
+          FROM meas m
+          LEFT JOIN probes p ON p.probe_id = m.probe_id
+          LEFT JOIN tasks t ON t.task_id = m.task_id
+          LEFT JOIN params pa ON pa.task_param_id = t.task_param_id
+          LEFT JOIN geo g ON g.ip = m.host_ip"""
+      }),
+
+    GraftQuery(
+      "q63_stream_heartbeat_sink",
+      (s, dir) => {
+        // Both sightings of every probe through runHeartbeat, read back
+        // from the CONFORMED c_p_heartbeat sink: parse → clamp → state
+        // classification → typed-catalog conform → partitioned parquet.
+        // heartbeat_time_d comes back as a partition directory →
+        // re-cast to the catalog's BIGINT.
+        val frames = heartbeatFrames(s, dir)
+        val probes = emptyProbes(s)
+        val pat = accessTypeDim(s, dir)
+        val ipr = ipRegionDim(s, dir)
+        runStaged(s, frames, "c_p_heartbeat") { (raw, out, ckpt) =>
+          StreamJobs.runHeartbeat(raw, probes, pat, ipr, out, ckpt,
+            nowEpoch = Now, trigger = Trigger.AvailableNow())
+        }.select(col("id"), col("probe_id"), col("heartbeat_time"),
+          col("internet_ip"), col("so_ver"), col("soft_ver"),
+          col("task_queue_size"), col("task_size"), col("probe_name"),
+          col("type"), col("heartbeat_time_h"),
+          col("heartbeat_time_d").cast("long").as("heartbeat_time_d"),
+          col("heartbeat_time_w"), col("heartbeat_time_m"),
+          col("create_time"))
+      },
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+          hb AS (
+            SELECT k, CAST($Now - (k % 20) * 3600 - 3600 AS BIGINT) AS heartbeat_time FROM b
+            UNION ALL
+            SELECT k, CAST($Now - (k % 20) * 3600 AS BIGINT) FROM b)
+          SELECT sha256('p-' || k || '|' || heartbeat_time) AS id,
+            'p-' || k AS probe_id, heartbeat_time,
+            '9.0.0.' || (k % 200) AS internet_ip,
+            's' || (k % 3) AS so_ver,
+            'v' || (k % 5) AS soft_ver,
+            CAST(k % 7 AS BIGINT) AS task_queue_size,
+            CAST(k % 11 AS BIGINT) AS task_size,
+            '' AS probe_name,
+            CAST(0 AS BIGINT) AS type,
+            ${bucketSql("heartbeat_time")},
+            CAST($Now AS BIGINT) AS create_time
+          FROM hb""")),
+
+    GraftQuery(
+      "q64_stream_registrations",
+      (s, dir) => {
+        // The new_probes sink after two sightings per probe: exactly ONE
+        // registration each, carrying the FIRST sighting's heartbeat_time
+        // — this hashes the cross-batch first-seen state (a probe seen in
+        // batch 1 must NOT re-register in batch 2) plus the geo enrich,
+        // alias (F15) and region-path (F16) synthesis.
+        val frames = heartbeatFrames(s, dir)
+        val probes = emptyProbes(s)
+        val pat = accessTypeDim(s, dir)
+        val ipr = ipRegionDim(s, dir)
+        runStaged(s, frames, "new_probes") { (raw, out, ckpt) =>
+          StreamJobs.runHeartbeat(raw, probes, pat, ipr, out, ckpt,
+            nowEpoch = Now, trigger = Trigger.AvailableNow())
+        }.select("probe_id", "heartbeat_time", "internet_ip",
+          "probe_alias", "region_path", "status", "create_time")
+      },
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+          geo AS (SELECT '9.0.0.' || c_custkey AS ip,
+              'P' || (c_custkey % 30) AS pc, 'PN' || (c_custkey % 30) AS pn,
+              'C' || (c_custkey % 90) AS cc, 'CN' || (c_custkey % 90) AS cn,
+              CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE 'D' || c_custkey END AS dc,
+              CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE 'DN' || c_custkey END AS dn
+            FROM customer WHERE c_custkey < 200)
+          SELECT 'p-' || k AS probe_id,
+            CAST($Now - (k % 20) * 3600 - 3600 AS BIGINT) AS heartbeat_time,
+            '9.0.0.' || (k % 200) AS internet_ip,
+            concat_ws('-', g.pn, g.cn, g.dn, '临时',
+              substring(sha256('p-' || k), 1, 8)) AS probe_alias,
+            '/100000/' || concat_ws('/', g.pc, g.cc, g.dc) || '/' AS region_path,
+            CAST(10 AS INTEGER) AS status,
+            CAST($Now AS BIGINT) AS create_time
+          FROM b LEFT JOIN geo g ON g.ip = '9.0.0.' || (k % 200)"""))
+  )
+}
