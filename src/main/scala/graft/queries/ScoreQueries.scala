@@ -119,9 +119,22 @@ object ScoreQueries {
     GraftQuery(
       "q13_pq_score_all_protocols",
       (s, dir) => {
+        // Two-stage projection: stage 1 computes the 17 metric sources
+        // (each with its regexp_extract) and the protocol route ONCE as
+        // plain columns; stage 2's 14-protocol dispatch then references
+        // attributes instead of re-embedding those subtrees per band.
+        // CollapseProject keeps the split (the inner expressions are
+        // non-cheap and multiply referenced), and each projection
+        // compiles inside whole-stage codegen — the single-projection
+        // form blew past janino's method limits and fell back to
+        // interpreted evaluation.
         val ev = Tables.events(s, dir)
-        ev.select(col("event_id"), protocolCol.as("protocol"),
-          ScoreEngine.scoreAll(cfg, protocolCol, src).as("score"))
+        val staged = ev.select(
+          Seq(col("event_id"), protocolCol.as("protocol")) ++
+            sources.keys.toSeq.sorted.map(n => sources(n).column.as(s"__$n")): _*)
+        staged.select(col("event_id"), col("protocol"),
+          ScoreEngine.scoreAll(cfg, col("protocol"),
+            name => Source(col(s"__$name"), name)).as("score"))
       },
       Some {
         val scoreSql = ScoreEngine.scoreAllSql(cfg, protocolSql, src)

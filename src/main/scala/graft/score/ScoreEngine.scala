@@ -66,11 +66,19 @@ object ScoreEngine {
       }
     }.reduce(_ || _)
 
-  /** Score for one criteria set given a metric-name → source mapping. */
+  /** Score for one criteria set given a metric-name → source mapping.
+    *
+    * The [0,100] clamp is `least/greatest`, NOT a `when(total>100)/
+    * when(total<0)/otherwise(total)` chain: the chain references the
+    * (large) `total` subtree three times, which tripled the generated
+    * code of the 14-protocol dispatch past janino's method limits and
+    * dropped the whole projection out of whole-stage codegen. Values are
+    * identical — both forms return `total` unchanged in range, and the
+    * boundary comparisons are exact FP equality on both engines. */
   def scoreFor(c: PQCriteria, src: String => Source): Column = {
     val outlier = c.metrics.map(m => outlierCond(m, src(m.name).column)).reduce(_ || _)
     val total = c.metrics.map(m => metricScore(m, src(m.name).column)).reduce(_ + _)
-    val clamped = when(total > 100, lit(100.0)).when(total < 0, lit(0.0)).otherwise(total)
+    val clamped = least(lit(100.0), greatest(lit(0.0), total))
     when(outlier, lit(0.0)).otherwise(graft.functions.SafeMath.roundHalfUp(clamped, 2))
   }
 
@@ -142,7 +150,9 @@ object ScoreEngine {
   def scoreForSql(c: PQCriteria, src: String => Source): String = {
     val outlier = c.metrics.map(m => outlierCondSql(m, src(m.name).sql)).mkString("(", " OR ", ")")
     val total = c.metrics.map(m => metricScoreSql(m, src(m.name).sql)).mkString("(", " + ", ")")
-    val clamped = s"(CASE WHEN $total > 100 THEN 100.0E0 WHEN $total < 0 THEN 0.0E0 ELSE $total END)"
+    // least/greatest mirrors the Column build (see scoreFor) — same value
+    // as the former CASE chain, one reference to the total subtree
+    val clamped = s"LEAST(100.0E0, GREATEST(0.0E0, $total))"
     s"(CASE WHEN $outlier THEN 0.0E0 ELSE ${graft.functions.SafeMath.roundHalfUpSql(clamped, 2)} END)"
   }
 

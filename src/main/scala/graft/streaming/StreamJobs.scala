@@ -46,20 +46,29 @@ object StreamJobs {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persist-for-the-batch: the three sinks would otherwise each
+        // re-run the whole parse→enrich→score pipeline, and the fully
+        // fused stage (json parse + joins + 14-protocol score + buckets)
+        // overruns janino's 64 KB method limit and drops out of
+        // whole-stage codegen. Cached, the pipeline runs once and each
+        // sink compiles a small stage over the cache scan.
         val facts = TaskDataPipeline(batch, dims, cfg, nowEpoch)
-        val details = TaskDataPipeline.explodeHttpDetails(facts, cfg)
-        facts.drop("detail").dropDuplicates("id")
-          .write.mode("append").parquet(s"$outDir/gw_facts")
-        details.dropDuplicates("id")
-          .write.mode("append").parquet(s"$outDir/gw_http_detail")
-        // K6: post-save event branch (the reference pushes saved-record
-        // notifications with the alarm template to a Kafka topic —
-        // `WindowDataParser.java:174-187`); swap this writer for
-        // `format("kafka")` in production.
-        facts.select("id", "task_id", "task_param_id", "alarm_template_id",
-            "task_type_name", "test_time")
-          .dropDuplicates("id")
-          .write.mode("append").parquet(s"$outDir/saved_events")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val details = TaskDataPipeline.explodeHttpDetails(facts, cfg)
+          facts.drop("detail").dropDuplicates("id")
+            .write.mode("append").parquet(s"$outDir/gw_facts")
+          details.dropDuplicates("id")
+            .write.mode("append").parquet(s"$outDir/gw_http_detail")
+          // K6: post-save event branch (the reference pushes saved-record
+          // notifications with the alarm template to a Kafka topic —
+          // `WindowDataParser.java:174-187`); swap this writer for
+          // `format("kafka")` in production.
+          facts.select("id", "task_id", "task_param_id", "alarm_template_id",
+              "task_type_name", "test_time")
+            .dropDuplicates("id")
+            .write.mode("append").parquet(s"$outDir/saved_events")
+        } finally facts.unpersist()
         ()
       }
       .start()
