@@ -37,55 +37,63 @@ object Dedup {
     * instead of ~40-byte text, and the join is a long-compare. Collision
     * probability over even 10^9 distinct shingles is ~where
     * n²/2^65 ≈ 3% — and a collision only inflates one intersection count
-    * by 1; for exact-exact guarantees join the strings. */
+    * by 1; for exact-exact guarantees join the strings.
+    *
+    * Per-doc set semantics come from `array_distinct` BEFORE the explode
+    * — a per-row O(shingles) pass — not from a `.distinct()` of the
+    * exploded frame, which was a full shuffle of the largest intermediate
+    * in the dedup family (measured ~2 s of the 5 s jaccardPairs at
+    * sf0.1; at corpus scale it's a shuffle of Σ|shingles| rows). */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     docs.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), k)).as("sh_str"))
+        explode(array_distinct(TextFunctions.shingles(col(textCol), k)))
+          .as("sh_str"))
       .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
-      .distinct()
 
   /** Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold) over
     * the df-capped shingle universe: shingles appearing in more than
-    * `dfCap` documents are dropped from the index BEFORE the self-join
-    * (and from the per-doc set sizes, so the Jaccard stays internally
-    * consistent). Without the cap the self-join's output scales with
-    * Σ per-shingle df² — one stop-phrase trigram shared by 10^6 docs makes
-    * 10^12 candidate rows at corpus scale. With it, the join output is
-    * bounded by |shingles| × dfCap².
+    * `dfCap` documents are dropped (from the pair generation AND the
+    * per-doc set sizes, so the Jaccard stays internally consistent).
+    * Without the cap the candidate volume scales with Σ per-shingle df² —
+    * one stop-phrase trigram shared by 10^6 docs makes 10^12 candidate
+    * rows at corpus scale. With it, the volume is bounded by
+    * |shingles| × dfCap².
     *
-    * Materialization contract: the shingle index is persisted for the
-    * duration of the computation (it feeds the df-cap, the sizes, and
-    * both self-join sides), the small result is materialized with
-    * localCheckpoint, and the intermediates are unpersisted before
-    * returning — nothing stays pinned in the block manager afterwards
-    * (the previous lazy cache() here leaked the full shingle index for
-    * the session's lifetime). */
+    * Materialization contract: the grouped posting lists are persisted
+    * for the duration of the call (they feed both the sizes and the
+    * pairs), the small result is materialized with localCheckpoint, and
+    * the intermediate is unpersisted before returning — nothing stays
+    * pinned in the block manager afterwards. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, dfCap: Int = 100): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val idx = shingleIndex(docs, idCol, textCol, k)
+    // ONE shuffle groups the inverted index by shingle; the df-cap is a
+    // per-row size() filter on the grouped frame, and candidate pairs
+    // are generated IN-ROW from each posting list (O(df²) per shingle,
+    // bounded by the cap) — replacing the previous plan's three index
+    // shuffles (hot-shingle groupBy, anti-join, sh=sh self-join).
+    val byShingle = shingleIndex(docs, idCol, textCol, k)
+      .groupBy("sh").agg(collect_list("doc").as("docs"))
+      .filter(size(col("docs")) <= dfCap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val hot = idx.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap).select("sh")
-      val capped = idx.join(hot, Seq("sh"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val sizes = capped.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-        val co = capped.as("x").join(capped.as("y"), col("x.sh") === col("y.sh"))
-          .filter(col("x.doc") < col("y.doc"))
-          .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-          .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-          .filter(col("jaccard") >= threshold)
-          .select("doc_a", "doc_b", "jaccard")
-          .localCheckpoint()
-      } finally capped.unpersist()
-    } finally idx.unpersist()
+      val sizes = byShingle.select(explode(col("docs")).as("doc"))
+        .groupBy("doc").agg(count(lit(1)).as("n_sh"))
+      val co = byShingle.filter(size(col("docs")) >= 2)
+        .select(explode(flatten(transform(col("docs"), a =>
+          transform(filter(col("docs"), b => b > a),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint()
+    } finally byShingle.unpersist()
   }
 
   /** Prime modulus and per-seed affine coefficients for the MinHash
@@ -160,7 +168,9 @@ object Dedup {
         .distinct()
       // verify candidates with exact Jaccard (join back the shingle sets);
       // like jaccardPairs, persist-for-the-call + eager result, so the
-      // signatures and the index are computed exactly once and released
+      // signatures and the index are computed exactly once and released.
+      // The candidate side of each join is small → AQE broadcasts it into
+      // the cached index; the index itself shuffles only for sizes.
       val idx = shingleIndex(docs, idCol, textCol, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

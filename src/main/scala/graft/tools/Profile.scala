@@ -32,27 +32,33 @@ object Profile {
       d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
 
     time("corpus count")(corpus.count())
-    val exploded = corpus.select(col("doc_id").as("doc"),
-      explode(TextFunctions.shingles(col("text"), 3)).as("sh_str"))
-    time("explode shingles")(exploded.count())
-    val idx = exploded.select(col("doc"), xxhash64(col("sh_str")).as("sh")).distinct()
-    time("idx distinct")(idx.count())
-    time("idx distinct again")(idx.count())
-    val co = idx.as("x").join(idx.as("y"), col("x.sh") === col("y.sh"))
-      .filter(col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+    // stages of the CURRENT jaccardPairs formulation
+    val idx = corpus.select(col("doc_id").as("doc"),
+        explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("sh_str"))
+      .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
+    time("index explode (array_distinct)")(idx.count())
+    val byShingle = idx.groupBy("sh").agg(collect_list("doc").as("docs"))
+      .filter(size(col("docs")) <= 100)
+    val cached = byShingle.persist()
+    time("byShingle group+cache")(cached.count())
+    val sizes = cached.select(explode(col("docs")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    time("sizes")(sizes.count())
+    val co = cached.filter(size(col("docs")) >= 2)
+      .select(explode(flatten(transform(col("docs"), a =>
+        transform(filter(col("docs"), b => b > a),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    time("co self-join")(co.count())
-    val keys = exploded.select(col("doc"),
-      (TextFunctions.md5Key60(col("sh_str")) % 2147483647L).as("key"))
-    time("md5 keys")(keys.count())
-    val sig = corpus.select(col("doc_id").as("doc"),
-      graft.operators.Dedup.minhashSignature(col("text"), 16, 3).as("sig"))
-    time("minhash signatures (array fold)")(sig.count())
+    time("pair gen + count")(co.count())
+    cached.unpersist()
     time("full jaccardPairs")(
       graft.operators.Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.8).count())
     time("full minhashLsh")(
       graft.operators.Dedup.minhashLsh(corpus, "doc_id", "text", 16, 4, 3, 0.8).count())
+    time("full clusterAssignments")(
+      graft.operators.Dedup.clusterAssignments(
+        graft.operators.Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.8)).count())
     spark.stop()
   }
 }
