@@ -40,8 +40,10 @@ object StreamQueries {
     frames.zipWithIndex.foreach { case (df, i) =>
       val staging = base.resolve(s"stage$i")
       df.coalesce(1).write.mode("overwrite").text(staging.toString)
-      val part = Files.list(staging).filter(p =>
+      val listing = Files.list(staging)
+      val part = try listing.filter(p =>
         p.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally listing.close()
       val target = inDir.resolve(f"$i%04d.txt")
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(target,
