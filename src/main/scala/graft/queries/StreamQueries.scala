@@ -293,6 +293,60 @@ object StreamQueries {
             '/100000/' || concat_ws('/', g.pc, g.cc, g.dc) || '/' AS region_path,
             CAST(10 AS INTEGER) AS status,
             CAST($Now AS BIGINT) AS create_time
-          FROM b LEFT JOIN geo g ON g.ip = '9.0.0.' || (k % 200)"""))
+          FROM b LEFT JOIN geo g ON g.ip = '9.0.0.' || (k % 200)""")),
+
+    GraftQuery(
+      "q65_stream_windowed_agg",
+      (s, dir) => {
+        // The north-star operation under the driver gate: event-time
+        // tumbling windows + watermark over a REAL stream, append mode to
+        // a parquet sink. Append emits a window only in a batch AFTER the
+        // watermark passes its end, so two sentinel files (far-future
+        // timestamps) follow the data file: sentinel 1 advances the
+        // watermark past every data window, sentinel 2 triggers the batch
+        // that emits them. The sentinels' own windows stay unemitted and
+        // the final filter keeps data windows only — the output is
+        // exactly the closed windows, deterministically.
+        val k = col("c_custkey")
+        val base = Now // hour-aligned epoch
+        def row(pid: Column, ts: Column, score: Column): Column =
+          concat(lit("""{"probe_id":"p-"""), pid,
+            lit("""","ts":"""), ts, lit(""","score":"""), score, lit("}"))
+        val cust = Tables.load(s, dir, "customer")
+        val data = cust.select(row(k % 50, lit(base) + (k % 48) * 1800,
+          (k % 89).cast("double") + lit(0.25)).as("value"))
+        def sentinel(tag: Int) = cust.limit(1).select(
+          row(lit(9999), lit(base + 30L * 86400 + tag), lit(0.0)).as("value"))
+        val frames = Seq(data, sentinel(0), sentinel(1))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "probe_id STRING, ts LONG, score DOUBLE")
+        runStaged(s, frames, "windows") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+            .withColumn("event_time", to_timestamp(col("ts")))
+            .withWatermark("event_time", "10 minutes")
+          graft.streaming.WindowedAgg.tumbling(parsed, "event_time", "1 hour",
+              Seq("probe_id"),
+              Seq(count(lit(1)).as("n"),
+                sum(col("score").cast(
+                  org.apache.spark.sql.types.DecimalType(12, 2)))
+                  .cast("double").as("sum_score")))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/windows")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.filter(col("window_start") < base + 86400L)
+          .select("window_start", "window_end", "probe_id", "n", "sum_score")
+      },
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+          r AS (SELECT 'p-' || (k % 50) AS probe_id,
+            CAST($Now + (k % 48) * 1800 AS BIGINT) AS ts,
+            CAST(k % 89 AS DOUBLE) + 0.25E0 AS score FROM b)
+          SELECT CAST((ts // 3600) * 3600 AS BIGINT) AS window_start,
+            CAST((ts // 3600) * 3600 + 3600 AS BIGINT) AS window_end,
+            probe_id, COUNT(*) AS n,
+            CAST(SUM(CAST(score AS DECIMAL(12,2))) AS DOUBLE) AS sum_score
+          FROM r GROUP BY 1, 2, 3"""))
   )
 }
