@@ -85,6 +85,43 @@ object WindowQueries {
           FROM s)
         SELECT user_id, MIN(sec) AS session_start, COUNT(*) AS n
         FROM g GROUP BY user_id, sid"""),
-      bench = true)
+      bench = true),
+
+    GraftQuery(
+      "q66_asof_join",
+      (s, dir) => {
+        // Point-in-time dim lookup: each measurement gets the probe
+        // config version in force at its test time (the deterministic
+        // replacement for the reference's whatever-was-cached Redis
+        // reads). One shuffle on the key — DuckDB's native ASOF JOIN is
+        // the oracle.
+        val now = 1705708800L
+        val sup = Tables.load(s, dir, "supplier")
+        val dims = sup.select(
+          concat(lit("k-"), col("s_suppkey") % 20).as("probe_key"),
+          (lit(now) - col("s_suppkey") * 7).as("version_time"),
+          concat(lit("cfg"), col("s_suppkey")).as("config"),
+          (col("s_suppkey") % 5).cast("long").as("tier"))
+        val facts = Tables.load(s, dir, "customer").select(
+          col("c_custkey").as("fact_id"),
+          concat(lit("k-"), col("c_custkey") % 20).as("probe_key"),
+          (lit(now) - (col("c_custkey") % 90) * 250).as("t"))
+        graft.operators.AsOfJoin.lastKnown(facts, dims,
+          "probe_key", "t", "version_time", Seq("config", "tier"))
+      },
+      Some(s"""WITH dims AS (
+          SELECT 'k-' || (s_suppkey % 20) AS probe_key,
+            CAST(1705708800 - s_suppkey * 7 AS BIGINT) AS version_time,
+            'cfg' || s_suppkey AS config,
+            CAST(s_suppkey % 5 AS BIGINT) AS tier
+          FROM supplier),
+        facts AS (
+          SELECT c_custkey AS fact_id,
+            'k-' || (c_custkey % 20) AS probe_key,
+            CAST(1705708800 - (c_custkey % 90) * 250 AS BIGINT) AS t
+          FROM customer)
+        SELECT f.fact_id, f.probe_key, f.t, d.config, d.tier
+        FROM facts f ASOF LEFT JOIN dims d
+          ON f.probe_key = d.probe_key AND f.t >= d.version_time"""))
   )
 }
