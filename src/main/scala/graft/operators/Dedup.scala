@@ -236,8 +236,13 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster", col("node"))
+    // init = identity fused with the FIRST propagation hop: min(self,
+    // neighbors) costs the same single shuffle the identity-label
+    // distinct() did, but starts one round ahead — pair components (the
+    // bulk of a near-dup graph) are already converged here.
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("cluster"))
       .localCheckpoint()
     // Convergence probe: labels only ever decrease, so the (exact,
     // overflow-free DECIMAL) sum of all labels strictly decreases until
