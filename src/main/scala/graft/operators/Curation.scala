@@ -57,9 +57,12 @@ object Curation {
     * only; the benchmark side is tiny → broadcast semi-join. */
   def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 5): DataFrame = {
+    // no distinct on the doc side: the semi join tests EXISTENCE, so
+    // duplicate (doc, shingle) rows can't change the outcome and the
+    // post-join per-doc distinct dedups hits — skipping it removes a
+    // full shuffle of the largest intermediate
     val docSh = docs.select(col(idCol).as("__doc"),
         explode(TextFunctions.shingles(col(textCol), k)).as("__sh"))
-      .distinct()
     val benchSh = benchmark
       .select(explode(TextFunctions.shingles(col(benchTextCol), k)).as("__sh"))
       .distinct()
