@@ -74,6 +74,34 @@ object Curation {
       .drop("__doc", "__hit")
   }
 
+  /** Intra-document repetition statistics (the Gopher-style repetition
+    * filter family): per-doc duplicate-token ratio (one per-row HOF pass,
+    * no shuffle) and the frequency share of the most common word n-gram
+    * (explode → two keyed aggregations — shuffles (doc, gram) pairs, not
+    * text; the per-row alternative is O(len²) expression work on long
+    * docs). Docs with fewer than n tokens have a null `top_ngram_frac`. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"),
+      TextFunctions.bindOnce(TextFunctions.tokens(col(textCol))) { t =>
+        struct(
+          size(t).cast("long").as("n_tokens"),
+          when(size(t) === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(t)).cast("double") / size(t).cast("double"))
+            .as("token_dup_ratio"))
+      }.as("s"))
+      .select(col("doc"), col("s.n_tokens").as("n_tokens"),
+        col("s.token_dup_ratio").as("token_dup_ratio"))
+    val top = docs.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .groupBy("doc", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc")
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_ngram_frac"))
+    base.join(top, Seq("doc"), "left")
+  }
+
   /** Max-abs int8 quantization of a float-vector column: 4× smaller
     * shuffle/storage for ANN at a small recall cost. Rounding is the
     * engine-portable floor(x+0.5) form. Returns struct(scale, codes). */

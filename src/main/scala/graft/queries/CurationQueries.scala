@@ -128,6 +128,32 @@ object CurationQueries {
           SELECT DISTINCT doc FROM docsh WHERE sh IN (SELECT sh FROM bsh))
         SELECT d.doc_id, d.lang, (h.doc IS NOT NULL) AS is_contaminated
         FROM documents d LEFT JOIN hits h ON h.doc = d.doc_id"""),
-      bench = true)
+      bench = true),
+
+    GraftQuery(
+      "q67_repetition_stats",
+      (s, dir) => Curation.repetitionStats(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 2),
+      Some {
+        val toks = Toks5Sql
+        val bigrams =
+          s"""list_transform(
+             range(0, greatest(len($toks) - 1, 0)),
+             i -> array_to_string(list_slice($toks, i + 1, i + 2), ' '))"""
+        s"""WITH base AS (
+            SELECT doc_id AS doc,
+              CAST(len($toks) AS BIGINT) AS n_tokens,
+              CASE WHEN len($toks) = 0 THEN 0.0E0
+                ELSE 1.0E0 - CAST(len(list_distinct($toks)) AS DOUBLE)
+                  / CAST(len($toks) AS DOUBLE) END AS token_dup_ratio
+            FROM documents),
+          g AS (SELECT doc_id AS doc, unnest($bigrams) AS g FROM documents),
+          gc AS (SELECT doc, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+          topf AS (SELECT doc,
+              CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ngram_frac
+            FROM gc GROUP BY doc)
+          SELECT b.doc, b.n_tokens, b.token_dup_ratio, t.top_ngram_frac
+          FROM base b LEFT JOIN topf t ON t.doc = b.doc"""
+      })
   )
 }
