@@ -24,10 +24,13 @@ object SafeMath {
   }
 
   /** Oracle-side twin of [[roundHalfUp]]. `E0` suffixes force DOUBLE
-    * literals (DuckDB would otherwise use exact DECIMAL arithmetic). */
+    * literals (DuckDB would otherwise use exact DECIMAL arithmetic);
+    * scales ≥ 8 already render in scientific notation and must not get a
+    * second exponent appended. */
   def roundHalfUpSql(x: String, scale: Int): String = {
-    val p = math.pow(10, scale)
-    s"(FLOOR(($x) * ${p}E0 + 0.5E0) / ${p}E0)"
+    val p = math.pow(10, scale).toString
+    val ps = if (p.contains("E") || p.contains("e")) p else s"${p}E0"
+    s"(FLOOR(($x) * $ps + 0.5E0) / $ps)"
   }
 
   /** `n / d` rounded to `scale`, 0 when the denominator is 0 or null.

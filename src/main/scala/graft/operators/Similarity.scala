@@ -105,6 +105,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-group mean embedding (class prototypes, IVF training step).
+    * posexplode → per-(group, position) decimal-summed mean → reassemble
+    * sorted — two keyed shuffles of (group, pos, value) triples with full
+    * map-side partial aggregation; no collect_list of whole vectors ever
+    * crosses the wire. Values are roundHalfUp'd before the DECIMAL cast
+    * (per the cross-engine rules) so the partial-aggregation order can't
+    * perturb the mean — the result is bit-identical on any partitioning
+    * and reproducible by the DuckDB oracle. */
+  def centroids(embeddings: DataFrame, groupCol: String, vecCol: String,
+      scale: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val flat = embeddings.select(col(groupCol).as("__g"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val means = flat.groupBy("__g", "pos")
+      .agg((sum(graft.functions.SafeMath.roundHalfUp(
+          col("v").cast("double"), scale).cast(DecimalType(28, scale)))
+        .cast("double") / count(lit(1))).as("m"))
+    means.groupBy("__g")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** IVF: assign every vector to its nearest of `nCells` centroids (picked
     * deterministically as the first vectors by id — kmeans init would
     * iterate the same machinery), then score only the `nProbe` cells

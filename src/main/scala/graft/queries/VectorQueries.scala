@@ -174,5 +174,32 @@ object VectorQueries {
         CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames,
         CAST(octet_length(encode(text)) * 40 AS BIGINT) AS duration_ms
         FROM documents"""))
+    ,
+
+    GraftQuery(
+      "q68_centroids",
+      (s, dir) => {
+        // per-group mean embedding (class prototypes); the gate flattens
+        // the centroid arrays so the compare is scalar-typed.
+        val cents = Similarity.centroids(
+          Tables.load(s, dir, "embeddings")
+            .withColumn("label", col("vec_id") % 10),
+          "label", "embedding")
+        cents.select(col("label"),
+          posexplode(col("centroid")).as(Seq("pos", "mean")))
+          .select(col("label"), col("pos").cast("long").as("pos"), col("mean"))
+      },
+      Some {
+        val rounded = graft.functions.SafeMath.roundHalfUpSql(
+          "CAST(g.s.v AS DOUBLE)", 10)
+        s"""WITH g AS (
+            SELECT vec_id % 10 AS label,
+              unnest(list_transform(range(1, ${Dim + 1}),
+                i -> struct_pack(pos := i - 1, v := embedding[i]))) AS s
+            FROM embeddings)
+          SELECT label, CAST(g.s.pos AS BIGINT) AS pos,
+            (CAST(SUM(CAST($rounded AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)) AS mean
+          FROM g GROUP BY 1, 2"""
+      })
   )
 }
