@@ -72,16 +72,23 @@ object MetricQueries {
         // SUM(BIGINT)→HUGEINT and SUM(DECIMAL)→DECIMAL(38,4) render
         // differently from Spark's LongType/DECIMAL(28,4) in the driver's
         // hash compare ("99111" vs "99111.0", "261.60" vs "261.6").
-        val perParent = elems.groupBy("parent_id").agg(
-          count(lit(1)).as("elements_sum"),
-          sum(when(col("element_status") === 0, 1L).otherwise(0L)).as("elements_success_sum"),
-          sum(when(col("element_status") =!= 0, 1L).otherwise(0L)).as("elements_fail_sum"),
-          sum(col("element_size")).cast("double").as("element_total_size"))
-        val perThread = elems.groupBy("parent_id", "thread_num")
-          .agg(sum(col("element_total_cost")).as("thread_cost"))
-          .groupBy("parent_id")
-          .agg(max(col("thread_cost")).cast("double").as("element_load_cost"))
-        perParent.join(perThread, Seq("parent_id"))
+        // ONE full-data shuffle on the finer (parent, thread) key carrying
+        // every partial aggregate, then a tiny per-parent combine (≤4 rows
+        // per parent) — the previous separate per-parent and per-thread
+        // groupBys each shuffled the whole element set. Counts and DECIMAL
+        // sums re-aggregate exactly, so the cascade is value-identical.
+        val perThread = elems.groupBy("parent_id", "thread_num").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("element_status") === 0, 1L).otherwise(0L)).as("succ"),
+          sum(when(col("element_status") =!= 0, 1L).otherwise(0L)).as("fail"),
+          sum(col("element_size")).as("sz"),
+          sum(col("element_total_cost")).as("thread_cost"))
+        perThread.groupBy("parent_id").agg(
+            sum(col("n")).as("elements_sum"),
+            sum(col("succ")).as("elements_success_sum"),
+            sum(col("fail")).as("elements_fail_sum"),
+            sum(col("sz")).cast("double").as("element_total_size"),
+            max(col("thread_cost")).cast("double").as("element_load_cost"))
           .withColumn("elements_success_rate",
             graft.functions.SafeMath.roundHalfUp(
               col("elements_success_sum").cast("double") / col("elements_sum") * 100, 4))
