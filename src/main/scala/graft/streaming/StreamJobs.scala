@@ -47,28 +47,50 @@ object StreamJobs {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // persist-for-the-batch: the three sinks would otherwise each
-        // re-run the whole parse→enrich→score pipeline, and the fully
-        // fused stage (json parse + joins + 14-protocol score + buckets)
-        // overruns janino's 64 KB method limit and drops out of
-        // whole-stage codegen. Cached, the pipeline runs once and each
-        // sink compiles a small stage over the cache scan.
-        val facts = TaskDataPipeline(batch, dims, cfg, nowEpoch)
+        // re-run the whole parse→enrich→derive pipeline. The cache stops
+        // BEFORE the 14-protocol score — only the facts sink needs the
+        // score, so it's one small projection over the cache scan; fusing
+        // it into the cache-build stage overran janino's 64 KB method
+        // limit and dropped the whole stage out of whole-stage codegen.
+        val pre = TaskDataPipeline.preScore(batch, dims, nowEpoch)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val details = TaskDataPipeline.explodeHttpDetails(facts, cfg)
-          facts.drop("detail").dropDuplicates("id")
-            .write.mode("append").parquet(s"$outDir/gw_facts")
-          details.dropDuplicates("id")
+          val details = TaskDataPipeline.explodeHttpDetails(pre, cfg)
+          // within-batch dedup on the content-hash id via KeepLatest
+          // (duplicate ids are identical rows, so the pick is
+          // value-neutral) — NOT dropDuplicates: a first()-aggregate over
+          // the ~80-column fact frame generates more code than janino's
+          // 64 KB method limit allows, while the row_number window is a
+          // stage boundary that keeps every codegen span small. Scoring
+          // happens after the dedup for the same reason.
+          def dedupById(df: DataFrame): DataFrame =
+            graft.operators.KeepLatest(df, Seq("id"),
+              Seq(col("create_time").desc))
+          // The facts write runs under OPERATOR-level codegen, not
+          // whole-stage: WSCG binds input columns to Java locals, which
+          // forbids CaseWhen's branch-to-method splitting, so the
+          // 14-protocol score CASE can never fit janino's 64 KB method
+          // limit there — each micro-batch would pay a doomed ~17k-line
+          // compile and then fall back anyway. Row-based codegen splits
+          // the branches into sub-methods and compiles cleanly.
+          val sess = pre.sparkSession
+          val prevWSCG = sess.conf.get("spark.sql.codegen.wholeStage", "true")
+          sess.conf.set("spark.sql.codegen.wholeStage", "false")
+          try
+            TaskDataPipeline.withScore(dedupById(pre.drop("detail")), cfg)
+              .write.mode("append").parquet(s"$outDir/gw_facts")
+          finally sess.conf.set("spark.sql.codegen.wholeStage", prevWSCG)
+          dedupById(details)
             .write.mode("append").parquet(s"$outDir/gw_http_detail")
           // K6: post-save event branch (the reference pushes saved-record
           // notifications with the alarm template to a Kafka topic —
           // `WindowDataParser.java:174-187`); swap this writer for
           // `format("kafka")` in production.
-          facts.select("id", "task_id", "task_param_id", "alarm_template_id",
+          pre.select("id", "task_id", "task_param_id", "alarm_template_id",
               "task_type_name", "test_time")
             .dropDuplicates("id")
             .write.mode("append").parquet(s"$outDir/saved_events")
-        } finally facts.unpersist()
+        } finally pre.unpersist()
         ()
       }
       .start()
