@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SafeMath, TimeBuckets}
-import graft.operators.{GameMetrics, HttpMetrics}
 import graft.score.{PQConfig, PQDefaults, ScoreEngine}
 import graft.score.ScoreEngine.Source
 
@@ -126,8 +125,6 @@ object TaskDataPipeline {
     if (df.columns.contains(name)) Source(col(name), name)
     else Source(lit(null).cast("double"), "NULL")
 
-  private def unionByNameAll(dfs: Seq[DataFrame]): DataFrame =
-    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** One-pass per-protocol metric derivation over the unified parsed
     * frame. Value-equivalent to routing through
