@@ -83,12 +83,21 @@ object Enrich {
     * task-level defaults where the lookup resolved. */
   def withHostGeoRanges(events: DataFrame, ipRanges: DataFrame,
       ipCol: String = "host_ip"): DataFrame = {
+    // The IpGeo lookup appends province_name/city_name/district_name/
+    // region_code; if the input frame already carries any of those names
+    // (task/probe enrich does in other paths), stash them under
+    // temporaries so the lookup's scratch columns can't clobber them.
+    val geoNames = Seq("province_name", "city_name", "district_name", "region_code")
+    val preExisting = geoNames.filter(events.columns.contains)
+    val stashed = preExisting.foldLeft(events) { (df, c) =>
+      df.withColumnRenamed(c, s"__keep_$c")
+    }
     val resolved = graft.operators.IpGeo.withGeo(
-      events.withColumnRenamed("host_province", "__in_province")
+      stashed.withColumnRenamed("host_province", "__in_province")
         .withColumnRenamed("host_city", "__in_city")
         .withColumnRenamed("operator", "__in_operator"),
       ipCol, ipRanges)
-    resolved
+    val merged = resolved
       .withColumn("host_province",
         when(col("province_name") =!= graft.operators.IpGeo.DefaultName,
           col("province_name")).otherwise(col("__in_province")))
@@ -100,6 +109,9 @@ object Enrich {
           col("operator")).otherwise(col("__in_operator")))
       .drop("__in_province", "__in_city", "__in_operator",
         "province_name", "city_name", "district_name", "region_code")
+    preExisting.foldLeft(merged) { (df, c) =>
+      df.withColumnRenamed(s"__keep_$c", c)
+    }
   }
 
   /** J6: default access-type port per probe → heartbeat status

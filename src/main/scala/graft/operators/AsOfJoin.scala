@@ -25,23 +25,32 @@ object AsOfJoin {
 
   /** Left as-of join. `dimCols` are the dim attributes to attach; facts
     * with no dim version at-or-before their time get nulls. Dim rows must
-    * be unique per (key, dimTime) for a deterministic result. */
+    * be unique per (key, dimTime) for a deterministic result.
+    *
+    * The dim attributes are carried as ONE struct (with `last(_,
+    * ignoreNulls = true)` over the struct column), not per-attribute:
+    * a per-attribute carry would skip a matched version whose attribute is
+    * legitimately NULL and leak the PREVIOUS version's value onto later
+    * facts — the struct itself is never null on a dim row, so a matched
+    * version's NULL attributes are preserved, exactly the DuckDB
+    * `ASOF JOIN` contract. */
   def lastKnown(facts: DataFrame, dims: DataFrame, keyCol: String,
       factTime: String, dimTime: String, dimCols: Seq[String]): DataFrame = {
     val factSide = facts.withColumn("__t", col(factTime).cast("long"))
       .withColumn("__is_dim", lit(0))
     val dimSide = dims.select(
-      (Seq(col(keyCol), col(dimTime).cast("long").as("__t"),
-        lit(1).as("__is_dim")) ++ dimCols.map(col)): _*)
+      col(keyCol), col(dimTime).cast("long").as("__t"),
+      lit(1).as("__is_dim"),
+      struct(dimCols.map(col): _*).as("__dim"))
     val factCols = facts.columns.toSeq
     val unioned = factSide.unionByName(dimSide, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t").asc, col("__is_dim").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = dimCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__is_dim") === 0)
-      .select((factCols ++ dimCols).map(col): _*)
+    unioned
+      .withColumn("__dim", last(col("__dim"), ignoreNulls = true).over(w))
+      .filter(col("__is_dim") === 0)
+      .select((factCols.map(col) ++
+        dimCols.map(c => col("__dim")(c).as(c))): _*)
   }
 }

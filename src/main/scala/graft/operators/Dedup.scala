@@ -232,7 +232,7 @@ object Dedup {
     * shrinking frontier, etc.). */
   def clusterAssignments(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.types.{DecimalType, NumericType}
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
@@ -244,14 +244,24 @@ object Dedup {
       .agg(min(col("dst")).as("m"))
       .select(col("node"), least(col("node"), col("m")).as("cluster"))
       .localCheckpoint()
-    // Convergence probe: labels only ever decrease, so the (exact,
-    // overflow-free DECIMAL) sum of all labels strictly decreases until
-    // the fixpoint — one scan of the checkpointed frame per round instead
-    // of the previous join + count.
+    // Convergence probe: labels only ever decrease, so for NUMERIC ids the
+    // (exact, overflow-free DECIMAL) sum of all labels strictly decreases
+    // until the fixpoint — one scan of the checkpointed frame per round.
+    // Non-numeric ids (string doc keys) would cast to NULL and the sum
+    // probe would NPE, so those fall back to a changed-row probe: a join
+    // of the two checkpointed label frames that short-circuits at the
+    // first differing row (isEmpty = limit-1 collect, not a full count).
+    val numericIds = labels.schema("cluster").dataType.isInstanceOf[NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).collect()(0)
         .getDecimal(0)
-    var prevSum = labelSum(labels)
+    def unchanged(prev: DataFrame, next: DataFrame): Boolean =
+      next.as("n")
+        .join(prev.select(col("node"), col("cluster").as("__prev")).as("p"),
+          Seq("node"))
+        .filter(col("cluster") =!= col("__prev"))
+        .isEmpty
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -277,11 +287,13 @@ object Dedup {
         // the whole iteration history on any executor loss, and the
         // optimizer walks an ever-growing tree
         .localCheckpoint()
-      val nextSum = labelSum(next)
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else converged = unchanged(labels, next)
       labels.unpersist()
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
       i += 1
     }
     edges.unpersist()

@@ -66,13 +66,22 @@ object StreamJobs {
           def dedupById(df: DataFrame): DataFrame =
             graft.operators.KeepLatest(df, Seq("id"),
               Seq(col("create_time").desc))
-          // The facts write runs under OPERATOR-level codegen, not
-          // whole-stage: WSCG binds input columns to Java locals, which
-          // forbids CaseWhen's branch-to-method splitting, so the
-          // 14-protocol score CASE can never fit janino's 64 KB method
-          // limit there — each micro-batch would pay a doomed ~17k-line
-          // compile and then fall back anyway. Row-based codegen splits
-          // the branches into sub-methods and compiles cleanly.
+          // The detail sink runs FIRST: its action materializes the
+          // persisted `pre` cache under normal whole-stage codegen, so
+          // the parse→enrich→derive build is fully fused. Only then does
+          // the facts write flip to OPERATOR-level codegen — WSCG binds
+          // input columns to Java locals, which forbids CaseWhen's
+          // branch-to-method splitting, so the 14-protocol score CASE can
+          // never fit janino's 64 KB method limit there; row-based
+          // codegen splits the branches into sub-methods and compiles
+          // cleanly. With the cache already hot, the toggle covers
+          // exactly the score projection + write. The conf flip is on the
+          // stream's OWN session (Structured Streaming clones the session
+          // per query, and foreachBatch frames are bound to that clone),
+          // and micro-batches of one query never overlap — so the toggle
+          // cannot leak to other queries sharing the user's session.
+          dedupById(details)
+            .write.mode("append").parquet(s"$outDir/gw_http_detail")
           val sess = pre.sparkSession
           val prevWSCG = sess.conf.get("spark.sql.codegen.wholeStage", "true")
           sess.conf.set("spark.sql.codegen.wholeStage", "false")
@@ -80,8 +89,6 @@ object StreamJobs {
             TaskDataPipeline.withScore(dedupById(pre.drop("detail")), cfg)
               .write.mode("append").parquet(s"$outDir/gw_facts")
           finally sess.conf.set("spark.sql.codegen.wholeStage", prevWSCG)
-          dedupById(details)
-            .write.mode("append").parquet(s"$outDir/gw_http_detail")
           // K6: post-save event branch (the reference pushes saved-record
           // notifications with the alarm template to a Kafka topic —
           // `WindowDataParser.java:174-187`); swap this writer for

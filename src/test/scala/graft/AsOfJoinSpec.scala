@@ -35,4 +35,18 @@ class AsOfJoinSpec extends AnyFunSuite {
       1L -> None, 2L -> Some("v1"), 3L -> Some("v2"),
       4L -> Some("v3"), 5L -> None, 6L -> None))
   }
+
+  test("a matched version's legitimately-NULL attribute is NOT replaced " +
+      "by the previous version's value") {
+    val dims = Seq(
+      ("k1", 100L, Some("v1")),
+      ("k1", 200L, None) // newer version explicitly nulls the attribute
+    ).toDF("key", "vt", "cfg")
+    val facts = Seq((1L, "k1", 150L), (2L, "k1", 250L)).toDF("fact_id", "key", "t")
+    val out = AsOfJoin.lastKnown(facts, dims, "key", "t", "vt", Seq("cfg"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    // fact 2 matches the 200L version, whose cfg is NULL — the DuckDB
+    // ASOF JOIN contract returns that NULL, not the carried "v1"
+    assert(out === Map(1L -> Some("v1"), 2L -> None))
+  }
 }

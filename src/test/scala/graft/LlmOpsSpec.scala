@@ -66,6 +66,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("cluster assignment works for STRING doc ids (changed-row probe)") {
+    // the decimal-sum convergence probe only applies to numeric ids;
+    // string ids exercise the join-based changed-row fallback
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.clusterAssignments(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters === Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("simhash: identical docs equal, near-dups hamming-close, different docs far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
