@@ -29,7 +29,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup: plan + codegen + page cache
-      q.name -> math.min(once(), once()) // min-of-2 absorbs transient load
+      // best-of-3 timed runs: round 2's driver artifact recorded a 13.6×
+      // phantom regression on one query from sandbox host load — the min
+      // over three runs measures the engine, not the neighbors
+      q.name -> Seq(once(), once(), once()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
