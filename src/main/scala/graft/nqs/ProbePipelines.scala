@@ -180,12 +180,21 @@ object ProbePipelines {
 
     // access-type CDC diff (J8): reported ports vs stored dim; the
     // reference never deletes the default port (`ProbeAccessTypeSink.java:94`).
-    val reported = parsed
-      .filter(size(col("access_type_info")) > 0)
-      .select(col("probe_id"), explode(col("access_type_info")).as("a"))
-      .select(col("probe_id"), col("a.access_type_name"),
-        col("a.connect_status"), col("a.ip"), col("a.mac"), col("a.speed"),
-        col("a.is_default"))
+    // The reported side is a SET of ports: a batch carrying two reports
+    // from the same gateway (duplicate delivery, or two info messages in
+    // one window) must diff once per port, last report winning — the
+    // reference's per-record upserts are idempotent the same way
+    // (`ProbeAccessTypeSink.java:48-106`).
+    val reported = graft.operators.KeepLatest(
+      parsed
+        .filter(size(col("access_type_info")) > 0)
+        .select(col("probe_id"), col("info_time"),
+          explode(col("access_type_info")).as("a"))
+        .select(col("probe_id"), col("info_time"), col("a.access_type_name"),
+          col("a.connect_status"), col("a.ip"), col("a.mac"), col("a.speed"),
+          col("a.is_default")),
+      Seq("probe_id", "access_type_name"), Seq(col("info_time").desc))
+      .drop("info_time")
     val stored = storedAccessTypes.select(
       col("probe_id"), col("access_type_name"),
       col("connect_status").as("stored_connect_status"))

@@ -136,6 +136,109 @@ object StreamQueries {
         s"CAST(epoch(date_trunc('$unit', make_timestamp($col * 1000000))) AS BIGINT) AS ${col}_$suf"
     }.mkString(",\n          ")
 
+  // ---- gateway-info job (T7 five-sink fan-out, K4/K5/K8/F11/F12) --------
+
+  /** One gateway-info wire message with all four nested payloads present
+    * conditionally — so every one of the five sink branches sees both
+    * populated and absent payloads. All numeric payload values are
+    * INTEGRAL, so the `to_json` round-trip in the pinfo sink renders them
+    * identically in Spark ("37.0") and the DuckDB oracle's
+    * `CAST(x AS DOUBLE) || ''`. */
+  private def gwMsg(k: Column, t: Column): Column = {
+    val pc = when(k % 10 === 0, lit("ÿÿÿÿ"))
+      .when(k % 10 === 1, lit("DT741-csf"))
+      .otherwise(concat(lit("M"), k % 5))
+    val cs = when(k % 2 === 0, lit("connected")).otherwise(lit("down"))
+    concat(
+      lit("""{"probe_id":"gw-"""), k, lit("""","time":"""), t,
+      lit(""","probe_info":{"id":"gw-"""), k,
+      lit("""","pc":""""), pc,
+      lit("""","vendor":"vd"""), k % 4,
+      lit("""","sn":"sn"""), k, lit(""""}"""),
+      lit(""","access_type_info":[{"access_type_name":"atA","connect_status":""""),
+      cs, lit("""","is_default":1,"ip":"10.0.0."""), k, lit(""""}"""),
+      when(k % 3 =!= 0, concat(
+        lit(""",{"access_type_name":"atB","connect_status":"down","is_default":0,"ip":"10.0.1."""),
+        k, lit(""""}"""))).otherwise(lit("")),
+      lit("]"),
+      when(k % 5 =!= 0, concat(
+        lit(""","traffic_info":[{"access_type_name":"atA","ip":"10.0.0."""), k,
+        lit("""","up_avg":"""), k % 100,
+        lit(""","up_max":"""), k % 200,
+        lit(""","down_avg":"""), k % 300,
+        lit(""","down_max":"""), k % 400, lit("}]"))).otherwise(lit("")),
+      when(k % 4 =!= 0, concat(
+        lit(""","status_info":{"cpu_rate":"""), k % 100,
+        lit(""","ram_rate":"""), k % 90,
+        lit(""","run_time":""""), k * 13, lit(""""}"""))).otherwise(lit("")),
+      when(k % 13 =!= 0, concat(
+        lit(""","sgw_info":{"pon_info":{"current":"""), k % 50,
+        lit(""","rx_power":"""), (k * 7) % 10000,
+        lit(""","tx_power":"""), k % 30,
+        lit(""","temperature":"""), k % 70,
+        lit(""","voltage":"""), k % 12, lit("}}"))).otherwise(lit("")),
+      lit("}"))
+  }
+
+  /** Two micro-batches: batch 1 carries every message TWICE (the
+    * within-batch id dedup and the reported-port KeepLatest must collapse
+    * them), batch 2 re-reports 30 min later → distinct content ids. The
+    * (k % 24) hour offset keeps every timestamp inside the 108000 s clamp
+    * window, so info_time == wire time deterministically. */
+  private def gwFrames(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val k = col("s_suppkey")
+    val sup = Tables.load(s, dir, "supplier")
+    val t1 = lit(Now) - (k % 24) * 3600
+    val b1 = sup.select(gwMsg(k, t1).as("value"))
+    Seq(b1.unionAll(b1), sup.select(gwMsg(k, t1 + 1800).as("value")))
+  }
+
+  /** Stored access-type dim: atA everywhere (→ update), atOld on k%6
+    * (→ delete), and a `default_name` port on k%9 whose delete the
+    * pipeline must SUPPRESS (`ProbeAccessTypeSink.java:94`). */
+  private def gwStoredAccessTypes(s: SparkSession, dir: String): DataFrame = {
+    val k = col("s_suppkey")
+    val sup = Tables.load(s, dir, "supplier")
+    def row(f: DataFrame, at: String, cs: String) = f.select(
+      concat(lit("gw-"), k).as("probe_id"), lit(at).as("access_type_name"),
+      lit(cs).as("connect_status"))
+    row(sup, "atA", "connected")
+      .unionByName(row(sup.filter(k % 6 === 0), "atOld", "down"))
+      .unionByName(row(sup.filter(k % 9 === 0), "default_name", "down"))
+  }
+
+  /** The five-sink gateway stream runs ONCE per sf dir; the six q69 gates
+    * each hash a different sink of the same completed run. Verify calls
+    * queries sequentially in one JVM, so a plain synchronized memo works. */
+  private val gwRunCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def gwRun(s: SparkSession, dir: String): String = gwRunCache.synchronized {
+    gwRunCache.getOrElseUpdate(dir, {
+      val base = Files.createTempDirectory("graft-gwstream")
+      val inDir = stage(base, gwFrames(s, dir))
+      val raw = StreamJobs.fileSource(s, inDir.toString, maxFilesPerTrigger = 1)
+      val q = StreamJobs.runGatewayInfo(raw, gwStoredAccessTypes(s, dir),
+        base.resolve("out").toString, base.resolve("ckpt").toString,
+        nowEpoch = Now, trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      base.resolve("out").toString
+    })
+  }
+
+  /** Shared oracle CTEs: every probe in both batches, with the same pc /
+    * connect-status derivations the wire generator uses. */
+  private val gwBaseSql: String =
+    s"""base AS (
+          SELECT s_suppkey AS k, 'gw-' || s_suppkey AS probe_id,
+            CASE WHEN s_suppkey % 10 = 0 THEN 'ÿÿÿÿ'
+                 WHEN s_suppkey % 10 = 1 THEN 'DT741-csf'
+                 ELSE 'M' || (s_suppkey % 5) END AS pc,
+            CASE WHEN s_suppkey % 2 = 0 THEN 'connected' ELSE 'down' END AS cs
+          FROM supplier),
+        t AS (
+          SELECT k, probe_id, pc, cs,
+            CAST($Now - (k % 24) * 3600 + (bn - 1) * 1800 AS BIGINT) AS timesheet
+          FROM base, (SELECT 1 AS bn UNION ALL SELECT 2) batches)"""
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q62_stream_task_facts",
@@ -347,6 +450,182 @@ object StreamQueries {
             CAST((ts // 3600) * 3600 + 3600 AS BIGINT) AS window_end,
             probe_id, COUNT(*) AS n,
             CAST(SUM(CAST(score AS DECIMAL(12,2))) AS DOUBLE) AS sum_score
-          FROM r GROUP BY 1, 2, 3"""))
+          FROM r GROUP BY 1, 2, 3""")),
+
+    GraftQuery(
+      "q69_stream_gw_pinfo",
+      (s, dir) => {
+        // The c_p_pinfo sink of the 5-sink gateway stream: full JSON
+        // payload re-serialization (to_json at the sink boundary), pc
+        // sentinel NOT applied to the stored raw payload, id dedup of the
+        // duplicated batch-1 messages, catalog conformance.
+        s.read.parquet(s"${gwRun(s, dir)}/c_p_pinfo")
+          .select(col("id"), col("access_type_info"), col("neighbor_info"),
+            col("probe_id"), col("probe_info"), col("sgw_info"),
+            col("status_info"), col("traffic_info"), col("timesheet"),
+            col("timesheet_h"),
+            col("timesheet_d").cast("long").as("timesheet_d"),
+            col("timesheet_w"), col("timesheet_m"), col("create_time"))
+      },
+      Some(s"""WITH $gwBaseSql
+        SELECT sha256(probe_id || '|' || timesheet) AS id,
+          '[{"access_type_name":"atA","connect_status":"' || cs ||
+            '","is_default":1,"ip":"10.0.0.' || k || '"}' ||
+            CASE WHEN k % 3 <> 0 THEN
+              ',{"access_type_name":"atB","connect_status":"down","is_default":0,"ip":"10.0.1.' || k || '"}'
+            ELSE '' END || ']' AS access_type_info,
+          CAST(NULL AS VARCHAR) AS neighbor_info,
+          probe_id,
+          '{"id":"' || probe_id || '","pc":"' || pc || '","vendor":"vd' ||
+            (k % 4) || '","sn":"sn' || k || '"}' AS probe_info,
+          CASE WHEN k % 13 <> 0 THEN
+            '{"pon_info":{"current":' || CAST(k % 50 AS DOUBLE) ||
+            ',"rx_power":' || CAST((k * 7) % 10000 AS DOUBLE) ||
+            ',"tx_power":' || CAST(k % 30 AS DOUBLE) ||
+            ',"temperature":' || CAST(k % 70 AS DOUBLE) ||
+            ',"voltage":' || CAST(k % 12 AS DOUBLE) || '}}' END AS sgw_info,
+          CASE WHEN k % 4 <> 0 THEN
+            '{"cpu_rate":' || CAST(k % 100 AS DOUBLE) ||
+            ',"ram_rate":' || CAST(k % 90 AS DOUBLE) ||
+            ',"run_time":"' || (k * 13) || '"}' END AS status_info,
+          CASE WHEN k % 5 <> 0 THEN
+            '[{"access_type_name":"atA","ip":"10.0.0.' || k ||
+            '","up_avg":' || CAST(k % 100 AS DOUBLE) ||
+            ',"up_max":' || CAST(k % 200 AS DOUBLE) ||
+            ',"down_avg":' || CAST(k % 300 AS DOUBLE) ||
+            ',"down_max":' || CAST(k % 400 AS DOUBLE) || '}]' END AS traffic_info,
+          timesheet,
+          ${bucketSql("timesheet")},
+          CAST($Now AS BIGINT) AS create_time
+        FROM t""")),
+
+    GraftQuery(
+      "q69b_stream_gw_traffic",
+      (s, dir) =>
+        s.read.parquet(s"${gwRun(s, dir)}/c_p_traffic")
+          .select(col("id"), col("access_type_name"), col("down_avg"),
+            col("down_max"), col("ip"), col("probe_id"), col("timesheet"),
+            col("traffic_type"), col("up_avg"), col("up_max"),
+            col("timesheet_h"),
+            col("timesheet_d").cast("long").as("timesheet_d"),
+            col("timesheet_w"), col("timesheet_m"), col("create_time")),
+      Some(s"""WITH $gwBaseSql
+        SELECT sha256(probe_id || '|' || 'atA' || '|' || timesheet) AS id,
+          'atA' AS access_type_name,
+          CAST(k % 300 AS DOUBLE) AS down_avg,
+          CAST(k % 400 AS DOUBLE) AS down_max,
+          '10.0.0.' || k AS ip, probe_id, timesheet,
+          CAST(NULL AS VARCHAR) AS traffic_type,
+          CAST(k % 100 AS DOUBLE) AS up_avg,
+          CAST(k % 200 AS DOUBLE) AS up_max,
+          ${bucketSql("timesheet")},
+          CAST($Now AS BIGINT) AS create_time
+        FROM t WHERE k % 5 <> 0""")),
+
+    GraftQuery(
+      "q69c_stream_gw_status",
+      (s, dir) =>
+        s.read.parquet(s"${gwRun(s, dir)}/c_p_status")
+          .select(col("id"), col("cpu_rate"), col("probe_id"),
+            col("ram_rate"), col("run_time"), col("timesheet"),
+            col("timesheet_h"),
+            col("timesheet_d").cast("long").as("timesheet_d"),
+            col("timesheet_w"), col("timesheet_m"), col("create_time")),
+      Some(s"""WITH $gwBaseSql
+        SELECT sha256(probe_id || '|' || timesheet) AS id,
+          CAST(k % 100 AS DOUBLE) AS cpu_rate, probe_id,
+          CAST(k % 90 AS DOUBLE) AS ram_rate,
+          CAST(k * 13 AS VARCHAR) AS run_time, timesheet,
+          ${bucketSql("timesheet")},
+          CAST($Now AS BIGINT) AS create_time
+        FROM t WHERE k % 4 <> 0""")),
+
+    GraftQuery(
+      "q69d_stream_gw_pon",
+      (s, dir) =>
+        s.read.parquet(s"${gwRun(s, dir)}/c_p_pon")
+          .select(col("id"), col("current"), col("probe_id"),
+            col("rx_power"), col("temperature"), col("tx_power"),
+            col("timesheet"), col("voltage"), col("timesheet_h"),
+            col("timesheet_d").cast("long").as("timesheet_d"),
+            col("timesheet_w"), col("timesheet_m"), col("create_time")),
+      Some(s"""WITH $gwBaseSql
+        SELECT sha256(probe_id || '|' || timesheet) AS id,
+          CAST(k % 50 AS DOUBLE) AS "current", probe_id,
+          CASE WHEN pc = 'DT741-csf'
+            THEN CAST((k * 7) % 10000 AS DOUBLE) / 10000
+            ELSE CAST((k * 7) % 10000 AS DOUBLE) END AS rx_power,
+          CAST(k % 70 AS DOUBLE) AS temperature,
+          CAST(k % 30 AS DOUBLE) AS tx_power, timesheet,
+          CAST(k % 12 AS DOUBLE) AS voltage,
+          ${bucketSql("timesheet")},
+          CAST($Now AS BIGINT) AS create_time
+        FROM t WHERE k % 13 <> 0""")),
+
+    GraftQuery(
+      "q69e_stream_gw_access_diff",
+      (s, dir) =>
+        // Per-batch CDC diff of reported ports vs the stored dim: both
+        // batches report the same port set, so every diff row appears
+        // exactly twice (append sink, one diff per micro-batch) — and the
+        // default_name delete is suppressed in both.
+        s.read.parquet(s"${gwRun(s, dir)}/access_diff")
+          .select(col("probe_id"), col("access_type_name"),
+            col("stored_connect_status"), col("connect_status"), col("ip"),
+            col("mac"), col("speed"), col("is_default"), col("action")),
+      Some(s"""WITH $gwBaseSql,
+          rep AS (
+            SELECT k, probe_id, 'atA' AS access_type_name,
+              cs AS connect_status, '10.0.0.' || k AS ip, 1 AS is_default
+            FROM base
+            UNION ALL
+            SELECT k, probe_id, 'atB', 'down', '10.0.1.' || k, 0
+            FROM base WHERE k % 3 <> 0),
+          st AS (
+            SELECT k, probe_id, 'atA' AS access_type_name,
+              'connected' AS stored_cs FROM base
+            UNION ALL
+            SELECT k, probe_id, 'atOld', 'down' FROM base WHERE k % 6 = 0
+            UNION ALL
+            SELECT k, probe_id, 'default_name', 'down' FROM base WHERE k % 9 = 0),
+          d AS (
+            SELECT COALESCE(st.probe_id, rep.probe_id) AS probe_id,
+              COALESCE(st.access_type_name, rep.access_type_name) AS access_type_name,
+              st.stored_cs AS stored_connect_status,
+              rep.connect_status, rep.ip,
+              CAST(NULL AS VARCHAR) AS mac, CAST(NULL AS DOUBLE) AS speed,
+              rep.is_default,
+              CASE WHEN st.probe_id IS NULL THEN 'insert'
+                   WHEN rep.probe_id IS NULL THEN 'delete'
+                   ELSE 'update' END AS action
+            FROM st FULL OUTER JOIN rep
+              ON st.probe_id = rep.probe_id
+              AND st.access_type_name = rep.access_type_name)
+        SELECT probe_id, access_type_name, stored_connect_status,
+          connect_status, ip, mac, speed, is_default, action
+        FROM d, (SELECT 1 AS bn UNION ALL SELECT 2) batches
+        WHERE NOT (action = 'delete' AND access_type_name = 'default_name')""")),
+
+    GraftQuery(
+      "q69f_stream_gw_dim_updates",
+      (s, dir) =>
+        // K8 streamed: per-batch keep-latest probe attributes (the
+        // duplicated batch-1 copies collapse to one), pc sentinel
+        // REPAIRED here (unlike the raw pinfo payload).
+        s.read.parquet(s"${gwRun(s, dir)}/probe_dim_updates")
+          .select("id", "info_time", "pc", "vendor", "sn", "mac", "loid",
+            "pppoe_username", "hb_interval", "probe_name",
+            "probe_alias_suggested", "update_time"),
+      Some(s"""WITH $gwBaseSql
+        SELECT probe_id AS id, timesheet AS info_time,
+          CASE WHEN pc = 'ÿÿÿÿ' THEN 'DT741-csf' ELSE pc END AS pc,
+          'vd' || (k % 4) AS vendor, 'sn' || k AS sn,
+          CAST(NULL AS VARCHAR) AS mac, CAST(NULL AS VARCHAR) AS loid,
+          CAST(NULL AS VARCHAR) AS pppoe_username,
+          CAST(NULL AS INTEGER) AS hb_interval,
+          CAST(NULL AS VARCHAR) AS probe_name,
+          CAST(NULL AS VARCHAR) AS probe_alias_suggested,
+          CAST($Now AS BIGINT) AS update_time
+        FROM t"""))
   )
 }
