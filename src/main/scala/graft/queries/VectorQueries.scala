@@ -49,6 +49,36 @@ object VectorQueries {
           THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
     }.mkString("(", " + ", ")")
 
+  /** One oracle for both LSH probes (q34 scan-time, q70 materialized):
+    * the pruning is the same hamming ≤ 1 bucket set; only the Spark-side
+    * I/O differs. */
+  private val lshTopKOracle: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        eb AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket
+               FROM embeddings),
+        qb AS (SELECT ${bucketSql("qv", 8)} AS qbucket FROM q)
+        SELECT vec_id, cos FROM (
+          SELECT eb.vec_id, ${cosSql("eb.embedding", "q.qv")} AS cos
+          FROM eb, q, qb
+          WHERE bit_count(xor(eb.bucket, qb.qbucket)) <= 1)
+        ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+  /** The materialized ANN index builds ONCE per sf dir (the serve path is
+    * what q70 times — with the memo warm, Bench measures probes against a
+    * standing index, the actual production shape). */
+  private val annIdxCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def annIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    annIdxCache.synchronized {
+      annIdxCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files.createTempDirectory("graft-annidx")
+          .resolve("idx").toString
+        graft.operators.AnnIndex.build(
+          Tables.load(s, dir, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", path, Dim, bits = 8)
+        path
+      })
+    }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q33_cosine_topk",
@@ -69,15 +99,15 @@ object VectorQueries {
       (s, dir) => Similarity.lshCosineTopK(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 10, bits = 8),
-      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        eb AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket
-               FROM embeddings),
-        qb AS (SELECT ${bucketSql("qv", 8)} AS qbucket FROM q)
-        SELECT vec_id, cos FROM (
-          SELECT eb.vec_id, ${cosSql("eb.embedding", "q.qv")} AS cos
-          FROM eb, q, qb
-          WHERE bit_count(xor(eb.bucket, qb.qbucket)) <= 1)
-        ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
+      Some(lshTopKOracle),
+      bench = true),
+
+    GraftQuery(
+      "q70_ann_index_topk",
+      (s, dir) => graft.operators.AnnIndex.topK(
+        s, annIndex(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 10, bits = 8),
+      Some(lshTopKOracle),
       bench = true),
 
     GraftQuery(
