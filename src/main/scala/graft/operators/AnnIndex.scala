@@ -44,12 +44,20 @@ object AnnIndex {
     (qBucket +: (0 until bits).map(b => qBucket ^ (1L << b))).map(_.toInt)
   }
 
-  /** Serve a top-k probe from the materialized index: the partition
-    * filter prunes the listing to the probed bucket directories, then one
-    * small scan scores and TakeOrderedAndProject cuts the top-k. */
-  def topK(spark: SparkSession, path: String, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, bits: Int = 8, seed: Int = 42): DataFrame =
+  /** Open the index once per serving session: the returned frame carries
+    * the partition listing (InMemoryFileIndex), so repeated probes prune
+    * against the cached listing instead of re-listing 2^bits directories
+    * per query — at a few thousand partitions the relisting dominates
+    * small-probe latency. */
+  def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Serve a top-k probe from a loaded index: the partition filter prunes
+    * the listing to the probed bucket directories, then one small scan
+    * scores and TakeOrderedAndProject cuts the top-k. */
+  def topK(index: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, bits: Int = 8, seed: Int = 42): DataFrame =
+    index
       .filter(col("__bucket").isInCollection(probeBuckets(query, bits, seed)))
       .select(col(idCol), Similarity.cosineLit(col(vecCol), query).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)

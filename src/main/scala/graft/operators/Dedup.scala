@@ -138,15 +138,46 @@ object Dedup {
 
   /** LSH candidate pairs + exact-Jaccard verification.
     * bands × rowsPerBand = numHashes; docs sharing any band-hash become
-    * candidates. The band join shuffles (bandId, bandHash) keys only. */
+    * candidates. The band join shuffles (bandId, bandHash) keys only.
+    *
+    * SINGLE corpus scan: one projection tokenizes each document once and
+    * emits BOTH per-shingle key arrays — xxhash64 (8-byte inverted-index
+    * keys for the verification joins) and the md5-derived 31-bit minhash
+    * keys — into a persisted frame; signatures, the shingle index, and
+    * the per-doc set sizes are all cheap derivations of that cache, so
+    * the document text is read and shingled exactly once (the previous
+    * form re-scanned and re-tokenized the corpus for verification — two
+    * full passes over 100 TB of text). The doc-size frame is now a
+    * per-row `size(keys)` projection instead of a count-by-doc shuffle. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, k: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("doc"),
-      minhashSignature(col(textCol), numHashes, k).as("sig"))
-      .filter(size(col("sig")) > 0)
+    // both hash arrays under ONE bindOnce so the shingle subtree exists
+    // once; the struct is materialized by the persist, and the field
+    // extractions below read the cache (no projection-collapse re-inline
+    // across the cache boundary)
+    val raw = docs.select(col(idCol).as("doc"),
+        TextFunctions.bindOnce(
+          array_distinct(TextFunctions.shingles(col(textCol), k))) { ss =>
+          struct(
+            transform(ss, s => xxhash64(s)).as("shs"),
+            transform(ss, s => TextFunctions.md5Key60(s) % MinhashP).as("keys"))
+        }.as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+    val base = raw.select(col("doc"), col("b.shs").as("shs"),
+      col("b.keys").as("keys"))
+    val maxSig = array_repeat(lit(Long.MaxValue), numHashes)
+    val sig = base.filter(size(col("keys")) > 0)
+      .select(col("doc"),
+        aggregate(col("keys"), maxSig, (acc, h) =>
+          zip_with(acc,
+            array((0 until numHashes).map(i =>
+              (h * mhA(i) + mhB(i)) % MinhashP): _*),
+            (a, b) => least(a, b))).as("sig"))
     // band key: overflow-free arithmetic fold of the band's signature
     // slice (init b+1 so identical slices in different bands collide
     // only by chance) — 8-byte join keys the oracle reproduces exactly.
@@ -166,32 +197,29 @@ object Dedup {
             col("x.doc") < col("y.doc"))
         .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
         .distinct()
-      // verify candidates with exact Jaccard (join back the shingle sets);
-      // like jaccardPairs, persist-for-the-call + eager result, so the
-      // signatures and the index are computed exactly once and released.
-      // The candidate side of each join is small → AQE broadcasts it into
-      // the cached index; the index itself shuffles only for sizes.
-      val idx = shingleIndex(docs, idCol, textCol, k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val sizes = idx.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-        // intersection via composite-key join (doc_b, sh): the second join
-        // matches shingles IN the join instead of exploding |A|×|B| rows
-        // per candidate pair and filtering afterwards
-        val inter = candidates
-          .join(idx.select(col("doc").as("doc_a"), col("sh")), "doc_a")
-          .join(idx.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-          .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-          .filter(col("jaccard") >= threshold)
-          .select("doc_a", "doc_b", "jaccard")
-          .localCheckpoint()
-      } finally idx.unpersist()
+      // verify candidates with exact Jaccard against the SAME cached
+      // shingle keys the signatures came from — no second corpus scan.
+      // The candidate side of each join is small → AQE broadcasts it
+      // into the cached index.
+      val idx = base.select(col("doc"), explode(col("shs")).as("sh"))
+      val sizes = base.select(col("doc"), size(col("shs")).as("n_sh"))
+      // intersection via composite-key join (doc_b, sh): the second join
+      // matches shingles IN the join instead of exploding |A|×|B| rows
+      // per candidate pair and filtering afterwards
+      val inter = candidates
+        .join(idx.select(col("doc").as("doc_a"), col("sh")), "doc_a")
+        .join(idx.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint()
     } finally banded.unpersist()
+    } finally raw.unpersist()
   }
 
   /** Embedding-cosine near-duplicate pairs, brute force: every (a < b)

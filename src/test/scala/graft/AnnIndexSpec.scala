@@ -30,8 +30,8 @@ class AnnIndexSpec extends AnyFunSuite {
     val q = vecs.filter(col("vec_id") === 3).select("embedding")
       .collect()(0).getSeq[Float](0).toSeq.map(_.toDouble)
 
-    val fromIndex = AnnIndex.topK(spark, path, "vec_id", "embedding", q,
-      k = 5, bits = 6)
+    val fromIndex = AnnIndex.topK(AnnIndex.load(spark, path),
+      "vec_id", "embedding", q, k = 5, bits = 6)
     val fromScan = Similarity.lshCosineTopK(vecs, "vec_id", "embedding", q,
       k = 5, bits = 6)
     assert(fromIndex.collect().toSeq === fromScan.collect().toSeq)
