@@ -453,6 +453,80 @@ object StreamQueries {
           FROM r GROUP BY 1, 2, 3""")),
 
     GraftQuery(
+      "q71_stream_session_window",
+      (s, dir) => {
+        // Session windows under the driver gate as a REAL stream: each
+        // probe emits two bursts of 10-min-spaced events 10 h apart, so
+        // the 30-min-gap session_window must MERGE each burst into one
+        // session and split the bursts — in append mode, where a session
+        // only emits after the watermark passes its close. Same sentinel
+        // recipe as q65: two far-future files advance the watermark past
+        // every data session, and the final filter drops the sentinels'
+        // own (unemitted-then-emitted) windows.
+        val k = col("c_custkey")
+        val base = Now
+        def row(pid: Column, ts: Column, score: Column): Column =
+          concat(lit("""{"probe_id":"p-"""), pid,
+            lit("""","ts":"""), ts, lit(""","score":"""), score, lit("}"))
+        val cust = Tables.load(s, dir, "customer")
+        // j = k div 30 varies WITHIN each probe class (k mod 30), so every
+        // probe gets both bursts: three 10-min-spaced events (one merged
+        // session) and the same shape 10 h later (a second session)
+        val j = ((k - k % 30) / 30).cast("long")
+        val ts = lit(base) + (j % 3) * 600 +
+          when(j % 2 === 0, lit(0)).otherwise(lit(36000))
+        val data = cust.select(
+          row(k % 30, ts, (k % 89).cast("double") + lit(0.25)).as("value"))
+        def sentinel(tag: Int) = cust.limit(1).select(
+          row(lit(9999), lit(base + 30L * 86400 + tag), lit(0.0)).as("value"))
+        val frames = Seq(data, sentinel(0), sentinel(1))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "probe_id STRING, ts LONG, score DOUBLE")
+        runStaged(s, frames, "sessions") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+            .withColumn("event_time", to_timestamp(col("ts")))
+            .withWatermark("event_time", "10 minutes")
+          graft.streaming.WindowedAgg.session(parsed, "event_time",
+              "30 minutes", Seq("probe_id"),
+              Seq(count(lit(1)).as("n"),
+                sum(col("score").cast(
+                  org.apache.spark.sql.types.DecimalType(12, 2)))
+                  .cast("double").as("sum_score")))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/sessions")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.filter(col("window_start") < base + 86400L)
+          .select("window_start", "window_end", "probe_id", "n", "sum_score")
+      },
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+          r AS (SELECT 'p-' || (k % 30) AS probe_id,
+            CAST($Now + ((k // 30) % 3) * 600 +
+              CASE WHEN (k // 30) % 2 = 0 THEN 0 ELSE 36000 END AS BIGINT) AS sec,
+            CAST(k % 89 AS DOUBLE) + 0.25E0 AS score FROM b),
+          -- session ids over DISTINCT (probe, sec) only: with duplicate
+          -- secs in one partition the LAG pass and the running-SUM pass
+          -- tie-break independently, and the lone new_s=1 row can land
+          -- mid-prefix, splitting a session nondeterministically
+          d AS (SELECT DISTINCT probe_id, sec FROM r),
+          s AS (SELECT probe_id, sec,
+            CASE WHEN LAG(sec) OVER w IS NULL
+                   OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+            FROM d WINDOW w AS (PARTITION BY probe_id ORDER BY sec)),
+          g AS (SELECT probe_id, sec,
+            SUM(new_s) OVER (PARTITION BY probe_id ORDER BY sec
+              ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s)
+        SELECT MIN(r.sec) AS window_start,
+          CAST(MAX(r.sec) + 1800 AS BIGINT) AS window_end,
+          r.probe_id, COUNT(*) AS n,
+          CAST(SUM(CAST(r.score AS DECIMAL(12,2))) AS DOUBLE) AS sum_score
+        FROM r JOIN g ON r.probe_id = g.probe_id AND r.sec = g.sec
+        GROUP BY r.probe_id, g.sid""")),
+
+    GraftQuery(
       "q69_stream_gw_pinfo",
       (s, dir) => {
         // The c_p_pinfo sink of the 5-sink gateway stream: full JSON
