@@ -54,9 +54,14 @@ object Curation {
 
   /** Benchmark decontamination: flag every document sharing at least one
     * word k-shingle with the benchmark set. Shuffles (hash, id) pairs
-    * only; the benchmark side is tiny → broadcast semi-join. */
+    * only; a real benchmark set is tiny → broadcast semi-join. The
+    * broadcast is GUARDED: above `maxBroadcastRows` benchmark rows the
+    * shingle set would OOM the driver, so the join falls back to a
+    * shuffle semi-join (the row probe is a `limit(n+1).count()`, which
+    * stops scanning at the threshold instead of counting the frame). */
   def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchTextCol: String, k: Int = 5): DataFrame = {
+      benchmark: DataFrame, benchTextCol: String, k: Int = 5,
+      maxBroadcastRows: Long = 100000L): DataFrame = {
     // no distinct on the doc side: the semi join tests EXISTENCE, so
     // duplicate (doc, shingle) rows can't change the outcome and the
     // post-join per-doc distinct dedups hits — skipping it removes a
@@ -66,7 +71,10 @@ object Curation {
     val benchSh = benchmark
       .select(explode(TextFunctions.shingles(col(benchTextCol), k)).as("__sh"))
       .distinct()
-    val hits = docSh.join(broadcast(benchSh), Seq("__sh"), "left_semi")
+    val benchIsSmall =
+      benchmark.limit((maxBroadcastRows + 1).toInt).count() <= maxBroadcastRows
+    val benchSide = if (benchIsSmall) broadcast(benchSh) else benchSh
+    val hits = docSh.join(benchSide, Seq("__sh"), "left_semi")
       .select(col("__doc")).distinct()
       .withColumn("__hit", lit(true))
     docs.join(hits, docs(idCol) === hits("__doc"), "left")

@@ -52,6 +52,23 @@ object StreamQueries {
     inDir
   }
 
+  /** Run `body` with the RocksDB state-store provider active (T5): the
+    * stream started inside clones the session conf at start(), so the
+    * stateful first-seen job keeps its keyed state in RocksDB instead of
+    * the default HDFS-backed in-memory map — the provider a real cluster
+    * runs, now exercised (not just configured) by the q64 gate. */
+  private def withRocksDbState[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Run a staged stream job to completion and return the named sink,
     * detached from the temp dir (localCheckpoint) so the caller gets a
     * plain DataFrame. */
@@ -235,7 +252,7 @@ object StreamQueries {
             CASE WHEN s_suppkey % 2 = 0 THEN 'connected' ELSE 'down' END AS cs
           FROM supplier),
         t AS (
-          SELECT k, probe_id, pc, cs,
+          SELECT k, probe_id, pc, cs, bn,
             CAST($Now - (k % 24) * 3600 + (bn - 1) * 1800 AS BIGINT) AS timesheet
           FROM base, (SELECT 1 AS bn UNION ALL SELECT 2) batches)"""
 
@@ -375,9 +392,11 @@ object StreamQueries {
         val probes = emptyProbes(s)
         val pat = accessTypeDim(s, dir)
         val ipr = ipRegionDim(s, dir)
-        runStaged(s, frames, "new_probes") { (raw, out, ckpt) =>
-          StreamJobs.runHeartbeat(raw, probes, pat, ipr, out, ckpt,
-            nowEpoch = Now, trigger = Trigger.AvailableNow())
+        withRocksDbState(s) {
+          runStaged(s, frames, "new_probes") { (raw, out, ckpt) =>
+            StreamJobs.runHeartbeat(raw, probes, pat, ipr, out, ckpt,
+              nowEpoch = Now, trigger = Trigger.AvailableNow())
+          }
         }.select("probe_id", "heartbeat_time", "internet_ip",
           "probe_alias", "region_path", "status", "create_time")
       },
@@ -700,6 +719,52 @@ object StreamQueries {
           CAST(NULL AS VARCHAR) AS probe_name,
           CAST(NULL AS VARCHAR) AS probe_alias_suggested,
           CAST($Now AS BIGINT) AS update_time
-        FROM t"""))
+        FROM t""")),
+
+    GraftQuery(
+      "q72_stream_pinfo_real",
+      (s, dir) =>
+        // W1/K3: the c_p_pinfo_real read-side view — keep-latest per
+        // probe over the STREAMED c_p_pinfo sink dir (the reference's
+        // ReplacingMergeTree collapse, `ClickHouse建表定稿修改版.txt:57-74`).
+        // Batch 2 re-reported every probe 30 min later, so the view must
+        // return exactly the batch-2 snapshot rows.
+        StreamJobs.latestView(s, s"${gwRun(s, dir)}/c_p_pinfo",
+            "probe_id", "timesheet")
+          .select(col("id"), col("access_type_info"), col("probe_id"),
+            col("probe_info"), col("sgw_info"), col("status_info"),
+            col("traffic_info"), col("timesheet"),
+            col("timesheet_d").cast("long").as("timesheet_d"),
+            col("create_time")),
+      Some(s"""WITH $gwBaseSql
+        SELECT sha256(probe_id || '|' || timesheet) AS id,
+          '[{"access_type_name":"atA","connect_status":"' || cs ||
+            '","is_default":1,"ip":"10.0.0.' || k || '"}' ||
+            CASE WHEN k % 3 <> 0 THEN
+              ',{"access_type_name":"atB","connect_status":"down","is_default":0,"ip":"10.0.1.' || k || '"}'
+            ELSE '' END || ']' AS access_type_info,
+          probe_id,
+          '{"id":"' || probe_id || '","pc":"' || pc || '","vendor":"vd' ||
+            (k % 4) || '","sn":"sn' || k || '"}' AS probe_info,
+          CASE WHEN k % 13 <> 0 THEN
+            '{"pon_info":{"current":' || CAST(k % 50 AS DOUBLE) ||
+            ',"rx_power":' || CAST((k * 7) % 10000 AS DOUBLE) ||
+            ',"tx_power":' || CAST(k % 30 AS DOUBLE) ||
+            ',"temperature":' || CAST(k % 70 AS DOUBLE) ||
+            ',"voltage":' || CAST(k % 12 AS DOUBLE) || '}}' END AS sgw_info,
+          CASE WHEN k % 4 <> 0 THEN
+            '{"cpu_rate":' || CAST(k % 100 AS DOUBLE) ||
+            ',"ram_rate":' || CAST(k % 90 AS DOUBLE) ||
+            ',"run_time":"' || (k * 13) || '"}' END AS status_info,
+          CASE WHEN k % 5 <> 0 THEN
+            '[{"access_type_name":"atA","ip":"10.0.0.' || k ||
+            '","up_avg":' || CAST(k % 100 AS DOUBLE) ||
+            ',"up_max":' || CAST(k % 200 AS DOUBLE) ||
+            ',"down_avg":' || CAST(k % 300 AS DOUBLE) ||
+            ',"down_max":' || CAST(k % 400 AS DOUBLE) || '}]' END AS traffic_info,
+          timesheet,
+          CAST(epoch(date_trunc('day', make_timestamp(timesheet * 1000000))) AS BIGINT) AS timesheet_d,
+          CAST($Now AS BIGINT) AS create_time
+        FROM t WHERE bn = 2"""))
   )
 }

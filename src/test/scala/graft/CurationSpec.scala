@@ -70,6 +70,36 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) === false) // < 5 tokens → no shingles
   }
 
+  test("decontamination broadcast guard: large benchmark falls back to a " +
+      "shuffle semi-join with identical results") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated words here nothing shared")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("xx alpha beta gamma delta epsilon yy")).toDF("text")
+    def plan(maxRows: Long): (Map[Long, Boolean], String) = {
+      val df = Curation.flagContaminated(docs, "doc_id", "text", bench, "text",
+        maxBroadcastRows = maxRows)
+      (df.select("doc_id", "is_contaminated").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap,
+        df.queryExecution.executedPlan.toString)
+    }
+    // kill auto-broadcast so the ONLY broadcast source is the guard's
+    // explicit hint — otherwise AQE broadcasts the tiny test frame in
+    // both modes and the plans are indistinguishable
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val (smallRes, smallPlan) = plan(maxRows = 100)
+      val (bigRes, bigPlan) = plan(maxRows = 0) // force the fallback
+      assert(smallRes === Map(1L -> true, 2L -> false))
+      assert(bigRes === smallRes)
+      assert(smallPlan.contains("BroadcastHashJoin"))
+      assert(!bigPlan.contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("int8 quantization bounds the cosine error") {
     val vecs = (1 to 50).map { i =>
       (i.toLong, (0 until 64).map(d =>
