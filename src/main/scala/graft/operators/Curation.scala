@@ -52,6 +52,98 @@ object Curation {
       .drop("__cum")
   }
 
+  /** C4-style line-level quality filtering: keep lines with at least
+    * `minWords` words, terminal punctuation, and no boilerplate marker;
+    * return the cleaned text plus kept/dropped counts. Pure per-row HOF
+    * work — full scan speed, zero shuffle, so it composes into any
+    * ingest pass for free at 100 TB. */
+  def lineQualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3,
+      boilerplate: Seq[String] = Seq("javascript", "cookie", "privacy policy")
+  ): DataFrame = {
+    def keepLine(l: Column): Column =
+      size(filter(split(l, "\\s+"), t => t =!= "")) >= minWords &&
+        l.rlike("[.!?\"]$") &&
+        boilerplate.map(b => !lower(l).contains(b)).reduce(_ && _)
+    // lines and the kept sublist are each bound once; the struct is one
+    // expression so the line split can't be re-inlined per output column
+    docs.select(col(idCol),
+        TextFunctions.bindOnce(split(col(textCol), "\n")) { lines =>
+          TextFunctions.bindOnce(filter(lines, keepLine(_))) { kept =>
+            struct(
+              array_join(kept, "\n").as("clean_text"),
+              size(kept).cast("long").as("n_kept"),
+              (size(lines) - size(kept)).cast("long").as("n_dropped"))
+          }
+        }.as("r"))
+      .select(col(idCol), col("r.clean_text").as("clean_text"),
+        col("r.n_kept").as("n_kept"), col("r.n_dropped").as("n_dropped"))
+  }
+
+  /** Corpus-level top-k most frequent word n-grams: one map-side-combined
+    * shuffle of (ngram, count) pairs, TakeOrderedAndProject for the cut
+    * (no global sort). Ties break on the gram text so the cut is
+    * deterministic and hash-gateable. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int = 2,
+      topK: Int = 20): DataFrame =
+    docs.select(explode(TextFunctions.shingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(topK)
+
+  /** Deterministic train/val/test assignment: md5-derived bucket of the
+    * (salted) id — replay-stable, engine-portable, zero shuffle. Same
+    * contract as [[hashKeep]]: re-running the pipeline (or re-sharding
+    * the input) never moves a document across splits. */
+  def splitAssign(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10, salt: String = "graft-split"): DataFrame = {
+    val bucket =
+      TextFunctions.md5Key60(concat(lit(salt), col(idCol).cast("string"))) % 100L
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** BM25 relevance of every document against a small query term set —
+    * the retrieval scorer for corpus curation (mining domain-relevant
+    * documents at scale). Per-row term frequencies are HOF counts over
+    * one bound tokenization; the corpus stats (N, avgdl, per-term df)
+    * are ONE aggregate row broadcast back — no per-term shuffle, no
+    * inverted index needed for a fixed query. Scores are roundHalfUp'd
+    * so the ln() ulp gap between engines can't flip a hash. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      scale: Int = 6): DataFrame = {
+    val terms = queryTerms.distinct
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("__toks"), x => x === t)).cast("double").as(s"__tf$i")
+    }
+    val base = docs.select(
+      (Seq(col(idCol), col(textCol),
+        TextFunctions.tokens(col(textCol)).as("__toks")): _*))
+      .select((Seq(col(idCol),
+        size(col("__toks")).cast("double").as("__dl")) ++ tfCols): _*)
+    val statCols = Seq(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1).otherwise(0))
+          .cast("double").as(s"__df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val idf = log((col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5) + 1.0)
+      // FP op order mirrored exactly by the oracle SQL: (idf * (tf*(k1+1)))
+      // / (tf + k1*((1-b) + (dl/avgdl)*b)) — multiplications commuted
+      // where Scala needs the Column on the left are bit-identical
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + col("__dl") / col("__avgdl") * b))
+    }.reduce(_ + _)
+    scored.select(col(idCol),
+      graft.functions.SafeMath.roundHalfUp(score, scale).as("bm25"))
+  }
+
   /** Benchmark decontamination: flag every document sharing at least one
     * word k-shingle with the benchmark set. Shuffles (hash, id) pairs
     * only; a real benchmark set is tiny → broadcast semi-join. The

@@ -33,7 +33,103 @@ object CurationQueries {
     s"""list_reduce(list_transform(range(1, ${Dim + 1}),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
 
+  /** DuckDB twin of TextFunctions.shingles with k=2 (word bigrams). */
+  private val Bigrams = s"""list_transform(
+        range(0, greatest(len($Toks5Sql) - 1, 0)),
+        i -> array_to_string(list_slice($Toks5Sql, i + 1, i + 2), ' '))"""
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q73_line_quality_filter",
+      (s, dir) => {
+        // C4-style line filtering over synthesized multi-line docs (the
+        // documents table has no newlines): per key — one always-good
+        // line, one too-short line, a no-punctuation line (k%3), a
+        // javascript boilerplate line (k%2), a second good line (k%5).
+        // concat_ws skips the NULL conditional lines on both engines.
+        val k = col("c_custkey")
+        val text = concat_ws("\n",
+          concat(lit("this is sentence number "), k, lit(".")),
+          lit("ok"),
+          when(k % 3 =!= 0, lit("no terminal punctuation here")),
+          when(k % 2 === 0, lit("please enable javascript to continue.")),
+          when(k % 5 =!= 0, lit("another good line with words!")))
+        val docs = Tables.load(s, dir, "customer")
+          .select(k.as("doc_id"), text.as("text"))
+        Curation.lineQualityFilter(docs, "doc_id", "text")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k FROM customer),
+          t AS (SELECT k, concat_ws(chr(10),
+            'this is sentence number ' || k || '.',
+            'ok',
+            CASE WHEN k % 3 <> 0 THEN 'no terminal punctuation here' END,
+            CASE WHEN k % 2 = 0 THEN 'please enable javascript to continue.' END,
+            CASE WHEN k % 5 <> 0 THEN 'another good line with words!' END) AS text
+          FROM b),
+          f AS (SELECT k, string_split(text, chr(10)) AS lines,
+            list_filter(string_split(text, chr(10)), l ->
+              len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3
+              AND regexp_matches(l, '[.!?"]$')
+              AND NOT contains(lower(l), 'javascript')
+              AND NOT contains(lower(l), 'cookie')
+              AND NOT contains(lower(l), 'privacy policy')) AS kept
+          FROM t)
+        SELECT k AS doc_id, array_to_string(kept, chr(10)) AS clean_text,
+          CAST(len(kept) AS BIGINT) AS n_kept,
+          CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped
+        FROM f""")),
+
+    GraftQuery(
+      "q74_top_ngrams",
+      (s, dir) => Curation.topNgrams(
+        Tables.load(s, dir, "documents"), "text", n = 2, topK = 20),
+      Some(s"""SELECT ngram, COUNT(*) AS n
+        FROM (SELECT unnest($Bigrams) AS ngram FROM documents)
+        GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20"""),
+      bench = true),
+
+    GraftQuery(
+      "q75_split_assign",
+      (s, dir) => Curation.splitAssign(
+          Tables.load(s, dir, "documents"), "doc_id")
+        .select("doc_id", "split"),
+      Some(s"""SELECT doc_id,
+          CASE WHEN ${md5Key60Sql("'graft-split' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                 THEN 'train'
+               WHEN ${md5Key60Sql("'graft-split' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents""")),
+
+    GraftQuery(
+      "q76_bm25",
+      (s, dir) => Curation.bm25(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "table", "query")),
+      Some {
+        def term(i: Int, t: String): String = {
+          val tf = s"""CAST(len(list_filter($Toks5Sql, x -> x = '$t')) AS DOUBLE)"""
+          s"""ln((n - df$i + 0.5E0) / (df$i + 0.5E0) + 1.0E0) *
+              ($tf * (1.2E0 + 1.0E0)) /
+              ($tf + 1.2E0 * (1.0E0 - 0.75E0 + 0.75E0 * (dl / avgdl)))"""
+        }
+        val dfs = Seq("spark", "table", "query").zipWithIndex.map { case (t, i) =>
+          s"""CAST(SUM(CASE WHEN len(list_filter($Toks5Sql, x -> x = '$t')) > 0
+              THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"""
+        }.mkString(", ")
+        val score = Seq("spark", "table", "query").zipWithIndex
+          .map { case (t, i) => s"(${term(i, t)})" }.mkString(" + ")
+        s"""WITH base AS (
+              SELECT doc_id, text,
+                CAST(len($Toks5Sql) AS DOUBLE) AS dl
+              FROM documents),
+            stats AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, $dfs
+              FROM (SELECT text, dl FROM base))
+          SELECT doc_id,
+            ${graft.functions.SafeMath.roundHalfUpSql(score, 6)} AS bm25
+          FROM base, stats"""
+      }),
     GraftQuery(
       "q58_quantized_cosine_topk",
       (s, dir) => {

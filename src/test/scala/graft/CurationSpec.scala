@@ -100,6 +100,46 @@ class CurationSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("line quality filter keeps good lines, drops short/unpunctuated/boilerplate") {
+    val docs = Seq((1L, Seq(
+      "this is a perfectly fine sentence.",
+      "ok",
+      "no terminal punctuation here",
+      "please enable javascript to continue.",
+      "short words count too!").mkString("\n"))).toDF("doc_id", "text")
+    val r = Curation.lineQualityFilter(docs, "doc_id", "text").collect()(0)
+    assert(r.getString(1) ===
+      "this is a perfectly fine sentence.\nshort words count too!")
+    assert(r.getLong(2) === 2L && r.getLong(3) === 3L)
+  }
+
+  test("split assignment is deterministic and roughly proportional") {
+    val docs = (1L to 1000L).toDF("doc_id")
+    val counts = Curation.splitAssign(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1000L)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 160)
+    // replay-stable: same assignment on a second run
+    val again = Curation.splitAssign(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
+  test("bm25 ranks the term-dense short doc above a diluted long one") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark " + Seq.fill(60)("filler").mkString(" ")),
+      (3L, "completely unrelated words only")
+    ).toDF("doc_id", "text")
+    val scores = Curation.bm25(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))
+    assert(scores(3L) === 0.0)
+  }
+
   test("int8 quantization bounds the cosine error") {
     val vecs = (1 to 50).map { i =>
       (i.toLong, (0 until 64).map(d =>
