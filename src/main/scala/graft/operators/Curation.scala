@@ -202,6 +202,34 @@ object Curation {
     base.join(top, Seq("doc"), "left")
   }
 
+  /** PII patterns shared by the Spark operator and its DuckDB oracle —
+    * restricted to syntax Java regex and RE2 interpret identically (no
+    * lookaround, no backrefs; `\b` is an ASCII word boundary in both). */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  /** PII redaction: mask emails, IPv4 addresses, and NANP-style phone
+    * numbers with typed placeholder tokens, and report per-document hit
+    * counts (the audit trail a compliance pass needs). Pure per-row
+    * regex work — full scan speed, zero shuffle; the three passes run in
+    * a fixed order (email → ip → phone) on disjoint pattern families so
+    * the result is order-stable. Counts are taken on the ORIGINAL text.
+    * Analog of a standard training-data scrubbing stage. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"))
+  }
+
   /** Max-abs int8 quantization of a float-vector column: 4× smaller
     * shuffle/storage for ANN at a small recall cost. Rounding is the
     * engine-portable floor(x+0.5) form. Returns struct(scale, codes). */

@@ -131,6 +131,59 @@ object CurationQueries {
           FROM base, stats"""
       }),
     GraftQuery(
+      "q77_pii_redact",
+      (s, dir) => {
+        // PII scrubbing over synthesized contact cards (the documents
+        // table carries no PII): per customer — a conditional email
+        // (k%3), NANP phone (k%4), and IPv4 (k%5), with clean filler
+        // text around them. concat_ws skips NULL parts on both engines.
+        val k = col("c_custkey")
+        val email = concat(lit("user"), k, lit("@mail"), k % 7,
+          lit(".example.com"))
+        val phone = concat(k % 900 + 100, lit("-"), k % 700 + 200,
+          lit("-"), k % 9000 + 1000)
+        val ip = concat(lit("10."), k % 256, lit("."), k % 200,
+          lit("."), k % 250 + 1)
+        val text = concat_ws(" ",
+          lit("contact"), col("c_name"),
+          when(k % 3 =!= 0, email),
+          lit("for details."),
+          when(k % 4 === 0, concat(lit("call "), phone)),
+          when(k % 5 === 0, concat(lit("from "), ip)),
+          lit("end"))
+        val docs = Tables.load(s, dir, "customer")
+          .select(k.as("doc_id"), text.as("text"))
+        Curation.redactPii(docs, "doc_id", "text")
+      },
+      Some {
+        val email = Curation.EmailRe
+        val ip = Curation.Ipv4Re
+        val phone = Curation.PhoneRe
+        s"""WITH t AS (SELECT c_custkey AS doc_id, concat_ws(' ',
+              'contact', c_name,
+              CASE WHEN c_custkey % 3 <> 0 THEN
+                'user' || c_custkey || '@mail' || (c_custkey % 7) || '.example.com' END,
+              'for details.',
+              CASE WHEN c_custkey % 4 = 0 THEN 'call ' ||
+                ((c_custkey % 900) + 100) || '-' || ((c_custkey % 700) + 200) ||
+                '-' || ((c_custkey % 9000) + 1000) END,
+              CASE WHEN c_custkey % 5 = 0 THEN 'from 10.' ||
+                (c_custkey % 256) || '.' || (c_custkey % 200) || '.' ||
+                ((c_custkey % 250) + 1) END,
+              'end') AS text
+            FROM customer)
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$email', '<EMAIL>', 'g'),
+              '$ip', '<IP>', 'g'),
+              '$phone', '<PHONE>', 'g') AS clean_text,
+            CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+            CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones
+          FROM t"""
+      }),
+
+    GraftQuery(
       "q58_quantized_cosine_topk",
       (s, dir) => {
         // int8 max-abs quantization (4× smaller vectors at scale), then

@@ -113,6 +113,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getLong(2) === 2L && r.getLong(3) === 3L)
   }
 
+  test("pii redaction masks emails/ips/phones and counts hits") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org from 192.168.1.77 or call 555-123-4567 now"),
+      (2L, "no pii in this one, just words and 1234 numbers"))
+      .toDF("doc_id", "text")
+    val r = Curation.redactPii(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) ===
+      "mail <EMAIL> from <IP> or call <PHONE> now")
+    assert(r(0).getLong(2) === 1L && r(0).getLong(3) === 1L &&
+      r(0).getLong(4) === 1L)
+    assert(r(1).getString(1) ===
+      "no pii in this one, just words and 1234 numbers")
+    assert(r(1).getLong(2) === 0L && r(1).getLong(3) === 0L &&
+      r(1).getLong(4) === 0L)
+  }
+
   test("split assignment is deterministic and roughly proportional") {
     val docs = (1L to 1000L).toDF("doc_id")
     val counts = Curation.splitAssign(docs, "doc_id")
