@@ -128,6 +128,52 @@ object Similarity {
       .withColumnRenamed("__g", groupCol)
   }
 
+  /** Lloyd's k-means over an embedding column, deterministic end-to-end:
+    * initialization is the first `k` vectors by id order, assignment is a
+    * flat distance array + argmin (cosine ordering, `-dot/|c|`; ties go to
+    * the lowest cell, matching `array_position`'s first-match), and the
+    * centroid recompute is the decimal-summed per-position mean of
+    * [[centroids]], so the result is independent of partitioning AND
+    * reproducible by an unrolled-CTE DuckDB oracle. Per iteration: one
+    * scan of the cached projection + one (cell, pos) keyed shuffle with
+    * full map-side combine; only k·dim doubles ever reach the driver (the
+    * broadcast-Lloyd layout — vectors never shuffle). A cell that loses
+    * all members carries its previous centroid forward. `iters` counts
+    * assignment rounds: iters=2 ⇒ assign → recompute → assign. */
+  def kmeans(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, scale: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = embeddings
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .cache()
+    def nearest(cents: IndexedSeq[Seq[Double]])(vec: Column): Column = {
+      val dists = array(cents.map(c => -dotLit(vec, c) / lit(normLit(c))): _*)
+      graft.functions.TextFunctions.bindOnce(dists) { d =>
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }
+    }
+    var cents: IndexedSeq[Seq[Double]] = e.orderBy(col(idCol)).limit(k)
+      .select(col("__v")).collect().toIndexedSeq
+      .map(_.getSeq[Double](0).toSeq)
+    require(cents.size == k, s"need at least $k vectors, got ${cents.size}")
+    for (_ <- 1 until iters) {
+      val byCell = e
+        .select(nearest(cents)(col("__v")).as("__cell"),
+          posexplode(col("__v")).as(Seq("pos", "v")))
+        .groupBy("__cell", "pos")
+        .agg((sum(graft.functions.SafeMath.roundHalfUp(col("v"), scale)
+            .cast(DecimalType(28, scale))).cast("double") / count(lit(1)))
+          .as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rs) =>
+          c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = (0 until k).map(i => byCell.getOrElse(i, cents(i)))
+    }
+    e.select(col(idCol), nearest(cents)(col("__v")).as("cluster"))
+  }
+
   /** IVF: assign every vector to its nearest of `nCells` centroids (picked
     * deterministically as the first vectors by id — kmeans init would
     * iterate the same machinery), then score only the `nProbe` cells

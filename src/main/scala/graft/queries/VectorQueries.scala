@@ -232,6 +232,45 @@ object VectorQueries {
           SELECT label, CAST(g.s.pos AS BIGINT) AS pos,
             (CAST(SUM(CAST($rounded AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)) AS mean
           FROM g GROUP BY 1, 2"""
-      })
+      }),
+
+    GraftQuery(
+      "q78_kmeans",
+      (s, dir) => Similarity.kmeans(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2),
+      Some {
+        // unrolled two-iteration Lloyd twin: assignment = row_number over
+        // (dist, cell) — exactly array_position's first-min — and the
+        // centroid recompute mirrors q68's decimal-summed mean.
+        val rounded = graft.functions.SafeMath.roundHalfUpSql("g.s.v", 10)
+        def assign(d: String) =
+          s"""SELECT vec_id, cell FROM (
+              SELECT vec_id, cell, row_number()
+                OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+              FROM $d) WHERE rn = 1"""
+        def dists(c: String) =
+          s"""SELECT e.vec_id, $c.cell,
+              (-(${dotSql("e.v", s"$c.v")})) / sqrt(${dotSql(s"$c.v", s"$c.v")}) AS dist
+            FROM e, $c"""
+        s"""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                AS cell, v
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+          d1 AS (${dists("c0")}),
+          a1 AS (${assign("d1")}),
+          f1 AS (SELECT a1.cell, g.s.pos AS pos,
+              (CAST(SUM(CAST($rounded AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)) AS m
+            FROM (SELECT vec_id, unnest(list_transform(range(1, ${Dim + 1}),
+                i -> struct_pack(pos := i - 1, v := v[i]))) AS s FROM e) g
+            JOIN a1 ON a1.vec_id = g.vec_id GROUP BY 1, 2),
+          c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM f1 GROUP BY cell),
+          d2 AS (${dists("c1")}),
+          a2 AS (${assign("d2")})
+          SELECT vec_id, cell AS cluster FROM a2"""
+      },
+      bench = true)
   )
 }

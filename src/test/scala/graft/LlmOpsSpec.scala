@@ -104,6 +104,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ivf.contains(7L))
   }
 
+  test("kmeans separates two well-split directions and is deterministic") {
+    // two tight angular clusters around (1,0,...) and (0,1,...)
+    val vecs = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(i % 2) = 1.0f
+      v(2 + i % 3) = 0.05f * (i % 3)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val r1 = Similarity.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r2 = Similarity.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r1 === r2) // replay-deterministic
+    // members of the same parity share a direction → one cluster each
+    val even = (0 until 40 by 2).map(i => r1(i.toLong)).toSet
+    val odd = (1 until 40 by 2).map(i => r1(i.toLong)).toSet
+    assert(even.size === 1 && odd.size === 1 && even != odd)
+  }
+
   test("embedding near-dup: LSH blocking recovers the brute-force pairs") {
     val base = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat).toSeq)
