@@ -202,6 +202,54 @@ object Curation {
     base.join(top, Seq("doc"), "left")
   }
 
+  /** Deterministic epoch shuffle for training-order randomization: every
+    * row draws a stable pseudo-random key from (salt || id), lands in a
+    * shard (key mod nShards), and gets its position within the shard —
+    * shard-major traversal is the epoch order. Hash-based end to end: the
+    * same salt replays the identical order (resumable epochs); a new salt
+    * is a fresh epoch. The per-shard window runs in parallel across
+    * shards — never a global single-partition sort; at 100 TB nShards is
+    * sized to the target output file count. */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String,
+      nShards: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    df.withColumn("__key",
+        TextFunctions.md5Key60(concat(lit(salt), col(idCol))))
+      .withColumn("shard", (col("__key") % nShards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__key")
+  }
+
+  /** Rebalance a corpus toward target domain proportions by deterministic
+    * subsampling: keep rates are scaled so the domain most under-
+    * represented relative to its target weight is kept in full and every
+    * other domain is thinned toward proportionality. Two passes — a
+    * count aggregate (domains are few by definition; collected to the
+    * driver like a broadcast dim) and a zero-shuffle hash filter.
+    * Domains missing from `weights` get `defaultWeight`. The keep
+    * decision is [[hashKeep]]-style (md5 mod 10⁴ vs a per-domain
+    * threshold), so the subsample is replay-stable. */
+  def mixToTarget(df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      salt: String = "graft-mix"): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val c = counts.map { case (d, n) =>
+      n / weights.getOrElse(d, defaultWeight)
+    }.min
+    val thresholds = counts.map { case (d, n) =>
+      d -> math.floor(
+        weights.getOrElse(d, defaultWeight) * c / n * 10000.0 + 0.5).toLong
+    }
+    val thr = thresholds.toSeq.sortBy(_._1).foldLeft(
+      when(lit(false), lit(0L))) { case (acc, (d, t)) =>
+        acc.when(col(domainCol) === d, lit(t))
+      }.otherwise(lit(0L))
+    df.filter(
+      TextFunctions.md5Key60(concat(lit(salt), col(idCol))) % 10000L < thr)
+  }
+
   /** PII patterns shared by the Spark operator and its DuckDB oracle —
     * restricted to syntax Java regex and RE2 interpret identically (no
     * lookaround, no backrefs; `\b` is an ASCII word boundary in both). */

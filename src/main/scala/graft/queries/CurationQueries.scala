@@ -184,6 +184,41 @@ object CurationQueries {
       }),
 
     GraftQuery(
+      "q79_epoch_shuffle",
+      (s, dir) => Curation.shuffleOrder(
+          Tables.load(s, dir, "documents"), "doc_id", "graft-epoch0")
+        .select("doc_id", "shard", "pos"),
+      Some(s"""WITH t AS (SELECT doc_id,
+            ${md5Key60Sql("'graft-epoch0' || CAST(doc_id AS VARCHAR)")} AS key
+          FROM documents)
+        SELECT doc_id, CAST(key % 64 AS INTEGER) AS shard,
+          CAST(row_number() OVER (PARTITION BY key % 64 ORDER BY key, doc_id) - 1
+            AS BIGINT) AS pos
+        FROM t""")),
+
+    GraftQuery(
+      "q80_domain_mix",
+      (s, dir) => Curation.mixToTarget(
+          Tables.load(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 5.0, "zh" -> 3.0, "de" -> 2.0, "fr" -> 1.5),
+          defaultWeight = 1.0)
+        .select("doc_id", "lang", "source"),
+      Some(s"""WITH cnt AS (
+            SELECT lang AS d, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM documents GROUP BY lang),
+          w AS (SELECT d, n,
+            CASE d WHEN 'en' THEN 5.0E0 WHEN 'zh' THEN 3.0E0
+                   WHEN 'de' THEN 2.0E0 WHEN 'fr' THEN 1.5E0
+                   ELSE 1.0E0 END AS wt FROM cnt),
+          c AS (SELECT MIN(n / wt) AS c FROM w),
+          thr AS (SELECT d,
+            CAST(FLOOR(((wt * c.c) / n) * 10000.0E0 + 0.5E0) AS BIGINT) AS t
+            FROM w, c)
+        SELECT doc_id, lang, source FROM documents, thr
+        WHERE thr.d = lang
+          AND ${md5Key60Sql("'graft-mix' || CAST(doc_id AS VARCHAR)")} % 10000 < thr.t""")),
+
+    GraftQuery(
       "q58_quantized_cosine_topk",
       (s, dir) => {
         // int8 max-abs quantization (4× smaller vectors at scale), then

@@ -130,6 +130,33 @@ class CurationSpec extends AnyFunSuite {
       r(1).getLong(4) === 0L)
   }
 
+  test("epoch shuffle: dense per-shard positions, replay-stable, salt-sensitive") {
+    val docs = (0L until 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val r1 = Curation.shuffleOrder(docs, "doc_id", "epoch0", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+    val r2 = Curation.shuffleOrder(docs, "doc_id", "epoch0", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+    assert(r1.map(_.toSeq).toSet === r2.map(_.toSeq).toSet)
+    // positions are dense 0..n-1 within each shard
+    r1.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    val other = Curation.shuffleOrder(docs, "doc_id", "epoch1", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+    assert(other.map(_.toSeq).toSet !== r1.map(_.toSeq).toSet)
+  }
+
+  test("domain mix thins over-represented domains toward target weights") {
+    val docs = ((0 until 600).map(i => (i.toLong, "big")) ++
+      (600 until 700).map(i => (i.toLong, "small"))).toDF("doc_id", "dom")
+    // equal targets: 'small' (100 rows) kept in full, 'big' thinned to ~100
+    val kept = Curation.mixToTarget(docs, "doc_id", "dom",
+      Map("big" -> 1.0, "small" -> 1.0), defaultWeight = 1.0).collect()
+    val byDom = kept.groupBy(_.getString(1)).map { case (d, r) => d -> r.length }
+    assert(byDom("small") === 100)
+    assert(math.abs(byDom("big") - 100) < 30) // hash noise around the target
+  }
+
   test("split assignment is deterministic and roughly proportional") {
     val docs = (1L to 1000L).toDF("doc_id")
     val counts = Curation.splitAssign(docs, "doc_id")
