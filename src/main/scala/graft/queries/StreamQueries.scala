@@ -765,6 +765,47 @@ object StreamQueries {
           timesheet,
           CAST(epoch(date_trunc('day', make_timestamp(timesheet * 1000000))) AS BIGINT) AS timesheet_d,
           CAST($Now AS BIGINT) AS create_time
-        FROM t WHERE bn = 2"""))
+        FROM t WHERE bn = 2""")),
+
+    GraftQuery(
+      "q81_stream_dedup",
+      (s, dir) => {
+        // Cross-batch streaming exact dedup (W2 as a stream): three
+        // arrival waves re-send overlapping document slices with wave-
+        // tagged payloads; with maxFilesPerTrigger=1 each wave is its own
+        // micro-batch, so the dedup STATE (not within-batch dedup) must
+        // suppress waves 2/3 re-sends — the winning payload per doc is
+        // the first-wave version, which the hash compare pins.
+        val k = col("doc_id")
+        def row(tag: Int): Column =
+          concat(lit("""{"doc_id":"""), k,
+            lit(s""","tag":$tag,"text":"v$tag-"""), k, lit(""""}"""))
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val frames = Seq(
+          docs.filter(k % 5 < 2).select(row(0).as("value")),
+          docs.filter(k % 5 < 4).select(row(1).as("value")),
+          docs.select(row(2).as("value")))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, tag INT, text STRING")
+        runStaged(s, frames, "docs_deduped") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+          graft.streaming.StreamDedup.firstArrival(parsed, Seq("doc_id"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/docs_deduped")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.select("doc_id", "tag", "text")
+      },
+      Some("""SELECT doc_id,
+          CAST(CASE WHEN doc_id % 5 < 2 THEN 0
+                    WHEN doc_id % 5 < 4 THEN 1
+                    ELSE 2 END AS INTEGER) AS tag,
+          'v' || CAST(CASE WHEN doc_id % 5 < 2 THEN 0
+                           WHEN doc_id % 5 < 4 THEN 1
+                           ELSE 2 END AS VARCHAR) ||
+            '-' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents"""))
   )
 }

@@ -203,6 +203,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(("p3", 5L)) === true)
   }
 
+  test("stream dedup: first arrival wins across batches; watermark bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // unbounded variant: re-sends in later batches are suppressed
+    val in1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in1.addData((1L, "a1"), (2L, "b1"))
+    val q1 = graft.streaming.StreamDedup.firstArrival(
+        in1.toDF().toDF("doc_id", "payload"), Seq("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_unbounded").start()
+    q1.processAllAvailable()
+    in1.addData((1L, "a2"), (3L, "c1")) // 1 is a re-send
+    q1.processAllAvailable()
+    q1.stop()
+    val out1 = spark.table("dedup_unbounded").as[(Long, String)]
+      .collect().toMap
+    assert(out1 === Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+
+    // watermarked variant: dedups inside the horizon, evicts beyond it
+    val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+    val q2 = graft.streaming.StreamDedup.firstArrivalWithin(
+        in2.toDF().toDF("doc_id", "ts", "payload")
+          .withColumn("event_time", to_timestamp(col("ts"))),
+        "event_time", "10 seconds", Seq("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_within").start()
+    in2.addData((1L, 1000L, "x1"), (1L, 1001L, "x2")) // dup inside horizon
+    q2.processAllAvailable()
+    // advance watermark far past 1000+10s, then re-send id 1: state evicted
+    in2.addData((9L, 5000L, "w"))
+    q2.processAllAvailable()
+    in2.addData((1L, 5001L, "x3"))
+    q2.processAllAvailable()
+    q2.stop()
+    val out2 = spark.table("dedup_within").as[(Long, Long, String, java.sql.Timestamp)]
+      .collect().map(r => (r._1, r._3)).toSet
+    assert(out2.contains((1L, "x1")) && !out2.contains((1L, "x2")))
+    assert(out2.contains((1L, "x3"))) // beyond horizon = fresh arrival
+  }
+
   test("keep-latest view returns newest row per key") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-latest").toFile.getAbsolutePath
