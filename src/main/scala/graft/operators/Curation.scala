@@ -250,6 +250,95 @@ object Curation {
       TextFunctions.md5Key60(concat(lit(salt), col(idCol))) % 10000L < thr)
   }
 
+  /** Unigram language-model scoring: build the corpus unigram table in
+    * one token-keyed aggregation, then score every document by its mean
+    * negative log-likelihood — the classic cheap perplexity proxy for
+    * quality filtering (high NLL = unusual token mix for this corpus).
+    * Shuffles: one groupBy(token), one token-keyed join (AQE broadcasts
+    * the vocab side when it fits), one groupBy(doc). Per-token NLLs are
+    * rounded and decimal-summed so the mean is partition-order-
+    * independent. Token-less documents come back with n_tokens=0, nll=0. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val toks = docs.select(col(idCol).as("__doc"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val total = toks.count()
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val per = toks.join(freq, "tok")
+      .select(col("__doc"),
+        SafeMath.roundHalfUp(
+            -log(col("cnt").cast("double") / lit(total.toDouble)), 8)
+          .cast(DecimalType(28, 8)).as("nll8"))
+    val agg = per.groupBy("__doc")
+      .agg(count(lit(1)).as("n_tokens"),
+        SafeMath.roundHalfUp(
+          sum(col("nll8")).cast("double") / count(lit(1)), scale).as("nll"))
+    docs.select(col(idCol))
+      .join(agg.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll"), lit(0.0)).as("nll"))
+  }
+
+  /** Per-document TF-IDF keyword extraction: term frequency in the doc ×
+    * smoothed inverse document frequency (ln((N+1)/(df+1)) + 1), top `k`
+    * terms per document by rounded score with ties to the lexically
+    * smaller term. Shuffles: the (doc, term) aggregation, a term-keyed
+    * df aggregation + join, and a per-doc window for the top-k cut —
+    * the window partitions by doc, so it parallelizes across the corpus
+    * (never a global sort). */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, scale: Int = 6): DataFrame = {
+    import graft.functions.SafeMath
+    val nDocs = docs.count()
+    val tf = docs.select(col(idCol).as("__doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("__doc", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "term")
+      .withColumn("score", SafeMath.roundHalfUp(
+        col("tf").cast("double") *
+          (log(lit((nDocs + 1).toDouble) /
+            (col("df").cast("double") + lit(1.0))) + lit(1.0)), scale))
+    val w = Window.partitionBy(col("__doc"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= k)
+      .select(col("__doc").as(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("kw_rank"))
+  }
+
+  /** Per-group z-score outlier flagging (metric anomalies, curation
+    * outlier cuts): classic two-pass variance — mean first, then the sum
+    * of squared deviations — because the one-pass E[x²]−m² form
+    * catastrophically cancels AND its partial-sum order would differ
+    * across engines. Both passes decimal-sum their terms, so mean and
+    * stddev are partition-order-independent; groups with zero variance
+    * get z=0. The group stats frame is tiny (one row per group) — both
+    * joins broadcast. */
+  def zscoreFlag(df: DataFrame, groupCol: String, valCol: String,
+      threshold: Double = 3.0, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val v = col(valCol).cast("double")
+    val stats = df.groupBy(col(groupCol))
+      .agg((sum(SafeMath.roundHalfUp(v, 8).cast(DecimalType(38, 8)))
+          .cast("double") / count(lit(1))).as("__m"),
+        count(lit(1)).as("__n"))
+    val withM = df.join(stats, Seq(groupCol))
+    val ssq = withM.groupBy(col(groupCol))
+      .agg(sum(SafeMath.roundHalfUp((v - col("__m")) * (v - col("__m")), 8)
+        .cast(DecimalType(38, 8))).cast("double").as("__ssq"))
+    withM.join(ssq, Seq(groupCol))
+      .withColumn("__sd", sqrt(col("__ssq") / col("__n")))
+      .withColumn("z", when(col("__sd") === 0.0, lit(0.0))
+        .otherwise(SafeMath.roundHalfUp((v - col("__m")) / col("__sd"), scale)))
+      .withColumn("is_outlier", abs(col("z")) > threshold)
+      .drop("__m", "__n", "__ssq", "__sd")
+  }
+
   /** PII patterns shared by the Spark operator and its DuckDB oracle —
     * restricted to syntax Java regex and RE2 interpret identically (no
     * lookaround, no backrefs; `\b` is an ASCII word boundary in both). */

@@ -219,6 +219,46 @@ object CurationQueries {
           AND ${md5Key60Sql("'graft-mix' || CAST(doc_id AS VARCHAR)")} % 10000 < thr.t""")),
 
     GraftQuery(
+      "q82_unigram_nll",
+      (s, dir) => Curation.unigramLogProb(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH toks AS (
+            SELECT doc_id AS doc, unnest($Toks5Sql) AS tok FROM documents),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+          freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+          per AS (SELECT t.doc, ${graft.functions.SafeMath.roundHalfUpSql(
+            "-ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))", 8)} AS nll8
+            FROM toks t JOIN freq f USING (tok), tot),
+          agg AS (SELECT doc, COUNT(*) AS n_tokens,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(SUM(CAST(nll8 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)", 6)} AS nll
+            FROM per GROUP BY doc)
+        SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+          COALESCE(a.nll, 0.0E0) AS nll
+        FROM documents d LEFT JOIN agg a ON a.doc = d.doc_id"""),
+      bench = true),
+
+    GraftQuery(
+      "q83_tfidf_keywords",
+      (s, dir) => Curation.tfidfKeywords(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH tf AS (SELECT doc, term, COUNT(*) AS tf FROM (
+              SELECT doc_id AS doc, unnest($Toks5Sql) AS term FROM documents)
+            GROUP BY 1, 2),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+          dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          scored AS (SELECT doc, tf.term, tf.tf, dfx.df,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(tf.tf AS DOUBLE) * (ln(CAST(n.n + 1 AS DOUBLE) / " +
+              "(CAST(dfx.df AS DOUBLE) + 1.0E0)) + 1.0E0)", 6)} AS score
+            FROM tf JOIN dfx USING (term), n)
+        SELECT doc AS doc_id, term, tf, df, score, CAST(rn AS INTEGER) AS kw_rank
+        FROM (SELECT *, row_number()
+            OVER (PARTITION BY doc ORDER BY score DESC, term ASC) AS rn
+          FROM scored)
+        WHERE rn <= 3""")),
+
+    GraftQuery(
       "q58_quantized_cosine_topk",
       (s, dir) => {
         // int8 max-abs quantization (4× smaller vectors at scale), then

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.{GameMetrics, HttpMetrics}
+import graft.operators.{Curation, GameMetrics, HttpMetrics}
 
 /** Protocol metric derivation over the driver testdata (SURVEY.md §2.8
   * F4-F7, §2.5 A2-A3). Lineitem columns are mapped onto the probe-report
@@ -230,6 +230,38 @@ object MetricQueries {
           CAST(l_linenumber % 2 AS DOUBLE) AS ssl_cost,
           (l_orderkey % 4) * 25.0E0 AS avg_speed0,
           l_tax * 1000.0E0 AS conn_cost0
-          FROM lineitem)"""))
+          FROM lineitem)""")),
+
+    GraftQuery(
+      "q84_zscore_outliers",
+      (s, dir) => Curation.zscoreFlag(
+          Tables.events(s, dir).select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .select("event_id", "event_type", "value", "z", "is_outlier"),
+      Some {
+        def rhu(x: String, sc: Int) =
+          graft.functions.SafeMath.roundHalfUpSql(x, sc)
+        s"""WITH e AS (SELECT event_id, event_type,
+              CAST(value AS DOUBLE) AS v FROM events),
+          st AS (SELECT event_type,
+              CAST(SUM(CAST(${rhu("v", 8)} AS DECIMAL(38,8))) AS DOUBLE)
+                / COUNT(*) AS m,
+              COUNT(*) AS n
+            FROM e GROUP BY event_type),
+          sq AS (SELECT e.event_type,
+              CAST(SUM(CAST(${rhu("(e.v - st.m) * (e.v - st.m)", 8)}
+                AS DECIMAL(38,8))) AS DOUBLE) AS ssq
+            FROM e JOIN st USING (event_type) GROUP BY e.event_type),
+          f AS (SELECT e.event_id, e.event_type, e.v, st.m,
+              sqrt(sq.ssq / st.n) AS sd
+            FROM e JOIN st USING (event_type) JOIN sq USING (event_type)),
+          z AS (SELECT event_id, event_type, v,
+              CASE WHEN sd = 0.0E0 THEN 0.0E0
+                ELSE ${rhu("(v - m) / sd", 6)} END AS z
+            FROM f)
+        SELECT event_id, event_type, v AS value, z,
+          (abs(z) > 3.0E0) AS is_outlier
+        FROM z"""
+      })
   )
 }

@@ -157,6 +157,36 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(byDom("big") - 100) < 30) // hash noise around the target
   }
 
+  test("unigram NLL ranks rare-token docs as more surprising") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2")).toDF("doc_id", "text")
+    val r = Curation.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(2L) > r(1L))
+  }
+
+  test("tfidf keywords surface doc-specific terms over ubiquitous ones") {
+    val docs = Seq(
+      (1L, "shared shared unique1 unique1 unique1"),
+      (2L, "shared other"),
+      (3L, "shared third")).toDF("doc_id", "text")
+    val top = Curation.tfidfKeywords(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) === "unique1") // high tf, low df beats the shared term
+    assert(top(2L) === "other" && top(3L) === "third")
+  }
+
+  test("zscore flags the planted spike and only the spike") {
+    val vals = (1 to 99).map(i => (i.toLong, "g", 10.0 + (i % 3))) :+
+      (100L, "g", 500.0)
+    val r = Curation.zscoreFlag(vals.toDF("id", "grp", "v"), "grp", "v")
+      .select("id", "is_outlier")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(r(100L) === true)
+    assert((1 to 99).forall(i => !r(i.toLong)))
+  }
+
   test("split assignment is deterministic and roughly proportional") {
     val docs = (1L to 1000L).toDF("doc_id")
     val counts = Curation.splitAssign(docs, "doc_id")
