@@ -122,6 +122,58 @@ object WindowQueries {
           FROM customer)
         SELECT f.fact_id, f.probe_key, f.t, d.config, d.tier
         FROM facts f ASOF LEFT JOIN dims d
-          ON f.probe_key = d.probe_key AND f.t >= d.version_time"""))
+          ON f.probe_key = d.probe_key AND f.t >= d.version_time""")),
+
+    GraftQuery(
+      "q85_windowed_topk",
+      (s, dir) => {
+        // trending-per-window: top-3 event types per tumbling hour. The
+        // rank window partitions by hour, so it parallelizes across
+        // windows — composition of the q22 aggregation with a per-window
+        // top-k cut, the standard "what's hot each hour" dashboard query.
+        import org.apache.spark.sql.expressions.Window
+        val agg = Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("window_start"),
+            col("event_type"), col("n"))
+        val w = Window.partitionBy(col("window_start"))
+          .orderBy(col("n").desc, col("event_type").asc)
+        agg.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+      },
+      Some("""WITH a AS (
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                AS window_start,
+              event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT window_start, event_type, n, CAST(rn AS INTEGER) AS rnk
+        FROM (SELECT *, row_number()
+            OVER (PARTITION BY window_start ORDER BY n DESC, event_type ASC)
+              AS rn
+          FROM a)
+        WHERE rn <= 3""")),
+
+    GraftQuery(
+      "q86_incremental_agg",
+      (s, dir) => {
+        // incremental aggregate maintenance: the "stored" aggregate
+        // covers ~70% of events, the "new slice" the rest; merging the
+        // two agg tables must reproduce the full recompute bit-exactly
+        // (counts sum; DECIMAL partial sums add exactly).
+        import graft.operators.IncrementalAgg
+        val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+        def leaf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("event_type").agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+        val prev = leaf(ev.filter(col("event_id") % 10 < 7))
+        val delta = leaf(ev.filter(col("event_id") % 10 >= 7))
+        IncrementalAgg.merge(prev, delta, Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            col("sv").cast("double").as("sum_value"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type"""))
   )
 }

@@ -187,6 +187,24 @@ class CurationSpec extends AnyFunSuite {
     assert((1 to 99).forall(i => !r(i.toLong)))
   }
 
+  test("incremental agg merge equals full recompute") {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = (1 to 100).map(i => (i.toLong, s"t${i % 3}", i * 1.25))
+      .toDF("id", "typ", "v")
+    def leaf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("typ").agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(18, 2))).as("sv"))
+    val merged = graft.operators.IncrementalAgg.merge(
+        leaf(rows.filter(col("id") <= 60)), leaf(rows.filter(col("id") > 60)),
+        Seq("typ"))
+      .select(col("typ"), col("n"), col("sv").cast("double").as("sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = leaf(rows)
+      .select(col("typ"), col("n"), col("sv").cast("double").as("sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged === full)
+  }
+
   test("split assignment is deterministic and roughly proportional") {
     val docs = (1L to 1000L).toDF("doc_id")
     val counts = Curation.splitAssign(docs, "doc_id")
