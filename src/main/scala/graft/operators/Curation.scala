@@ -339,6 +339,22 @@ object Curation {
       .drop("__m", "__n", "__ssq", "__sd")
   }
 
+  /** Cap each domain's contribution at `cap` documents, keeping a
+    * deterministic hash-ordered sample — the standard guard against a
+    * single host dominating a crawl. The window partitions by domain
+    * (parallel across domains); the hash order means the kept subset is
+    * replay-stable and unbiased by ingest order. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int, salt: String = "graft-cap"): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__key"), col(idCol))
+    df.withColumn("__key",
+        TextFunctions.md5Key60(concat(lit(salt), col(idCol))))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cap)
+      .drop("__key", "__r")
+  }
+
   /** PII patterns shared by the Spark operator and its DuckDB oracle —
     * restricted to syntax Java regex and RE2 interpret identically (no
     * lookaround, no backrefs; `\b` is an ASCII word boundary in both). */

@@ -332,6 +332,19 @@ object Dedup {
     labels
   }
 
+  /** Apply cluster assignments to a corpus: keep each component's
+    * canonical survivor (its min-id member, per [[clusterAssignments]])
+    * plus every unclustered document — the write side of the dedup
+    * pipeline (cluster → drop the rest). One left-anti join against the
+    * non-canonical set; the drop side is a projection of the (small)
+    * cluster table, so AQE broadcasts it. */
+  def applyClusters(docs: DataFrame, idCol: String, clusters: DataFrame,
+      nodeCol: String = "node", clusterCol: String = "cluster"): DataFrame = {
+    val drop = clusters.filter(col(nodeCol) =!= col(clusterCol))
+      .select(col(nodeCol).as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash bit width: 60 usable bits from the md5-derived token key. */
   val SimhashBits = 60
 

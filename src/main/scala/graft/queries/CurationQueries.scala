@@ -259,6 +259,20 @@ object CurationQueries {
         WHERE rn <= 3""")),
 
     GraftQuery(
+      "q88_domain_cap",
+      (s, dir) => Curation.domainCap(
+          Tables.load(s, dir, "documents"), "doc_id", "source", cap = 10)
+        .select("doc_id", "source"),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+            ${md5Key60Sql("'graft-cap' || CAST(doc_id AS VARCHAR)")} AS key
+          FROM documents)
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS r
+          FROM t)
+        WHERE r <= 10""")),
+
+    GraftQuery(
       "q58_quantized_cosine_topk",
       (s, dir) => {
         // int8 max-abs quantization (4× smaller vectors at scale), then

@@ -110,6 +110,41 @@ object DedupQueries {
         FROM reach GROUP BY src"""),
       bench = true),
 
+    GraftQuery(
+      "q87_dedup_apply",
+      (s, dir) => {
+        // the write side of dedup: keep each component's min-id canonical
+        // plus all unclustered docs — pairs → components → anti-join.
+        val c = corpus(s, dir)
+        val pairs = Dedup.jaccardPairs(c, "doc_id", "text",
+          k = 3, threshold = 0.8)
+        Dedup.applyClusters(c, "doc_id", Dedup.clusterAssignments(pairs))
+      },
+      Some(s"""WITH RECURSIVE
+        edges AS (
+          SELECT doc_a, doc_b FROM (
+            WITH $CappedIdxSql,
+            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+            co AS (
+              SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
+              FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
+            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM edges
+          UNION SELECT doc_b, doc_a FROM edges),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        cl AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src)
+        SELECT c.doc_id, c.text
+        FROM $CorpusSql c LEFT JOIN cl ON cl.node = c.doc_id
+        WHERE cl.node IS NULL OR cl.cluster = c.doc_id""")),
+
     // MinHash + SimHash run on md5-derived integer keys and overflow-free
     // modular arithmetic, so DuckDB reproduces the exact signatures,
     // band keys, and fingerprints — full hash gates, not rows-only.

@@ -205,6 +205,16 @@ class CurationSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("domain cap keeps at most n docs per domain, deterministically") {
+    val docs = (0 until 100).map(i => (i.toLong, s"d${i % 4}"))
+      .toDF("doc_id", "dom")
+    val r1 = Curation.domainCap(docs, "doc_id", "dom", cap = 5).collect()
+    val r2 = Curation.domainCap(docs, "doc_id", "dom", cap = 5).collect()
+    assert(r1.map(_.toSeq).toSet === r2.map(_.toSeq).toSet)
+    val perDom = r1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perDom.values.toSet === Set(5) && perDom.size === 4)
+  }
+
   test("split assignment is deterministic and roughly proportional") {
     val docs = (1L to 1000L).toDF("doc_id")
     val counts = Curation.splitAssign(docs, "doc_id")

@@ -77,6 +77,15 @@ class LlmOpsSpec extends AnyFunSuite {
       "a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("applyClusters drops non-canonical members, keeps unclustered docs") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (9L, "solo"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "cluster")
+    val kept = Dedup.applyClusters(docs, "doc_id", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 9L)) // 2 dropped; 9 untouched
+  }
+
   test("simhash: identical docs equal, near-dups hamming-close, different docs far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
