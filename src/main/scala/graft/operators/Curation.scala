@@ -229,7 +229,9 @@ object Curation {
     * driver like a broadcast dim) and a zero-shuffle hash filter.
     * Domains missing from `weights` get `defaultWeight`. The keep
     * decision is [[hashKeep]]-style (md5 mod 10⁴ vs a per-domain
-    * threshold), so the subsample is replay-stable. */
+    * threshold), so the subsample is replay-stable. Rows with a NULL
+    * domain are dropped (no equality match → threshold 0) — filter or
+    * fill the domain column first if they must survive. */
   def mixToTarget(df: DataFrame, idCol: String, domainCol: String,
       weights: Map[String, Double], defaultWeight: Double,
       salt: String = "graft-mix"): DataFrame = {

@@ -157,9 +157,15 @@ object Similarity {
       .map(_.getSeq[Double](0).toSeq)
     require(cents.size == k, s"need at least $k vectors, got ${cents.size}")
     for (_ <- 1 until iters) {
+      // two selects, NOT one: with `select(expr, posexplode(...))`,
+      // ExtractGenerator leaves `expr` in the Project ABOVE the Generate,
+      // re-evaluating the whole k×dim distance scan once per exploded
+      // element (64× — measured 7.6 s vs 0.4 s at sf0.1). Binding the
+      // cell in its own projection below the explode makes the outer
+      // project a plain attribute reference.
       val byCell = e
-        .select(nearest(cents)(col("__v")).as("__cell"),
-          posexplode(col("__v")).as(Seq("pos", "v")))
+        .select(nearest(cents)(col("__v")).as("__cell"), col("__v"))
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("pos", "v")))
         .groupBy("__cell", "pos")
         .agg((sum(graft.functions.SafeMath.roundHalfUp(col("v"), scale)
             .cast(DecimalType(28, scale))).cast("double") / count(lit(1)))

@@ -27,6 +27,43 @@ object Profile {
       r
     }
 
+    if (args.contains("kmeans")) {
+      import org.apache.spark.sql.types.DecimalType
+      import graft.operators.Similarity
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      time("emb count")(emb.count())
+      val e = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("__v")).cache()
+      val cents0 = time("init collect")(e.orderBy(col("vec_id")).limit(8)
+        .select(col("__v")).collect().toIndexedSeq
+        .map(_.getSeq[Double](0).toSeq))
+      def nearestCol(cents: IndexedSeq[Seq[Double]]) = {
+        val dists = array(cents.map(c =>
+          -Similarity.dotLit(col("__v"), c) / lit(Similarity.normLit(c))): _*)
+        graft.functions.TextFunctions.bindOnce(dists) { dd =>
+          (array_position(dd, array_min(dd)) - 1).cast("int")
+        }
+      }
+      val byCell = time("mean recompute")(e
+        .select(nearestCol(cents0).as("__cell"), col("__v"))
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("pos", "v")))
+        .groupBy("__cell", "pos")
+        .agg((sum(graft.functions.SafeMath.roundHalfUp(col("v"), 10)
+            .cast(DecimalType(28, 10))).cast("double") / count(lit(1)))
+          .as("m"))
+        .collect())
+      val cents1 = (0 until 8).map(i =>
+        byCell.groupBy(_.getInt(0)).map { case (c, rs) =>
+          c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }.getOrElse(i, cents0(i)))
+      time("final assignment count")(
+        e.select(col("vec_id"), nearestCol(cents1).as("cluster")).count())
+      time("full kmeans")(Similarity.kmeans(
+        emb, "vec_id", "embedding", k = 8, iters = 2).count())
+      spark.stop()
+      return
+    }
+
     val d = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     val corpus = d.unionByName(
       d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
