@@ -35,9 +35,35 @@ object GraftFunctions {
         Source(org.apache.spark.sql.GraftColumnBridge.column(byName(name)), name)))
   }
 
+  /** Text/dedup scalar functions exposed to SQL: like pq_score, each call
+    * splices the argument expression into the Column-API expression tree
+    * (no UDF, full codegen). One entry per single-text-argument function. */
+  private[graft] val textFns: Seq[(String, Column => Column)] = {
+    import graft.functions.TextFunctions
+    Seq(
+      "graft_token_count" -> TextFunctions.tokenCount _,
+      "graft_bpe_count" -> TextFunctions.bpeTokenEstimate _,
+      "graft_stopword_ratio" -> ((c: Column) => TextFunctions.stopwordRatio(c)),
+      "graft_punct_ratio" -> TextFunctions.punctRatio _,
+      "graft_mean_token_len" -> TextFunctions.meanTokenLen _,
+      "graft_quality" -> TextFunctions.qualityScore _,
+      "graft_lang_id" -> TextFunctions.langId _,
+      "graft_md5key" -> TextFunctions.md5Key60 _,
+      "graft_fingerprint" -> TextFunctions.fingerprint _,
+      "graft_simhash" -> graft.operators.Dedup.simhash _)
+  }
+
+  private def textBuilder(name: String,
+      f: Column => Column): Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"$name takes 1 argument (text)")
+    org.apache.spark.sql.GraftColumnBridge.expression(
+      f(org.apache.spark.sql.GraftColumnBridge.column(exprs.head)))
+  }
+
   def functionNames(cfg: PQConfig = PQDefaults.config): Seq[String] =
     cfg.criteria.filterNot(_.protocol == "SPEED")
-      .map(c => s"pq_score_${c.protocol.toLowerCase}")
+      .map(c => s"pq_score_${c.protocol.toLowerCase}") ++
+      textFns.map(_._1) :+ "rolling_hash"
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession, cfg: PQConfig = PQDefaults.config): Unit = {
@@ -46,6 +72,10 @@ object GraftFunctions {
         s"pq_score_${c.protocol.toLowerCase}",
         builderFor(cfg, c.protocol),
         "built-in")
+    }
+    textFns.foreach { case (name, f) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, textBuilder(name, f), "built-in")
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash",
@@ -61,7 +91,14 @@ object GraftFunctions {
       (FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftFunctions", name),
         builderFor(cfg, c.protocol))
-    }
+    } ++ textFns.map { case (name, f) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftFunctions", name),
+        textBuilder(name, f))
+    } :+ ((FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo("graft.GraftFunctions", "rolling_hash"),
+      ((exprs: Seq[Expression]) =>
+        graft.expressions.RollingHash(exprs.head)): Seq[Expression] => Expression))
 }
 
 /** `spark.sql.extensions`-compatible wiring: injects the pq_score family

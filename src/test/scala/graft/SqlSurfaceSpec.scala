@@ -76,6 +76,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(se.agg(sum(col("n"))).collect()(0).getLong(0) === ev.count())
   }
 
+  test("text functions callable from spark.sql, equal to Column API") {
+    import graft.functions.TextFunctions
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog."),
+      (2L, "短い中文テキスト 混在 text"))
+      .toDF("id", "text").createOrReplaceTempView("sqltext")
+    val viaSql = spark.sql(
+      """SELECT id, graft_token_count(text) AS n, graft_quality(text) AS q,
+        graft_lang_id(text) AS l, graft_simhash(text) AS sh,
+        graft_md5key(text) AS mk FROM sqltext""").collect()
+    val viaCol = spark.table("sqltext").select(col("id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langId(col("text")).as("l"),
+      graft.operators.Dedup.simhash(col("text")).as("sh"),
+      TextFunctions.md5Key60(col("text")).as("mk")).collect()
+    assert(viaSql.map(_.toSeq).toSeq === viaCol.map(_.toSeq).toSeq)
+    assert(GraftFunctions.functionNames().contains("graft_quality"))
+  }
+
   test("rolling_hash: eval == codegen == hand computation; SQL-registered") {
     import graft.expressions.RollingHash
     val df = Seq((1L, "abc"), (2L, ""), (3L, "the quick brown fox"))
