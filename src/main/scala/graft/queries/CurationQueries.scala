@@ -273,6 +273,36 @@ object CurationQueries {
         WHERE r <= 10""")),
 
     GraftQuery(
+      "q89_count_min",
+      (s, dir) => {
+        // count-min sketch over the token stream; estimates for three
+        // present terms and one absent term — the absent term's min
+        // exposes whichever counters it collides into, and the oracle
+        // reproduces the identical collisions (md5 family).
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(
+            graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        val sk = graft.operators.Sketches.cmSketch(toks, "tok")
+        graft.operators.Sketches.cmsEstimate(sk,
+          Seq("spark", "table", "the", "zebra-unseen"))
+      },
+      Some(s"""WITH toks AS (
+            SELECT unnest($Toks5Sql) AS tok FROM documents),
+          h AS (SELECT r.j AS j,
+              ${md5Key60Sql("'graft-cms' || CAST(r.j AS VARCHAR) || tok")}
+                % 1024 AS bucket
+            FROM toks, range(0, 4) r(j)),
+          counters AS (SELECT j, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2),
+          q AS (SELECT t.term, r.j,
+              ${md5Key60Sql("'graft-cms' || CAST(r.j AS VARCHAR) || t.term")}
+                % 1024 AS bucket
+            FROM (SELECT unnest(['spark', 'table', 'the', 'zebra-unseen'])
+              AS term) t, range(0, 4) r(j))
+        SELECT term, MIN(COALESCE(c.c, 0)) AS est
+        FROM q LEFT JOIN counters c ON c.j = q.j AND c.bucket = q.bucket
+        GROUP BY term""")),
+
+    GraftQuery(
       "q58_quantized_cosine_topk",
       (s, dir) => {
         // int8 max-abs quantization (4× smaller vectors at scale), then

@@ -215,6 +215,29 @@ class CurationSpec extends AnyFunSuite {
     assert(perDom.values.toSet === Set(5) && perDom.size === 4)
   }
 
+  test("count-min sketch: estimates bound true counts; sketches merge") {
+    import graft.operators.Sketches
+    val toks = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++
+      (1 to 40).map(i => s"u$i")).toDF("tok")
+    val sk = Sketches.cmSketch(toks, "tok", width = 64, depth = 4)
+    val est = Sketches.cmsEstimate(sk, Seq("hot", "warm", "absent"),
+      width = 64, depth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("hot") >= 50L && est("warm") >= 7L) // CM never underestimates
+    assert(est("hot") <= 50L + 40 + 7)             // bounded by collisions
+    // sketches over two halves merged = sketch over the union
+    val (a, b) = ((Seq.fill(30)("hot") ++ (1 to 20).map(i => s"u$i")).toDF("tok"),
+      (Seq.fill(20)("hot") ++ Seq.fill(7)("warm") ++
+        (21 to 40).map(i => s"u$i")).toDF("tok"))
+    val merged = graft.operators.IncrementalAgg.merge(
+      Sketches.cmSketch(a, "tok", width = 64, depth = 4),
+      Sketches.cmSketch(b, "tok", width = 64, depth = 4),
+      Seq("j", "bucket"))
+    val full = Sketches.cmSketch(toks, "tok", width = 64, depth = 4)
+    assert(merged.collect().map(_.toSeq).toSet ===
+      full.collect().map(_.toSeq).toSet)
+  }
+
   test("split assignment is deterministic and roughly proportional") {
     val docs = (1L to 1000L).toDF("doc_id")
     val counts = Curation.splitAssign(docs, "doc_id")
