@@ -357,6 +357,22 @@ object Curation {
       .drop("__key", "__r")
   }
 
+  /** Length-outlier cut: keep documents whose token count lies inside the
+    * [pLo, pHi] interpolated-percentile band of the corpus. The cutoffs
+    * are one global aggregate (two doubles to the driver — at 100 TB use
+    * approx_percentile and accept the sketch error); the filter itself is
+    * then a zero-shuffle scan predicate. */
+  def lengthBandFilter(docs: DataFrame, idCol: String, textCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val withN = docs.withColumn("n_tokens",
+      TextFunctions.tokenCount(col(textCol)).cast("long"))
+    val cuts = withN.agg(
+      percentile(col("n_tokens"), lit(pLo)).as("lo"),
+      percentile(col("n_tokens"), lit(pHi)).as("hi")).collect()(0)
+    val (lo, hi) = (cuts.getDouble(0), cuts.getDouble(1))
+    withN.filter(col("n_tokens") >= lit(lo) && col("n_tokens") <= lit(hi))
+  }
+
   /** PII patterns shared by the Spark operator and its DuckDB oracle —
     * restricted to syntax Java regex and RE2 interpret identically (no
     * lookaround, no backrefs; `\b` is an ASCII word boundary in both). */

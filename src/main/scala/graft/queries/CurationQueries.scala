@@ -16,7 +16,7 @@ object CurationQueries {
 
   /** DuckDB twin of TextFunctions.md5Key60: left fold acc*16+digit over
     * the first 15 md5 hex chars of `e`. */
-  private def md5Key60Sql(e: String): String =
+  private[queries] def md5Key60Sql(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
         list_transform(range(1, 16),
           j -> CAST(strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1 AS BIGINT))),
@@ -301,6 +301,18 @@ object CurationQueries {
         SELECT term, MIN(COALESCE(c.c, 0)) AS est
         FROM q LEFT JOIN counters c ON c.j = q.j AND c.bucket = q.bucket
         GROUP BY term""")),
+
+    GraftQuery(
+      "q90_length_band",
+      (s, dir) => Curation.lengthBandFilter(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "n_tokens"),
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+            CAST(len($Toks5Sql) AS BIGINT) AS n_tokens FROM documents),
+          b AS (SELECT quantile_cont(n_tokens, 0.05E0) AS lo,
+            quantile_cont(n_tokens, 0.95E0) AS hi FROM t)
+        SELECT doc_id, lang, n_tokens FROM t, b
+        WHERE n_tokens >= lo AND n_tokens <= hi""")),
 
     GraftQuery(
       "q58_quantized_cosine_topk",

@@ -806,6 +806,47 @@ object StreamQueries {
                            WHEN doc_id % 5 < 4 THEN 1
                            ELSE 2 END AS VARCHAR) ||
             '-' || CAST(doc_id AS VARCHAR) AS text
-        FROM documents"""))
+        FROM documents""")),
+
+    GraftQuery(
+      "q91_stream_sketch",
+      (s, dir) => {
+        // corpus statistics maintained AS A STREAM: three waves of
+        // documents each fold into a per-batch count-min sketch (written
+        // idempotently under batch=<id>); the merged sketch's estimates
+        // must equal the batch-built sketch over the whole corpus —
+        // which is exactly q89's oracle (CM is algebraic, and the md5
+        // family makes the counters engine-exact).
+        val k = col("doc_id")
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        def wave(p: Column) = docs.filter(p)
+          .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+        val frames = Seq(wave(k % 3 === 0), wave(k % 3 === 1), wave(k % 3 === 2))
+        val batchSketches = runStaged(s, frames, "sketch") { (raw, out, ckpt) =>
+          StreamJobs.runTokenSketch(raw, out, ckpt, Trigger.AvailableNow())
+        }
+        val merged = batchSketches.groupBy("j", "bucket")
+          .agg(sum(col("c")).as("c"))
+        graft.operators.Sketches.cmsEstimate(merged,
+          Seq("spark", "table", "the", "zebra-unseen"))
+      },
+      // identical to q89's oracle by design: the streamed, batch-merged
+      // sketch must reproduce the batch-built sketch bit-for-bit
+      Some(s"""WITH toks AS (
+            SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS tok FROM documents),
+          h AS (SELECT r.j AS j,
+              ${CurationQueries.md5Key60Sql(
+                "'graft-cms' || CAST(r.j AS VARCHAR) || tok")} % 1024 AS bucket
+            FROM toks, range(0, 4) r(j)),
+          counters AS (SELECT j, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2),
+          q AS (SELECT t.term, r.j,
+              ${CurationQueries.md5Key60Sql(
+                "'graft-cms' || CAST(r.j AS VARCHAR) || t.term")} % 1024 AS bucket
+            FROM (SELECT unnest(['spark', 'table', 'the', 'zebra-unseen'])
+              AS term) t, range(0, 4) r(j))
+        SELECT term, MIN(COALESCE(c.c, 0)) AS est
+        FROM q LEFT JOIN counters c ON c.j = q.j AND c.bucket = q.bucket
+        GROUP BY term"""))
   )
 }

@@ -198,4 +198,37 @@ object StreamJobs {
     graft.operators.KeepLatest(
       spark.read.parquet(factDir), Seq(key),
       Seq(col(orderCol).desc))
+
+  /** Corpus statistics as a stream: each micro-batch's token stream folds
+    * into a count-min sketch written under `sketch/batch=<id>` —
+    * overwrite of the batch's OWN directory, so a replayed batch rewrites
+    * the identical counters (exactly-once by idempotence, no read-modify-
+    * write race on a running total). Readers merge batch sketches by
+    * summing counters ([[graft.operators.Sketches]] is algebraic), i.e.
+    * the standing "what's frequent in the ingest so far" state. */
+  def runTokenSketch(raw: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val toks = batch
+          .select(from_json(col("value"), schema).as("j"))
+          .select(explode(
+            graft.functions.TextFunctions.tokens(col("j.text"))).as("tok"))
+        graft.operators.Sketches.cmSketch(toks, "tok")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/sketch/batch=$id")
+        ()
+      }
+      .start()
+  }
+
+  /** Merge all batch sketches of [[runTokenSketch]] into the corpus-total
+    * sketch (sum counters per (j, bucket)). */
+  def mergedSketch(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/sketch")
+      .groupBy("j", "bucket").agg(sum(col("c")).as("c"))
 }

@@ -238,6 +238,16 @@ class CurationSpec extends AnyFunSuite {
       full.collect().map(_.toSeq).toSet)
   }
 
+  test("length band filter drops the extreme tails only") {
+    val docs = ((1 to 96).map(i => (i.toLong, Seq.fill(50 + i % 7)("w").mkString(" "))) ++
+      Seq((97L, "w"), (98L, Seq.fill(5000)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val kept = Curation.lengthBandFilter(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(97L) && !kept.contains(98L))
+    assert(kept.size >= 90) // the mid-band survives
+  }
+
   test("split assignment is deterministic and roughly proportional") {
     val docs = (1L to 1000L).toDF("doc_id")
     val counts = Curation.splitAssign(docs, "doc_id")
