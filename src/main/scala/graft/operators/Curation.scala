@@ -373,6 +373,31 @@ object Curation {
     withN.filter(col("n_tokens") >= lit(lo) && col("n_tokens") <= lit(hi))
   }
 
+  /** The curation pipeline COMPOSED end to end: exact dedup (min-id per
+    * content fingerprint — a row_number window, never a wide first()
+    * aggregate) → corpus length band → quality threshold → stratified
+    * language sampling → deterministic train/val/test split. Stage order
+    * is part of the contract: the percentile cutoffs are computed on the
+    * DEDUPED corpus, the sample on the quality-surviving one. Every
+    * stage is hash-based/deterministic, so the whole pipeline is
+    * replay-stable and oracle-checkable as one unit (q92). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, qualityMin: Double = 0.5,
+      rates: Map[String, Double] = Map.empty, defaultRate: Double = 1.0,
+      salt: String = "graft-curate"): DataFrame = {
+    val fpW = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    val deduped = docs
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(fpW))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+    val banded = lengthBandFilter(deduped, idCol, textCol)
+    val good = banded.filter(
+      TextFunctions.qualityScore(col(textCol)) >= lit(qualityMin))
+    val sampled = stratifiedSample(good, idCol, langCol,
+      rates, defaultRate, salt)
+    splitAssign(sampled, idCol)
+  }
+
   /** PII patterns shared by the Spark operator and its DuckDB oracle —
     * restricted to syntax Java regex and RE2 interpret identically (no
     * lookaround, no backrefs; `\b` is an ASCII word boundary in both). */

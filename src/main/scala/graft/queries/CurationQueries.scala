@@ -315,6 +315,53 @@ object CurationQueries {
         WHERE n_tokens >= lo AND n_tokens <= hi""")),
 
     GraftQuery(
+      "q92_full_curation",
+      (s, dir) => {
+        // the composed pipeline over a doubled corpus (so exact dedup has
+        // real work): dedup → length band → quality ≥ 0.5 → en sampled at
+        // 0.8 → split. One gate proves the stages compose.
+        val d = Tables.load(s, dir, "documents")
+          .select("doc_id", "text", "lang")
+        val corpus = d.unionByName(
+          d.select((col("doc_id") + 100000L).as("doc_id"),
+            col("text"), col("lang")))
+        Curation.curate(corpus, "doc_id", "text", "lang",
+            qualityMin = 0.5, rates = Map("en" -> 0.8),
+            defaultRate = 1.0, salt = "graft-c92")
+          .select("doc_id", "lang", "n_tokens", "split")
+      },
+      Some(s"""WITH c AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text, lang FROM documents),
+          f AS (SELECT *,
+            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM c),
+          ded AS (SELECT doc_id, text, lang FROM (
+              SELECT doc_id, text, lang,
+                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM f) WHERE rn = 1),
+          tok AS (SELECT doc_id, lang, text,
+              CAST(len($Toks5Sql) AS BIGINT) AS n_tokens FROM ded),
+          b AS (SELECT quantile_cont(n_tokens, 0.05E0) AS lo,
+              quantile_cont(n_tokens, 0.95E0) AS hi FROM tok),
+          band AS (SELECT doc_id, lang, text, n_tokens FROM tok, b
+            WHERE n_tokens >= lo AND n_tokens <= hi),
+          good AS (SELECT doc_id, lang, n_tokens FROM band
+            WHERE ${TextQueries.qualitySqlTwin} >= 0.5E0),
+          samp AS (SELECT * FROM good
+            WHERE ${md5Key60Sql("'graft-c92' || CAST(doc_id AS VARCHAR)")}
+                % 10000 <
+              CASE WHEN lang = 'en' THEN 8000 ELSE 10000 END)
+        SELECT doc_id, lang, n_tokens,
+          CASE WHEN ${md5Key60Sql("'graft-split' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                 THEN 'train'
+               WHEN ${md5Key60Sql("'graft-split' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                 THEN 'val'
+               ELSE 'test' END AS split
+        FROM samp""")),
+
+    GraftQuery(
       "q58_quantized_cosine_topk",
       (s, dir) => {
         // int8 max-abs quantization (4× smaller vectors at scale), then

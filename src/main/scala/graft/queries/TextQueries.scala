@@ -24,6 +24,19 @@ object TextQueries {
     s"""len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
         x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"""
 
+  /** The qualityScore SQL twin over any relation exposing `text` — shared
+    * with CurationQueries' composed-pipeline gate (q92). */
+  private[queries] def qualitySqlTwin: String = {
+    val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
+    val stopRatio = s"""(CASE WHEN $TokCountSql = 0 THEN 0.0E0 ELSE
+      CAST(len(list_filter($ToksSql, x -> list_contains([$stopList], x))) AS DOUBLE) / $TokCountSql END)"""
+    val punctRatio = s"""(CASE WHEN length(text) = 0 THEN 0.0E0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END)"""
+    s"""(FLOOR((least(CAST($TokCountSql AS DOUBLE) / 100.0E0, 1.0E0) * 0.4E0 +
+      least($stopRatio * 4.0E0, 1.0E0) * 0.3E0 +
+      greatest(1.0E0 - $punctRatio * 5.0E0, 0.0E0) * 0.3E0) * 10000.0E0 + 0.5E0) / 10000.0E0)"""
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q25_token_stats",
@@ -61,9 +74,7 @@ object TextQueries {
           CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END)"""
         val meanLen = s"""(CASE WHEN $TokCountSql = 0 THEN 0.0E0 ELSE
           CAST(list_sum(list_transform($ToksSql, x -> length(x))) AS DOUBLE) / $TokCountSql END)"""
-        val quality = s"""(FLOOR((least(CAST($TokCountSql AS DOUBLE) / 100.0E0, 1.0E0) * 0.4E0 +
-          least($stopRatio * 4.0E0, 1.0E0) * 0.3E0 +
-          greatest(1.0E0 - $punctRatio * 5.0E0, 0.0E0) * 0.3E0) * 10000.0E0 + 0.5E0) / 10000.0E0)"""
+        val quality = qualitySqlTwin
         s"""SELECT doc_id, $TokCountSql AS n_tokens, $stopRatio AS stop_ratio,
           $punctRatio AS punct_ratio, $meanLen AS mean_token_len,
           $quality AS quality FROM documents"""
