@@ -359,7 +359,8 @@ object CurationQueries {
                WHEN ${md5Key60Sql("'graft-split' || CAST(doc_id AS VARCHAR)")} % 100 < 90
                  THEN 'val'
                ELSE 'test' END AS split
-        FROM samp""")),
+        FROM samp"""),
+      bench = true),
 
     GraftQuery(
       "q58_quantized_cosine_topk",
