@@ -28,6 +28,79 @@ object Sketches {
       .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  /** HLL-style distinct-count estimate that is DETERMINISTIC and
+    * engine-portable — unlike `approx_count_distinct`, whose sketch is
+    * Spark-internal (q40 is rows-only for exactly that reason). Classic
+    * register layout (m=256, register = max over a geometric bit
+    * statistic of the md5 hash; trailing-zero run instead of canonical
+    * leading-zero — same geometric law), harmonic-mean estimate with the
+    * standard small-range linear-counting correction. The register table
+    * is m rows per group after one keyed aggregation with map-side
+    * combine; the 2^-M fold runs over the idx-sorted register array, so
+    * the sum has ONE order on every engine and partitioning. */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String,
+      salt: String = "graft-hll", scale: Int = 6): DataFrame = {
+    val m = 256
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val h = TextFunctions.md5Key60(concat(lit(salt), col(keyCol)))
+    val rest = shiftright(h, 8)
+    val lowbitArr = array((0 until 52).map(j => lit(1L << j)): _*)
+    val rho = when(rest === 0L, lit(53))
+      .otherwise(array_position(lowbitArr, rest.bitwiseAND(-rest)).cast("int"))
+    val regs = df
+      .select(col(groupCol), (h % m).cast("int").as("idx"), rho.as("rho"))
+      .groupBy(col(groupCol), col("idx")).agg(max(col("rho")).as("mr"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("idx"), col("mr")))).as("regs"))
+    val s = aggregate(col("regs"),
+      (lit(m) - size(col("regs"))).cast("double"),
+      (acc, r) => acc + pow(lit(2.0), -r.getField("mr").cast("double")))
+    val v = lit(m) - size(col("regs"))
+    regs.select(col(groupCol),
+      graft.functions.SafeMath.roundHalfUp(
+        TextFunctions.bindOnce(lit(alphaM2) / s) { raw =>
+          when(raw <= lit(2.5 * m) && v > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+            .otherwise(raw)
+        }, scale).as("est"))
+  }
+
+  /** The exact SQL twin of [[hllDistinct]] over a relation exposing the
+    * group and key columns — kept next to the operator because the two
+    * must evolve in lockstep. */
+  def hllDistinctSql(rel: String, groupCol: String, keyCol: String,
+      salt: String = "graft-hll", scale: Int = 6): String = {
+    val m = 256
+    val alphaM2 = graft.score.ScoreEngine.fmtD(0.7213 / (1.0 + 1.079 / m) * m * m)
+    val lowbits = (0 until 52).map(j => (1L << j).toString).mkString("[", ", ", "]")
+    val fold = s"""list_reduce(
+        list_prepend(CAST(256 - len(regs) AS DOUBLE),
+          list_transform(regs, r -> power(2.0E0, -CAST(r.mr AS DOUBLE)))),
+        (a, b) -> a + b)"""
+    val md5fold = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, 16),
+          j -> CAST(strpos('0123456789abcdef',
+            substr(md5('$salt' || CAST($keyCol AS VARCHAR)), j, 1)) - 1 AS BIGINT))),
+        (a, v) -> a * 16 + v)"""
+    s"""WITH hh AS (SELECT $groupCol, $md5fold AS h FROM $rel),
+      rr AS (SELECT $groupCol, CAST(h % 256 AS INTEGER) AS idx,
+          CASE WHEN (h // 256) = 0 THEN 53
+            ELSE CAST(list_position($lowbits,
+              (h // 256) & (-(h // 256))) AS INTEGER) END AS rho
+        FROM hh),
+      regs AS (SELECT $groupCol, idx, MAX(rho) AS mr FROM rr GROUP BY 1, 2),
+      g AS (SELECT $groupCol,
+          list(struct_pack(idx := idx, mr := mr) ORDER BY idx) AS regs
+        FROM regs GROUP BY $groupCol),
+      e AS (SELECT $groupCol, $fold AS s, 256 - len(regs) AS v FROM g)
+    SELECT $groupCol,
+      ${graft.functions.SafeMath.roundHalfUpSql(
+        s"""CASE WHEN ($alphaM2 / s) <= 640.0E0 AND v > 0
+          THEN 256.0E0 * ln(256.0E0 / CAST(v AS DOUBLE))
+          ELSE ($alphaM2 / s) END""", scale)} AS est
+    FROM e"""
+  }
+
   /** Point estimate for each query term: min over the depth rows of the
     * term's counter — ≥ the true count, with the classic CM overestimate
     * bound. The sketch side is tiny (depth×width) → broadcast join. */

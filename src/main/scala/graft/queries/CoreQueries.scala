@@ -207,6 +207,16 @@ object CoreQueries {
       None),
 
     GraftQuery(
+      "q93_hll_portable",
+      (s, dir) => graft.operators.Sketches.hllDistinct(
+        Tables.events(s, dir).select("event_type", "user_id"),
+        "event_type", "user_id"),
+      // q40's asterisk, closed: our own md5-register HLL is deterministic
+      // and engine-portable, so the estimate itself hash-gates.
+      Some(graft.operators.Sketches.hllDistinctSql(
+        "events", "event_type", "user_id"))),
+
+    GraftQuery(
       "q41_percentiles",
       (s, dir) => {
         // §2.5 analytics the reference delegates to ClickHouse: exact

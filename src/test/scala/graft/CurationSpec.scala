@@ -248,6 +248,22 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.size >= 90) // the mid-band survives
   }
 
+  test("portable HLL estimates within ~10% across cardinality regimes") {
+    import graft.operators.Sketches
+    // small group (linear-counting range) and large group (raw estimate)
+    val rows = ((1 to 40).map(i => ("small", s"u$i")) ++
+      (1 to 5000).flatMap(i => Seq(("big", s"v$i"), ("big", s"v$i"))))
+      .toDF("grp", "k")
+    val est = Sketches.hllDistinct(rows, "grp", "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est("small") - 40.0) / 40.0 < 0.1)
+    assert(math.abs(est("big") - 5000.0) / 5000.0 < 0.1)
+    // deterministic: same inputs → identical estimate
+    val again = Sketches.hllDistinct(rows, "grp", "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again === est)
+  }
+
   test("split assignment is deterministic and roughly proportional") {
     val docs = (1L to 1000L).toDF("doc_id")
     val counts = Curation.splitAssign(docs, "doc_id")
