@@ -48,6 +48,9 @@ object Sketches {
     val rho = when(rest === 0L, lit(53))
       .otherwise(array_position(lowbitArr, rest.bitwiseAND(-rest)).cast("int"))
     val regs = df
+      // NULL keys out: a null hash would put a null-idx register into the
+      // sorted fold, and null ordering differs across engines
+      .filter(col(keyCol).isNotNull)
       .select(col(groupCol), (h % m).cast("int").as("idx"), rho.as("rho"))
       .groupBy(col(groupCol), col("idx")).agg(max(col("rho")).as("mr"))
       .groupBy(col(groupCol))
@@ -82,7 +85,8 @@ object Sketches {
           j -> CAST(strpos('0123456789abcdef',
             substr(md5('$salt' || CAST($keyCol AS VARCHAR)), j, 1)) - 1 AS BIGINT))),
         (a, v) -> a * 16 + v)"""
-    s"""WITH hh AS (SELECT $groupCol, $md5fold AS h FROM $rel),
+    s"""WITH hh AS (SELECT $groupCol, $md5fold AS h FROM $rel
+          WHERE $keyCol IS NOT NULL),
       rr AS (SELECT $groupCol, CAST(h % 256 AS INTEGER) AS idx,
           CASE WHEN (h // 256) = 0 THEN 53
             ELSE CAST(list_position($lowbits,
