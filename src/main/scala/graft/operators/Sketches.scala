@@ -39,21 +39,35 @@ object Sketches {
     * combine; the 2^-M fold runs over the idx-sorted register array, so
     * the sum has ONE order on every engine and partitioning. */
   def hllDistinct(df: DataFrame, groupCol: String, keyCol: String,
-      salt: String = "graft-hll", scale: Int = 6): DataFrame = {
+      salt: String = "graft-hll", scale: Int = 6): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, keyCol, salt), groupCol, scale)
+
+  /** The mergeable state of [[hllDistinct]]: one (group, idx, mr) row per
+    * touched register. Two register tables over different slices merge by
+    * MAX per register — the algebraic property the streaming gate (q94)
+    * exercises. */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String,
+      salt: String = "graft-hll"): DataFrame = {
     val m = 256
-    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
     val h = TextFunctions.md5Key60(concat(lit(salt), col(keyCol)))
     val rest = shiftright(h, 8)
     val lowbitArr = array((0 until 52).map(j => lit(1L << j)): _*)
     val rho = when(rest === 0L, lit(53))
       .otherwise(array_position(lowbitArr, rest.bitwiseAND(-rest)).cast("int"))
-    val regs = df
+    df
       // NULL keys out: a null hash would put a null-idx register into the
       // sorted fold, and null ordering differs across engines
       .filter(col(keyCol).isNotNull)
       .select(col(groupCol), (h % m).cast("int").as("idx"), rho.as("rho"))
       .groupBy(col(groupCol), col("idx")).agg(max(col("rho")).as("mr"))
-      .groupBy(col(groupCol))
+  }
+
+  /** Harmonic-mean estimate over a register table (merged or single-run). */
+  def hllEstimate(registers: DataFrame, groupCol: String,
+      scale: Int = 6): DataFrame = {
+    val m = 256
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val regs = registers.groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col("idx"), col("mr")))).as("regs"))
     val s = aggregate(col("regs"),
       (lit(m) - size(col("regs"))).cast("double"),

@@ -847,6 +847,31 @@ object StreamQueries {
               AS term) t, range(0, 4) r(j))
         SELECT term, MIN(COALESCE(c.c, 0)) AS est
         FROM q LEFT JOIN counters c ON c.j = q.j AND c.bucket = q.bucket
-        GROUP BY term"""))
+        GROUP BY term""")),
+
+    GraftQuery(
+      "q94_stream_hll",
+      (s, dir) => {
+        // distinct-count state maintained AS A STREAM: three OVERLAPPING
+        // event waves (re-sent users must merge by register MAX, not
+        // double-count); the max-merged registers' estimate must equal
+        // the batch HLL over the whole table — q93's oracle verbatim.
+        val ev = Tables.events(s, dir)
+          .select("event_id", "event_type", "user_id")
+        def wave(p: Column) = ev.filter(p)
+          .select(to_json(struct(col("event_type"), col("user_id"))).as("value"))
+        val frames = Seq(wave(col("event_id") % 2 === 0),
+          wave(col("event_id") % 3 === 0), wave(lit(true)))
+        val regs = runStaged(s, frames, "hll") { (raw, out, ckpt) =>
+          StreamJobs.runHllRegisters(raw, "event_type", "user_id",
+            "event_type STRING, user_id LONG", out, ckpt,
+            Trigger.AvailableNow())
+        }
+        val merged = regs.groupBy(col("event_type"), col("idx"))
+          .agg(max(col("mr")).as("mr"))
+        graft.operators.Sketches.hllEstimate(merged, "event_type")
+      },
+      Some(graft.operators.Sketches.hllDistinctSql(
+        "events", "event_type", "user_id")))
   )
 }

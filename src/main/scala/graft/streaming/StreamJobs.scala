@@ -231,4 +231,32 @@ object StreamJobs {
   def mergedSketch(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/sketch")
       .groupBy("j", "bucket").agg(sum(col("c")).as("c"))
+
+  /** Distinct-count state as a stream: each micro-batch's HLL register
+    * table lands under `hll/batch=<id>` (idempotent overwrite of the
+    * batch's own dir, like [[runTokenSketch]]); registers merge at read
+    * by MAX — so "distinct users so far" is a query over tiny register
+    * tables, never a re-scan of the ingest. */
+  def runHllRegisters(raw: DataFrame, groupCol: String, keyCol: String,
+      schemaDdl: String, outDir: String, checkpointDir: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val parsed = batch.select(from_json(col("value"), schema).as("j"))
+          .select(col("j.*"))
+        graft.operators.Sketches.hllRegisters(parsed, groupCol, keyCol)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/hll/batch=$id")
+        ()
+      }
+      .start()
+  }
+
+  /** Max-merged register view of [[runHllRegisters]]' batch outputs. */
+  def mergedHll(spark: SparkSession, outDir: String, groupCol: String): DataFrame =
+    spark.read.parquet(s"$outDir/hll")
+      .groupBy(col(groupCol), col("idx")).agg(max(col("mr")).as("mr"))
 }
