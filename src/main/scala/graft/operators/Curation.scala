@@ -398,6 +398,46 @@ object Curation {
     splitAssign(sampled, idCol)
   }
 
+  /** Corpus-wide frequent-line removal (the CCNet-style boilerplate cut):
+    * a line whose normalized form appears in more than `maxDocFrac` of all
+    * documents is boilerplate (nav bars, cookie banners, footers) and is
+    * removed from EVERY document; per-doc kept/removed counts are the
+    * audit trail. Shape at 100 TB: the doc-frequency pass shuffles
+    * (line-hash, doc) pairs — never the text; the frequent set is bounded
+    * by construction (at most avgLinesPerDoc / maxDocFrac lines can clear
+    * the bar) → broadcast anti-join; reassembly shuffles only the kept
+    * lines once, keyed by doc. Line normalization = casefold + trim, so
+    * cosmetic variants of the same boilerplate line count together. */
+  def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
+      maxDocFrac: Double = 0.05): DataFrame = {
+    val total = docs.count()
+    val cut = math.floor(total * maxDocFrac).toLong // df > cut ⇒ drop
+    val lines = docs.select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__k", md5(trim(lower(col("__line")))))
+    val frequent = lines.select(col("__k"), col("__doc")).distinct()
+      .groupBy("__k").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > cut)
+      .select("__k")
+    val kept = lines.join(broadcast(frequent), Seq("__k"), "left_anti")
+      .groupBy(col("__doc"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__line"))))
+        .as("__ls"))
+      .select(col("__doc"),
+        array_join(transform(col("__ls"), x => x.getField("__line")), "\n")
+          .as("clean_text"),
+        size(col("__ls")).cast("long").as("n_kept"))
+    // docs whose every line was boilerplate vanish from `kept` — restore
+    // them with an empty clean_text via the left join
+    docs.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("__n_lines"))
+      .join(kept.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** PII patterns shared by the Spark operator and its DuckDB oracle —
     * restricted to syntax Java regex and RE2 interpret identically (no
     * lookaround, no backrefs; `\b` is an ASCII word boundary in both). */

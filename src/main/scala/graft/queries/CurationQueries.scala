@@ -459,6 +459,52 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q95_drop_frequent_lines",
+      (s, dir) => {
+        // corpus-wide boilerplate-line removal over synthesized multi-line
+        // docs (the documents table has no newlines): an everywhere line
+        // (df = N) and a half-the-corpus line (df ≈ N/2) must be dropped
+        // at the 5% bar; a ~1% line (k%97) and the per-doc unique lines
+        // must survive.
+        val k = col("doc_id")
+        val text = concat_ws("\n",
+          concat(lit("doc "), k, lit(" opening line.")),
+          lit("All Rights Reserved."),
+          when(k % 2 === 0, lit("subscribe to our newsletter.")),
+          when(k % 97 === 0, lit("limited time offer!")),
+          concat(lit("closing thoughts for doc "), k, lit(".")))
+        val docs = Tables.load(s, dir, "documents")
+          .select(k.as("doc_id"), text.as("text"))
+        Curation.dropFrequentLines(docs, "doc_id", "text", maxDocFrac = 0.05)
+      },
+      Some("""WITH t AS (SELECT doc_id, concat_ws(chr(10),
+            'doc ' || doc_id || ' opening line.',
+            'All Rights Reserved.',
+            CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter.' END,
+            CASE WHEN doc_id % 97 = 0 THEN 'limited time offer!' END,
+            'closing thoughts for doc ' || doc_id || '.') AS text
+          FROM documents),
+        n AS (SELECT CAST(FLOOR(COUNT(*) * 0.05E0) AS BIGINT) AS cut FROM t),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM t),
+        ex AS (SELECT doc_id, unnest(lines) AS line,
+            unnest(range(0, len(lines))) AS pos FROM ls),
+        ek AS (SELECT doc_id, pos, line, md5(trim(lower(line))) AS k FROM ex),
+        freq AS (SELECT k FROM (
+            SELECT k, COUNT(*) AS df FROM (SELECT DISTINCT k, doc_id FROM ek)
+            GROUP BY k), n
+          WHERE df > cut),
+        kept AS (SELECT doc_id,
+            array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+            CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM ek WHERE k NOT IN (SELECT k FROM freq)
+          GROUP BY doc_id)
+        SELECT t.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+          COALESCE(kept.n_kept, 0) AS n_kept,
+          CAST(len(ls.lines) AS BIGINT) - COALESCE(kept.n_kept, 0) AS n_removed
+        FROM t JOIN ls USING (doc_id)
+        LEFT JOIN kept ON kept.doc_id = t.doc_id""")),
+
+    GraftQuery(
       "q67_repetition_stats",
       (s, dir) => Curation.repetitionStats(
         Tables.load(s, dir, "documents"), "doc_id", "text", n = 2),
