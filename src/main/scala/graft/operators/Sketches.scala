@@ -119,6 +119,48 @@ object Sketches {
     FROM e"""
   }
 
+  /** Portable Bloom filter over a key column: `mBits` bits stored as
+    * mBits/32 BIGINT words — only the low 32 bits of each word are used,
+    * so the `1 << bit` shift is identical on every engine (no sign-bit
+    * edge at shift 63). `k` probes per key on the md5 family. Output is
+    * one (word, bits) row per touched word — at most mBits/32 rows
+    * regardless of corpus size, so the built filter broadcasts for
+    * membership joins; two filters over different slices MERGE by
+    * per-word `bit_or` (the [[IncrementalAgg.merge]] property). The
+    * compact alternative to shipping a full key set for decontamination
+    * membership tests at 100 TB. */
+  def bloomBuild(df: DataFrame, keyCol: String, mBits: Int = 4096,
+      k: Int = 5, salt: String = "graft-bloom"): DataFrame = {
+    val probes = explode(array((0 until k).map(lit): _*)).as("j")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"), probes)
+      .select((TextFunctions.md5Key60(
+        concat(lit(salt), col("j"), col("__k"))) % mBits).as("h"))
+      .select((col("h") / 32).cast("int").as("word"),
+        (col("h") % 32).cast("int").as("bit"))
+      .groupBy("word")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("bits"))
+  }
+
+  /** Membership probe against a built filter: returns one row per
+    * distinct probe key with `in_bloom` = all k probed bits set (no
+    * false negatives; false-positive rate set by mBits/k vs the build
+    * cardinality — and deterministic, so the gate hash-checks even the
+    * collisions). The filter side is ≤ mBits/32 rows → broadcast. */
+  def bloomMightContain(bloom: DataFrame, probes: DataFrame, keyCol: String,
+      mBits: Int = 4096, k: Int = 5, salt: String = "graft-bloom"): DataFrame =
+    probes.select(col(keyCol),
+        explode(array((0 until k).map(lit): _*)).as("j"))
+      .select(col(keyCol), (TextFunctions.md5Key60(
+        concat(lit(salt), col("j"), col(keyCol).cast("string"))) % mBits).as("h"))
+      .select(col(keyCol), (col("h") / 32).cast("int").as("word"),
+        (col("h") % 32).cast("int").as("bit"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .select(col(keyCol),
+        coalesce(expr("(shiftright(bits, bit) & 1) = 1"), lit(false)).as("__hit"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__hit")).as("in_bloom"))
+
   /** Point estimate for each query term: min over the depth rows of the
     * term's counter — ≥ the true count, with the classic CM overestimate
     * bound. The sketch side is tiny (depth×width) → broadcast join. */

@@ -505,6 +505,54 @@ object CurationQueries {
         LEFT JOIN kept ON kept.doc_id = t.doc_id""")),
 
     GraftQuery(
+      "q96_bloom_membership",
+      (s, dir) => {
+        // decontamination by COMPACT membership: a 128-bit Bloom filter
+        // over the benchmark docs' content fingerprints (4 BIGINT words
+        // → broadcast) probed with every document's fingerprint. mBits is
+        // deliberately small so false positives occur — they are
+        // deterministic on the md5 family, so the oracle reproduces the
+        // exact collision set.
+        import graft.functions.TextFunctions
+        val d = Tables.load(s, dir, "documents")
+        val bench = d.filter(col("doc_id") % 25 === 0)
+          .select(TextFunctions.fingerprint(col("text")).as("fp"))
+        val bloom = graft.operators.Sketches.bloomBuild(
+          bench, "fp", mBits = 128, k = 5, salt = "graft-b96")
+        val probes = d.select(col("doc_id"), col("lang"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        val flags = graft.operators.Sketches.bloomMightContain(
+          bloom, probes.select("fp").distinct(), "fp",
+          mBits = 128, k = 5, salt = "graft-b96")
+        probes.join(flags, Seq("fp"), "left")
+          .select(col("doc_id"), col("lang"), col("in_bloom"))
+      },
+      Some(s"""WITH bk AS (
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents WHERE doc_id % 25 = 0),
+          pos AS (SELECT
+              ${md5Key60Sql("'graft-b96' || CAST(r.j AS VARCHAR) || fp")}
+                % 128 AS h
+            FROM bk, range(0, 5) r(j)),
+          words AS (SELECT CAST(h // 32 AS INTEGER) AS word,
+              bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INTEGER)) AS bits
+            FROM pos GROUP BY 1),
+          pk AS (SELECT doc_id, lang,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents),
+          pp AS (SELECT fp, CAST(h // 32 AS INTEGER) AS word,
+              CAST(h % 32 AS INTEGER) AS bit
+            FROM (SELECT fp,
+                ${md5Key60Sql("'graft-b96' || CAST(r.j AS VARCHAR) || fp")}
+                  % 128 AS h
+              FROM (SELECT DISTINCT fp FROM pk), range(0, 5) r(j))),
+          hits AS (SELECT fp,
+              bool_and(COALESCE((bits >> bit) & 1 = 1, false)) AS in_bloom
+            FROM pp LEFT JOIN words USING (word) GROUP BY fp)
+        SELECT pk.doc_id, pk.lang, hits.in_bloom
+        FROM pk JOIN hits USING (fp)""")),
+
+    GraftQuery(
       "q67_repetition_stats",
       (s, dir) => Curation.repetitionStats(
         Tables.load(s, dir, "documents"), "doc_id", "text", n = 2),

@@ -238,6 +238,40 @@ class CurationSpec extends AnyFunSuite {
       full.collect().map(_.toSeq).toSet)
   }
 
+  test("bloom filter: no false negatives; filters merge by bit_or") {
+    import graft.operators.Sketches
+    val keys = (1 to 60).map(i => s"k$i").toDF("k")
+    val bloom = Sketches.bloomBuild(keys, "k", mBits = 512, k = 4)
+    val probes = ((1 to 60).map(i => s"k$i") ++ (1 to 40).map(i => s"x$i"))
+      .toDF("k")
+    val res = Sketches.bloomMightContain(bloom, probes, "k",
+        mBits = 512, k = 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    (1 to 60).foreach(i => assert(res(s"k$i"), s"false negative on k$i"))
+    // two half-filters OR-merged per word == the full filter
+    val (a, b) = ((1 to 30).map(i => s"k$i").toDF("k"),
+      (31 to 60).map(i => s"k$i").toDF("k"))
+    val merged = Sketches.bloomBuild(a, "k", mBits = 512, k = 4)
+      .unionByName(Sketches.bloomBuild(b, "k", mBits = 512, k = 4))
+      .groupBy("word").agg(bit_or(col("bits")).as("bits"))
+    assert(merged.collect().map(_.toSeq).toSet ===
+      bloom.collect().map(_.toSeq).toSet)
+  }
+
+  test("frequent-line removal drops corpus boilerplate, keeps rare lines") {
+    val docs = (1 to 100).map { i =>
+      val rare = if (i <= 3) "\nrare promo line" else ""
+      (i.toLong, s"unique opening $i\nCopyright Notice.$rare\nunique close $i")
+    }.toDF("doc_id", "text")
+    val out = Curation.dropFrequentLines(docs, "doc_id", "text",
+        maxDocFrac = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(10L) === (("unique opening 10\nunique close 10", 2L, 1L)))
+    assert(out(2L) ===
+      (("unique opening 2\nrare promo line\nunique close 2", 3L, 1L)))
+  }
+
   test("length band filter drops the extreme tails only") {
     val docs = ((1 to 96).map(i => (i.toLong, Seq.fill(50 + i % 7)("w").mkString(" "))) ++
       Seq((97L, "w"), (98L, Seq.fill(5000)("w").mkString(" "))))
