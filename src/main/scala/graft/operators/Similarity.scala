@@ -180,6 +180,57 @@ object Similarity {
     e.select(col(idCol), nearest(cents)(col("__v")).as("cluster"))
   }
 
+  /** SemDedup-style semantic near-duplicate pairs: coarse [[kmeans]]
+    * clustering, then pairwise cosine ONLY within a cluster. The cell
+    * granularity bounds the quadratic term — at 100 TB pick `k` so the
+    * largest cell's pair volume is shuffle-affordable (corpus/k vectors
+    * per cell ⇒ (corpus/k)²/2 pairs); cross-cluster near-dups are traded
+    * away exactly like LSH's cross-bucket misses. One shuffle keyed by
+    * cluster on each side of the self-join; vectors never leave their
+    * cell. */
+  def semDedupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, threshold: Double = 0.95,
+      scale: Int = 6): DataFrame =
+    pairsWithin(embeddings, idCol, vecCol,
+      kmeans(embeddings, idCol, vecCol, k, iters), threshold, scale)
+
+  private def pairsWithin(embeddings: DataFrame, idCol: String,
+      vecCol: String, assign: DataFrame, threshold: Double,
+      scale: Int): DataFrame = {
+    val e = embeddings.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+    val withCell = e.join(assign, Seq(idCol))
+    val a = withCell.select(col("cluster"), col(idCol).as("id_a"),
+      col("__v").as("__va"))
+    val b = withCell.select(col("cluster"), col(idCol).as("id_b"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        cosineCols(col("__va"), col("__vb"), scale).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SemDedup keep/drop decision: a vector is DROPPED when some lower-id
+    * vector in its cluster sits within the cosine threshold (greedy by id
+    * — deterministic and single-pass; chains a~b~c drop both b and c,
+    * the standard cheap approximation to one-per-component). Returns
+    * (id, cluster, is_kept). The k-means assignment runs ONCE and feeds
+    * both the pair generation and the output. */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, threshold: Double = 0.95,
+      scale: Int = 6): DataFrame = {
+    val assign = kmeans(embeddings, idCol, vecCol, k, iters)
+      .localCheckpoint()
+    val pairs = pairsWithin(embeddings, idCol, vecCol, assign,
+      threshold, scale)
+    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
+      .withColumn("__d", lit(true))
+    assign.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__d"), lit(false)).unary_!.as("is_kept"))
+  }
+
   /** IVF: assign every vector to its nearest of `nCells` centroids (picked
     * deterministically as the first vectors by id — kmeans init would
     * iterate the same machinery), then score only the `nProbe` cells

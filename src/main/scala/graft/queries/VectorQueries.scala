@@ -239,38 +239,70 @@ object VectorQueries {
       (s, dir) => Similarity.kmeans(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, iters = 2),
-      Some {
-        // unrolled two-iteration Lloyd twin: assignment = row_number over
-        // (dist, cell) — exactly array_position's first-min — and the
-        // centroid recompute mirrors q68's decimal-summed mean.
-        val rounded = graft.functions.SafeMath.roundHalfUpSql("g.s.v", 10)
-        def assign(d: String) =
-          s"""SELECT vec_id, cell FROM (
-              SELECT vec_id, cell, row_number()
-                OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
-              FROM $d) WHERE rn = 1"""
-        def dists(c: String) =
-          s"""SELECT e.vec_id, $c.cell,
-              (-(${dotSql("e.v", s"$c.v")})) / sqrt(${dotSql(s"$c.v", s"$c.v")}) AS dist
-            FROM e, $c"""
-        s"""WITH e AS (SELECT vec_id,
-              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings),
-          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-                AS cell, v
-            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-          d1 AS (${dists("c0")}),
-          a1 AS (${assign("d1")}),
-          f1 AS (SELECT a1.cell, g.s.pos AS pos,
-              (CAST(SUM(CAST($rounded AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)) AS m
-            FROM (SELECT vec_id, unnest(list_transform(range(1, ${Dim + 1}),
-                i -> struct_pack(pos := i - 1, v := v[i]))) AS s FROM e) g
-            JOIN a1 ON a1.vec_id = g.vec_id GROUP BY 1, 2),
-          c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM f1 GROUP BY cell),
-          d2 AS (${dists("c1")}),
-          a2 AS (${assign("d2")})
-          SELECT vec_id, cell AS cluster FROM a2"""
+      Some(s"""WITH ${kmeansCte("embeddings")}
+          SELECT vec_id, cell AS cluster FROM a2"""),
+      bench = true),
+
+    GraftQuery(
+      "q97_semdedup",
+      (s, dir) => {
+        // SemDedup over a dup-guaranteed corpus (id-shifted copy): the
+        // exact duplicates MUST come back is_kept=false; the k-means
+        // cells and the greedy in-cluster drop decision both hash-match
+        // the unrolled oracle.
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        Similarity.semDedup(corpus, "vec_id", "embedding",
+          k = 8, iters = 2, threshold = 0.95)
       },
-      bench = true)
+      Some {
+        val corpus = s"""(SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)"""
+        s"""WITH ${kmeansCte(corpus)},
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ${cosSql("ea.v", "eb.v")} AS cos
+            FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id),
+          drops AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.95E0)
+        SELECT a2.vec_id, a2.cell AS cluster, (d.id_b IS NULL) AS is_kept
+        FROM a2 LEFT JOIN drops d ON d.id_b = a2.vec_id"""
+      })
   )
+
+  /** Unrolled two-iteration Lloyd twin of Similarity.kmeans over any
+    * corpus relation: assignment = row_number over (dist, cell) — exactly
+    * array_position's first-min — and the centroid recompute mirrors
+    * q68's decimal-summed mean. Emits the CTE body (e, c0, d1, a1, f1,
+    * c1, d2, a2); callers select from `a2` (final assignment) and may
+    * join vectors back from `e`. */
+  private def kmeansCte(corpus: String): String = {
+    val rounded = graft.functions.SafeMath.roundHalfUpSql("g.s.v", 10)
+    def assign(d: String) =
+      s"""SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number()
+            OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+          FROM $d) WHERE rn = 1"""
+    def dists(c: String) =
+      s"""SELECT e.vec_id, $c.cell,
+          (-(${dotSql("e.v", s"$c.v")})) / sqrt(${dotSql(s"$c.v", s"$c.v")}) AS dist
+        FROM e, $c"""
+    s"""e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM $corpus),
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+            AS cell, v
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+      d1 AS (${dists("c0")}),
+      a1 AS (${assign("d1")}),
+      f1 AS (SELECT a1.cell, g.s.pos AS pos,
+          (CAST(SUM(CAST($rounded AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)) AS m
+        FROM (SELECT vec_id, unnest(list_transform(range(1, ${Dim + 1}),
+            i -> struct_pack(pos := i - 1, v := v[i]))) AS s FROM e) g
+        JOIN a1 ON a1.vec_id = g.vec_id GROUP BY 1, 2),
+      c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM f1 GROUP BY cell),
+      d2 AS (${dists("c1")}),
+      a2 AS (${assign("d2")})"""
+  }
 }

@@ -132,6 +132,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(even.size === 1 && odd.size === 1 && even != odd)
   }
 
+  test("semdedup drops in-cluster near-dups greedily by id, keeps originals") {
+    // two angular clusters; ids 100+ are exact copies of 0..9 and must
+    // all drop; the distinct directions must all survive
+    val base = (0 until 10).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(i % 2) = 1.0f
+      v(2 + i % 3) = 0.1f * (i + 1) // unique magnitude ⇒ distinct directions
+      (i.toLong, v.toSeq)
+    }
+    val dups = base.map { case (id, v) => (id + 100L, v) }
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(vecs, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.999)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    (0 until 10).foreach(i => assert(r(i.toLong), s"original $i dropped"))
+    (0 until 10).foreach(i => assert(!r(i + 100L), s"dup ${i + 100} kept"))
+  }
+
   test("embedding near-dup: LSH blocking recovers the brute-force pairs") {
     val base = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat).toSeq)
