@@ -872,6 +872,62 @@ object StreamQueries {
         graft.operators.Sketches.hllEstimate(merged, "event_type")
       },
       Some(graft.operators.Sketches.hllDistinctSql(
-        "events", "event_type", "user_id")))
+        "events", "event_type", "user_id"))),
+
+    GraftQuery(
+      "q98_stream_interval_join",
+      (s, dir) => {
+        // Flink-style event-time INTERVAL JOIN as a real stream-stream
+        // join: impressions arrive in batch 1, clicks in batch 2, so
+        // every match crosses micro-batches through the join STATE. A
+        // click matches an impression with the same key within
+        // [imp_time, imp_time + 30 min]; both sides are watermarked (the
+        // interval is what bounds the buffered state). Inner joins emit
+        // on match — no sentinel files needed.
+        val k = col("c_custkey")
+        def row(kind: String, ts: Column, v: Column): Column =
+          concat(lit(s"""{"kind":"$kind","key":"p-"""), k % 30,
+            lit("""","ts":"""), ts, lit(""","v":"""), v, lit("}"))
+        val cust = Tables.load(s, dir, "customer")
+        val imps = cust.select(
+          row("imp", lit(Now) + (k % 40) * 60, k % 89).as("value"))
+        val clks = cust.select(
+          row("clk", lit(Now) + (k % 40) * 60 + (k % 25) * 120, k % 97)
+            .as("value"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "kind STRING, key STRING, ts LONG, v LONG")
+        runStaged(s, Seq(imps, clks), "joined") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+          val l = parsed.filter(col("kind") === "imp")
+            .select(col("key"),
+              to_timestamp(col("ts")).as("imp_time"), col("v").as("imp_v"))
+            .withWatermark("imp_time", "1 hour")
+          val r = parsed.filter(col("kind") === "clk")
+            .select(col("key").as("clk_key"),
+              to_timestamp(col("ts")).as("clk_time"), col("v").as("clk_v"))
+            .withWatermark("clk_time", "1 hour")
+          graft.streaming.StreamJoins.intervalJoin(l, r,
+              "key", "clk_key", "imp_time", "clk_time", 0L, 1800L)
+            .select(col("key"),
+              unix_timestamp(col("imp_time")).as("imp_ts"), col("imp_v"),
+              unix_timestamp(col("clk_time")).as("clk_ts"), col("clk_v"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/joined")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+      },
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+          imp AS (SELECT 'p-' || (k % 30) AS key,
+            CAST($Now + (k % 40) * 60 AS BIGINT) AS imp_ts,
+            CAST(k % 89 AS BIGINT) AS imp_v FROM b),
+          clk AS (SELECT 'p-' || (k % 30) AS key,
+            CAST($Now + (k % 40) * 60 + (k % 25) * 120 AS BIGINT) AS clk_ts,
+            CAST(k % 97 AS BIGINT) AS clk_v FROM b)
+        SELECT i.key, i.imp_ts, i.imp_v, c.clk_ts, c.clk_v
+        FROM imp i JOIN clk c ON c.key = i.key
+          AND c.clk_ts >= i.imp_ts AND c.clk_ts <= i.imp_ts + 1800"""))
   )
 }

@@ -243,6 +243,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.contains((1L, "x3"))) // beyond horizon = fresh arrival
   }
 
+  test("interval join matches only in-window same-key pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val l = Seq(("a", 1000L, 1), ("a", 5000L, 2), ("b", 1000L, 3))
+      .toDF("key", "lts", "lv")
+      .select(col("key"), to_timestamp(col("lts")).as("ltime"), col("lv"))
+    val r = Seq(("a", 1100L, 10), ("a", 3000L, 11), ("b", 900L, 12),
+        ("c", 1000L, 13))
+      .toDF("rkey", "rts", "rv")
+      .select(col("rkey"), to_timestamp(col("rts")).as("rtime"), col("rv"))
+    val out = graft.streaming.StreamJoins.intervalJoin(
+        l, r, "key", "rkey", "ltime", "rtime", 0L, 1800L)
+      .select("lv", "rv").collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    // a@1000 ↔ a@1100 only (a@3000 is past +1800; b@900 precedes b@1000;
+    // c has no left side)
+    assert(out === Set((1, 10)))
+  }
+
   test("keep-latest view returns newest row per key") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-latest").toFile.getAbsolutePath
