@@ -96,6 +96,56 @@ object Dedup {
     } finally byShingle.unpersist()
   }
 
+  /** Duplicate-passage pairs (the exact-substring dedup family): document
+    * pairs sharing at least `minRun` CONSECUTIVE word k-shingles — a
+    * common word substring of length ≥ k + minRun − 1 — with the length
+    * of the longest shared run. Catches partial-copy contamination
+    * (quotes, mirrored paragraphs, licence blocks) that whole-document
+    * Jaccard dilutes away on long documents.
+    *
+    * Plan shape at 100 TB: one shuffle groups the POSITIONAL shingle
+    * index by shingle hash; posting lists above `dfCap` occurrences are
+    * dropped (boilerplate shingles would otherwise generate df² pairs),
+    * so match volume is bounded by |shingles| × dfCap²; occurrence pairs
+    * are generated in-row from each list. Run detection is the island
+    * trick — within (a, b, offset-difference), consecutive positions
+    * share one island id — a window keyed by the document pair, so it
+    * parallelizes across pairs. */
+  def duplicatePassages(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minRun: Int = 3, dfCap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = docs.select(col(idCol).as("doc"),
+        posexplode(TextFunctions.shingles(col(textCol), k))
+          .as(Seq("pos", "sh_str")))
+      .select(col("doc"), col("pos"),
+        TextFunctions.md5Key60(col("sh_str")).as("shk"))
+    val byShingle = idx.groupBy("shk")
+      .agg(collect_list(struct(col("doc"), col("pos"))).as("posts"))
+      .filter(size(col("posts")).between(2, dfCap))
+    val matches = byShingle.select(
+        explode(flatten(transform(col("posts"), a =>
+          transform(
+            filter(col("posts"), b => b.getField("doc") > a.getField("doc")),
+            b => struct(
+              a.getField("doc").as("doc_a"), a.getField("pos").as("pos_a"),
+              b.getField("doc").as("doc_b"), b.getField("pos").as("pos_b"))))))
+          .as("m"))
+      .select(col("m.doc_a").as("doc_a"), col("m.pos_a").as("pos_a"),
+        col("m.doc_b").as("doc_b"),
+        (col("m.pos_b") - col("m.pos_a")).as("diff"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("__isl", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diff", "__isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("run")).as("max_run"))
+      .filter(col("max_run") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("max_run"),
+        (col("max_run") + (k - 1)).as("shared_words"))
+  }
+
   /** Prime modulus and per-seed affine coefficients for the MinHash
     * family h_i(x) = (a_i * x + b_i) mod P over 31-bit keys. All values
     * stay below 2^62 so the arithmetic is overflow-free in any engine's

@@ -216,6 +216,65 @@ object DedupQueries {
           votes AS (SELECT doc_id, $votes FROM keys GROUP BY doc_id)
           SELECT d.doc_id, CAST(coalesce($bits, 0) AS BIGINT) AS simhash64
           FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id"""
+      }),
+
+    GraftQuery(
+      "q99_duplicate_passages",
+      (s, dir) => {
+        // partial-copy detection: every group g of three docs plants one
+        // 12-token group-specific passage into docs 3g+1 (appended) and
+        // 3g+2 (prepended) — those pairs must surface with a shared run
+        // of ≥ 8 shingles; natural shared passages in the raw text
+        // surface too (mirrored by the oracle).
+        val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val g = (col("doc_id") / 3).cast("long")
+        val passage = concat_ws(" ",
+          ('a' to 'l').map(c => concat(lit("p"), g, lit(c.toString))): _*)
+        val text2 = when(col("doc_id") % 3 === 1,
+            concat_ws(" ", col("text"), passage))
+          .when(col("doc_id") % 3 === 2,
+            concat_ws(" ", passage, col("text")))
+          .otherwise(col("text"))
+        Dedup.duplicatePassages(
+          d.select(col("doc_id"), text2.as("text")), "doc_id", "text",
+          k = 5, minRun = 3, dfCap = 50)
+      },
+      Some {
+        val passage = ('a' to 'l')
+          .map(c => s"'p' || (doc_id // 3) || '$c'").mkString(", ")
+        val toks =
+          """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+        s"""WITH c AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 1
+                     THEN concat_ws(' ', text, concat_ws(' ', $passage))
+                   WHEN doc_id % 3 = 2
+                     THEN concat_ws(' ', concat_ws(' ', $passage), text)
+                   ELSE text END AS text
+            FROM documents),
+          t AS (SELECT doc_id, $toks AS t FROM c),
+          shx AS (SELECT doc_id AS doc,
+              unnest(range(0, greatest(len(t) - 4, 0))) AS pos,
+              unnest(list_transform(range(0, greatest(len(t) - 4, 0)),
+                i -> ${md5FoldSql(
+                  "md5(array_to_string(list_slice(t, i + 1, i + 5), ' '))")}))
+                AS shk
+            FROM t),
+          cnt AS (SELECT shk, COUNT(*) AS df FROM shx GROUP BY 1),
+          ok AS (SELECT doc, pos, shx.shk FROM shx JOIN cnt USING (shk)
+            WHERE df BETWEEN 2 AND 50),
+          m AS (SELECT a.doc AS doc_a, a.pos AS pos_a, b.doc AS doc_b,
+              b.pos - a.pos AS diff
+            FROM ok a JOIN ok b ON a.shk = b.shk AND a.doc < b.doc),
+          isl AS (SELECT doc_a, doc_b, diff, pos_a,
+              pos_a - row_number()
+                OVER (PARTITION BY doc_a, doc_b, diff ORDER BY pos_a) AS grp
+            FROM m),
+          runs AS (SELECT doc_a, doc_b, MAX(run) AS max_run FROM (
+              SELECT doc_a, doc_b, diff, grp, COUNT(*) AS run
+              FROM isl GROUP BY 1, 2, 3, 4)
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, max_run, max_run + 4 AS shared_words
+        FROM runs WHERE max_run >= 3"""
       })
   )
 }

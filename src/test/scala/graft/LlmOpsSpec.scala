@@ -132,6 +132,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(even.size === 1 && odd.size === 1 && even != odd)
   }
 
+  test("duplicate passages: shared run surfaces, scattered overlap does not") {
+    val shared = (1 to 9).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"zeta eta $shared theta iota kappa"),
+      // doc 3 has the same words but SCATTERED — no consecutive run
+      (3L, (1 to 9).map(i => s"common$i pad$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatePassages(docs, "doc_id", "text",
+        k = 3, minRun = 3, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 9 shared tokens with k=3 ⇒ 7 consecutive shingles
+    assert(out((1L, 2L)) === 7L)
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+
   test("semdedup drops in-cluster near-dups greedily by id, keeps originals") {
     // two angular clusters; ids 100+ are exact copies of 0..9 and must
     // all drop; the distinct directions must all survive
