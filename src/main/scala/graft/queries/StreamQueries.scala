@@ -928,6 +928,62 @@ object StreamQueries {
             CAST(k % 97 AS BIGINT) AS clk_v FROM b)
         SELECT i.key, i.imp_ts, i.imp_v, c.clk_ts, c.clk_v
         FROM imp i JOIN clk c ON c.key = i.key
-          AND c.clk_ts >= i.imp_ts AND c.clk_ts <= i.imp_ts + 1800"""))
+          AND c.clk_ts >= i.imp_ts AND c.clk_ts <= i.imp_ts + 1800""")),
+
+    GraftQuery(
+      "q100_stream_sliding_window",
+      (s, dir) => {
+        // Sliding windows under the driver gate as a REAL stream — the
+        // last windowed-agg mode not yet stream-gated (tumbling = q65,
+        // session = q71). Every event lands in TWO overlapping 1-hour
+        // windows advancing every 30 min, so the append-mode output must
+        // double-count each event across window assignments while the
+        // watermark still closes every window deterministically. Same
+        // sentinel recipe as q65.
+        val k = col("c_custkey")
+        val base = Now
+        def row(pid: Column, ts: Column, score: Column): Column =
+          concat(lit("""{"probe_id":"p-"""), pid,
+            lit("""","ts":"""), ts, lit(""","score":"""), score, lit("}"))
+        val cust = Tables.load(s, dir, "customer")
+        val data = cust.select(row(k % 50, lit(base) + (k % 48) * 1800,
+          (k % 89).cast("double") + lit(0.25)).as("value"))
+        def sentinel(tag: Int) = cust.limit(1).select(
+          row(lit(9999), lit(base + 30L * 86400 + tag), lit(0.0)).as("value"))
+        val frames = Seq(data, sentinel(0), sentinel(1))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "probe_id STRING, ts LONG, score DOUBLE")
+        runStaged(s, frames, "sliding") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+            .withColumn("event_time", to_timestamp(col("ts")))
+            .withWatermark("event_time", "10 minutes")
+          graft.streaming.WindowedAgg.sliding(parsed, "event_time",
+              "1 hour", "30 minutes", Seq("probe_id"),
+              Seq(count(lit(1)).as("n"),
+                sum(col("score").cast(
+                  org.apache.spark.sql.types.DecimalType(12, 2)))
+                  .cast("double").as("sum_score")))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/sliding")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.filter(col("window_start") < base + 86400L)
+          .select("window_start", "window_end", "probe_id", "n", "sum_score")
+      },
+      // every data ts is slide-aligned (multiple of 1800), so its two
+      // containing 1-hour windows start at ts and ts - 1800 exactly
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+          r AS (SELECT 'p-' || (k % 50) AS probe_id,
+            CAST($Now + (k % 48) * 1800 AS BIGINT) AS ts,
+            CAST(k % 89 AS DOUBLE) + 0.25E0 AS score FROM b),
+          w AS (SELECT probe_id, ts - g.i * 1800 AS ws, score
+            FROM r, range(0, 2) g(i))
+        SELECT CAST(ws AS BIGINT) AS window_start,
+          CAST(ws + 3600 AS BIGINT) AS window_end,
+          probe_id, COUNT(*) AS n,
+          CAST(SUM(CAST(score AS DECIMAL(12,2))) AS DOUBLE) AS sum_score
+        FROM w GROUP BY 1, 2, 3"""))
   )
 }
