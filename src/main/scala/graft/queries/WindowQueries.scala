@@ -177,3 +177,37 @@ object WindowQueries {
         FROM events GROUP BY event_type"""))
   )
 }
+
+/** SCD2 + time-series window-frame analytics over the events stream. */
+object HistoryQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q101_scd2_history",
+      (s, dir) => {
+        // Type-2 dimension history from the per-user event stream: each
+        // user's event_type changes become versioned rows with
+        // [valid_from, valid_to) intervals — consecutive same-type events
+        // collapse into one version. event_id tie-breaks equal-second
+        // updates so the version chain is total-ordered on both engines.
+        val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+        graft.operators.Scd2.history(ev, Seq("user_id"), "sec",
+          Seq("event_type"), tieBreak = Seq("event_id"))
+          .select("user_id", "event_type", "valid_from", "valid_to",
+            "is_current")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type FROM events),
+          c AS (SELECT *, LAG(event_type) OVER w AS prev
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+          v AS (SELECT user_id, sec, event_id, event_type FROM c
+            WHERE prev IS NULL OR prev <> event_type),
+          h AS (SELECT user_id, event_type, sec AS valid_from,
+            LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+              AS valid_to
+            FROM v)
+        SELECT user_id, event_type, valid_from, valid_to,
+          valid_to IS NULL AS is_current FROM h"""))
+  )
+}
