@@ -91,6 +91,32 @@ object Curation {
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(topK)
 
+  /** Split each document into overlapping token-window chunks — the RAG /
+    * context-window prep step: chunk i covers tokens [i·stride,
+    * i·stride + width). The tokenization is materialized in its OWN
+    * projection below the explode (the ExtractGenerator trap: an
+    * expensive expression in the same select as a generator re-evaluates
+    * once per emitted row), and the generator itself expands a tiny
+    * integer sequence, so the per-row cost is one tokenize + one slice
+    * per chunk. Zero shuffle; empty documents yield one empty chunk so
+    * no doc silently disappears. */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && width >= stride, "need 0 < stride <= width")
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    toks
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__toks")) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(width)), " ")
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("__start"), lit(width))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Deterministic train/val/test assignment: md5-derived bucket of the
     * (salted) id — replay-stable, engine-portable, zero shuffle. Same
     * contract as [[hashKeep]]: re-running the pipeline (or re-sharding

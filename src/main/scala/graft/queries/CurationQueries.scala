@@ -576,6 +576,24 @@ object CurationQueries {
             FROM gc GROUP BY doc)
           SELECT b.doc, b.n_tokens, b.token_dup_ratio, t.top_ngram_frac
           FROM base b LEFT JOIN topf t ON t.doc = b.doc"""
-      })
+      }),
+
+    GraftQuery(
+      "q102_doc_chunks",
+      (s, dir) => Curation.chunkOverlap(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        width = 64, stride = 48),
+      // DuckDB 1.0 range() can't take lateral column args, so the chunk
+      // starts come from a fixed 64-slot series filtered per doc — the
+      // corpus max is ~100 tokens/doc (3 starts); 64 covers 3072 tokens
+      Some(s"""WITH t AS (SELECT doc_id, $Toks5Sql AS toks FROM documents),
+          c AS (SELECT doc_id, toks, CAST(g.i AS INTEGER) AS chunk_id,
+              CAST(g.i * 48 AS INTEGER) AS start
+            FROM t, range(0, 64) g(i)
+            WHERE g.i * 48 <= greatest(len(toks) - 1, 0))
+        SELECT doc_id, chunk_id,
+          array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+          CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens
+        FROM c"""))
   )
 }
