@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames. Complements
+  * [[Dedup.clusterAssignments]] (connected components): where CC answers
+  * "which docs are the same", PageRank answers "which nodes matter" —
+  * the classic quality prior for web-crawl curation (rank domains by the
+  * link graph, then feed the rank into the keep/drop decision).
+  *
+  * All rank arithmetic is FIXED-POINT INTEGER (scale 10^12): ranks are
+  * longs, contributions are integer divisions, damping is `(85·x) div
+  * 100`. That makes every iteration bit-identical across engines and
+  * partition orders — a floating-point PageRank can't be hash-gated
+  * (partial-sum order perturbs the low bits) and isn't replay-stable at
+  * 100 TB either. Precision loss is ≤ outdeg·10⁻¹² per node per
+  * iteration — noise relative to any real ranking use.
+  */
+object Graphs {
+
+  val Scale = 1000000000000L // 10^12 fixed-point
+
+  /** PageRank with damping 0.85 over `iterations` synchronous rounds.
+    * Node set = every id appearing as src or dst; dangling nodes (no
+    * out-edges) contribute nothing (their mass decays into the teleport
+    * term — the simplified formulation; document if exact mass
+    * conservation matters). Returns (node, pr) with pr at scale 10^12.
+    *
+    * Per round: ONE join of the (edge ⋈ outdeg) frame against the
+    * current ranks on src, one map-side-combined shuffle on dst. The
+    * rank frame is persisted + localCheckpoint'd per round so lineage
+    * stays O(1) across iterations (the [[Dedup.clusterAssignments]]
+    * recipe).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().persist()
+    val eo = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src").persist()
+    val n = nodes.count()
+    val base = Scale * 15 / 100 / n
+    var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      val contrib = eo.join(pr, eo("src") === pr("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+      val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
+        .localCheckpoint()
+      pr.unpersist()
+      pr = next
+    }
+    e.unpersist(); eo.unpersist(); nodes.unpersist()
+    pr
+  }
+}

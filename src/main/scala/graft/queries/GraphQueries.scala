@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Graph analytics gates: link-structure ranking over a synthetic domain
+  * graph derived from the orders table (src = customer bucket, dst =
+  * order bucket — dense, deterministic, every node has out-edges at all
+  * scale factors). The fixed-point integer formulation makes the rank
+  * vector hash-gateable against an unrolled DuckDB CTE twin.
+  */
+object GraphQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q103_pagerank",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val edges = o.select(
+          concat(lit("d"), col("o_custkey") % 100).as("src"),
+          concat(lit("d"), col("o_orderkey") % 100).as("dst"))
+        graft.operators.Graphs.pageRank(edges, "src", "dst", iterations = 3)
+      },
+      // three unrolled synchronous rounds of the identical fixed-point
+      // arithmetic: pr0 = S//N, pr' = (S*15//100)//N + (85*contrib)//100
+      Some("""WITH e AS (SELECT DISTINCT 'd' || (o_custkey % 100) AS src,
+              'd' || (o_orderkey % 100) AS dst FROM orders),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+          nn AS (SELECT COUNT(*) AS n FROM nodes),
+          p0 AS (SELECT node, 1000000000000 // nn.n AS pr FROM nodes, nn),
+          c1 AS (SELECT e.dst, CAST(SUM(p.pr // o.outdeg) AS BIGINT) AS c
+            FROM e JOIN p0 p ON p.node = e.src JOIN outd o ON o.src = e.src
+            GROUP BY e.dst),
+          p1 AS (SELECT n.node,
+              (1000000000000 * 15 // 100) // nn.n +
+                (85 * COALESCE(c1.c, 0)) // 100 AS pr
+            FROM nodes n LEFT JOIN c1 ON c1.dst = n.node, nn),
+          c2 AS (SELECT e.dst, CAST(SUM(p.pr // o.outdeg) AS BIGINT) AS c
+            FROM e JOIN p1 p ON p.node = e.src JOIN outd o ON o.src = e.src
+            GROUP BY e.dst),
+          p2 AS (SELECT n.node,
+              (1000000000000 * 15 // 100) // nn.n +
+                (85 * COALESCE(c2.c, 0)) // 100 AS pr
+            FROM nodes n LEFT JOIN c2 ON c2.dst = n.node, nn),
+          c3 AS (SELECT e.dst, CAST(SUM(p.pr // o.outdeg) AS BIGINT) AS c
+            FROM e JOIN p2 p ON p.node = e.src JOIN outd o ON o.src = e.src
+            GROUP BY e.dst),
+          p3 AS (SELECT n.node,
+              (1000000000000 * 15 // 100) // nn.n +
+                (85 * COALESCE(c3.c, 0)) // 100 AS pr
+            FROM nodes n LEFT JOIN c3 ON c3.dst = n.node, nn)
+        SELECT node, CAST(pr AS BIGINT) AS pr FROM p3"""))
+  )
+}

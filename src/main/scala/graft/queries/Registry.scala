@@ -18,7 +18,8 @@ object Registry {
       NqsQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       VectorQueries.queries ++ WindowQueries.queries ++ GeoQueries.queries ++
       PipelineQueries.queries ++ CurationQueries.queries ++
-      StreamQueries.queries ++ HistoryQueries.queries
+      StreamQueries.queries ++ HistoryQueries.queries ++
+      GraphQueries.queries
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 
