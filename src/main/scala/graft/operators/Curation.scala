@@ -91,6 +91,31 @@ object Curation {
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(topK)
 
+  /** Fixed-weight logistic quality classifier — the INFERENCE step of a
+    * fasttext-style quality model run at corpus scale: per-row feature
+    * extraction (length saturation, stopword density, punctuation soup,
+    * mean token length) into a linear score and sigmoid. Training happens
+    * offline; serving a frozen linear model over 100 TB is pure
+    * projection work — no shuffle, full scan speed. The probability is
+    * roundHalfUp'd at scale 8 so the exp() ulp gap between engines can't
+    * flip a hash; the keep decision thresholds the ROUNDED value so the
+    * boolean can't disagree either. */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val t = col(textCol)
+    val n = TextFunctions.tokenCount(t).cast("double")
+    val lenT = least(n / lit(100.0), lit(1.0))
+    val stopT = TextFunctions.stopwordRatio(t)
+    val punctT = TextFunctions.punctRatio(t)
+    val mlenT = TextFunctions.meanTokenLen(t) / lit(10.0)
+    val z = lit(-2.0) + lit(2.5) * lenT + lit(3.0) * stopT -
+      lit(4.0) * punctT + lit(1.5) * mlenT
+    docs.select(col(idCol),
+        graft.functions.SafeMath.roundHalfUp(
+          lit(1.0) / (lit(1.0) + exp(-z)), 8).as("quality_prob"))
+      .withColumn("keep", col("quality_prob") >= threshold)
+  }
+
   /** Split each document into overlapping token-window chunks — the RAG /
     * context-window prep step: chunk i covers tokens [i·stride,
     * i·stride + width). The tokenization is materialized in its OWN

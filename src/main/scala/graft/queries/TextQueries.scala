@@ -127,6 +127,28 @@ object TextQueries {
       },
       Some("""SELECT doc_id,
         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        FROM documents"""))
+        FROM documents""")),
+
+    GraftQuery(
+      "q104_quality_classifier",
+      (s, dir) => graft.operators.Curation.qualityClassifier(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
+        val stopRatio = s"""(CASE WHEN $TokCountSql = 0 THEN 0.0E0 ELSE
+          CAST(len(list_filter($ToksSql, x -> list_contains([$stopList], x))) AS DOUBLE) / $TokCountSql END)"""
+        val punctRatio = s"""(CASE WHEN length(text) = 0 THEN 0.0E0 ELSE
+          CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END)"""
+        val meanLen = s"""(CASE WHEN $TokCountSql = 0 THEN 0.0E0 ELSE
+          CAST(list_sum(list_transform($ToksSql, x -> length(x))) AS DOUBLE) / $TokCountSql END)"""
+        // mirror the Spark fold order exactly: ((((b + a1) + a2) - a3) + a4)
+        val z = s"""(-2.0E0 + 2.5E0 * least(CAST($TokCountSql AS DOUBLE) / 100.0E0, 1.0E0)
+          + 3.0E0 * $stopRatio - 4.0E0 * $punctRatio
+          + 1.5E0 * ($meanLen / 10.0E0))"""
+        val prob = graft.functions.SafeMath.roundHalfUpSql(
+          s"1.0E0 / (1.0E0 + exp(-$z))", 8)
+        s"""SELECT doc_id, $prob AS quality_prob,
+          $prob >= 0.5E0 AS keep FROM documents"""
+      })
   )
 }
