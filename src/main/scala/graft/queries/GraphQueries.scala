@@ -54,3 +54,26 @@ object GraphQueries {
         SELECT node, CAST(pr AS BIGINT) AS pr FROM p3"""))
   )
 }
+
+/** Storage-layout gates. */
+object LayoutQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q105_zorder_key",
+      (s, dir) => {
+        // Morton key over (order, part): the write-side sort key that
+        // makes parquet min/max stats prune BOTH join dimensions. The
+        // gate hashes every row's key, then sorting/partitioning by it
+        // is plain orderBy/repartitionByRange at write time.
+        val l = Tables.load(s, dir, "lineitem")
+        l.select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.Layout.zorder2(col("l_orderkey"), col("l_partkey"))
+            .as("zkey"))
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber,
+          ${graft.functions.Layout.zorder2Sql("l_orderkey", "l_partkey")}
+            AS zkey
+        FROM lineitem"""))
+  )
+}

@@ -19,7 +19,7 @@ object Registry {
       VectorQueries.queries ++ WindowQueries.queries ++ GeoQueries.queries ++
       PipelineQueries.queries ++ CurationQueries.queries ++
       StreamQueries.queries ++ HistoryQueries.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++ LayoutQueries.queries
 
   lazy val byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 
