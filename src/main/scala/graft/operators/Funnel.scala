@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence (funnel) detection: for each user, the earliest
+  * completion of step 0, then the earliest step 1 at-or-after it, then
+  * the earliest step 2 at-or-after THAT, … all within `horizon` seconds
+  * of step 0 — the classic conversion/journey query (view → click →
+  * purchase), and the batch twin of a CEP pattern match.
+  *
+  * Scale shape: one filtered aggregation per step, each keyed by user —
+  * never a per-user sort of the full event history, and never a
+  * self-join of events against events (step k joins the per-user step
+  * k−1 RESULT, which is ≤ one row per user). K steps → K map-side-
+  * combined shuffles over shrinking frames.
+  */
+object Funnel {
+
+  /** Returns one row per user who completed step 0: `t_0 … t_{k-1}`
+    * (nulls where the funnel was abandoned) and `stages_reached`. */
+  def detect(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stepTypes: Seq[String], horizon: Long): DataFrame = {
+    require(stepTypes.nonEmpty, "need at least one funnel step")
+    var acc = events.filter(col(typeCol) === stepTypes.head)
+      .groupBy(userCol).agg(min(col(tsCol)).as("t_0"))
+    stepTypes.tail.zipWithIndex.foreach { case (st, i) =>
+      val prevT = s"t_$i"
+      val curT = s"t_${i + 1}"
+      val gate = acc.select(
+        (Seq(userCol, prevT, "t_0").distinct).map(col): _*)
+      val nxt = events.filter(col(typeCol) === st)
+        .join(gate, userCol)
+        .filter(col(tsCol) >= col(prevT) &&
+          col(tsCol) <= col("t_0") + horizon)
+        .groupBy(userCol).agg(min(col(tsCol)).as(curT))
+      acc = acc.join(nxt, Seq(userCol), "left")
+    }
+    val reached = stepTypes.indices.tail
+      .map(i => when(col(s"t_$i").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    acc.withColumn("stages_reached", reached)
+  }
+}

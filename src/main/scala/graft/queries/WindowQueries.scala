@@ -208,6 +208,90 @@ object HistoryQueries {
               AS valid_to
             FROM v)
         SELECT user_id, event_type, valid_from, valid_to,
-          valid_to IS NULL AS is_current FROM h"""))
+          valid_to IS NULL AS is_current FROM h""")),
+
+    GraftQuery(
+      "q106_funnel",
+      (s, dir) => {
+        // view → click → purchase within 24 h of the first view: one
+        // filtered per-user aggregation per step, each joining only the
+        // previous step's one-row-per-user result (never events×events).
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+        graft.operators.Funnel.detect(ev, "user_id", "sec", "event_type",
+          Seq("view", "click", "purchase"), horizon = 86400L)
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type FROM events),
+          s0 AS (SELECT user_id, MIN(sec) AS t_0 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+          s1 AS (SELECT e.user_id, MIN(e.sec) AS t_1
+            FROM e JOIN s0 ON s0.user_id = e.user_id
+            WHERE e.event_type = 'click'
+              AND e.sec >= s0.t_0 AND e.sec <= s0.t_0 + 86400 GROUP BY 1),
+          s2 AS (SELECT e.user_id, MIN(e.sec) AS t_2
+            FROM e JOIN s0 ON s0.user_id = e.user_id
+            JOIN s1 ON s1.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.sec >= s1.t_1 AND e.sec <= s0.t_0 + 86400 GROUP BY 1)
+        SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2,
+          CAST(1 + CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END
+                 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+            AS INTEGER) AS stages_reached
+        FROM s0
+        LEFT JOIN s1 ON s1.user_id = s0.user_id
+        LEFT JOIN s2 ON s2.user_id = s0.user_id""")),
+
+    GraftQuery(
+      "q107_moving_avg",
+      (s, dir) => {
+        // trailing-hour moving average per event type: a time-RANGE
+        // window frame (not ROWS — duplicate timestamps are peers on
+        // both engines). DECIMAL frame sums so partial order can't
+        // perturb the double; the division operands are then identical
+        // cross-engine.
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir).select(col("event_id"),
+          col("event_type"), unix_timestamp(col("ts")).as("sec"),
+          col("value"))
+        val w = Window.partitionBy("event_type").orderBy(col("sec"))
+          .rangeBetween(-3600L, 0L)
+        ev.withColumn("n_window", count(lit(1)).over(w))
+          .withColumn("mavg",
+            sum(col("value").cast(DecimalType(18, 2))).over(w)
+              .cast("double") / col("n_window"))
+          .select("event_id", "event_type", "sec", "n_window", "mavg")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+        SELECT event_id, event_type, sec,
+          COUNT(*) OVER w AS n_window,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            / (COUNT(*) OVER w) AS mavg
+        FROM e WINDOW w AS (PARTITION BY event_type ORDER BY sec
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
+
+    GraftQuery(
+      "q108_cohort_retention",
+      (s, dir) => {
+        // cohort analysis: users grouped by first-active day, retention
+        // counted per day offset — two aggregations keyed by user then
+        // (cohort, offset); the distinct day grid keeps the join input
+        // at |user × active-days|, not |events|.
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        val days = ev.distinct()
+        val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        days.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+            CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+          c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+        SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+          COUNT(DISTINCT d.user_id) AS n_users
+        FROM d JOIN c ON c.user_id = d.user_id
+        GROUP BY 1, 2"""))
   )
 }
