@@ -91,6 +91,19 @@ object Curation {
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(topK)
 
+  /** Deterministic WEIGHTED Bernoulli sampling: keep each row with
+    * probability `ppm/10^6`, where `ppm` is a per-row integer
+    * parts-per-million weight expression (integer arithmetic end-to-end —
+    * no double thresholds to drift cross-engine). Same replay contract
+    * as [[hashKeep]]: the decision depends only on (salt, id, weight),
+    * so re-runs and re-shards never flip a row, and upweighting a domain
+    * only ADDS documents (monotone in ppm). Zero shuffle. */
+  def weightedSample(df: DataFrame, idCol: String,
+      ppm: org.apache.spark.sql.Column, salt: String): DataFrame =
+    df.filter(
+      TextFunctions.md5Key60(concat(lit(salt), col(idCol).cast("string")))
+        % 1000000L < least(greatest(ppm.cast("long"), lit(0L)), lit(1000000L)))
+
   /** Fixed-weight logistic quality classifier — the INFERENCE step of a
     * fasttext-style quality model run at corpus scale: per-row feature
     * extraction (length saturation, stopword density, punctuation soup,

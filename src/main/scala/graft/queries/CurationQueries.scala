@@ -594,6 +594,21 @@ object CurationQueries {
         SELECT doc_id, chunk_id,
           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
           CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens
-        FROM c"""))
+        FROM c""")),
+
+    GraftQuery(
+      "q109_weighted_sample",
+      (s, dir) => {
+        // length-weighted sampling: docs with >= 2000 chars always kept,
+        // shorter ones proportionally — the integer ppm weight keeps the
+        // keep decision engine-exact and monotone in the weight.
+        val d = Tables.load(s, dir, "documents")
+        Curation.weightedSample(d, "doc_id",
+          col("n_chars") * 500L, salt = "graft-wsample")
+          .select("doc_id", "n_chars")
+      },
+      Some(s"""SELECT doc_id, n_chars FROM documents
+        WHERE ${md5Key60Sql("'graft-wsample' || CAST(doc_id AS VARCHAR)")}
+          % 1000000 < least(greatest(n_chars * 500, 0), 1000000)"""))
   )
 }
