@@ -384,6 +384,55 @@ object Curation {
     * stddev are partition-order-independent; groups with zero variance
     * get z=0. The group stats frame is tiny (one row per group) — both
     * joins broadcast. */
+  /** Top-p (nucleus) trimming per group: rank rows by integer weight
+    * descending (id ascending tiebreak) and keep the smallest prefix
+    * whose cumulative weight reaches `pNum/pDen` of the group total —
+    * "keep the head of each domain's mass, drop the long tail". The
+    * keep rule compares the EXCLUSIVE running sum against
+    * floor(total·p) in integer arithmetic, so membership is engine-
+    * exact and the boundary row (the one that crosses the threshold)
+    * is always kept. One shuffle on the group; both window passes share
+    * its sort. */
+  def topPTrim(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, pNum: Int = 8, pDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy(col(groupCol))
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(groupCol))
+    df.withColumn("cum_weight", sum(col(weightCol)).over(cumW))
+      .withColumn("__tot", sum(col(weightCol)).over(totW))
+      .filter(col("cum_weight") - col(weightCol) <
+        expr(s"(__tot * $pNum) div $pDen"))
+      .drop("__tot")
+  }
+
+  /** Robust (median/MAD) outlier flag — the heavy-tail-safe variant of
+    * [[zscoreFlag]]: mean/stddev are themselves dragged by the outliers
+    * they're meant to find, the median and the median absolute deviation
+    * are not. Two exact-percentile aggregations (at 100 TB swap in
+    * approx_percentile and accept sketch error) with the tiny per-group
+    * stats broadcast back. The robust z is rounded BEFORE thresholding
+    * so the boolean can't disagree cross-engine; a zero MAD (constant
+    * group) flags nothing. */
+  def madFlag(df: DataFrame, groupCol: String, valCol: String,
+      threshold: Double = 3.0, scale: Int = 6): DataFrame = {
+    import graft.functions.SafeMath
+    val v = col(valCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val withMed = df.join(med, Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    withMed.join(mad, Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("__mad") === 0.0, lit(0.0))
+          .otherwise(SafeMath.roundHalfUp(
+            abs(v - col("__med")) / (lit(1.4826) * col("__mad")), scale)))
+      .withColumn("is_outlier", col("robust_z") > threshold)
+      .drop("__med", "__mad")
+  }
+
   def zscoreFlag(df: DataFrame, groupCol: String, valCol: String,
       threshold: Double = 3.0, scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

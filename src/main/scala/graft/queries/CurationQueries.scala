@@ -609,6 +609,21 @@ object CurationQueries {
       },
       Some(s"""SELECT doc_id, n_chars FROM documents
         WHERE ${md5Key60Sql("'graft-wsample' || CAST(doc_id AS VARCHAR)")}
-          % 1000000 < least(greatest(n_chars * 500, 0), 1000000)"""))
+          % 1000000 < least(greatest(n_chars * 500, 0), 1000000)""")),
+
+    GraftQuery(
+      "q112_top_p_trim",
+      (s, dir) => Curation.topPTrim(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", pNum = 8, pDen = 10),
+      Some("""WITH r AS (SELECT doc_id, source, n_chars,
+            CAST(SUM(n_chars) OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight,
+            CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot
+          FROM documents)
+        SELECT doc_id, source, n_chars, cum_weight
+        FROM r WHERE cum_weight - n_chars < (tot * 8) // 10"""))
   )
 }

@@ -262,6 +262,32 @@ object MetricQueries {
         SELECT event_id, event_type, v AS value, z,
           (abs(z) > 3.0E0) AS is_outlier
         FROM z"""
+      }),
+
+    GraftQuery(
+      "q110_mad_outliers",
+      (s, dir) => Curation.madFlag(
+          Tables.events(s, dir).select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .select("event_id", "event_type", "value", "robust_z", "is_outlier"),
+      Some {
+        def rhu(x: String, sc: Int) =
+          graft.functions.SafeMath.roundHalfUpSql(x, sc)
+        s"""WITH e AS (SELECT event_id, event_type,
+              CAST(value AS DOUBLE) AS v FROM events),
+          med AS (SELECT event_type, quantile_cont(v, 0.5) AS m
+            FROM e GROUP BY event_type),
+          mad AS (SELECT e.event_type,
+              quantile_cont(abs(e.v - med.m), 0.5) AS d
+            FROM e JOIN med USING (event_type) GROUP BY e.event_type),
+          z AS (SELECT e.event_id, e.event_type, e.v,
+              CASE WHEN mad.d = 0.0E0 THEN 0.0E0
+                ELSE ${rhu("abs(e.v - med.m) / (1.4826E0 * mad.d)", 6)}
+              END AS robust_z
+            FROM e JOIN med USING (event_type) JOIN mad USING (event_type))
+        SELECT event_id, event_type, v AS value, robust_z,
+          (robust_z > 3.0E0) AS is_outlier
+        FROM z"""
       })
   )
 }

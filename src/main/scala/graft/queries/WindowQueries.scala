@@ -292,6 +292,49 @@ object HistoryQueries {
         SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
           COUNT(DISTINCT d.user_id) AS n_users
         FROM d JOIN c ON c.user_id = d.user_id
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    GraftQuery(
+      "q113_time_weighted_avg",
+      (s, dir) => {
+        // time-weighted mean per series: each reading holds until the
+        // next one, so it weighs by its interval (last reading carries
+        // no interval) — the correct average for irregularly-sampled
+        // telemetry like the reference's PON optical readings. DECIMAL
+        // interval products sum exactly; the final division's operands
+        // are then identical cross-engine.
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("sec").asc, col("event_id").asc)
+        ev.withColumn("__dt", lead(col("sec"), 1).over(w) - col("sec"))
+          .groupBy("event_type")
+          .agg(
+            sum((col("value").cast(DecimalType(18, 2)) *
+              coalesce(col("__dt"), lit(0L))).cast(DecimalType(38, 2)))
+              .as("__num"),
+            (max(col("sec")) - min(col("sec"))).as("t_span"))
+          .select(col("event_type"), col("t_span"),
+            when(col("t_span") === 0L, lit(0.0))
+              .otherwise(col("__num").cast("double") / col("t_span"))
+              .as("twa"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
+          FROM events),
+          d AS (SELECT event_type, sec, value,
+            LEAD(sec) OVER (PARTITION BY event_type
+              ORDER BY sec ASC, event_id ASC) - sec AS dt
+          FROM e),
+          a AS (SELECT event_type,
+            SUM(CAST(CAST(value AS DECIMAL(18,2)) * COALESCE(dt, 0)
+              AS DECIMAL(38,2))) AS num,
+            MAX(sec) - MIN(sec) AS t_span
+          FROM d GROUP BY event_type)
+        SELECT event_type, t_span,
+          CASE WHEN t_span = 0 THEN 0.0E0
+            ELSE CAST(num AS DOUBLE) / t_span END AS twa
+        FROM a"""))
   )
 }
