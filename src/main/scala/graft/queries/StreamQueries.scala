@@ -984,6 +984,52 @@ object StreamQueries {
           CAST(ws + 3600 AS BIGINT) AS window_end,
           probe_id, COUNT(*) AS n,
           CAST(SUM(CAST(score AS DECIMAL(12,2))) AS DOUBLE) AS sum_score
-        FROM w GROUP BY 1, 2, 3"""))
+        FROM w GROUP BY 1, 2, 3""")),
+
+    GraftQuery(
+      "q111_stream_ewma",
+      (s, dir) => {
+        // per-key EWMA maintained ACROSS batches through keyed state:
+        // three ordinal-ranged waves arrive in separate micro-batches,
+        // each folds into the fixed-point state, and the final snapshot
+        // per key must equal a single fold over the whole ordered
+        // series (the oracle's list_reduce) — which only holds if the
+        // cross-batch state carries (ewma, count) exactly.
+        import s.implicits._
+        val k = col("c_custkey")
+        val cust = Tables.load(s, dir, "customer").select(k.as("k"))
+        def wave(p: Column) = cust.filter(p).select(
+          to_json(struct(
+            concat(lit("k-"), col("k") % 20).as("key"),
+            col("k").cast("long").as("ordinal"),
+            ((col("k") % 997) * 1000).cast("long").as("xs"))).as("value"))
+        val n3 = lit(500) // wave boundaries by key range: ordinal order
+        val frames = Seq(wave(col("k") < n3),
+          wave(col("k") >= n3 && col("k") < n3 * 2), wave(col("k") >= n3 * 2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, ordinal LONG, xs LONG")
+        val snaps = runStaged(s, frames, "ewma") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*")).as[graft.streaming.StatefulOps.EwmaEvent]
+          graft.streaming.StatefulOps.ewmaFixedPoint(parsed, 3L, 10L)
+            .toDF()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/ewma")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        graft.operators.KeepLatest(snaps, Seq("key"),
+          Seq(col("n_events").desc))
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k FROM customer),
+          e AS (SELECT 'k-' || (k % 20) AS key, k AS ordinal,
+            (k % 997) * 1000 AS xs FROM b),
+          l AS (SELECT key, list(xs ORDER BY ordinal) AS xs
+            FROM e GROUP BY key)
+        SELECT key, CAST(len(xs) AS BIGINT) AS n_events,
+          CAST(list_reduce(xs, (a, x) -> (3 * x + 7 * a) // 10) AS BIGINT)
+            AS ewma
+        FROM l"""))
   )
 }
