@@ -384,6 +384,33 @@ object Curation {
     * stddev are partition-order-independent; groups with zero variance
     * get z=0. The group stats frame is tiny (one row per group) — both
     * joins broadcast. */
+  /** Vocabulary build + per-document out-of-vocabulary rate: the top-V
+    * tokens by corpus frequency (count desc, token asc — a deterministic
+    * cut) become the vocab; each document then reports what fraction of
+    * its tokens fall outside it. The OOV rate against a fixed vocab is
+    * the cheap "how much of this text will tokenize badly" signal. Plan:
+    * one token-explode shuffle for the counts, TakeOrderedAndProject for
+    * the cut (never a global sort), and the vocab — V rows — broadcasts
+    * into the per-doc join. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    val tk = docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val vocab = tk.groupBy("tok").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(true).as("__in_v"))
+    val st = tk.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_v").isNull, 1L).otherwise(0L)).as("__oov"))
+    docs.select(col(idCol)).join(st, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("__oov").cast("double") / col("n_tokens"))
+          .as("oov_rate"))
+  }
+
   /** Top-p (nucleus) trimming per group: rank rows by integer weight
     * descending (id ascending tiebreak) and keep the smallest prefix
     * whose cumulative weight reaches `pNum/pDen` of the group total —

@@ -65,14 +65,29 @@ object Dedup {
     * pairs), the small result is materialized with localCheckpoint, and
     * the intermediate is unpersisted before returning — nothing stays
     * pinned in the block manager afterwards. */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8, dfCap: Int = 100): DataFrame = {
+  /** Containment near-dup pairs: `inter / min(|A|,|B|)` instead of
+    * Jaccard — catches the small-inside-big cases Jaccard misses by
+    * construction (a quoted article inside a long page has tiny Jaccard
+    * but containment ≈ 1). Same one-shuffle df-capped posting-list plan
+    * as [[jaccardPairs]]; only the final metric differs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.9, dfCap: Int = 100): DataFrame =
+    pairStats(docs, idCol, textCol, k, dfCap)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+      .localCheckpoint()
+
+  /** Shared guts of [[jaccardPairs]] / [[containmentPairs]]: candidate
+    * pairs with (inter, n_a, n_b) set statistics. ONE shuffle groups the
+    * inverted index by shingle; the df-cap is a per-row size() filter on
+    * the grouped frame, and candidate pairs are generated IN-ROW from
+    * each posting list (O(df²) per shingle, bounded by the cap) — no
+    * index self-join, no hot-shingle anti-join. */
+  private def pairStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, dfCap: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // ONE shuffle groups the inverted index by shingle; the df-cap is a
-    // per-row size() filter on the grouped frame, and candidate pairs
-    // are generated IN-ROW from each posting list (O(df²) per shingle,
-    // bounded by the cap) — replacing the previous plan's three index
-    // shuffles (hot-shingle groupBy, anti-join, sh=sh self-join).
     val byShingle = shingleIndex(docs, idCol, textCol, k)
       .groupBy("sh").agg(collect_list("doc").as("docs"))
       .filter(size(col("docs")) <= dfCap)
@@ -88,13 +103,18 @@ object Dedup {
         .agg(count(lit(1)).as("inter"))
       co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
         .localCheckpoint()
     } finally byShingle.unpersist()
   }
+
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8, dfCap: Int = 100): DataFrame =
+    pairStats(docs, idCol, textCol, k, dfCap)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint()
 
   /** Duplicate-passage pairs (the exact-substring dedup family): document
     * pairs sharing at least `minRun` CONSECUTIVE word k-shingles — a

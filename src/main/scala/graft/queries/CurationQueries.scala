@@ -594,7 +594,8 @@ object CurationQueries {
         SELECT doc_id, chunk_id,
           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
           CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens
-        FROM c""")),
+        FROM c"""),
+      bench = true),
 
     GraftQuery(
       "q109_weighted_sample",

@@ -145,6 +145,23 @@ object DedupQueries {
         FROM $CorpusSql c LEFT JOIN cl ON cl.node = c.doc_id
         WHERE cl.node IS NULL OR cl.cluster = c.doc_id""")),
 
+    GraftQuery(
+      "q114_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(corpus(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.9),
+      Some(s"""WITH $CappedIdxSql,
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+        co AS (
+          SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
+          FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(inter AS DOUBLE) / least(a.n_sh, b.n_sh) AS containment
+        FROM co
+        JOIN sizes a ON a.doc = doc_a
+        JOIN sizes b ON b.doc = doc_b
+        WHERE CAST(inter AS DOUBLE) / least(a.n_sh, b.n_sh) >= 0.9E0""")),
+
     // MinHash + SimHash run on md5-derived integer keys and overflow-free
     // modular arithmetic, so DuckDB reproduces the exact signatures,
     // band keys, and fingerprints — full hash gates, not rows-only.

@@ -51,7 +51,8 @@ object GraphQueries {
               (1000000000000 * 15 // 100) // nn.n +
                 (85 * COALESCE(c3.c, 0)) // 100 AS pr
             FROM nodes n LEFT JOIN c3 ON c3.dst = n.node, nn)
-        SELECT node, CAST(pr AS BIGINT) AS pr FROM p3"""))
+        SELECT node, CAST(pr AS BIGINT) AS pr FROM p3"""),
+      bench = true)
   )
 }
 

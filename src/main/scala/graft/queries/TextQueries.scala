@@ -149,6 +149,48 @@ object TextQueries {
           s"1.0E0 / (1.0E0 + exp(-$z))", 8)
         s"""SELECT doc_id, $prob AS quality_prob,
           $prob >= 0.5E0 AS keep FROM documents"""
-      })
+      }),
+
+    GraftQuery(
+      "q116_quality_tiers",
+      (s, dir) => {
+        // per-source quality quartiles via ntile: the "route each
+        // domain's best docs to the high-quality mix" cut. Partitioned
+        // by source so the sort parallelizes across domains — never a
+        // single global sort; deterministic tiebreak on doc_id.
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val scored = d.select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        scored.withColumn("tier", ntile(4).over(w))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, source,
+            $qualitySqlTwin AS quality FROM documents)
+        SELECT doc_id, source, quality,
+          CAST(ntile(4) OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS tier
+        FROM s""")),
+
+    GraftQuery(
+      "q117_vocab_oov",
+      (s, dir) => graft.operators.Curation.oovRate(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 200),
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($ToksSql) AS tok
+            FROM documents),
+          v AS (SELECT tok FROM (
+            SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+            ORDER BY n DESC, tok ASC LIMIT 200)),
+          st AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+              SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM tk LEFT JOIN v ON v.tok = tk.tok
+            GROUP BY tk.doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(st.n_tokens, 0) AS BIGINT) AS n_tokens,
+          CASE WHEN COALESCE(st.n_tokens, 0) = 0 THEN 0.0E0
+            ELSE CAST(st.n_oov AS DOUBLE) / st.n_tokens END AS oov_rate
+        FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"""))
   )
 }

@@ -269,7 +269,8 @@ object HistoryQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
             / (COUNT(*) OVER w) AS mavg
         FROM e WINDOW w AS (PARTITION BY event_type ORDER BY sec
-          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")),
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""),
+      bench = true),
 
     GraftQuery(
       "q108_cohort_retention",
