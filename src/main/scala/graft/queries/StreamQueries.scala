@@ -987,6 +987,69 @@ object StreamQueries {
         FROM w GROUP BY 1, 2, 3""")),
 
     GraftQuery(
+      "q118_stream_outer_join",
+      (s, dir) => {
+        // LEFT OUTER stream-stream interval join: impressions whose
+        // click interval expires under the watermark must STILL emit,
+        // null-padded — the incremental form of "which impressions never
+        // converted" (a batch anti-join over full history otherwise).
+        // Clicks land (k%25)*120 s after the impression, so k%25 > 15
+        // rows fall outside the 30-min interval and only emit via the
+        // outer path. A far-future sentinel on EACH side pushes both
+        // watermarks past every data interval so expiry is provable.
+        val k = col("c_custkey")
+        def row(kind: String, ts: Column, v: Column): Column =
+          concat(lit(s"""{"kind":"$kind","key":"p-"""), k % 30,
+            lit("""","ts":"""), ts, lit(""","v":"""), v, lit("}"))
+        val cust = Tables.load(s, dir, "customer")
+        val far = lit(Now) + 30L * 86400
+        val imps = cust.select(
+          row("imp", lit(Now) + (k % 40) * 60, k % 89).as("value"))
+        val clks = cust.select(
+          row("clk", lit(Now) + (k % 40) * 60 + (k % 25) * 120, k % 97)
+            .as("value"))
+        val sentinels = cust.limit(1).select(explode(array(
+          concat(lit("""{"kind":"imp","key":"p-9999","ts":"""), far,
+            lit(""","v":0}""")),
+          concat(lit("""{"kind":"clk","key":"p-9999","ts":"""), far,
+            lit(""","v":0}""")))).as("value"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "kind STRING, key STRING, ts LONG, v LONG")
+        runStaged(s, Seq(imps, clks, sentinels), "joined") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+          val l = parsed.filter(col("kind") === "imp")
+            .select(col("key"),
+              to_timestamp(col("ts")).as("imp_time"), col("v").as("imp_v"))
+            .withWatermark("imp_time", "1 hour")
+          val r = parsed.filter(col("kind") === "clk")
+            .select(col("key").as("clk_key"),
+              to_timestamp(col("ts")).as("clk_time"), col("v").as("clk_v"))
+            .withWatermark("clk_time", "1 hour")
+          graft.streaming.StreamJoins.intervalJoinLeftOuter(l, r,
+              "key", "clk_key", "imp_time", "clk_time", 0L, 1800L)
+            .select(col("key"),
+              unix_timestamp(col("imp_time")).as("imp_ts"), col("imp_v"),
+              unix_timestamp(col("clk_time")).as("clk_ts"), col("clk_v"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/joined")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.filter(col("key") =!= "p-9999")
+      },
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+          imp AS (SELECT 'p-' || (k % 30) AS key,
+            CAST($Now + (k % 40) * 60 AS BIGINT) AS imp_ts,
+            CAST(k % 89 AS BIGINT) AS imp_v FROM b),
+          clk AS (SELECT 'p-' || (k % 30) AS key,
+            CAST($Now + (k % 40) * 60 + (k % 25) * 120 AS BIGINT) AS clk_ts,
+            CAST(k % 97 AS BIGINT) AS clk_v FROM b)
+        SELECT i.key, i.imp_ts, i.imp_v, c.clk_ts, c.clk_v
+        FROM imp i LEFT JOIN clk c ON c.key = i.key
+          AND c.clk_ts >= i.imp_ts AND c.clk_ts <= i.imp_ts + 1800""")),
+
+    GraftQuery(
       "q111_stream_ewma",
       (s, dir) => {
         // per-key EWMA maintained ACROSS batches through keyed state:

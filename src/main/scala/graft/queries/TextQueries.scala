@@ -37,6 +37,25 @@ object TextQueries {
       greatest(1.0E0 - $punctRatio * 5.0E0, 0.0E0) * 0.3E0) * 10000.0E0 + 0.5E0) / 10000.0E0)"""
   }
 
+  /** The langId CASE twin over any relation exposing `text`. */
+  private def langIdSqlTwin: String = {
+    def ratio(p: String) =
+      s"(CAST(len(regexp_extract_all(text, '$p')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0E0))"
+    val en = votesSql(TextFunctions.Stopwords)
+    val es = votesSql(Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es"))
+    val de = votesSql(Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit"))
+    val fr = votesSql(Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+    s"""CASE WHEN ${ratio("[\\x{4E00}-\\x{9FFF}]")} > 0.05E0 THEN 'zh'
+         WHEN ${ratio("[\\x{3040}-\\x{30FF}]")} > 0.05E0 THEN 'ja'
+         WHEN ${ratio("[\\x{AC00}-\\x{D7AF}]")} > 0.05E0 THEN 'ko'
+         WHEN ${ratio("[\\x{0400}-\\x{04FF}]")} > 0.05E0 THEN 'ru'
+         WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+         WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
+         WHEN $de >= $fr AND $de > 0 THEN 'de'
+         WHEN $fr > 0 THEN 'fr'
+         ELSE 'und' END"""
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q25_token_stats",
@@ -87,25 +106,9 @@ object TextQueries {
         d.select(col("doc_id"), col("lang").as("declared_lang"),
           TextFunctions.langId(col("text")).as("detected_lang"))
       },
-      Some {
-        def ratio(p: String) =
-          s"(CAST(len(regexp_extract_all(text, '$p')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0E0))"
-        val en = votesSql(TextFunctions.Stopwords)
-        val es = votesSql(Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es"))
-        val de = votesSql(Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit"))
-        val fr = votesSql(Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
-        s"""SELECT doc_id, lang AS declared_lang,
-          CASE WHEN ${ratio("[\\x{4E00}-\\x{9FFF}]")} > 0.05E0 THEN 'zh'
-               WHEN ${ratio("[\\x{3040}-\\x{30FF}]")} > 0.05E0 THEN 'ja'
-               WHEN ${ratio("[\\x{AC00}-\\x{D7AF}]")} > 0.05E0 THEN 'ko'
-               WHEN ${ratio("[\\x{0400}-\\x{04FF}]")} > 0.05E0 THEN 'ru'
-               WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
-               WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
-               WHEN $de >= $fr AND $de > 0 THEN 'de'
-               WHEN $fr > 0 THEN 'fr'
-               ELSE 'und' END AS detected_lang
-          FROM documents"""
-      }),
+      Some(s"""SELECT doc_id, lang AS declared_lang,
+          $langIdSqlTwin AS detected_lang
+          FROM documents""")),
 
     GraftQuery(
       "q43_rolling_hash",
@@ -149,6 +152,31 @@ object TextQueries {
           s"1.0E0 / (1.0E0 + exp(-$z))", 8)
         s"""SELECT doc_id, $prob AS quality_prob,
           $prob >= 0.5E0 AS keep FROM documents"""
+      }),
+
+    GraftQuery(
+      "q115_sql_surface",
+      (s, dir) => {
+        // the SQL-callable surface driven END-TO-END under the gate: the
+        // graft_* scalar family registered on the session (the same
+        // splice-as-expression path the SparkSessionExtensions injector
+        // uses — no UDF anywhere) and the whole query written in SQL.
+        graft.GraftFunctions.register(s)
+        Tables.load(s, dir, "documents").createOrReplaceTempView("docs_v")
+        s.sql("""SELECT doc_id,
+            graft_token_count(text) AS n_tokens,
+            graft_quality(text) AS quality,
+            graft_lang_id(text) AS lang_id,
+            graft_fingerprint(text) AS fp
+          FROM docs_v""")
+      },
+      Some {
+        val langTwin = langIdSqlTwin
+        s"""SELECT doc_id, $TokCountSql AS n_tokens,
+          $qualitySqlTwin AS quality,
+          $langTwin AS lang_id,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents"""
       }),
 
     GraftQuery(

@@ -26,8 +26,25 @@ object StreamJoins {
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
       lowerSec: Long, upperSec: Long): DataFrame =
-    left.join(right,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECONDS"))
+    left.join(right, intervalCond(leftKey, rightKey, leftTs, rightTs,
+      lowerSec, upperSec))
+
+  /** LEFT OUTER interval join: like [[intervalJoin]], but a left row
+    * with no match in its interval still emits — with nulls — once the
+    * watermark passes the end of that interval (Spark can only then
+    * prove no future match can arrive). Both sides MUST be watermarked;
+    * the null-padded rows are exactly the "impressions that never
+    * converted", emitted incrementally instead of via a batch anti-join
+    * over the full history. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lowerSec: Long, upperSec: Long): DataFrame =
+    left.join(right, intervalCond(leftKey, rightKey, leftTs, rightTs,
+      lowerSec, upperSec), "leftOuter")
+
+  private def intervalCond(leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, lowerSec: Long, upperSec: Long) =
+    col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upperSec SECONDS")
 }
