@@ -1050,6 +1050,66 @@ object StreamQueries {
           AND c.clk_ts >= i.imp_ts AND c.clk_ts <= i.imp_ts + 1800""")),
 
     GraftQuery(
+      "q119_stream_late_route",
+      (s, dir) => {
+        // late-data side routing under the gate: wave 1 sets the
+        // high-watermark, wave 2 replays some rows older than
+        // (hwm − 30 min) — those must land in the late sink, not main —
+        // and wave 3 repeats the pattern against the advanced hwm. The
+        // routing decision uses only EARLIER batches' state, so the
+        // expected flag is a pure per-row formula.
+        val k = col("c_custkey")
+        val base = Now
+        def row(w: Int, ts: Column): Column =
+          concat(lit(s"""{"k":"""), k, lit(s""","w":$w,"ts":"""), ts,
+            lit("}"))
+        val cust = Tables.load(s, dir, "customer")
+        val w1 = cust.select(row(1, lit(base) + (k % 60) * 60).as("value"))
+        val w2 = cust.select(row(2,
+          when(k % 5 === 0, lit(base))
+            .otherwise(lit(base) + 3600 + (k % 60) * 60)).as("value"))
+        val w3 = cust.select(row(3,
+          when(k % 7 === 0, lit(base) + 100)
+            .otherwise(lit(base) + 7200 + (k % 60) * 60)).as("value"))
+        val base0 = java.nio.file.Files.createTempDirectory("graft-late")
+        val frames = Seq(w1, w2, w3)
+        val outDir = {
+          // runStaged writes one named sink; late-route has two, so run
+          // the staged stream inline with the same recipe
+          val q = StreamJobs.runLateRoute(
+            StreamJobs.fileSource(s, stage(base0, frames).toString,
+              maxFilesPerTrigger = 1),
+            "k LONG, w INT, ts LONG", "ts", latenessSec = 1800L,
+            base0.resolve("out").toString,
+            base0.resolve("ckpt").toString,
+            trigger = Trigger.AvailableNow())
+          q.awaitTermination()
+          base0.resolve("out").toString
+        }
+        val main = s.read.parquet(s"$outDir/main")
+          .select(col("k"), col("w"), col("ts"), lit(false).as("is_late"))
+        val late = s.read.parquet(s"$outDir/late")
+          .select(col("k"), col("w"), col("ts"), lit(true).as("is_late"))
+        main.unionByName(late).localCheckpoint()
+      },
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer)
+        SELECT k, CAST(1 AS INTEGER) AS w,
+          CAST($Now + (k % 60) * 60 AS BIGINT) AS ts, false AS is_late
+        FROM b
+        UNION ALL
+        SELECT k, CAST(2 AS INTEGER) AS w,
+          CAST(CASE WHEN k % 5 = 0 THEN $Now
+            ELSE $Now + 3600 + (k % 60) * 60 END AS BIGINT) AS ts,
+          (k % 5 = 0) AS is_late
+        FROM b
+        UNION ALL
+        SELECT k, CAST(3 AS INTEGER) AS w,
+          CAST(CASE WHEN k % 7 = 0 THEN $Now + 100
+            ELSE $Now + 7200 + (k % 60) * 60 END AS BIGINT) AS ts,
+          (k % 7 = 0) AS is_late
+        FROM b""")),
+
+    GraftQuery(
       "q111_stream_ewma",
       (s, dir) => {
         // per-key EWMA maintained ACROSS batches through keyed state:

@@ -259,4 +259,49 @@ object StreamJobs {
   def mergedHll(spark: SparkSession, outDir: String, groupCol: String): DataFrame =
     spark.read.parquet(s"$outDir/hll")
       .groupBy(col(groupCol), col("idx")).agg(max(col("mr")).as("mr"))
+
+  /** Late-data side routing — Flink's allowed-lateness side output in
+    * micro-batch form: a row whose event time is older than (the max
+    * event time seen in EARLIER batches − `latenessSec`) routes to the
+    * `late` sink instead of `main`. The high-watermark is cross-batch
+    * state kept as a one-row parquet under the output dir, advanced
+    * monotonically AFTER each batch routes (so a batch is judged only
+    * against earlier batches — deterministic under staged replay, and
+    * the first batch can never be late). Batch outputs land under
+    * `batch=<id>` dirs, so replays overwrite idempotently. */
+  def runLateRoute(raw: DataFrame, schemaDdl: String, tsCol: String,
+      latenessSec: Long, outDir: String, checkpointDir: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val statePath = s"$outDir/_hwm"
+        val prevMax: Option[Long] =
+          try Some(spark.read.parquet(statePath)
+            .agg(max(col("hwm"))).collect()(0).getLong(0))
+          catch { case _: Throwable => None }
+        val parsed = batch.select(from_json(col("value"), schema).as("j"))
+          .select(col("j.*")).persist()
+        try {
+          val cutoff = prevMax.map(_ - latenessSec)
+          val isLate = cutoff
+            .map(c => col(tsCol) < lit(c)).getOrElse(lit(false))
+          parsed.filter(!isLate).write.mode("overwrite")
+            .parquet(s"$outDir/main/batch=$id")
+          parsed.filter(isLate).write.mode("overwrite")
+            .parquet(s"$outDir/late/batch=$id")
+          val batchMax = parsed.agg(max(col(tsCol))).collect()(0)
+          val newMax = (if (batchMax.isNullAt(0)) None
+            else Some(batchMax.getLong(0))) ++ prevMax
+          if (newMax.nonEmpty)
+            spark.range(1).select(lit(newMax.max).as("hwm"))
+              .coalesce(1).write.mode("overwrite").parquet(statePath)
+        } finally parsed.unpersist()
+        ()
+      }
+      .start()
+  }
 }
