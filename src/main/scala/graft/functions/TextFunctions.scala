@@ -116,6 +116,24 @@ object TextFunctions {
   def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
+  /** URL canonicalization — the CommonCrawl-style dedup key: strip the
+    * fragment, drop `utm_*` tracking parameters (tidying separators),
+    * lowercase the scheme+authority (path/query case is significant, per
+    * RFC 3986 §6.2.2.1), and strip a trailing slash. Pure regex
+    * projection (zero shuffle); every pattern is in the Java∩RE2 common
+    * dialect so a DuckDB oracle can run the IDENTICAL rules. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, "utm_[A-Za-z]+=[^&]*&", ""),
+      "[?&]utm_[A-Za-z]+=[^&]*$", "")
+    val tidy = regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "\\?$", "")
+    val auth = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val lowered = concat(lower(regexp_extract(tidy, auth, 0)),
+      regexp_replace(tidy, auth, ""))
+    regexp_replace(lowered, "/$", "")
+  }
+
   /** Word k-shingles (default 3) — the unit set for Jaccard similarity.
     *
     * The token array is bound ONCE via [[bindOnce]]: the naive form embeds

@@ -348,6 +348,145 @@ object Curation {
         coalesce(col("nll"), lit(0.0)).as("nll"))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the mean per-token log-likelihood ratio between a TARGET unigram LM
+    * (built from the rows matching `targetFilter`) and the RAW corpus LM
+    * (built from every row), both Laplace-smoothed over the shared
+    * vocabulary. Positive score = the document looks more target-like
+    * than the corpus average. This is the deterministic analog of DSIR's
+    * importance resampling — threshold the weight instead of Gumbel
+    * sampling, so the selection is replay-stable and hash-gateable.
+    *
+    * Scale shape: both LMs are token-keyed aggregates (bounded by VOCAB,
+    * not corpus), built in ONE pass over the token stream with map-side
+    * combine; scoring is one join of the token stream against the
+    * vocab-sized llr table (broadcastable for real vocabularies) plus a
+    * doc-keyed agg. The three corpus totals are a 1-row driver read.
+    * Cross-engine FP: each ln() is roundHalfUp'd at scale 8 and the two
+    * sides subtracted as DECIMALs, per-doc means are decimal sums — the
+    * q82 recipe, so libm ulp gaps can't flip the gate hash. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val toks = docs.select(col(idCol).as("__doc"),
+      targetFilter.as("__tgt"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_cnt"))
+      .persist()
+    val Seq(rawTotal, tgtTotal, vocab) = {
+      val r = freq.agg(sum("raw_cnt"), sum("tgt_cnt"), count(lit(1)))
+        .collect()(0)
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def smoothed(cnt: Column, total: Long): Column =
+      SafeMath.roundHalfUp(
+          log((cnt + lit(1L)).cast("double") / lit((total + vocab).toDouble)),
+          8)
+        .cast(DecimalType(28, 8))
+    // vocab-sized table; localCheckpoint materializes it eagerly so the
+    // freq cache can be released before the (lazy) result is consumed
+    val llr = freq.select(col("tok"),
+      (smoothed(col("tgt_cnt"), tgtTotal) -
+        smoothed(col("raw_cnt"), rawTotal)).as("llr8"))
+      .localCheckpoint()
+    freq.unpersist()
+    val agg = toks.join(llr, "tok")
+      .groupBy("__doc")
+      .agg(count(lit(1)).as("n_tokens"),
+        SafeMath.roundHalfUp(
+          sum(col("llr8")).cast("double") / count(lit(1)), scale).as("llr"))
+    val out = docs.select(col(idCol))
+      .join(agg.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("llr"), lit(0.0)).as("llr"))
+      .withColumn("keep", col("llr") > lit(0.0))
+    out
+  }
+
+  /** Skip-gram co-occurrence PMI — the word2vec/GloVe preprocessing pass:
+    * count unordered token pairs within a ±`window` token distance, then
+    * score each pair by pointwise mutual information against the unigram
+    * marginals. Pair generation is a PER-ROW array transform (zero
+    * shuffle — no posexplode self-join, no window function), so the only
+    * shuffles are the pair-keyed and token-keyed aggregations, both
+    * map-side combined and bounded by vocabulary², not corpus size; the
+    * `minCount` support cut keeps the output to the statistically
+    * meaningful pairs. PMI = ln((c_xy/D) / ((c_x/N)·(c_y/N))) computed
+    * with the exact parenthesization mirrored in the oracle and
+    * roundHalfUp'd at scale 6 (the cross-engine ln discipline). */
+  def cooccurrencePmi(docs: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 3, scale: Int = 6): DataFrame = {
+    import graft.functions.SafeMath
+    val pairsCol = TextFunctions.bindOnce(TextFunctions.tokens(col(textCol))) { tk =>
+      val n = size(tk)
+      val perGap = (1 to window).map { g =>
+        when(n <= g, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), n - lit(g + 1)), i => {
+            val x = element_at(tk, i + 1)
+            val y = element_at(tk, i + lit(g + 1))
+            struct(least(x, y).as("w1"), greatest(x, y).as("w2"))
+          }))
+      }
+      concat(perGap: _*)
+    }
+    val pairs = docs.select(explode(pairsCol).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    // vocab-sized; materialized eagerly so the corpus scan behind it runs
+    // once (totals + both marginal joins reuse the checkpoint blocks)
+    val uni = docs.select(
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val Seq(nTok, nPairs) = {
+      val total = uni.agg(sum("c")).collect()(0).getLong(0)
+      val d = docs.select(TextFunctions.tokenCount(col(textCol)).as("n"))
+        .agg(sum(
+          (1 to window).map(g => greatest(col("n") - g, lit(0L)))
+            .reduce(_ + _)).as("d")).collect()(0).getLong(0)
+      Seq(total, d)
+    }
+    val out = pairs
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+      .select(col("w1"), col("w2"), col("c_xy"),
+        SafeMath.roundHalfUp(
+          log((col("c_xy").cast("double") / lit(nPairs.toDouble)) /
+            ((col("c_x").cast("double") / lit(nTok.toDouble)) *
+              (col("c_y").cast("double") / lit(nTok.toDouble)))),
+          scale).as("pmi"))
+    out
+  }
+
+  /** Curriculum-learning difficulty bins: assign every document an ordinal
+    * stage 1..`bins` by interpolated-percentile cutoffs of a difficulty
+    * measure (token count here — swap in NLL for a model-based
+    * curriculum). NOT an ntile: a global ntile needs a total sort through
+    * one partition; cutoffs are one aggregate (bins−1 doubles to the
+    * driver), assignment a zero-shuffle scan predicate — the same plan at
+    * 60k rows and 100 TB (approx_percentile swaps in at the sketch-error
+    * tradeoff). Ties land deterministically: bin = #cutoffs strictly
+    * below the value + 1. */
+  def curriculumBins(docs: DataFrame, idCol: String, textCol: String,
+      bins: Int = 4): DataFrame = {
+    val withN = docs.withColumn("difficulty",
+      TextFunctions.tokenCount(col(textCol)).cast("long"))
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val cutRow = withN.agg(
+      percentile(col("difficulty"), typedLit(ps)).as("cuts")).collect()(0)
+    val cuts = cutRow.getSeq[Double](0)
+    val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("difficulty") > lit(c), 1).otherwise(0)
+    }
+    withN.select(col(idCol), col("difficulty"), bin.as("stage"))
+  }
+
   /** Per-document TF-IDF keyword extraction: term frequency in the doc ×
     * smoothed inverse document frequency (ln((N+1)/(df+1)) + 1), top `k`
     * terms per document by rounded score with ties to the lexically

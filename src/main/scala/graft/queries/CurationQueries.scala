@@ -239,6 +239,86 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q120_dsir_resample",
+      (s, dir) => Curation.dsirScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en"),
+      Some(s"""WITH toks AS (
+            SELECT doc_id AS doc, (lang = 'en') AS tgt,
+              unnest($Toks5Sql) AS tok FROM documents),
+          freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS raw_cnt,
+              CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt
+            FROM toks GROUP BY tok),
+          tot AS (SELECT CAST(SUM(raw_cnt) AS BIGINT) AS raw_total,
+              CAST(SUM(tgt_cnt) AS BIGINT) AS tgt_total,
+              CAST(COUNT(*) AS BIGINT) AS v FROM freq),
+          llr AS (SELECT tok,
+              CAST(${graft.functions.SafeMath.roundHalfUpSql(
+                "ln(CAST(tgt_cnt + 1 AS DOUBLE) / CAST(tgt_total + v AS DOUBLE))",
+                8)} AS DECIMAL(28,8))
+              - CAST(${graft.functions.SafeMath.roundHalfUpSql(
+                "ln(CAST(raw_cnt + 1 AS DOUBLE) / CAST(raw_total + v AS DOUBLE))",
+                8)} AS DECIMAL(28,8)) AS llr8
+            FROM freq, tot),
+          agg AS (SELECT t.doc, COUNT(*) AS n_tokens,
+              ${graft.functions.SafeMath.roundHalfUpSql(
+                "CAST(SUM(CAST(llr8 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)",
+                6)} AS llr
+            FROM toks t JOIN llr USING (tok) GROUP BY t.doc)
+        SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+          COALESCE(a.llr, 0.0E0) AS llr,
+          COALESCE(a.llr, 0.0E0) > 0.0E0 AS keep
+        FROM documents d LEFT JOIN agg a ON a.doc = d.doc_id"""),
+      bench = true),
+
+    GraftQuery(
+      "q123_cooccurrence_pmi",
+      (s, dir) => Curation.cooccurrencePmi(
+        Tables.load(s, dir, "documents"), "text"),
+      Some(s"""WITH tk AS (SELECT $Toks5Sql AS tk FROM documents),
+          p1 AS (SELECT unnest(list_transform(
+              range(0, greatest(len(tk) - 1, 0)),
+              i -> {'w1': least(tk[i+1], tk[i+2]),
+                    'w2': greatest(tk[i+1], tk[i+2])})) AS p FROM tk),
+          p2 AS (SELECT unnest(list_transform(
+              range(0, greatest(len(tk) - 2, 0)),
+              i -> {'w1': least(tk[i+1], tk[i+3]),
+                    'w2': greatest(tk[i+1], tk[i+3])})) AS p FROM tk),
+          pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM p1
+            UNION ALL SELECT p.w1, p.w2 FROM p2),
+          cxy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+          uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest($Toks5Sql) AS tok FROM documents)
+            GROUP BY tok),
+          n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+          d AS (SELECT CAST(SUM(greatest(len(tk) - 1, 0)
+              + greatest(len(tk) - 2, 0)) AS BIGINT) AS d FROM tk)
+        SELECT c.w1, c.w2, c.c_xy,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "ln((CAST(c.c_xy AS DOUBLE) / CAST(d.d AS DOUBLE)) / " +
+            "((CAST(ux.c AS DOUBLE) / CAST(n.n AS DOUBLE)) * " +
+            "(CAST(uy.c AS DOUBLE) / CAST(n.n AS DOUBLE))))", 6)} AS pmi
+        FROM cxy c
+        JOIN uni ux ON ux.tok = c.w1
+        JOIN uni uy ON uy.tok = c.w2, n, d""")),
+
+    GraftQuery(
+      "q124_curriculum_bins",
+      (s, dir) => Curation.curriculumBins(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id,
+            CAST(len($Toks5Sql) AS BIGINT) AS difficulty FROM documents),
+          c AS (SELECT quantile_cont(difficulty, 0.25E0) AS c1,
+            quantile_cont(difficulty, 0.5E0) AS c2,
+            quantile_cont(difficulty, 0.75E0) AS c3 FROM t)
+        SELECT doc_id, difficulty, CAST(1
+          + CASE WHEN difficulty > c1 THEN 1 ELSE 0 END
+          + CASE WHEN difficulty > c2 THEN 1 ELSE 0 END
+          + CASE WHEN difficulty > c3 THEN 1 ELSE 0 END AS INTEGER) AS stage
+        FROM t, c""")),
+
+    GraftQuery(
       "q83_tfidf_keywords",
       (s, dir) => Curation.tfidfKeywords(
         Tables.load(s, dir, "documents"), "doc_id", "text"),

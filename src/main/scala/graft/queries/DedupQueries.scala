@@ -236,6 +236,58 @@ object DedupQueries {
       }),
 
     GraftQuery(
+      "q121_url_dedup",
+      (s, dir) => {
+        // CommonCrawl-style URL dedup: synthesize raw URLs in four wire
+        // variants per order (tracking params in two positions, a
+        // fragment, a bare trailing-slash path), canonicalize, and
+        // collapse to one row per canonical URL. Variants 0-2 of the
+        // same (shop, item) MUST land on the same canonical key.
+        val o = Tables.load(s, dir, "orders")
+        val v = col("o_orderkey") % 4
+        val raw = concat(
+          lit("HTTP://Shop"), (col("o_custkey") % 20).cast("string"),
+          lit(".Example.COM/item/"), (col("o_orderkey") % 500).cast("string"),
+          when(v === 0, "?utm_source=news&ref=a")
+            .when(v === 1, "?ref=a&utm_campaign=x")
+            .when(v === 2, "?ref=a#frag")
+            .otherwise("/"))
+        o.select(
+            graft.functions.TextFunctions.canonicalUrl(raw)
+              .as("canonical_url"),
+            col("o_orderkey"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_raw"), min("o_orderkey").as("first_key"))
+      },
+      Some("""WITH raw AS (SELECT o_orderkey,
+            'HTTP://Shop' || (o_custkey % 20) || '.Example.COM/item/' ||
+            (o_orderkey % 500) ||
+            CASE o_orderkey % 4
+              WHEN 0 THEN '?utm_source=news&ref=a'
+              WHEN 1 THEN '?ref=a&utm_campaign=x'
+              WHEN 2 THEN '?ref=a#frag'
+              ELSE '/' END AS url
+          FROM orders),
+        s1 AS (SELECT o_orderkey,
+            regexp_replace(url, '#.*$', '') AS u FROM raw),
+        s2 AS (SELECT o_orderkey,
+            regexp_replace(u, 'utm_[A-Za-z]+=[^&]*&', '', 'g') AS u FROM s1),
+        s3 AS (SELECT o_orderkey,
+            regexp_replace(u, '[?&]utm_[A-Za-z]+=[^&]*$', '') AS u FROM s2),
+        s4 AS (SELECT o_orderkey,
+            regexp_replace(u, '\?&', '?', 'g') AS u FROM s3),
+        s5 AS (SELECT o_orderkey,
+            regexp_replace(u, '\?$', '') AS u FROM s4),
+        s6 AS (SELECT o_orderkey,
+            lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+              || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+              AS u FROM s5),
+        s7 AS (SELECT o_orderkey, regexp_replace(u, '/$', '') AS u FROM s6)
+        SELECT u AS canonical_url, CAST(COUNT(*) AS BIGINT) AS n_raw,
+          MIN(o_orderkey) AS first_key
+        FROM s7 GROUP BY u""")),
+
+    GraftQuery(
       "q99_duplicate_passages",
       (s, dir) => {
         // partial-copy detection: every group g of three docs plants one

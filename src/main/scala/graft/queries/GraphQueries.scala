@@ -52,7 +52,32 @@ object GraphQueries {
                 (85 * COALESCE(c3.c, 0)) // 100 AS pr
             FROM nodes n LEFT JOIN c3 ON c3.dst = n.node, nn)
         SELECT node, CAST(pr AS BIGINT) AS pr FROM p3"""),
-      bench = true)
+      bench = true),
+
+    GraftQuery(
+      "q122_triangle_count",
+      (s, dir) => {
+        // per-node triangle counts over the synthetic domain graph —
+        // the local clustering signal used to spot link farms vs
+        // organically connected domains in crawl curation.
+        val o = Tables.load(s, dir, "orders")
+        val edges = o.select(
+          concat(lit("n"), col("o_custkey") % 500).as("src"),
+          concat(lit("n"), col("o_orderkey") % 500).as("dst"))
+        graft.operators.Graphs.triangleCounts(edges, "src", "dst")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT
+            least('n' || (o_custkey % 500), 'n' || (o_orderkey % 500)) AS a,
+            greatest('n' || (o_custkey % 500), 'n' || (o_orderkey % 500)) AS b
+          FROM orders),
+        e AS (SELECT a, b FROM e0 WHERE a <> b),
+        tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        GROUP BY node"""))
   )
 }
 

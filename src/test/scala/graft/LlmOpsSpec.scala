@@ -216,4 +216,70 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(p1.getAs[Int]("resized_width") <= 320)
     assert(p1.getAs[scala.collection.Seq[Int]]("sample_frames").nonEmpty)
   }
+
+  test("dsir: target-like docs score positive, off-target negative") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "tgt"),
+      (2L, "alpha beta alpha gamma beta", "tgt"),
+      (3L, "delta epsilon zeta delta epsilon", "raw"),
+      (4L, "alpha beta gamma delta", "raw"),
+      (5L, "", "raw")
+    ).toDF("doc_id", "text", "kind")
+    val r = graft.operators.Curation
+      .dsirScore(d, "doc_id", "text", col("kind") === "tgt")
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Double]("llr"), x.getAs[Boolean]("keep"))).toMap
+    assert(r(1)._1 > 0 && r(1)._2)      // pure target vocabulary
+    assert(r(3)._1 < 0 && !r(3)._2)     // pure off-target vocabulary
+    assert(r(5)._1 === 0.0 && !r(5)._2) // empty doc: neutral, dropped
+    assert(r(4)._1 > r(3)._1)           // mixed doc between the extremes
+  }
+
+  test("canonical url: variants collapse, case/fragment/utm/slash rules") {
+    val urls = Seq(
+      "HTTP://Shop1.Example.COM/item/7?utm_source=news&ref=a",
+      "http://shop1.example.com/item/7?ref=a&utm_campaign=x",
+      "http://shop1.example.com/item/7?ref=a#frag",
+      "http://shop1.example.com/Item/7/",
+      "https://other.org/?utm_only=1"
+    ).toDF("u")
+    val c = urls.select(TextFunctions.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(c(0) === "http://shop1.example.com/item/7?ref=a")
+    assert(c(1) === c(0) && c(2) === c(0))
+    assert(c(3) === "http://shop1.example.com/Item/7") // path case kept
+    assert(c(4) === "https://other.org")
+  }
+
+  test("triangle counts: one triangle plus a dangling edge") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("b", "a"))
+      .toDF("src", "dst")
+    val r = graft.operators.Graphs.triangleCounts(e, "src", "dst")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 1L, "b" -> 1L, "c" -> 1L)) // d in no triangle
+  }
+
+  test("cooccurrence pmi: collocated pair beats independent pair") {
+    val d = Seq.tabulate(12)(i =>
+      (i.toLong, s"new york w$i filler${i % 2} mid w$i end"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Curation.cooccurrencePmi(d, "text", minCount = 3)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    val ny = r(("new", "york"))
+    assert(ny._1 === 12L && ny._2 > 0) // always adjacent: high PMI
+    // "york"–"w_i" pairs never reach minCount=3 (w_i unique per doc)
+    assert(!r.keySet.exists { case (a, b) => a.startsWith("w") && b == "york" })
+  }
+
+  test("curriculum bins: stages are ordered by difficulty and cover 1..4") {
+    val d = Seq.tabulate(40)(i => (i.toLong, ("tok " * (i + 1)).trim))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Curation.curriculumBins(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(r.values.toSet === Set(1, 2, 3, 4))
+    // monotone: a longer doc never lands in an earlier stage
+    (0L until 39L).foreach(i => assert(r(i) <= r(i + 1)))
+  }
 }
