@@ -116,6 +116,30 @@ object TextFunctions {
   def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
+  /** Per-document Shannon character entropy in nats — the cheap gibberish
+    * / boilerplate / encoded-blob detector (random base64 scores high,
+    * repeated padding scores low). Pure per-row HOF work, zero shuffle:
+    * O(distinct-chars × len) per row, never an explode+groupBy over the
+    * corpus' characters. Cross-engine: the distinct-char list is SORTED
+    * so both engines fold in the same order, each ln() is roundHalfUp'd
+    * at scale 8, and the final value at `scale`. BMP text only (both
+    * engines index by code point there). */
+  def charEntropy(text: Column, scale: Int = 6): Column = {
+    val chars = when(length(text) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text)),
+        i => text.substr(i, lit(1))))
+    bindOnce(chars) { ch =>
+      bindOnce(size(ch).cast("double")) { n =>
+        val folded = aggregate(array_sort(array_distinct(ch)), lit(0.0),
+          (acc, c) => acc + bindOnce(
+              size(filter(ch, x => x === c)).cast("double") / n) { p =>
+            p * SafeMath.roundHalfUp(log(p), 8)
+          })
+        SafeMath.roundHalfUp(-folded, scale)
+      }
+    }
+  }
+
   /** URL canonicalization — the CommonCrawl-style dedup key: strip the
     * fragment, drop `utm_*` tracking parameters (tidying separators),
     * lowercase the scheme+authority (path/query case is significant, per

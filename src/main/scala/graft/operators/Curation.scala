@@ -408,6 +408,67 @@ object Curation {
     out
   }
 
+  /** Per-source unigram KL divergence against the rest of the corpus —
+    * the domain-shift meter behind mixture decisions ("how far is src7
+    * from everything else?"). SUPPORT-RESTRICTED KL: the sum runs over
+    * the tokens the source actually contains, p = cnt_s/total_s exact,
+    * q = Laplace-smoothed rest-of-corpus probability (so q is never
+    * zero). Three token-keyed aggregations (all map-side combined,
+    * bounded by vocab) and one join — no per-source corpus rescans, no
+    * source×vocab cross product. Cross-engine: each ln at scale 8,
+    * per-term products rounded and DECIMAL-summed, final KL at `scale`. */
+  def sourceKl(docs: DataFrame, sourceCol: String, textCol: String,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt_s"))
+    val g = toks.groupBy("tok").agg(count(lit(1)).as("cnt_g"))
+      .localCheckpoint()
+    val totals = toks.groupBy("source").agg(count(lit(1)).as("t_s"))
+      .localCheckpoint()
+    val Seq(nTok, vocab) = {
+      val r = g.agg(sum("cnt_g"), count(lit(1))).collect()(0)
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    val p = col("cnt_s").cast("double") / col("t_s").cast("double")
+    val qProb = (col("cnt_g") - col("cnt_s") + lit(1L)).cast("double") /
+      (lit(nTok) - col("t_s") + lit(vocab)).cast("double")
+    val term = st.join(g, "tok").join(totals, "source")
+      .select(col("source"),
+        SafeMath.roundHalfUp(
+            p * (SafeMath.roundHalfUp(log(p), 8) -
+              SafeMath.roundHalfUp(log(qProb), 8)), 8)
+          .cast(DecimalType(28, 8)).as("t8"))
+    term.groupBy("source")
+      .agg(SafeMath.roundHalfUp(sum(col("t8")).cast("double"), scale)
+        .as("kl"))
+      .join(totals.withColumnRenamed("t_s", "n_tokens"), "source")
+      .select("source", "n_tokens", "kl")
+  }
+
+  /** Greedy per-domain token-budget selection — "give me the best
+    * `budgetTokens` tokens from every source": order each domain's
+    * documents by quality (desc, id tiebreak) and keep rows while the
+    * tokens BEFORE them fit the budget (the first overflowing document
+    * is included, so every domain reaches the budget). One window
+    * shuffle partitioned by domain — parallel across domains, no global
+    * sort; the quality score is the rounded deterministic heuristic, so
+    * selection is replay-stable. */
+  def budgetSelect(docs: DataFrame, idCol: String, domainCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("quality").desc, col(idCol))
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") - col("n_tokens") < budgetTokens)
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("quality"))
+  }
+
   /** Skip-gram co-occurrence PMI — the word2vec/GloVe preprocessing pass:
     * count unordered token pairs within a ±`window` token distance, then
     * score each pair by pointwise mutual information against the unigram

@@ -32,6 +32,30 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Incremental corpus-ingestion dedup — the standing-pipeline shape of
+    * exact dedup: drop incoming rows whose content fingerprint already
+    * exists in the corpus, and collapse in-batch duplicates to the
+    * min-id row. The existing side ships ONLY distinct fingerprints
+    * (16 bytes/doc, not text) into an anti-join; in production keep that
+    * index persisted bucketed by fingerprint so each day's batch
+    * anti-joins without reshuffling the accumulated corpus. The in-batch
+    * cut is a row_number window (never a wide dropDuplicates). */
+  def incrementalIngest(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fpOld = existing
+      .select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    val inCols = incoming.columns.toSeq
+    incoming
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(fpOld, Seq("__fp"), "left_anti")
+      .select(inCols.map(col): _*)
+  }
+
   /** Distinct (id, shingle-hash) pairs — the inverted-index rows. Shingles
     * are joined by xxhash64, not by string: the shuffle ships 8-byte keys
     * instead of ~40-byte text, and the join is a long-compare. Collision

@@ -272,6 +272,54 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q127_source_kl",
+      (s, dir) => Curation.sourceKl(
+        Tables.load(s, dir, "documents"), "source", "text"),
+      Some(s"""WITH toks AS (SELECT source, unnest($Toks5Sql) AS tok
+            FROM documents),
+          st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt_s
+            FROM toks GROUP BY 1, 2),
+          g AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_g
+            FROM toks GROUP BY 1),
+          v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM g),
+          ts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s
+            FROM toks GROUP BY 1),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+          term AS (SELECT st.source,
+              CAST(${graft.functions.SafeMath.roundHalfUpSql(
+                "(CAST(cnt_s AS DOUBLE) / CAST(t_s AS DOUBLE)) * (" +
+                graft.functions.SafeMath.roundHalfUpSql(
+                  "ln(CAST(cnt_s AS DOUBLE) / CAST(t_s AS DOUBLE))", 8) +
+                " - " +
+                graft.functions.SafeMath.roundHalfUpSql(
+                  "ln(CAST(cnt_g - cnt_s + 1 AS DOUBLE) / " +
+                  "CAST(n - t_s + v AS DOUBLE))", 8) + ")",
+                8)} AS DECIMAL(28,8)) AS t8
+            FROM st JOIN g USING (tok) JOIN ts ON ts.source = st.source,
+              v, n),
+          kl AS (SELECT source, ${graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(SUM(t8) AS DOUBLE)", 6)} AS kl
+            FROM term GROUP BY source)
+        SELECT kl.source, ts.t_s AS n_tokens, kl.kl
+        FROM kl JOIN ts ON ts.source = kl.source""")),
+
+    GraftQuery(
+      "q128_budget_select",
+      (s, dir) => Curation.budgetSelect(
+        Tables.load(s, dir, "documents"), "doc_id", "source", "text",
+        budgetTokens = 600L),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+            CAST(len($Toks5Sql) AS BIGINT) AS n_tokens,
+            ${TextQueries.qualitySqlTwin} AS quality FROM documents),
+          w AS (SELECT doc_id, source, n_tokens, quality,
+            SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t)
+        SELECT doc_id, source, n_tokens, quality FROM w
+        WHERE cum - n_tokens < 600""")),
+
+    GraftQuery(
       "q123_cooccurrence_pmi",
       (s, dir) => Curation.cooccurrencePmi(
         Tables.load(s, dir, "documents"), "text"),

@@ -236,6 +236,42 @@ object DedupQueries {
       }),
 
     GraftQuery(
+      "q126_incremental_ingest",
+      (s, dir) => {
+        // day-2 ingestion: existing corpus = docs < 250; the incoming
+        // batch re-sends 200-249 (content dups of existing — dropped),
+        // brings 250-449 fresh, and double-sends 400-449 under a second
+        // id (in-batch dups — collapsed to the min id).
+        val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val existing = d.filter(col("doc_id") < 250)
+        val incoming = d
+          .filter(col("doc_id") >= 200 && col("doc_id") < 450)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+          .unionByName(d
+            .filter(col("doc_id") >= 400 && col("doc_id") < 450)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        Dedup.incrementalIngest(existing, incoming, "doc_id", "text")
+      },
+      Some("""WITH ex AS (SELECT DISTINCT
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents WHERE doc_id < 250),
+        inc AS (
+          SELECT doc_id + 10000 AS doc_id, text FROM documents
+          WHERE doc_id >= 200 AND doc_id < 450
+          UNION ALL
+          SELECT doc_id + 20000 AS doc_id, text FROM documents
+          WHERE doc_id >= 400 AND doc_id < 450),
+        fps AS (SELECT doc_id, text,
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM inc),
+        firsts AS (SELECT doc_id, text, fp FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+              AS rn FROM fps)
+          WHERE rn = 1)
+        SELECT doc_id, text FROM firsts
+        WHERE fp NOT IN (SELECT fp FROM ex)""")),
+
+    GraftQuery(
       "q121_url_dedup",
       (s, dir) => {
         // CommonCrawl-style URL dedup: synthesize raw URLs in four wire

@@ -133,6 +133,23 @@ object TextQueries {
         FROM documents""")),
 
     GraftQuery(
+      "q125_char_entropy",
+      (s, dir) => Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.charEntropy(col("text")).as("entropy")),
+      Some {
+        val ch = "list_transform(range(1, length(text) + 1), i -> substr(text, i, 1))"
+        val p = s"""(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE)
+          / CAST(len(ch) AS DOUBLE))"""
+        s"""SELECT doc_id, ${graft.functions.SafeMath.roundHalfUpSql(
+            s"""-(list_reduce(list_prepend(0.0E0,
+              list_transform(list_sort(list_distinct(ch)), c ->
+                $p * ${graft.functions.SafeMath.roundHalfUpSql(
+                  s"ln($p)", 8)})),
+              (a, b) -> a + b))""", 6)} AS entropy
+          FROM (SELECT doc_id, $ch AS ch FROM documents)"""
+      }),
+
+    GraftQuery(
       "q104_quality_classifier",
       (s, dir) => graft.operators.Curation.qualityClassifier(
         Tables.load(s, dir, "documents"), "doc_id", "text"),

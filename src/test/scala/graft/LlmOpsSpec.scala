@@ -273,6 +273,54 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!r.keySet.exists { case (a, b) => a.startsWith("w") && b == "york" })
   }
 
+  test("char entropy: uniform > skewed > constant, empty = 0") {
+    val d = Seq((1L, "abcd"), (2L, "aaab"), (3L, "aaaa"), (4L, ""))
+      .toDF("id", "text")
+    val r = d.select(col("id"),
+        TextFunctions.charEntropy(col("text")).as("e"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1) > r(2) && r(2) > r(3))
+    assert(r(3) === 0.0 && r(4) === 0.0)
+    assert(math.abs(r(1) - math.log(4.0)) < 1e-5) // uniform over 4 chars
+  }
+
+  test("incremental ingest: existing dups dropped, in-batch dups collapse") {
+    val existing = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "SEEN   before"),   // normalizes to existing 1 → dropped
+      (11L, "brand new text"),  // kept
+      (12L, "brand new text"),  // in-batch dup of 11 → dropped
+      (13L, "another fresh one") // kept
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .incrementalIngest(existing, incoming, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(11L, 13L))
+  }
+
+  test("source KL: a divergent source scores higher than a typical one") {
+    val d = (Seq.tabulate(8)(i => (i.toLong, "common words shared by all", "a")) ++
+      Seq.tabulate(8)(i => (100L + i, "common words shared by all", "b")) ++
+      Seq.tabulate(8)(i => (200L + i, "utterly disjoint vocabulary here", "c")))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Curation.sourceKl(d, "source", "text")
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("c") > r("a") && r("c") > r("b"))
+  }
+
+  test("budget select: greedy by quality, first overflow included") {
+    val mk = (q: Int) => ("word " * (10 * q)).trim // token count 10q
+    val d = Seq((1L, mk(3), "s"), (2L, mk(2), "s"), (3L, mk(1), "s"))
+      .toDF("doc_id", "text", "source")
+    // all same quality band? longer docs score higher length term →
+    // order 1,2,3; budget 35: doc1 (30 before=0) + doc2 (before=30 < 35)
+    // kept, doc3 (before=50 ≥ 35) cut.
+    val kept = graft.operators.Curation
+      .budgetSelect(d, "doc_id", "source", "text", budgetTokens = 35L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L))
+  }
+
   test("curriculum bins: stages are ordered by difficulty and cover 1..4") {
     val d = Seq.tabulate(40)(i => (i.toLong, ("tok " * (i + 1)).trim))
       .toDF("doc_id", "text")
