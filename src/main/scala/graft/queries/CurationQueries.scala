@@ -272,6 +272,68 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q129_bpe_merges",
+      (s, dir) => graft.operators.Tokenizer.bpeMerges(
+        Tables.load(s, dir, "documents"), "text", rounds = 2),
+      Some {
+        // two unrolled rounds of the identical BPE step: overlapping
+        // pair counts → deterministic argmax → left-to-right
+        // non-overlapping fold merge (struct accumulator).
+        def pairsCte(v: String, p: String) =
+          s"""$p AS (SELECT pr.l AS l, pr.r AS r,
+              CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq, unnest(list_transform(
+                range(0, greatest(len(syms) - 1, 0)),
+                i -> {'l': syms[i+1], 'r': syms[i+2]})) AS pr FROM $v)
+            GROUP BY 1, 2)"""
+        def bestCte(p: String, b: String) =
+          s"""$b AS (SELECT l, r, cnt FROM $p
+            ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+        // string accumulator joined by chr(31) (absent from the corpus):
+        // DuckDB 1.0's list_reduce loses list-typed accumulator state
+        // across consecutive list_append branches, so the fold carries a
+        // flat string and re-splits after.
+        def mergeCte(v: String, b: String, vNext: String) =
+          s"""$vNext AS (SELECT freq, string_split(
+              CASE WHEN f.prev = '' THEN f.out
+                   WHEN f.out = '' THEN f.prev
+                   ELSE f.out || chr(31) || f.prev END, chr(31)) AS syms
+            FROM (SELECT freq, list_reduce(
+                list_prepend(
+                  {'out': CAST('' AS VARCHAR), 'prev': CAST('' AS VARCHAR)},
+                  list_transform(syms, x ->
+                    {'out': CAST('' AS VARCHAR), 'prev': x})),
+                (acc, s) -> CASE
+                  WHEN acc.prev = $b.l AND s.prev = $b.r
+                    THEN {'out': CASE WHEN acc.out = '' THEN $b.l || $b.r
+                          ELSE acc.out || chr(31) || $b.l || $b.r END,
+                          'prev': ''}
+                  WHEN acc.prev = ''
+                    THEN {'out': acc.out, 'prev': s.prev}
+                  ELSE {'out': CASE WHEN acc.out = '' THEN acc.prev
+                        ELSE acc.out || chr(31) || acc.prev END,
+                        'prev': s.prev} END) AS f
+              FROM $v, $b))"""
+        s"""WITH vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest($Toks5Sql) AS w FROM documents) GROUP BY w),
+          v0 AS (SELECT freq, list_transform(range(1, length(w) + 1),
+              i -> substr(w, i, 1)) AS syms FROM vocab),
+          ${pairsCte("v0", "p1")}, ${bestCte("p1", "b1")},
+          ${mergeCte("v0", "b1", "v1")},
+          ${pairsCte("v1", "p2")}, ${bestCte("p2", "b2")},
+          ${mergeCte("v1", "b2", "v2")}
+        SELECT 1 AS merge_round, b1.l AS lhs, b1.r AS rhs,
+          b1.cnt AS pair_count,
+          (SELECT CAST(SUM(len(syms) * freq) AS BIGINT) FROM v1)
+            AS corpus_symbols
+        FROM b1
+        UNION ALL
+        SELECT 2, b2.l, b2.r, b2.cnt,
+          (SELECT CAST(SUM(len(syms) * freq) AS BIGINT) FROM v2)
+        FROM b2"""
+      }),
+
+    GraftQuery(
       "q127_source_kl",
       (s, dir) => Curation.sourceKl(
         Tables.load(s, dir, "documents"), "source", "text"),

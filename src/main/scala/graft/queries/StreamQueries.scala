@@ -1153,6 +1153,84 @@ object StreamQueries {
         SELECT key, CAST(len(xs) AS BIGINT) AS n_events,
           CAST(list_reduce(xs, (a, x) -> (3 * x + 7 * a) // 10) AS BIGINT)
             AS ewma
-        FROM l"""))
+        FROM l""")),
+
+    GraftQuery(
+      "q130_stream_funnel",
+      (s, dir) => {
+        // the CEP pattern-match as a stream: three waves (views, then
+        // clicks for keys j<15, then purchases for j<8) arrive in
+        // separate micro-batches in per-key ordinal order; the keyed
+        // state machine must land every key on the same (stages, t0,
+        // t1, t2) as the batch funnel oracle — including keys whose
+        // purchase falls OUTSIDE the horizon (j = 6, 7: ts 20040+1000j
+        // > 100j + 25000) and keys abandoned mid-funnel.
+        import s.implicits._
+        val k = col("c_custkey")
+        val cust = Tables.load(s, dir, "customer").select(k.as("k"))
+        def ev(filter: Column, ts: Column, step: String) =
+          cust.filter(filter).select(to_json(struct(
+            concat(lit("u-"), col("k") % 25).as("key"),
+            ts.cast("long").as("ordinal"),
+            lit(step).as("step"))).as("value"))
+        val j = col("k") % 25
+        val frames = Seq(
+          ev(col("k") < 500, j * 100 + expr("k div 25"), "view"),
+          ev(col("k") >= 500 && col("k") < 1000 && j < 15,
+            j * 100 + expr("k div 25") + 5000, "click"),
+          ev(col("k") >= 1000 && col("k") < 1500 && j < 8,
+            j * 1000 + expr("k div 25") + 20000, "purchase"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, ordinal LONG, step STRING")
+        val snaps = runStaged(s, frames, "funnel") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+            .as[graft.streaming.StatefulOps.FunnelEvent]
+          graft.streaming.StatefulOps.funnelStages(parsed,
+              Seq("view", "click", "purchase"), horizon = 25000L)
+            .toDF()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/funnel")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        graft.operators.KeepLatest(snaps, Seq("key"),
+          Seq(col("n_events").desc))
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k FROM customer),
+          e AS (
+            SELECT 'u-' || (k % 25) AS key,
+              CAST((k % 25) * 100 + k // 25 AS BIGINT) AS ts,
+              'view' AS step FROM b WHERE k < 500
+            UNION ALL
+            SELECT 'u-' || (k % 25),
+              CAST((k % 25) * 100 + k // 25 + 5000 AS BIGINT), 'click'
+            FROM b WHERE k >= 500 AND k < 1000 AND (k % 25) < 15
+            UNION ALL
+            SELECT 'u-' || (k % 25),
+              CAST((k % 25) * 1000 + k // 25 + 20000 AS BIGINT), 'purchase'
+            FROM b WHERE k >= 1000 AND k < 1500 AND (k % 25) < 8),
+          n AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM e GROUP BY key),
+          s0 AS (SELECT key, MIN(ts) AS t0 FROM e
+            WHERE step = 'view' GROUP BY key),
+          s1 AS (SELECT e.key, MIN(e.ts) AS t1 FROM e JOIN s0 USING (key)
+            WHERE step = 'click' AND e.ts >= s0.t0
+              AND e.ts <= s0.t0 + 25000 GROUP BY e.key),
+          s2 AS (SELECT e.key, MIN(e.ts) AS t2 FROM e
+            JOIN s1 USING (key) JOIN s0 USING (key)
+            WHERE step = 'purchase' AND e.ts >= s1.t1
+              AND e.ts <= s0.t0 + 25000 GROUP BY e.key)
+        SELECT n.key, n.n_events,
+          CAST(CASE WHEN s0.key IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN s1.key IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN s2.key IS NULL THEN 0 ELSE 1 END AS INTEGER)
+            AS stages_reached,
+          s0.t0, s1.t1, s2.t2
+        FROM n
+        LEFT JOIN s0 USING (key)
+        LEFT JOIN s1 USING (key)
+        LEFT JOIN s2 USING (key)"""))
   )
 }

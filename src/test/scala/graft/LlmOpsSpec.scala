@@ -321,6 +321,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept === Seq(1L, 2L))
   }
 
+  test("bpe merges: deterministic argmax, non-overlapping merge, compression") {
+    val d = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    val r = graft.operators.Tokenizer.bpeMerges(d, "text", rounds = 2)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getLong(4)))
+    // round 1: (l,o) and (o,w) both count 5 — lexicographic tie-break
+    assert(r(0) === ((1, "l", "o", 5L, 15L))) // 20 symbols - 5 merges
+    // round 2: the merged "lo" pairs with w, count 5
+    assert(r(1) === ((2, "lo", "w", 5L, 10L)))
+  }
+
   test("curriculum bins: stages are ordered by difficulty and cover 1..4") {
     val d = Seq.tabulate(40)(i => (i.toLong, ("tok " * (i + 1)).trim))
       .toDF("doc_id", "text")
