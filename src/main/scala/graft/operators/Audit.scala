@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality auditing over fact/dim relationships — the profiling pass
+  * a pipeline runs before trusting a day's ingest: referential integrity
+  * (orphaned foreign keys), key uniqueness, and null rates, each as one
+  * aggregate/anti-join per relation, emitted as a compact metrics frame.
+  */
+object Audit {
+
+  /** One metrics row for a child→parent FK relationship: child row count,
+    * orphaned child rows (FK value absent from the parent key set —
+    * NULLs count as orphans of their own bucket `n_null_fk`), parent key
+    * count, and duplicated parent keys (a dim PK that isn't unique makes
+    * every join fan out). The orphan check is a LEFT ANTI join shuffled
+    * on the key — at dim scale broadcast it; the uniqueness check is one
+    * map-side-combined aggregation. */
+  def fkAudit(relation: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val spark = child.sparkSession
+    import spark.implicits._
+    val nChild = child.count()
+    val nNullFk = child.filter(col(childKey).isNull).count()
+    val orphans = child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .count()
+    val parentKeys = parent.groupBy(col(parentKey))
+      .agg(count(lit(1)).as("n"))
+    val nParent = parentKeys.count()
+    val nDup = parentKeys.filter(col("n") > 1).count()
+    Seq((relation, nChild, nNullFk, orphans, nParent, nDup))
+      .toDF("relation", "n_child", "n_null_fk", "n_orphans",
+        "n_parent_keys", "n_dup_parent_keys")
+  }
+}

@@ -469,6 +469,26 @@ object Curation {
       .select(col(idCol), col(domainCol), col("n_tokens"), col("quality"))
   }
 
+  /** Per-group WEIGHTED median — "the median token's document quality":
+    * order each group by (value, id), cumulative-sum the weights, and
+    * take the first value whose cumulative weight reaches half the
+    * group total. Exact and deterministic (the unweighted percentile
+    * path can't express weights); one window shuffle partitioned by the
+    * group key — parallel across groups, never a global sort. */
+  def weightedMedian(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, weightCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("__tot",
+        sum(col(weightCol)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("w_median"),
+        max(col("__tot")).as("total_weight"))
+  }
+
   /** Skip-gram co-occurrence PMI — the word2vec/GloVe preprocessing pass:
     * count unordered token pairs within a ±`window` token distance, then
     * score each pair by pointwise mutual information against the unigram

@@ -56,6 +56,80 @@ object Dedup {
       .select(inCols.map(col): _*)
   }
 
+  /** Source-pair shingle-overlap matrix — corpus-composition analysis:
+    * how much does each pair of sources share, as Jaccard over their
+    * DISTINCT shingle sets. The per-source shingle sets are one
+    * distinct-aggregation (vocab-bounded); the pair join's fan-out is
+    * bounded by #sources² per shingle key — NOT document-pair fan-out —
+    * so the shape survives any corpus size with a fixed source list.
+    * Shingles join on the md5-derived 60-bit key so the oracle
+    * reproduces the exact same sets. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val idx = docs.select(col(sourceCol).as("source"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), k)))
+          .as("sh"))
+      .select(col("source"), TextFunctions.md5Key60(col("sh")).as("shk"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = idx.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val co = idx.as("x").join(idx.as("y"),
+        col("x.shk") === col("y.shk") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col("source").as("src_a"), col("n_sh").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n_sh").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** TF-IDF-weighted cosine near-dup pairs — the WEIGHTED complement of
+    * [[jaccardPairs]]: rare shared terms count for more, boilerplate for
+    * less. Same scale skeleton (df-capped posting lists, x.doc < y.doc
+    * pair aggregation — never all-pairs), but the intersection
+    * accumulates w_a·w_b products instead of 1s. Cross-engine: weights
+    * are ln-based, so each is roundHalfUp'd at scale 8 and carried as
+    * DECIMAL(18,8); dots and norms are exact decimal sums; the final
+    * cosine divides by sqrt (exactly rounded per IEEE 754, unlike ln),
+    * so the whole pipeline hash-gates. Terms are word `k`-shingles
+    * (k=1 → unigrams); terms with df=1 can't pair and are dropped with
+    * the > dfCap cut. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 1, threshold: Double = 0.3, dfCap: Int = 50,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val nDocs = docs.count()
+    val tf = docs.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), k)).as("tok"))
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    val weighted = tf.join(df, "tok")
+      .select(col("doc"), col("tok"),
+        SafeMath.roundHalfUp(
+            col("tf").cast("double") *
+              log(lit(nDocs.toDouble) / col("df").cast("double")), 8)
+          .cast(DecimalType(18, 8)).as("w"))
+      .localCheckpoint()
+    val norms = weighted.groupBy("doc")
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val dots = weighted.as("x").join(weighted.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .agg(sum(col("x.w") * col("y.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(norms.select(col("doc").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        SafeMath.roundHalfUp(
+          col("dot").cast("double") /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")),
+          scale).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Distinct (id, shingle-hash) pairs — the inverted-index rows. Shingles
     * are joined by xxhash64, not by string: the shuffle ships 8-byte keys
     * instead of ~40-byte text, and the join is a long-compare. Collision

@@ -288,6 +288,56 @@ object CoreQueries {
           .limit(10)
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    GraftQuery(
+      "q134_fk_audit",
+      (s, dir) => {
+        // data-quality audit before trusting an ingest: two healthy FK
+        // relations plus one deliberately corrupted child (every 100th
+        // o_custkey shifted out of range → orphans) so the nonzero path
+        // is exercised, not just the all-green one.
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        val lineitem = Tables.load(s, dir, "lineitem")
+        val corrupted = orders.select(
+          when(col("o_orderkey") % 100 === 0, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("o_custkey"))
+        graft.operators.Audit
+          .fkAudit("orders->customer", orders, "o_custkey",
+            customer, "c_custkey")
+          .unionByName(graft.operators.Audit.fkAudit(
+            "lineitem->orders", lineitem, "l_orderkey",
+            orders, "o_orderkey"))
+          .unionByName(graft.operators.Audit.fkAudit(
+            "corrupted->customer", corrupted, "o_custkey",
+            customer, "c_custkey"))
+      },
+      Some {
+        def row(rel: String, child: String, fk: String, parent: String,
+            pk: String): String =
+          s"""SELECT '$rel' AS relation,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_child,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM $child
+              WHERE $fk IS NULL) AS n_null_fk,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM $child
+              WHERE $fk IS NOT NULL
+                AND $fk NOT IN (SELECT $pk FROM $parent)) AS n_orphans,
+            (SELECT CAST(COUNT(DISTINCT $pk) AS BIGINT) FROM $parent)
+              AS n_parent_keys,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT $pk FROM $parent
+              GROUP BY 1 HAVING COUNT(*) > 1)) AS n_dup_parent_keys"""
+        val corrupted = """(SELECT CASE WHEN o_orderkey % 100 = 0
+            THEN o_custkey + 10000000 ELSE o_custkey END AS o_custkey
+          FROM orders)"""
+        s"""${row("orders->customer", "orders", "o_custkey",
+            "customer", "c_custkey")}
+          UNION ALL
+          ${row("lineitem->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey")}
+          UNION ALL
+          ${row("corrupted->customer", corrupted + " c", "o_custkey",
+            "customer", "c_custkey")}"""
+      })
   )
 }

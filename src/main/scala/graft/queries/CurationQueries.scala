@@ -272,6 +272,25 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q131_weighted_median",
+      (s, dir) => Curation.weightedMedian(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("wt")),
+        "source", "doc_id", "q", "wt"),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+            ${TextQueries.qualitySqlTwin} AS q,
+            CAST(len($Toks5Sql) AS BIGINT) AS wt FROM documents),
+          w AS (SELECT source, q, wt,
+            SUM(wt) OVER (PARTITION BY source ORDER BY q, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(wt) OVER (PARTITION BY source) AS tot FROM t)
+        SELECT source, MIN(q) AS w_median,
+          CAST(MAX(tot) AS BIGINT) AS total_weight
+        FROM w WHERE cum * 2 >= tot GROUP BY source""")),
+
+    GraftQuery(
       "q129_bpe_merges",
       (s, dir) => graft.operators.Tokenizer.bpeMerges(
         Tables.load(s, dir, "documents"), "text", rounds = 2),

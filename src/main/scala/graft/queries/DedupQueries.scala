@@ -236,6 +236,71 @@ object DedupQueries {
       }),
 
     GraftQuery(
+      "q133_tfidf_cosine_pairs",
+      (s, dir) => Dedup.tfidfCosinePairs(corpus(s, dir), "doc_id", "text",
+        k = 2, threshold = 0.3, dfCap = 50),
+      Some {
+        val toks =
+          """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+        val bigrams = s"""list_transform(
+            range(0, greatest(len($toks) - 1, 0)),
+            i -> array_to_string(list_slice($toks, i + 1, i + 2), ' '))"""
+        val w8 = graft.functions.SafeMath.roundHalfUpSql(
+          "CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE))",
+          8)
+        val cos = graft.functions.SafeMath.roundHalfUpSql(
+          "CAST(dot AS DOUBLE) / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))",
+          6)
+        s"""WITH tf AS (SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id AS doc, unnest($bigrams) AS tok
+              FROM $CorpusSql) GROUP BY 1, 2),
+          dfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            GROUP BY tok HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $CorpusSql),
+          wtd AS (SELECT doc, tf.tok,
+              CAST($w8 AS DECIMAL(18,8)) AS w
+            FROM tf JOIN dfx USING (tok), n),
+          norms AS (SELECT doc, SUM(w * w) AS n2 FROM wtd GROUP BY doc),
+          dots AS (SELECT x.doc AS doc_a, y.doc AS doc_b,
+              SUM(x.w * y.w) AS dot
+            FROM wtd x JOIN wtd y ON x.tok = y.tok AND x.doc < y.doc
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b, $cos AS cosine
+        FROM dots
+        JOIN norms a ON a.doc = doc_a
+        JOIN norms b ON b.doc = doc_b
+        WHERE $cos >= 0.3E0"""
+      }),
+
+    GraftQuery(
+      "q132_source_overlap",
+      (s, dir) => Dedup.sourceOverlap(
+        Tables.load(s, dir, "documents"), "source", "text", k = 3),
+      Some {
+        val toks =
+          """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+        val sh3 = s"""list_transform(
+            range(0, greatest(len($toks) - 2, 0)),
+            i -> array_to_string(list_slice($toks, i + 1, i + 3), ' '))"""
+        s"""WITH idx AS (SELECT DISTINCT source,
+              ${CurationQueries.md5Key60Sql("sh")} AS shk
+            FROM (SELECT source, unnest(list_distinct($sh3)) AS sh
+              FROM documents)),
+          sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM idx GROUP BY source),
+          co AS (SELECT x.source AS src_a, y.source AS src_b,
+              CAST(COUNT(*) AS BIGINT) AS inter
+            FROM idx x JOIN idx y
+              ON x.shk = y.shk AND x.source < y.source
+            GROUP BY 1, 2)
+        SELECT co.src_a, co.src_b, co.inter,
+          CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) AS jaccard
+        FROM co
+        JOIN sizes a ON a.source = co.src_a
+        JOIN sizes b ON b.source = co.src_b"""
+      }),
+
+    GraftQuery(
       "q126_incremental_ingest",
       (s, dir) => {
         // day-2 ingestion: existing corpus = docs < 250; the incoming

@@ -332,6 +332,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(1) === ((2, "lo", "w", 5L, 10L)))
   }
 
+  test("weighted median: heavy row pulls the median, ties break low") {
+    val d = Seq(
+      (1L, "g", 1.0, 1L), (2L, "g", 2.0, 1L), (3L, "g", 3.0, 10L),
+      (4L, "h", 5.0, 1L), (5L, "h", 6.0, 1L)
+    ).toDF("id", "grp", "v", "wt")
+    val r = graft.operators.Curation
+      .weightedMedian(d, "grp", "id", "v", "wt")
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("g") === 3.0) // weight-10 row holds the median
+    assert(r("h") === 5.0) // even split: first value reaching half
+  }
+
+  test("source overlap: identical sources share everything, disjoint nothing") {
+    val d = Seq(
+      (1L, "a", "alpha beta gamma delta epsilon"),
+      (2L, "b", "alpha beta gamma delta epsilon"),
+      (3L, "c", "utterly different words entirely here")
+    ).toDF("doc_id", "source", "text")
+    val r = graft.operators.Dedup.sourceOverlap(d, "source", "text", k = 3)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3))
+      .toMap
+    assert(r(("a", "b")) === 1.0)
+    assert(!r.contains(("a", "c")) && !r.contains(("b", "c"))) // no shared shingle
+  }
+
+  test("tfidf cosine pairs: exact dup = 1.0, unrelated docs absent") {
+    val d = Seq(
+      (1L, "rare alpha rare beta rare gamma common common"),
+      (2L, "rare alpha rare beta rare gamma common common"),
+      (3L, "totally unrelated text with other words common common")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .tfidfCosinePairs(d, "doc_id", "text", k = 1, threshold = 0.3,
+        dfCap = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.keySet === Set((1L, 2L))) // df cap drops 'common' terms
+  }
+
+  test("fk audit: orphans, null FKs, and duplicate parent keys counted") {
+    val parent = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("pk", "v")
+    val child = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val r = graft.operators.Audit
+      .fkAudit("t", child, "fk", parent, "pk").collect()(0)
+    assert(r.getLong(1) === 4L) // n_child
+    assert(r.getLong(2) === 1L) // null fk
+    assert(r.getLong(3) === 1L) // orphan 99
+    assert(r.getLong(4) === 2L) // distinct parent keys
+    assert(r.getLong(5) === 1L) // pk 2 duplicated
+  }
+
   test("curriculum bins: stages are ordered by difficulty and cover 1..4") {
     val d = Seq.tabulate(40)(i => (i.toLong, ("tok " * (i + 1)).trim))
       .toDF("doc_id", "text")
