@@ -350,7 +350,8 @@ object CurationQueries {
         SELECT 2, b2.l, b2.r, b2.cnt,
           (SELECT CAST(SUM(len(syms) * freq) AS BIGINT) FROM v2)
         FROM b2"""
-      }),
+      },
+      bench = true),
 
     GraftQuery(
       "q127_source_kl",

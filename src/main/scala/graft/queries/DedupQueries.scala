@@ -270,7 +270,8 @@ object DedupQueries {
         JOIN norms a ON a.doc = doc_a
         JOIN norms b ON b.doc = doc_b
         WHERE $cos >= 0.3E0"""
-      }),
+      },
+      bench = true),
 
     GraftQuery(
       "q132_source_overlap",
