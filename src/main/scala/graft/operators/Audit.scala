@@ -35,4 +35,31 @@ object Audit {
       .toDF("relation", "n_child", "n_null_fk", "n_orphans",
         "n_parent_keys", "n_dup_parent_keys")
   }
+
+  /** Dataset profile card — the per-column summary published with a
+    * corpus release: row count, null count, distinct count, and the
+    * min/max rendered as strings (so one frame covers mixed column
+    * types). ONE scan: all per-column aggregates run in a single
+    * aggregation pass (Spark fuses them); the distinct counts are exact
+    * — swap in approx_count_distinct at the 100 TB/interactive point.
+    * Output one row per column, deterministic, hash-gateable. */
+  def profileCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__dst_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val total = count(lit(1)).as("__total")
+    val row = df.agg(total, aggs: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__dst_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -469,6 +469,46 @@ object Curation {
       .select(col(idCol), col(domainCol), col("n_tokens"), col("quality"))
   }
 
+  /** Content-defined chunking at token granularity — the rsync/dedup-
+    * storage trick applied to text: a chunk boundary falls AFTER any
+    * token whose hash ≡ 0 (mod `divisor`), so boundaries depend only on
+    * LOCAL content. Insert a paragraph and only the chunks it touches
+    * change — unlike fixed-size chunking ([[chunkOverlap]]) where one
+    * insertion shifts every later chunk. Emitted chunk hashes therefore
+    * join ACROSS documents to find shared passages at chunk granularity.
+    * Pure per-row HOF work + one explode: full scan speed; the md5-keyed
+    * boundary decision makes the chunking oracle-reproducible. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    val chunksCol = TextFunctions.bindOnce(
+        TextFunctions.tokens(col(textCol))) { tk =>
+      TextFunctions.bindOnce(size(tk)) { n =>
+        when(n === 0,
+          array().cast("array<struct<txt:string,ntok:int>>"))
+          .otherwise(TextFunctions.bindOnce(
+            filter(sequence(lit(1), n), i =>
+              TextFunctions.md5Key60(element_at(tk, i)) % divisor === 0)) { bs =>
+            TextFunctions.bindOnce(
+              when(size(bs) === 0, array(n))
+                .when(element_at(bs, -1) === n, bs)
+                .otherwise(concat(bs, array(n)))) { ends =>
+              transform(sequence(lit(1), size(ends)), j => {
+                val start = when(j === 1, lit(1))
+                  .otherwise(element_at(ends, j - 1) + 1)
+                val len = element_at(ends, j) - start + 1
+                struct(concat_ws(" ", slice(tk, start, len)).as("txt"),
+                  len.as("ntok"))
+              })
+            }
+          })
+      }
+    }
+    docs.select(col(idCol), posexplode(chunksCol).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        md5(col("c.txt")).as("chunk_hash"),
+        col("c.ntok").cast("long").as("n_chunk_tokens"))
+  }
+
   /** Per-group WEIGHTED median — "the median token's document quality":
     * order each group by (value, id), cumulative-sum the weights, and
     * take the first value whose cumulative weight reaches half the

@@ -31,6 +31,32 @@ object SkewTools {
     f.join(d, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Join-key skew PROFILE — the detection half of the detect-then-salt
+    * loop ([[saltedJoin]] is the cure): per key column, the row count,
+    * distinct keys, the heaviest key's count, the exact p99 of per-key
+    * counts, and `skew_ratio` = max_count / (rows / distinct) — how many
+    * times heavier the hottest partition is than a uniform spread. One
+    * map-side-combined count aggregation per key (vocab-bounded), then a
+    * 5-number summary of the counts — cheap enough to run on every
+    * ingest and gate joins on. */
+  def skewProfile(relation: String, df: DataFrame, keyCol: String,
+      scale: Int = 4): DataFrame = {
+    import graft.functions.SafeMath
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    counts.agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_key_rows"),
+        SafeMath.roundHalfUp(percentile(col("n"), lit(0.99)), scale)
+          .as("p99_key_rows"))
+      .select(lit(relation).as("relation"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"), col("p99_key_rows"),
+        SafeMath.roundHalfUp(
+          col("max_key_rows").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys").cast("double")),
+          scale).as("skew_ratio"))
+  }
+
   /** Two-phase salted sum/count: partial per (keys, salt), final per keys.
     * `sumCols` are summed, plus a `n_rows` count. */
   def saltedAgg(df: DataFrame, keys: Seq[String], sumCols: Seq[String],

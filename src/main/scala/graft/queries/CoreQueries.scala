@@ -338,6 +338,64 @@ object CoreQueries {
           UNION ALL
           ${row("corrupted->customer", corrupted + " c", "o_custkey",
             "customer", "c_custkey")}"""
+      }),
+
+    GraftQuery(
+      "q135_skew_profile",
+      (s, dir) => {
+        // detect-then-salt, the detection half: two natural TPC-H keys
+        // plus a synthetically skewed one (every even order collapses
+        // onto key 0 → ~50% of rows in one bucket, skew_ratio ≈ n_keys/2).
+        val orders = Tables.load(s, dir, "orders")
+        val lineitem = Tables.load(s, dir, "lineitem")
+        val skewed = orders.select(
+          when(col("o_orderkey") % 2 === 0, lit(0L))
+            .otherwise(col("o_custkey")).as("k"))
+        graft.operators.SkewTools
+          .skewProfile("lineitem.l_orderkey", lineitem, "l_orderkey")
+          .unionByName(graft.operators.SkewTools
+            .skewProfile("orders.o_custkey", orders, "o_custkey"))
+          .unionByName(graft.operators.SkewTools
+            .skewProfile("orders.skewed", skewed, "k"))
+      },
+      Some {
+        def row(rel: String, table: String, key: String): String =
+          s"""SELECT '$rel' AS relation, n_rows, n_keys, max_key_rows,
+              p99_key_rows,
+              ${graft.functions.SafeMath.roundHalfUpSql(
+                "CAST(max_key_rows AS DOUBLE) / " +
+                "(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))", 4)}
+                AS skew_ratio
+            FROM (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                CAST(COUNT(*) AS BIGINT) AS n_keys,
+                CAST(MAX(n) AS BIGINT) AS max_key_rows,
+                ${graft.functions.SafeMath.roundHalfUpSql(
+                  "quantile_cont(n, 0.99E0)", 4)} AS p99_key_rows
+              FROM (SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS n
+                FROM $table GROUP BY 1))"""
+        val skewed = """(SELECT CASE WHEN o_orderkey % 2 = 0 THEN 0
+            ELSE o_custkey END AS k FROM orders)"""
+        s"""${row("lineitem.l_orderkey", "lineitem", "l_orderkey")}
+          UNION ALL ${row("orders.o_custkey", "orders", "o_custkey")}
+          UNION ALL ${row("orders.skewed", skewed + " s", "k")}"""
+      }),
+
+    GraftQuery(
+      "q136_profile_card",
+      (s, dir) => graft.operators.Audit.profileCard(
+        Tables.load(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some {
+        def row(c: String): String =
+          s"""SELECT '$c' AS col_name,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+            CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+            CAST(MIN($c) AS VARCHAR) AS min_value,
+            CAST(MAX($c) AS VARCHAR) AS max_value
+          FROM documents"""
+        Seq("doc_id", "text", "lang", "source", "n_chars")
+          .map(row).mkString("\nUNION ALL\n")
       })
   )
 }

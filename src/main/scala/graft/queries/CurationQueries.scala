@@ -272,6 +272,35 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q137_cdc_chunks",
+      (s, dir) => Curation.cdcChunks(
+        Tables.load(s, dir, "documents"), "doc_id", "text", divisor = 16),
+      Some(s"""WITH t AS (SELECT doc_id, $Toks5Sql AS tk FROM documents),
+          e AS (SELECT doc_id, tk, len(tk) AS n,
+            list_filter(range(1, len(tk) + 1),
+              i -> ${md5Key60Sql("tk[i]")} % 16 = 0) AS bs
+            FROM t),
+          e2 AS (SELECT doc_id, tk,
+            CASE WHEN len(bs) = 0 THEN [n]
+                 WHEN bs[-1] = n THEN bs
+                 ELSE list_append(bs, n) END AS ends
+            FROM e WHERE n > 0),
+          c AS (SELECT doc_id, unnest(list_transform(
+              range(1, len(ends) + 1),
+              j -> {'idx': j - 1,
+                'txt': array_to_string(list_slice(tk,
+                  CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END,
+                  ends[j]), ' '),
+                'ntok': ends[j] -
+                  (CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END) + 1}))
+              AS ch
+            FROM e2)
+        SELECT doc_id, CAST(ch.idx AS INTEGER) AS chunk_idx,
+          md5(ch.txt) AS chunk_hash,
+          CAST(ch.ntok AS BIGINT) AS n_chunk_tokens
+        FROM c""")),
+
+    GraftQuery(
       "q131_weighted_median",
       (s, dir) => Curation.weightedMedian(
         Tables.load(s, dir, "documents").select(col("doc_id"), col("source"),

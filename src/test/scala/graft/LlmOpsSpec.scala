@@ -385,6 +385,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) === 1L) // pk 2 duplicated
   }
 
+  test("skew profile: hot key dominates the ratio") {
+    val d = (Seq.fill(50)(0L) ++ (1L to 50L)).toDF("k")
+    val r = graft.operators.SkewTools.skewProfile("t", d, "k").collect()(0)
+    assert(r.getLong(1) === 100L) // rows
+    assert(r.getLong(2) === 51L)  // keys
+    assert(r.getLong(3) === 50L)  // hottest
+    assert(r.getDouble(5) > 20.0) // 50 / (100/51) = 25.5
+  }
+
+  test("profile card: nulls, distincts, min/max as strings") {
+    val d = Seq((Some(1L), "b"), (Some(2L), "a"), (None, "a"))
+      .toDF("id", "s")
+    val r = graft.operators.Audit.profileCard(d, Seq("id", "s"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("id").getLong(2) === 1L && r("id").getLong(3) === 2L)
+    assert(r("id").getString(4) === "1" && r("id").getString(5) === "2")
+    assert(r("s").getLong(2) === 0L && r("s").getString(4) === "a")
+  }
+
+  test("cdc chunks: shared passage yields identical chunk hashes across docs") {
+    // w5/w7/w22 hash to 0 mod 16 (md5Key60) → known chunk boundaries
+    val base = "a b c w5 d e f w7 g h i j w22 k l m"
+    val d = Seq(
+      (1L, base),
+      (2L, "prefix words here " + base) // same tail content
+    ).toDF("doc_id", "text")
+    val ch = graft.operators.Curation.cdcChunks(d, "doc_id", "text")
+      .collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(2)).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(2)).toSet
+    // content-defined boundaries realign after the insertion: every chunk
+    // of doc1 after the first boundary reappears in doc2
+    assert((h1 intersect h2).size >= 2)
+    // chunk token counts cover each doc exactly
+    val n1 = ch.filter(_.getLong(0) == 1L).map(_.getLong(3)).sum
+    assert(n1 === 16L)
+  }
+
   test("curriculum bins: stages are ordered by difficulty and cover 1..4") {
     val d = Seq.tabulate(40)(i => (i.toLong, ("tok " * (i + 1)).trim))
       .toDF("doc_id", "text")
