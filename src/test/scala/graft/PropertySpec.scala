@@ -97,4 +97,52 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: canonicalUrl is idempotent over random url shapes") {
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
+      host <- Gen.oneOf("Ex.COM", "a.b.org", "SHOP9.example.com")
+      path <- Gen.oneOf("", "/x", "/x/Y", "/x/", "/")
+      q <- Gen.oneOf("", "?a=1", "?utm_source=z", "?utm_a=1&b=2",
+        "?b=2&utm_c=3", "?utm_a=1&utm_b=2&c=3")
+      frag <- Gen.oneOf("", "#f", "#Sec2")
+    } yield s"$scheme://$host$path$q$frag"
+    for (seed <- 1L to 10L) {
+      val urls = sample(Gen.listOfN(40, urlGen), seed)
+      val once = urls.toDF("u")
+        .select(graft.functions.TextFunctions.canonicalUrl(col("u")).as("c"))
+        .collect().map(_.getString(0)).toSeq
+      val twice = once.toDF("u")
+        .select(graft.functions.TextFunctions.canonicalUrl(col("u")).as("c"))
+        .collect().map(_.getString(0)).toSeq
+      assert(once === twice, s"seed $seed")
+      // no canonical form retains a fragment or utm param
+      once.foreach { c =>
+        assert(!c.contains("#") && !c.contains("utm_"), s"seed $seed: $c")
+      }
+    }
+  }
+
+  test("property: incrementalIngest is idempotent and never re-admits") {
+    val textGen: Gen[String] =
+      Gen.listOfN(5, Gen.oneOf("a", "b", "c", "D", " x", "Y ")).map(_.mkString(" "))
+    for (seed <- 1L to 5L) {
+      val existing = sample(Gen.listOfN(10, textGen), seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val incoming = sample(Gen.listOfN(15, textGen), seed + 100)
+        .zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("id", "text")
+      val kept = graft.operators.Dedup
+        .incrementalIngest(existing, incoming, "id", "text")
+        .localCheckpoint()
+      // re-ingesting what was just admitted (plus the corpus) admits nothing
+      val again = graft.operators.Dedup.incrementalIngest(
+        existing.unionByName(kept), kept, "id", "text")
+      assert(again.count() === 0L, s"seed $seed")
+      // kept rows are fingerprint-unique among themselves
+      val fps = kept.select(
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .collect().map(_.getString(0))
+      assert(fps.length === fps.distinct.length, s"seed $seed")
+    }
+  }
 }
