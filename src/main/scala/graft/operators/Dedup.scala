@@ -56,6 +56,33 @@ object Dedup {
       .select(inCols.map(col): _*)
   }
 
+  /** Edit-distance-1 pairs via DELETION-NEIGHBORHOOD blocking (the
+    * SymSpell trick): two strings within one edit share at least one
+    * single-character-deletion variant, so indexing each string under
+    * itself + its |s| deletions turns the fuzzy match into an equi-join
+    * — O(n·len) index rows instead of an O(n²) cross product, with
+    * block fan-out bounded by alphabet × positions. Candidates are then
+    * verified with exact `levenshtein` (integer DP — engine-identical,
+    * so the gate hashes). The entity-resolution workhorse. */
+  def editOnePairs(df: DataFrame, strCol: String): DataFrame = {
+    val variants = TextFunctions.bindOnce(col("name")) { s =>
+      concat(array(s),
+        when(length(s) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(s)), i =>
+            concat(s.substr(lit(1), i - 1),
+              s.substr(i + 1, length(s) - i)))))
+    }
+    val names = df.select(col(strCol).as("name")).distinct()
+    val idx = names.select(col("name"), explode(variants).as("v"))
+      .localCheckpoint()
+    idx.as("a").join(idx.as("b"),
+        col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+
   /** Source-pair shingle-overlap matrix — corpus-composition analysis:
     * how much does each pair of sources share, as Jaccard over their
     * DISTINCT shingle sets. The per-source shingle sets are one

@@ -105,6 +105,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-query ANN recall harness — measures the QUALITY of the LSH
+    * index, not just its determinism: for every query vector, the exact
+    * brute-force top-k and the LSH (hamming ≤ 1 probe) top-k are both
+    * computed DISTRIBUTED — queries broadcast against the corpus scan,
+    * never a per-query driver loop — and recall@k = |∩| / k per query.
+    * The corpus is bucketed ONCE for all queries. Per-query top-k cuts
+    * are row_number windows partitioned by query (parallel across
+    * queries; for thousands of queries swap in a per-group bounded heap).
+    * This is the evaluation loop an ANN deployment runs after every
+    * index-parameter change. `probeRadius` widens the probe set
+    * (hamming ≤ radius) — exactly the recall/cost knob a deployment
+    * tunes, and this harness is how the tradeoff is measured
+    * (radius 1 → 9 buckets of 256, radius 2 → 37). */
+  def annRecall(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryFilter: Column, dim: Int, k: Int = 10, bits: Int = 8,
+      probeRadius: Int = 1, seed: Int = 42): DataFrame = {
+    require(probeRadius == 1 || probeRadius == 2, "radius 1 or 2")
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(queryFilter)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val corpus = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val wnd = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("__r", row_number().over(wnd))
+      .filter(col("__r") <= k).select("qid", "vid")
+    val brute = topK(corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vid"),
+        cosineCols(col("v"), col("qv")).as("cos")))
+    val cb = corpus.withColumn("__b", lshBucket(col("v"), dim, bits, seed))
+    // one row per (query, probe bucket): the query's own bucket plus all
+    // ≤radius-bit flips — the probe set becomes an EQUI-join key, so
+    // bucket pruning is a hash join, not a per-pair predicate scan
+    val flips: Seq[Long] = 0L +:
+      ((0 until bits).map(b => 1L << b) ++
+        (if (probeRadius >= 2)
+          for (a <- 0 until bits; b <- a + 1 until bits)
+            yield (1L << a) | (1L << b)
+        else Seq.empty))
+    val probes = queries
+      .withColumn("__qb", lshBucket(col("qv"), dim, bits, seed))
+      .select(col("qid"), col("qv"), explode(array(
+        flips.map(f => col("__qb").bitwiseXOR(lit(f))): _*)).as("__b"))
+    val probed = cb.join(broadcast(probes), Seq("__b"))
+    val lsh = topK(probed.select(col("qid"), col("vid"),
+      cosineCols(col("v"), col("qv")).as("cos")))
+    val hits = brute.join(lsh, Seq("qid", "vid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Per-group mean embedding (class prototypes, IVF training step).
     * posexplode → per-(group, position) decimal-summed mean → reassemble
     * sorted — two keyed shuffles of (group, pos, value) triples with full

@@ -236,6 +236,22 @@ object DedupQueries {
       }),
 
     GraftQuery(
+      "q140_fuzzy_pairs",
+      (s, dir) => Dedup.editOnePairs(
+        Tables.load(s, dir, "customer"), "c_name"),
+      Some("""WITH names AS (SELECT DISTINCT c_name AS name FROM customer),
+          idx AS (SELECT name, unnest(list_prepend(name,
+              list_transform(range(1, length(name) + 1),
+                i -> substr(name, 1, i - 1) ||
+                  substr(name, i + 1, length(name) - i)))) AS v
+            FROM names),
+          cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+            FROM idx a JOIN idx b ON a.v = b.v AND a.name < b.name)
+        SELECT name_a, name_b,
+          CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        FROM cand WHERE levenshtein(name_a, name_b) <= 1""")),
+
+    GraftQuery(
       "q133_tfidf_cosine_pairs",
       (s, dir) => Dedup.tfidfCosinePairs(corpus(s, dir), "doc_id", "text",
         k = 2, threshold = 0.3, dfCap = 50),

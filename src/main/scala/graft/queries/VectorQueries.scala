@@ -81,7 +81,51 @@ object VectorQueries {
       })
     }
 
+  private def annRecallOracle(radius: Int): String =
+    s"""SELECT $radius AS radius, qid, n_hits, recall FROM (
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+        brute AS (SELECT qid, vid FROM (
+            SELECT q.qid, e.vec_id AS vid,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${cosSql("e.embedding", "q.qv")} DESC,
+                  e.vec_id ASC) AS r
+            FROM embeddings e, q) WHERE r <= 10),
+        eb AS (SELECT vec_id, embedding,
+            ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+        qb AS (SELECT qid, qv, ${bucketSql("qv", 8)} AS qbucket FROM q),
+        lsh AS (SELECT qid, vid FROM (
+            SELECT qb.qid, eb.vec_id AS vid,
+              row_number() OVER (PARTITION BY qb.qid
+                ORDER BY ${cosSql("eb.embedding", "qb.qv")} DESC,
+                  eb.vec_id ASC) AS r
+            FROM eb JOIN qb
+              ON bit_count(xor(eb.bucket, qb.qbucket)) <= $radius)
+          WHERE r <= 10),
+        hits AS (SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM brute b JOIN lsh l ON l.qid = b.qid AND l.vid = b.vid
+          GROUP BY 1)
+        SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+          CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0E0 AS recall
+        FROM q LEFT JOIN hits h ON h.qid = q.qid)"""
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q138_ann_recall",
+      (s, dir) => {
+        // the recall/cost curve of the LSH index, measured distributed:
+        // radius-2 probing (37 of 256 buckets) must strictly dominate
+        // radius-1 (9 buckets) — the tuning loop an ANN deployment runs.
+        def run(radius: Int) = Similarity.annRecall(
+            Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+            col("vec_id") % 50 === 0, dim = Dim, k = 10, bits = 8,
+            probeRadius = radius)
+          .select(lit(radius).as("radius"), col("qid"), col("n_hits"),
+            col("recall"))
+        run(1).unionByName(run(2))
+      },
+      Some(s"${annRecallOracle(1)} UNION ALL ${annRecallOracle(2)}")),
+
     GraftQuery(
       "q33_cosine_topk",
       (s, dir) => Similarity.cosineTopK(

@@ -211,6 +211,33 @@ object HistoryQueries {
           valid_to IS NULL AS is_current FROM h""")),
 
     GraftQuery(
+      "q139_gap_fill",
+      (s, dir) => {
+        // daily per-user-bucket event counts, forward-filled over the
+        // corpus' full day range — sparse keys get synthesized rows
+        // carrying their last observation (the `filled` flag marks them).
+        val ev = Tables.events(s, dir).select(
+          (col("user_id") % 20).as("k"),
+          expr("unix_timestamp(ts) div 86400").as("d"))
+        val obs = ev.groupBy("k", "d").agg(count(lit(1)).as("v"))
+        graft.operators.TimeSeries.gapFill(obs, "k", "d", "v")
+      },
+      Some("""WITH e AS (SELECT user_id % 20 AS k,
+            CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+          o AS (SELECT k, d, CAST(COUNT(*) AS BIGINT) AS v
+            FROM e GROUP BY 1, 2),
+          r AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM o),
+          keys AS (SELECT DISTINCT k FROM o),
+          grid AS (SELECT k, unnest(range(lo, hi + 1)) AS d FROM keys, r),
+          j AS (SELECT g.k, g.d, o.v, o.v IS NULL AS filled
+            FROM grid g LEFT JOIN o ON o.k = g.k AND o.d = g.d)
+        SELECT k, d,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+          filled
+        FROM j""")),
+
+    GraftQuery(
       "q106_funnel",
       (s, dir) => {
         // view → click → purchase within 24 h of the first view: one

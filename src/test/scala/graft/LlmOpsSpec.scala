@@ -423,6 +423,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n1 === 16L)
   }
 
+  test("gap fill: holes carry the last value, leading gaps stay null") {
+    val d = Seq(("a", 10L, 5L), ("a", 13L, 7L), ("b", 12L, 1L))
+      .toDF("k", "d", "v")
+    val r = graft.operators.TimeSeries.gapFill(d, "k", "d", "v")
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        (if (x.isNullAt(2)) None else Some(x.getLong(2)), x.getBoolean(3)))
+      .toMap
+    assert(r(("a", 11L)) === ((Some(5L), true)))  // filled from d=10
+    assert(r(("a", 12L)) === ((Some(5L), true)))
+    assert(r(("a", 13L)) === ((Some(7L), false))) // observed
+    assert(r(("b", 10L)) === ((None, true)))      // before first obs
+    assert(r(("b", 13L)) === ((Some(1L), true)))
+    assert(r.size === 8) // 2 keys × days 10..13
+  }
+
+  test("edit-one pairs: substitutions and insertions found, distance-2 not") {
+    val d = Seq("kitten", "sitten", "kittens", "mitten", "sittin", "apple")
+      .toDF("name")
+    val pairs = graft.operators.Dedup.editOnePairs(d, "name")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(pairs.contains(("kitten", "sitten")))  // substitution
+    assert(pairs.contains(("kitten", "kittens"))) // insertion
+    assert(pairs.contains(("kitten", "mitten")))
+    assert(!pairs.exists { case (a, b) => a == "apple" || b == "apple" })
+    assert(!pairs.contains(("kitten", "sittin"))) // distance 2
+  }
+
   test("curriculum bins: stages are ordered by difficulty and cover 1..4") {
     val d = Seq.tabulate(40)(i => (i.toLong, ("tok " * (i + 1)).trim))
       .toDF("doc_id", "text")
