@@ -509,6 +509,48 @@ object Curation {
         col("c.ntok").cast("long").as("n_chunk_tokens"))
   }
 
+  /** Per-source chi-square histogram distance against the rest of the
+    * corpus — the numeric-feature complement of [[sourceKl]] (which
+    * compares token distributions): bucket `valueCol` into `bins`
+    * fixed-width bins, then χ² = Σ_bins (p_i − q_i)²/(p_i + q_i) over
+    * the source's vs the complement's bin PROPORTIONS. Bin counts are
+    * one map-side-combined aggregation; every per-bin term is exact
+    * integer counts → one double expression, roundHalfUp'd and
+    * DECIMAL-summed across the (few) bins so partial order can't
+    * perturb the statistic. Empty bins contribute 0 (dropped on both
+    * engines — 0/0 guarded). */
+  def chiSquareShift(df: DataFrame, sourceCol: String, valueCol: String,
+      binWidth: Long, bins: Int, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val binned = df.select(col(sourceCol).as("source"),
+      least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
+        lit(bins - 1L)).as("bin"))
+    val sb = binned.groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
+      .localCheckpoint()
+    val gb = sb.groupBy("bin").agg(sum("c_sb").as("c_b"))
+    val totals = sb.groupBy("source").agg(sum("c_sb").as("t_s"))
+    val n = sb.agg(sum("c_sb")).collect()(0).getLong(0)
+    // full source × bin grid so a bin the source MISSES (but the rest
+    // populates) still contributes its (0 − q)²/q term
+    val grid = totals.select(col("source"), col("t_s"),
+      explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val p = coalesce(col("c_sb"), lit(0L)).cast("double") /
+      col("t_s").cast("double")
+    val q = (coalesce(col("c_b"), lit(0L)) - coalesce(col("c_sb"), lit(0L)))
+      .cast("double") / (lit(n) - col("t_s")).cast("double")
+    val term = grid.join(sb, Seq("source", "bin"), "left")
+      .join(gb, Seq("bin"), "left")
+      .select(col("source"),
+        SafeMath.roundHalfUp(
+            when(p + q === 0.0, lit(0.0))
+              .otherwise((p - q) * (p - q) / (p + q)), 8)
+          .cast(DecimalType(28, 8)).as("t8"))
+    term.groupBy("source")
+      .agg(SafeMath.roundHalfUp(sum(col("t8")).cast("double"), scale)
+        .as("chi2"))
+  }
+
   /** Per-group WEIGHTED median — "the median token's document quality":
     * order each group by (value, id), cumulative-sum the weights, and
     * take the first value whose cumulative weight reaches half the

@@ -41,4 +41,27 @@ object Funnel {
       .foldLeft(lit(1))(_ + _)
     acc.withColumn("stages_reached", reached)
   }
+
+  /** Frequent event-type sequences (behavioral n-gram mining): for every
+    * user, the consecutive `n`-grams of their time-ordered event stream;
+    * globally counted, top-k returned. The per-user ordering is a lead()
+    * window (one shuffle on user, parallel across users — the event
+    * history is never collected into a list), the count is map-side
+    * combined, and top-k is a TakeOrdered, not a global sort. The
+    * ordering ties on `tieCol` so replays are deterministic. */
+  def frequentSequences(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, n: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(n >= 2, "sequence length >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val leads = (1 until n).map(i => lead(col(typeCol), i).over(w))
+    val gram = concat_ws(">", (col(typeCol) +: leads): _*)
+    events
+      .select(gram.as("seq"), leads.last.isNotNull.as("__complete"))
+      .filter(col("__complete"))
+      .groupBy("seq").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("seq").asc)
+      .limit(topK)
+  }
 }

@@ -32,4 +32,34 @@ object TimeSeries {
       .withColumn("filled", col(valueCol).isNull)
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Per-key ordinary-least-squares trend over an integer (x, y) series —
+    * "is this source growing or shrinking": closed-form slope/intercept
+    * from the four sufficient statistics Σx, Σy, Σxy, Σx², accumulated
+    * as EXACT integer sums in ONE map-side-combined aggregation per key
+    * (never a per-key regression loop, never a covariance UDAF whose
+    * partial-merge order perturbs doubles). The only FP ops are the two
+    * final divisions of exact longs — deterministic on any engine, so
+    * the fit itself hash-gates. Keys with a degenerate x range get NULL
+    * slope/intercept. */
+  def olsTrend(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String, scale: Int = 6): DataFrame = {
+    import graft.functions.SafeMath
+    val s = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(xCol)).as("sx"),
+      sum(col(yCol)).as("sy"),
+      sum(col(xCol) * col(yCol)).as("sxy"),
+      sum(col(xCol) * col(xCol)).as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") / den.cast("double")
+    s.select(col(keyCol), col("n"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(SafeMath.roundHalfUp(slope, scale)).as("slope"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(SafeMath.roundHalfUp(
+            (col("sy").cast("double") - slope * col("sx").cast("double")) /
+              col("n").cast("double"), scale)).as("intercept"))
+  }
 }

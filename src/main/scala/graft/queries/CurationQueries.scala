@@ -301,6 +301,39 @@ object CurationQueries {
         FROM c""")),
 
     GraftQuery(
+      "q142_chi_square_shift",
+      (s, dir) => Curation.chiSquareShift(
+        Tables.load(s, dir, "documents"), "source", "n_chars",
+        binWidth = 100L, bins = 10),
+      Some(s"""WITH b AS (SELECT source,
+            least(CAST(n_chars AS BIGINT) // 100, 9) AS bin FROM documents),
+          sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c_sb
+            FROM b GROUP BY 1, 2),
+          gb AS (SELECT bin, CAST(SUM(c_sb) AS BIGINT) AS c_b
+            FROM sb GROUP BY 1),
+          ts AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS t_s
+            FROM sb GROUP BY 1),
+          nn AS (SELECT CAST(SUM(c_sb) AS BIGINT) AS n FROM sb),
+          grid AS (SELECT source, t_s, unnest(range(0, 10)) AS bin FROM ts),
+          pq AS (SELECT g.source,
+              CAST(COALESCE(sb.c_sb, 0) AS DOUBLE)
+                / CAST(g.t_s AS DOUBLE) AS p,
+              CAST(COALESCE(gb.c_b, 0) - COALESCE(sb.c_sb, 0) AS DOUBLE)
+                / CAST(nn.n - g.t_s AS DOUBLE) AS q
+            FROM grid g
+            LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+            LEFT JOIN gb ON gb.bin = g.bin, nn),
+          term AS (SELECT source,
+              CAST(${graft.functions.SafeMath.roundHalfUpSql(
+                "CASE WHEN p + q = 0 THEN 0.0E0 " +
+                "ELSE (p - q) * (p - q) / (p + q) END", 8)}
+                AS DECIMAL(28,8)) AS t8
+            FROM pq)
+        SELECT source, ${graft.functions.SafeMath.roundHalfUpSql(
+          "CAST(SUM(t8) AS DOUBLE)", 6)} AS chi2
+        FROM term GROUP BY source""")),
+
+    GraftQuery(
       "q131_weighted_median",
       (s, dir) => Curation.weightedMedian(
         Tables.load(s, dir, "documents").select(col("doc_id"), col("source"),

@@ -238,6 +238,53 @@ object HistoryQueries {
         FROM j""")),
 
     GraftQuery(
+      "q141_ols_trend",
+      (s, dir) => {
+        // per-user-bucket daily activity trend: exact integer sufficient
+        // statistics, FP only in the two final divisions.
+        val ev = Tables.events(s, dir).select(
+          (col("user_id") % 20).as("k"),
+          expr("unix_timestamp(ts) div 86400").as("d"))
+        val obs = ev.groupBy("k", "d").agg(count(lit(1)).as("y"))
+        graft.operators.TimeSeries.olsTrend(obs, "k", "d", "y")
+      },
+      Some {
+        val slope = "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)"
+        s"""WITH e AS (SELECT user_id % 20 AS k,
+            CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+          o AS (SELECT k, d, CAST(COUNT(*) AS BIGINT) AS y
+            FROM e GROUP BY 1, 2),
+          s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(d*y) AS BIGINT) AS sxy,
+            CAST(SUM(d*d) AS BIGINT) AS sxx FROM o GROUP BY k)
+        SELECT k, n,
+          CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+            ELSE ${graft.functions.SafeMath.roundHalfUpSql(slope, 6)} END
+            AS slope,
+          CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+            ELSE ${graft.functions.SafeMath.roundHalfUpSql(
+              s"(CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)",
+              6)} END AS intercept
+        FROM s"""
+      }),
+
+    GraftQuery(
+      "q143_frequent_sequences",
+      (s, dir) => graft.operators.Funnel.frequentSequences(
+        Tables.events(s, dir)
+          .select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", "event_id", n = 3, topK = 20),
+      Some("""WITH g AS (SELECT
+            event_type || '>' || lead(event_type, 1) OVER w
+              || '>' || lead(event_type, 2) OVER w AS seq,
+            lead(event_type, 2) OVER w IS NOT NULL AS ok
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT seq, CAST(COUNT(*) AS BIGINT) AS cnt FROM g WHERE ok
+        GROUP BY seq ORDER BY cnt DESC, seq ASC LIMIT 20""")),
+
+    GraftQuery(
       "q106_funnel",
       (s, dir) => {
         // view → click → purchase within 24 h of the first view: one

@@ -450,6 +450,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!pairs.contains(("kitten", "sittin"))) // distance 2
   }
 
+  test("ols trend: exact fit on a perfect line, null on degenerate x") {
+    val d = Seq(("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 9L),
+      ("b", 4L, 1L), ("b", 4L, 3L)).toDF("k", "x", "y")
+    val r = graft.operators.TimeSeries.olsTrend(d, "k", "x", "y")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getDouble(2) === 2.0 && r("a").getDouble(3) === 3.0)
+    assert(r("b").isNullAt(2) && r("b").isNullAt(3)) // single x value
+  }
+
+  test("chi-square shift: shifted source scores higher than a typical one") {
+    val d = (Seq.tabulate(40)(i => ("a", 50L + i)) ++
+      Seq.tabulate(40)(i => ("b", 50L + i)) ++
+      Seq.tabulate(40)(i => ("c", 850L + i))) // far bin
+      .toDF("source", "v")
+    val r = graft.operators.Curation
+      .chiSquareShift(d, "source", "v", binWidth = 100L, bins = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("c") > r("a") && r("c") > r("b"))
+    assert(r("c") === 2.0) // fully disjoint bins: chi2 = sum p + sum q = 2
+  }
+
+  test("frequent sequences: the dominant trigram wins, order by ts") {
+    val d = (0 until 10).flatMap(u => Seq(
+      (u.toLong, 1L + u * 10, "view", u * 100L),
+      (u.toLong, 2L + u * 10, "click", u * 100L + 1),
+      (u.toLong, 3L + u * 10, "buy", u * 100L + 2),
+      (u.toLong, 4L + u * 10, "view", u * 100L + 3)))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val top = graft.operators.Funnel.frequentSequences(
+      d, "user_id", "ts", "event_type", "event_id", n = 3, topK = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1))
+    // both trigrams occur 10×; the tie breaks lexicographically
+    assert(top(0) === (("click>buy>view", 10L)))
+    assert(top(1) === (("view>click>buy", 10L)))
+  }
+
   test("curriculum bins: stages are ordered by difficulty and cover 1..4") {
     val d = Seq.tabulate(40)(i => (i.toLong, ("tok " * (i + 1)).trim))
       .toDF("doc_id", "text")
