@@ -1156,6 +1156,63 @@ object StreamQueries {
         FROM l""")),
 
     GraftQuery(
+      "q144_stream_stale_keys",
+      (s, dir) => {
+        // missing-heartbeat alerting via event-time timeout: wave 1
+        // beats all 20 keys (ts ≤ ~124), wave 2 refreshes only keys
+        // 0-9 (ts ~5000), wave 3 refreshes only key 0 (ts 10000). As
+        // the watermark passes last_seen + 500 s, every key except the
+        // still-fresh k-0 must fire exactly one stale alert carrying
+        // its true last_ts and event count — keys 10-19 expire on the
+        // wave-3 batch, keys 1-9 on the trailing no-data batch Spark
+        // runs because the final watermark advance expired their timers.
+        // (ts starts at 1: rows at ts=0 equal the initial watermark and
+        // are dropped by the stateful op's late-row filter.)
+        import s.implicits._
+        val k = col("c_custkey")
+        val cust = Tables.load(s, dir, "customer").select(k.as("k"))
+        def wave(filter: Column, ts: Column) =
+          cust.filter(filter).select(to_json(struct(
+            concat(lit("k-"), col("k") % 20).as("key"),
+            ts.cast("long").as("ts"))).as("value"))
+        val frames = Seq(
+          wave(col("k") < 500, col("k") % 25 * 5 + expr("k div 100") + 1),
+          wave(col("k") >= 500 && col("k") < 1000 && col("k") % 20 < 10,
+            lit(5000) + col("k") % 97),
+          wave(col("k") === 1000, lit(10000)))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, ts LONG")
+        val alerts = runStaged(s, frames, "stale") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.key").as("key"), col("j.ts").as("ts"),
+              col("j.ts").cast("timestamp").as("et"))
+            .withWatermark("et", "0 seconds")
+            .as[graft.streaming.StatefulOps.HbEvent]
+          graft.streaming.StatefulOps.staleKeys(parsed, gapSeconds = 500L)
+            .toDF()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/stale")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        alerts
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k FROM customer),
+          e AS (
+            SELECT 'k-' || (k % 20) AS key,
+              CAST((k % 25) * 5 + k // 100 + 1 AS BIGINT) AS ts
+            FROM b WHERE k < 500
+            UNION ALL
+            SELECT 'k-' || (k % 20), CAST(5000 + k % 97 AS BIGINT)
+            FROM b WHERE k >= 500 AND k < 1000 AND k % 20 < 10
+            UNION ALL
+            SELECT 'k-0', CAST(10000 AS BIGINT) FROM b WHERE k = 1000)
+        SELECT key, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY key
+        HAVING key <> 'k-0'""")),
+
+    GraftQuery(
       "q130_stream_funnel",
       (s, dir) => {
         // the CEP pattern-match as a stream: three waves (views, then
