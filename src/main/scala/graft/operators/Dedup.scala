@@ -116,8 +116,10 @@ object Dedup {
     * less. Same scale skeleton (df-capped posting lists, x.doc < y.doc
     * pair aggregation — never all-pairs), but the intersection
     * accumulates w_a·w_b products instead of 1s. Cross-engine: weights
-    * are ln-based, so each is roundHalfUp'd at scale 8 and carried as
-    * DECIMAL(18,8); dots and norms are exact decimal sums; the final
+    * are ln-based, so each is roundHalfUp'd at scale 4 and carried as
+    * DECIMAL(18,4) (squares must stay under DuckDB's 10^18
+    * unscaled-product bound at any corpus size); dots and norms are
+    * exact decimal sums; the final
     * cosine divides by sqrt (exactly rounded per IEEE 754, unlike ln),
     * so the whole pipeline hash-gates. Terms are word `k`-shingles
     * (k=1 → unigrams); terms with df=1 can't pair and are dropped with
@@ -137,8 +139,8 @@ object Dedup {
       .select(col("doc"), col("tok"),
         SafeMath.roundHalfUp(
             col("tf").cast("double") *
-              log(lit(nDocs.toDouble) / col("df").cast("double")), 8)
-          .cast(DecimalType(18, 8)).as("w"))
+              log(lit(nDocs.toDouble) / col("df").cast("double")), 4)
+          .cast(DecimalType(18, 4)).as("w"))
       .localCheckpoint()
     val norms = weighted.groupBy("doc")
       .agg(sum(col("w") * col("w")).as("n2"))

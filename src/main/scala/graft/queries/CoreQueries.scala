@@ -341,6 +341,91 @@ object CoreQueries {
       }),
 
     GraftQuery(
+      "q145_star_join",
+      (s, dir) => {
+        // the TPC-H Q5 shape — the canonical star join: region/nation/
+        // customer/supplier dims broadcast into the lineitem fact scan,
+        // one shuffle for the final nation rollup. Date range + region
+        // filters push into the dim scans before any join.
+        val revenue = sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(28, 4))).cast("double")
+        Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+          .join(Tables.load(s, dir, "nation"),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(Tables.load(s, dir, "customer"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.load(s, dir, "orders")
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.load(s, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.load(s, dir, "supplier"),
+            col("s_suppkey") === col("l_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM region, nation, customer, orders, lineitem, supplier
+        WHERE r_name = 'ASIA'
+          AND n_regionkey = r_regionkey
+          AND c_nationkey = n_nationkey
+          AND o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_orderkey = o_orderkey
+          AND s_suppkey = l_suppkey
+          AND s_nationkey = c_nationkey
+        GROUP BY n_name"""),
+      bench = true),
+
+    GraftQuery(
+      "q146_shipping_priority",
+      (s, dir) => {
+        // the TPC-H Q3 shape: segment-filtered customer dim broadcast
+        // into orders⋈lineitem, per-order revenue, top 10 by
+        // TakeOrderedAndProject (never a global sort materialization).
+        val revenue = sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(28, 4))).cast("double")
+        Tables.load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.load(s, dir, "orders")
+              .filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.load(s, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("order_date"),
+            col("o_orderpriority"))
+          .agg(revenue.as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+          CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_date,
+          o_orderpriority,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND o_custkey = c_custkey
+          AND l_orderkey = o_orderkey
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""),
+      bench = true),
+
+    GraftQuery(
       "q135_skew_profile",
       (s, dir) => {
         // detect-then-salt, the detection half: two natural TPC-H keys

@@ -263,7 +263,7 @@ object DedupQueries {
             i -> array_to_string(list_slice($toks, i + 1, i + 2), ' '))"""
         val w8 = graft.functions.SafeMath.roundHalfUpSql(
           "CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE))",
-          8)
+          4)
         val cos = graft.functions.SafeMath.roundHalfUpSql(
           "CAST(dot AS DOUBLE) / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))",
           6)
@@ -274,7 +274,7 @@ object DedupQueries {
             GROUP BY tok HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $CorpusSql),
           wtd AS (SELECT doc, tf.tok,
-              CAST($w8 AS DECIMAL(18,8)) AS w
+              CAST($w8 AS DECIMAL(18,4)) AS w
             FROM tf JOIN dfx USING (tok), n),
           norms AS (SELECT doc, SUM(w * w) AS n2 FROM wtd GROUP BY doc),
           dots AS (SELECT x.doc AS doc_a, y.doc AS doc_b,
