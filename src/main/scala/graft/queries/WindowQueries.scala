@@ -238,6 +238,38 @@ object HistoryQueries {
         FROM j""")),
 
     GraftQuery(
+      "q147_incremental_join_view",
+      (s, dir) => {
+        // incremental JOIN-view maintenance (the Δfacts⋈dim case of
+        // IVM): a per-nation revenue view over orders⋈customer is kept
+        // current by joining and aggregating ONLY the 10% delta slice
+        // and merging the two agg tables — the oracle recomputes the
+        // view from scratch, so the gate asserts merge ≡ full
+        // recompute bit-exactly. (Dim-side deltas need the old fact
+        // rows re-joined — that path stays a rebuild by design.)
+        import graft.operators.IncrementalAgg
+        val cust = Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")
+        def view(o: org.apache.spark.sql.DataFrame) =
+          o.join(cust, col("o_custkey") === col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sv"))
+        val orders = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val stored = view(orders.filter(col("o_orderkey") % 10 =!= 0))
+        val delta = view(orders.filter(col("o_orderkey") % 10 === 0))
+        IncrementalAgg.merge(stored, delta, Seq("c_nationkey"))
+          .select(col("c_nationkey"), col("n_orders"),
+            col("sv").cast("double").as("revenue"))
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey""")),
+
+    GraftQuery(
       "q141_ols_trend",
       (s, dir) => {
         // per-user-bucket daily activity trend: exact integer sufficient
