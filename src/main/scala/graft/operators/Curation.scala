@@ -551,6 +551,37 @@ object Curation {
         .as("chi2"))
   }
 
+  /** Temperature-flattened domain sampling — the multilingual-pretraining
+    * mix rule (sample domain d ∝ count_d^(1/T)): T=1 keeps natural
+    * proportions, T→∞ approaches uniform, T<1 sharpens. The target
+    * fraction per domain is computed from the domain counts (one
+    * vocab-bounded aggregate), normalized so the LARGEST reweighted
+    * domain keeps 100% of its rows (pure downsampling — deterministic,
+    * no replication), converted to integer ppm, and applied with the
+    * [[weightedSample]] hash rule — replay-stable row decisions.
+    * Cross-engine: the ^(1/T) powers are roundHalfUp'd at scale 8
+    * before the ratio, and the ppm threshold is an exact integer on
+    * both sides. */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+      temperature: Double, salt: String = "graft-temp"): DataFrame = {
+    import graft.functions.SafeMath
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+    // w_d = c_d^(1/T) / c_d  (kept-fraction shape), scaled so max = 1
+    val powered = counts.select(col(domainCol), col("c"),
+      SafeMath.roundHalfUp(
+        pow(col("c").cast("double"), lit(1.0 / temperature)) /
+          col("c").cast("double"), 8).as("w"))
+    val wMax = powered.agg(max(col("w"))).collect()(0).getDouble(0)
+    val ppm = powered.select(col(domainCol),
+      floor(col("w") / lit(wMax) * 1000000.0 + lit(0.5))
+        .cast("long").as("__ppm"))
+    df.join(broadcast(ppm), domainCol)
+      .filter(TextFunctions.md5Key60(
+          concat(lit(salt), col(idCol).cast("string"))) % 1000000L
+        < col("__ppm"))
+      .drop("__ppm")
+  }
+
   /** Per-group WEIGHTED median — "the median token's document quality":
     * order each group by (value, id), cumulative-sum the weights, and
     * take the first value whose cumulative weight reaches half the

@@ -83,6 +83,29 @@ object Dedup {
       .filter(col("dist") <= 1)
   }
 
+  /** Per-source dedup report card — the summary a curation run publishes:
+    * row count, distinct contents, duplicated rows (rows beyond each
+    * fingerprint's first), and the dup rate. One fingerprint-keyed
+    * aggregation per source (map-side combined); no pair generation at
+    * all — this is the cheap "how redundant is each feed" monitor that
+    * decides where the expensive near-dup passes get pointed. */
+  def dedupReport(docs: DataFrame, sourceCol: String, textCol: String,
+      scale: Int = 4): DataFrame = {
+    import graft.functions.SafeMath
+    val fp = docs.select(col(sourceCol).as("source"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("n"))
+    fp.groupBy("source").agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") - 1).as("n_dup_rows"))
+      .select(col("source"), col("n_rows"), col("n_distinct"),
+        col("n_dup_rows"),
+        SafeMath.roundHalfUp(
+          col("n_dup_rows").cast("double") / col("n_rows").cast("double"),
+          scale).as("dup_rate"))
+  }
+
   /** Source-pair shingle-overlap matrix — corpus-composition analysis:
     * how much does each pair of sources share, as Jaccard over their
     * DISTINCT shingle sets. The per-source shingle sets are one

@@ -301,6 +301,25 @@ object CurationQueries {
         FROM c""")),
 
     GraftQuery(
+      "q148_temperature_mix",
+      (s, dir) => Curation.temperatureMix(
+          Tables.load(s, dir, "documents"), "doc_id", "lang",
+          temperature = 2.0)
+        .select("doc_id", "lang", "source"),
+      Some(s"""WITH cnt AS (SELECT lang AS d, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY lang),
+          w AS (SELECT d, ${graft.functions.SafeMath.roundHalfUpSql(
+            "pow(CAST(c AS DOUBLE), 0.5E0) / CAST(c AS DOUBLE)", 8)} AS w
+            FROM cnt),
+          m AS (SELECT MAX(w) AS wmax FROM w),
+          ppm AS (SELECT d,
+            CAST(FLOOR(w / m.wmax * 1000000.0E0 + 0.5E0) AS BIGINT) AS ppm
+            FROM w, m)
+        SELECT doc_id, lang, source FROM documents JOIN ppm ON ppm.d = lang
+        WHERE ${md5Key60Sql("'graft-temp' || CAST(doc_id AS VARCHAR)")}
+          % 1000000 < ppm""")),
+
+    GraftQuery(
       "q142_chi_square_shift",
       (s, dir) => Curation.chiSquareShift(
         Tables.load(s, dir, "documents"), "source", "n_chars",

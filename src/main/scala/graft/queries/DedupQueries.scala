@@ -236,6 +236,34 @@ object DedupQueries {
       }),
 
     GraftQuery(
+      "q149_dedup_report",
+      (s, dir) => {
+        // per-source redundancy monitor over a corpus where every third
+        // document is re-sent: dup rates land near 25% per source
+        // (plus any natural dups), exercising the nonzero path.
+        val d = Tables.load(s, dir, "documents")
+          .select("doc_id", "source", "text")
+        val resent = d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + Shift).as("doc_id"),
+            col("source"), col("text"))
+        Dedup.dedupReport(d.unionByName(resent), "source", "text")
+      },
+      Some(s"""WITH c AS (SELECT source, text FROM documents
+            UNION ALL SELECT source, text FROM documents
+            WHERE doc_id % 3 = 0),
+          fp AS (SELECT source,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY 1, 2)
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(SUM(n - 1) AS BIGINT) AS n_dup_rows,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "CAST(SUM(n - 1) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)", 4)}
+            AS dup_rate
+        FROM fp GROUP BY source""")),
+
+    GraftQuery(
       "q140_fuzzy_pairs",
       (s, dir) => Dedup.editOnePairs(
         Tables.load(s, dir, "customer"), "c_name"),

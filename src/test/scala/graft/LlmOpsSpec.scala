@@ -486,6 +486,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top(1) === (("view>click>buy", 10L)))
   }
 
+  test("temperature mix: flattens toward uniform, keeps the largest domain") {
+    val d = (Seq.fill(800)("big") ++ Seq.fill(50)("small"))
+      .zipWithIndex.map { case (dom, i) => (i.toLong, dom) }
+      .toDF("id", "dom")
+    val kept = graft.operators.Curation
+      .temperatureMix(d, "id", "dom", temperature = 2.0)
+      .groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_big = 800^0.5/800 ≈ .0354, w_small = 50^0.5/50 ≈ .1414 (max)
+    // → small keeps ~100%, big keeps ~25% — ratio flattens 16:1 → ~4:1
+    assert(kept("small") > 40L)
+    assert(kept("big") < 300L && kept("big") > 120L)
+  }
+
+  test("dedup report: per-source dup counts and rate") {
+    val d = Seq(
+      (1L, "a", "x x"), (2L, "a", "x x"), (3L, "a", "y"),
+      (4L, "b", "z")
+    ).toDF("id", "src", "text")
+    val r = graft.operators.Dedup.dedupReport(d, "src", "text")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getLong(1) === 3L && r("a").getLong(2) === 2L)
+    assert(r("a").getLong(3) === 1L && r("a").getDouble(4) === 0.3333)
+    assert(r("b").getLong(3) === 0L && r("b").getDouble(4) === 0.0)
+  }
+
+  test("cdc chunks: chunk token counts always reassemble the document") {
+    // property: for any doc, Σ n_chunk_tokens == token count
+    val d = Seq.tabulate(30)(i =>
+      (i.toLong, (0 to i * 3).map(j => s"w${(i * 7 + j) % 200}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sums = graft.operators.Curation.cdcChunks(d, "doc_id", "text")
+      .groupBy("doc_id").agg(sum("n_chunk_tokens").as("s"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    (0 until 30).foreach { i =>
+      assert(sums(i.toLong) === (i * 3 + 1).toLong, s"doc $i")
+    }
+  }
+
   test("curriculum bins: stages are ordered by difficulty and cover 1..4") {
     val d = Seq.tabulate(40)(i => (i.toLong, ("tok " * (i + 1)).trim))
       .toDF("doc_id", "text")
