@@ -875,6 +875,34 @@ object StreamQueries {
         "events", "event_type", "user_id"))),
 
     GraftQuery(
+      "q150_stream_windowed_hll",
+      (s, dir) => {
+        // unique users PER HOUR WINDOW on an infinite stream: the HLL
+        // register state is keyed by (window, register idx), so the
+        // sketch for every window keeps merging as overlapping waves
+        // re-send users; the max-merged estimate per window must equal
+        // the batch HLL over the full table grouped by hour.
+        val ev = Tables.events(s, dir).select(
+          graft.functions.TimeBuckets.hourStart(col("ts")).as("wstart"),
+          col("event_id"), col("user_id"))
+        def wave(p: Column) = ev.filter(p)
+          .select(to_json(struct(col("wstart"), col("user_id"))).as("value"))
+        val frames = Seq(wave(col("event_id") % 2 === 0),
+          wave(col("event_id") % 3 === 0), wave(lit(true)))
+        val regs = runStaged(s, frames, "hll") { (raw, out, ckpt) =>
+          StreamJobs.runHllRegisters(raw, "wstart", "user_id",
+            "wstart LONG, user_id LONG", out, ckpt,
+            Trigger.AvailableNow())
+        }
+        val merged = regs.groupBy(col("wstart"), col("idx"))
+          .agg(max(col("mr")).as("mr"))
+        graft.operators.Sketches.hllEstimate(merged, "wstart")
+      },
+      Some(graft.operators.Sketches.hllDistinctSql(
+        "(SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, user_id FROM events) e",
+        "wstart", "user_id"))),
+
+    GraftQuery(
       "q98_stream_interval_join",
       (s, dir) => {
         // Flink-style event-time INTERVAL JOIN as a real stream-stream
