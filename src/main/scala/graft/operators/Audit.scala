@@ -36,6 +36,29 @@ object Audit {
         "n_parent_keys", "n_dup_parent_keys")
   }
 
+  /** Deletion-request (right-to-be-forgotten) propagation: given a frame
+    * of subject keys, report per table how many rows the purge removes
+    * — the audit artifact a compliance run files. The request set ships
+    * as a distinct key column into one LEFT ANTI join per table
+    * (broadcast it — request batches are small against fact tables);
+    * counts are one aggregate per table. The kept frame is exactly
+    * `table.join(requests, key, "left_anti")` — callers write that to
+    * the purged location; this reports what it will do. */
+  def deleteAudit(requests: DataFrame, reqKey: String,
+      tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val keys = requests.select(col(reqKey)).distinct().localCheckpoint()
+    val nKeys = keys.count()
+    tables.map { case (name, df, keyCol) =>
+      val before = df.count()
+      val after = df.join(
+        broadcast(keys.withColumnRenamed(reqKey, keyCol)),
+        Seq(keyCol), "left_anti").count()
+      (name, nKeys, before, before - after, after)
+    }.toDF("relation", "n_request_keys", "n_before", "n_deleted", "n_after")
+  }
+
   /** Dataset profile card — the per-column summary published with a
     * corpus release: row count, null count, distinct count, and the
     * min/max rendered as strings (so one frame covers mixed column

@@ -426,6 +426,39 @@ object CoreQueries {
       bench = true),
 
     GraftQuery(
+      "q151_delete_audit",
+      (s, dir) => {
+        // right-to-be-forgotten propagation audit: every 97th customer
+        // files a deletion request; report the blast radius across the
+        // customer table itself and the orders fact before purging.
+        val customer = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders")
+        val requests = customer.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("subject"))
+        graft.operators.Audit.deleteAudit(requests, "subject", Seq(
+          ("customer", customer.select(col("c_custkey")), "c_custkey"),
+          ("orders", orders.select(col("o_custkey")), "o_custkey")))
+      },
+      Some("""WITH req AS (SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_custkey % 97 = 0),
+          nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM req)
+        SELECT 'customer' AS relation, nk.n AS n_request_keys,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_before,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_custkey IN (SELECT k FROM req)) AS n_deleted,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM req)) AS n_after
+        FROM nk
+        UNION ALL
+        SELECT 'orders', nk.n,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey IN (SELECT k FROM req)),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT k FROM req))
+        FROM nk""")),
+
+    GraftQuery(
       "q135_skew_profile",
       (s, dir) => {
         // detect-then-salt, the detection half: two natural TPC-H keys
