@@ -63,4 +63,25 @@ class PlanSpec extends AnyFunSuite {
     val widest = scans.map(_.schema.fields.length).max
     assert(widest <= 6, s"top-k scan reads $widest columns — pruning lost")
   }
+
+  test("star join broadcasts every dimension into the fact scan") {
+    val plan = Registry.byName("q145_star_join").run(spark, SfDir)
+      .queryExecution.executedPlan
+    val ops = operators(plan)
+    // region/nation/customer/supplier (and the filtered orders at this
+    // SF) all broadcast — no shuffle join anywhere in the star
+    assert(ops.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 4,
+      "q145 should broadcast its dimensions")
+    assert(!ops.exists(
+        _.getClass.getSimpleName == "SortMergeJoinExec"),
+      "q145 should not sort-merge at gate scale")
+  }
+
+  test("shipping-priority top-10 is a TakeOrdered, not a global sort") {
+    val plan = Registry.byName("q146_shipping_priority").run(spark, SfDir)
+      .queryExecution.executedPlan
+    assert(operators(plan).exists(
+        _.getClass.getSimpleName == "TakeOrderedAndProjectExec"),
+      "q146 limit should plan as TakeOrderedAndProject")
+  }
 }
