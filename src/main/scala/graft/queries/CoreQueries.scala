@@ -459,6 +459,52 @@ object CoreQueries {
         FROM nk""")),
 
     GraftQuery(
+      "q152_reconcile_totals",
+      (s, dir) => {
+        // cross-table reconciliation: does the order header total equal
+        // the line-level gross (ext·(1−disc)·(1+tax))? One line-item
+        // aggregation + one join; the report counts agreements within a
+        // cent — the integrity check a finance pipeline runs per load.
+        // (The synthetic generator need not maintain the invariant; the
+        // REPORT is the deliverable and both engines must agree on it.)
+        val li = Tables.load(s, dir, "lineitem")
+        val orders = Tables.load(s, dir, "orders")
+        val gross = li.groupBy(col("l_orderkey")).agg(
+          sum(graft.functions.SafeMath.roundHalfUp(
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) *
+                (lit(1.0) + col("l_tax")), 6)
+            .cast(DecimalType(28, 6))).as("li_total"))
+        val joined = orders.join(gross,
+            col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            abs(col("o_totalprice").cast(DecimalType(18, 2))
+                .cast(DecimalType(28, 6)) -
+              coalesce(col("li_total"), lit(0).cast(DecimalType(28, 6))))
+              .cast("double").as("diff"))
+        joined.agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("diff") <= 0.01, 1L).otherwise(0L)).as("n_reconciled"),
+          graft.functions.SafeMath.roundHalfUp(max(col("diff")), 2)
+            .as("max_abs_diff"))
+      },
+      Some(s"""WITH gross AS (SELECT l_orderkey,
+            SUM(CAST(${graft.functions.SafeMath.roundHalfUpSql(
+              "(l_extendedprice * (1.0E0 - l_discount)) * (1.0E0 + l_tax)",
+              6)} AS DECIMAL(28,6))) AS li_total
+          FROM lineitem GROUP BY l_orderkey),
+        d AS (SELECT abs(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+              AS DECIMAL(28,6)) -
+            COALESCE(li_total, CAST(0 AS DECIMAL(28,6)))) AS diff
+          FROM orders LEFT JOIN gross ON o_orderkey = l_orderkey)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CASE WHEN CAST(diff AS DOUBLE) <= 0.01E0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "MAX(CAST(diff AS DOUBLE))", 2)} AS max_abs_diff
+        FROM d"""),
+      bench = false),
+
+    GraftQuery(
       "q135_skew_profile",
       (s, dir) => {
         // detect-then-salt, the detection half: two natural TPC-H keys
