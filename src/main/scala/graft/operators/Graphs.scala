@@ -59,6 +59,42 @@ object Graphs {
     pr
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community; each round it adopts the most frequent
+    * label among its neighbors, ties to the SMALLEST label (and an
+    * isolated node keeps its own) — fully deterministic, unlike the
+    * async/random-order formulations. Complements
+    * [[Dedup.clusterAssignments]]: CC merges anything connected, LP
+    * finds densely-linked groups inside one component. Per round: one
+    * join of the symmetric edge list against current labels + one
+    * (node, label) count aggregation + a per-node argmax window — all
+    * hash-partitioned, labels localCheckpoint'd so lineage stays O(1). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val und = sym.union(sym.select(col("b"), col("a"))).distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val neigh = und.join(labels, und("b") === labels("node"))
+        .select(col("a").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      val next = neigh.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+      labels.unpersist()
+      labels = next
+    }
+    labels
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced by
     * `edges` (self-loops dropped, direction and multiplicity collapsed).
     * The classic compact-forward shape: orient every edge from the

@@ -77,7 +77,34 @@ object GraphQueries {
           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
         FROM (SELECT unnest([a, b, c]) AS node FROM tri)
-        GROUP BY node"""))
+        GROUP BY node""")),
+
+    GraftQuery(
+      "q153_label_propagation",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val edges = o.select(
+          concat(lit("n"), col("o_custkey") % 500).as("src"),
+          concat(lit("n"), col("o_orderkey") % 500).as("dst"))
+        graft.operators.Graphs.labelPropagation(edges, "src", "dst",
+          rounds = 2)
+      },
+      Some {
+        def round(prev: String, c: String, l: String) =
+          s"""$c AS (SELECT u.a AS node, l.label, COUNT(*) AS cnt
+              FROM und u JOIN $prev l ON l.node = u.b GROUP BY 1, 2),
+            $l AS (SELECT node, label FROM (
+              SELECT node, label, row_number() OVER (PARTITION BY node
+                ORDER BY cnt DESC, label ASC) AS r FROM $c) WHERE r = 1)"""
+        s"""WITH e0 AS (SELECT DISTINCT 'n' || (o_custkey % 500) AS a,
+              'n' || (o_orderkey % 500) AS b FROM orders),
+          e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+          und AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+          l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+          ${round("l0", "c1", "l1")},
+          ${round("l1", "c2", "l2")}
+        SELECT node, label FROM l2"""
+      })
   )
 }
 

@@ -525,6 +525,17 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation: two cliques converge to their min labels") {
+    val clique = (ns: Seq[String]) =>
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val e = (clique(Seq("a1", "a2", "a3")) ++ clique(Seq("z7", "z8", "z9")))
+      .toDF("src", "dst")
+    val r = graft.operators.Graphs.labelPropagation(e, "src", "dst", 2)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(Set("a1", "a2", "a3").map(r) === Set("a1"))
+    assert(Set("z7", "z8", "z9").map(r) === Set("z7"))
+  }
+
   test("curriculum bins: stages are ordered by difficulty and cover 1..4") {
     val d = Seq.tabulate(40)(i => (i.toLong, ("tok " * (i + 1)).trim))
       .toDF("doc_id", "text")
