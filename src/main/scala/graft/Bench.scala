@@ -5,9 +5,18 @@ import graft.queries.Registry
 
 /** Benchmark main: times the headline query set (Registry entries with
   * bench=true) on SPARK_GRAFT_SF_DIR and prints ONE JSON line.
-  * Each query runs twice — the first pass pays JVM/codegen warmup, the
-  * second is reported — because the driver compares engine throughput,
-  * not JIT warmup.
+  *
+  * Timing discipline (two driver rounds were load-poisoned):
+  *   - one untimed warmup pass (plan + codegen + page cache);
+  *   - then THREE full timed passes over the WHOLE suite, reporting each
+  *     query's min ACROSS passes. Back-to-back best-of-3 on one query
+  *     sits inside a single host-load spike; interleaving separates a
+  *     query's repeats by the rest of the suite, so a spike has to span
+  *     the entire run to poison a query's every sample.
+  *   - a load sentinel — a fixed single-task job timed before each pass —
+  *     is emitted alongside, so a contaminated pass is self-identifying:
+  *     sentinel times are data-independent and should be flat; a pass
+  *     whose sentinel is several× the others ran on a loaded host.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,23 +31,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val headline = Registry.all.filter(_.bench)
-    val results = headline.map { q =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warmup: plan + codegen + page cache
-      // best-of-3 timed runs: round 2's driver artifact recorded a 13.6×
-      // phantom regression on one query from sandbox host load — the min
-      // over three runs measures the engine, not the neighbors
-      q.name -> Seq(once(), once(), once()).min
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
     }
+    // fixed 1-task CPU-bound job: its clean-host time is a property of
+    // the machine, so cross-pass variance here is pure external load
+    def sentinel(): Double = time {
+      spark.sparkContext.parallelize(1L to 2000000L, 1)
+        .map(x => x * 2654435761L + 1).reduce(_ ^ _)
+    }
+    def pass(): Seq[(String, Double)] = headline.map { q =>
+      q.name -> time {
+        try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
+    }
+
+    sentinel() // JVM-warm the sentinel path itself before trusting it
+    pass()     // warmup
+    val sentinels = collection.mutable.ArrayBuffer[Double]()
+    val passes = (1 to 3).map { _ =>
+      sentinels += sentinel()
+      pass().toMap
+    }
+    val results = headline.map { q =>
+      q.name -> passes.map(_(q.name)).min
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val sj = sentinels.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sentinel":$sj,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info], which broke the driver's JSON
     // extraction in round 1 — emit on BOTH channels it might scrape and
     // also drop the line in a file next to the data dir for good measure

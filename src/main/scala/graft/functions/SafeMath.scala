@@ -23,6 +23,14 @@ object SafeMath {
     floor(c * p + 0.5) / p
   }
 
+  /** Driver-side (plain `Double`) twin of [[roundHalfUp]] — for values
+    * computed on the driver (percentile cutoffs, thresholds) that must
+    * agree bit-for-bit with an engine-side rounding of the same value. */
+  def roundHalfUpD(x: Double, scale: Int): Double = {
+    val p = math.pow(10, scale)
+    math.floor(x * p + 0.5) / p
+  }
+
   /** Oracle-side twin of [[roundHalfUp]]. `E0` suffixes force DOUBLE
     * literals (DuckDB would otherwise use exact DECIMAL arithmetic);
     * scales ≥ 8 already render in scientific notation and must not get a

@@ -148,9 +148,16 @@ object TextFunctions {
     * dialect so a DuckDB oracle can run the IDENTICAL rules. */
   def canonicalUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
+    // The mid-query rule is anchored on a real separator (kept via the
+    // capture group) so `?xutm_source=1` is NOT mangled, and it consumes a
+    // RUN of consecutive utm params in one match — a single anchored
+    // `[?&]utm_...&` would eat the separator of the next utm param and
+    // leave it behind. `[A-Za-z0-9_]` covers utm_source_platform-style
+    // names. Group-ref replacement and the run group are both in the
+    // Java∩RE2 common dialect ("$1" here, "\1" in DuckDB).
     val noUtm = regexp_replace(
-      regexp_replace(noFrag, "utm_[A-Za-z]+=[^&]*&", ""),
-      "[?&]utm_[A-Za-z]+=[^&]*$", "")
+      regexp_replace(noFrag, "([?&])(utm_[A-Za-z0-9_]+=[^&]*&)+", "$1"),
+      "[?&]utm_[A-Za-z0-9_]+=[^&]*$", "")
     val tidy = regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "\\?$", "")
     val auth = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
     val lowered = concat(lower(regexp_extract(tidy, auth, 0)),

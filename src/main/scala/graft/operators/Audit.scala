@@ -27,7 +27,12 @@ object Audit {
       .join(parent.select(col(parentKey).as(childKey)).distinct(),
         Seq(childKey), "left_anti")
       .count()
-    val parentKeys = parent.groupBy(col(parentKey))
+    // NULL parent keys are excluded from the uniqueness metrics: SQL's
+    // COUNT(DISTINCT pk) ignores NULLs, and a NULL dim PK can never be a
+    // join target anyway — counting it as a "key" (or as a duplicate when
+    // several rows carry NULL) would diverge from any SQL-side audit.
+    val parentKeys = parent.filter(col(parentKey).isNotNull)
+      .groupBy(col(parentKey))
       .agg(count(lit(1)).as("n"))
     val nParent = parentKeys.count()
     val nDup = parentKeys.filter(col("n") > 1).count()

@@ -571,7 +571,10 @@ object Curation {
       SafeMath.roundHalfUp(
         pow(col("c").cast("double"), lit(1.0 / temperature)) /
           col("c").cast("double"), 8).as("w"))
-    val wMax = powered.agg(max(col("w"))).collect()(0).getDouble(0)
+    // Empty input: max(w) is NULL — getDouble would NPE. Any non-zero
+    // wMax yields the same (empty) result through the join below.
+    val wMaxRow = powered.agg(max(col("w"))).collect()(0)
+    val wMax = if (wMaxRow.isNullAt(0)) 1.0 else wMaxRow.getDouble(0)
     val ppm = powered.select(col(domainCol),
       floor(col("w") / lit(wMax) * 1000000.0 + lit(0.5))
         .cast("long").as("__ppm"))
@@ -674,7 +677,13 @@ object Curation {
     val ps = (1 until bins).map(_.toDouble / bins)
     val cutRow = withN.agg(
       percentile(col("difficulty"), typedLit(ps)).as("cuts")).collect()(0)
+    // Interpolated cutoffs are engine-computed doubles: Spark percentile
+    // and an oracle's quantile_cont can land 1 ulp apart, flipping the
+    // `>` comparison when a cutoff sits exactly on an integer difficulty.
+    // roundHalfUp both sides before comparing (CLAUDE.md half-boundary
+    // discipline).
     val cuts = cutRow.getSeq[Double](0)
+      .map(graft.functions.SafeMath.roundHalfUpD(_, 6))
     val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col("difficulty") > lit(c), 1).otherwise(0)
     }

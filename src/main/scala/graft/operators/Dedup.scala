@@ -152,10 +152,17 @@ object Dedup {
       scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.SafeMath
-    val nDocs = docs.count()
+    // ONE corpus scan: tf is checkpointed, and nDocs (the IDF numerator),
+    // the df frame, and the weighted join all read the checkpoint. A
+    // separate docs.count() would re-scan the text for a single long;
+    // N = #docs with at least one term — docs too short to shingle can't
+    // pair anyway, and this keeps N derivable from tf on any engine.
     val tf = docs.select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), k)).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val nDocs =
+      tf.agg(countDistinct(col("doc")).as("n")).collect()(0).getLong(0)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
     val weighted = tf.join(df, "tok")
@@ -462,13 +469,33 @@ object Dedup {
     * sign bit, so true near-dups stay in one bucket. */
   def embeddingNearDupsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = 12, seed: Int = 42): DataFrame = {
+    val (out, bucketed) =
+      embeddingNearDupsLshPlan(vecs, idCol, vecCol, dim, threshold, bits, seed)
+    try out.localCheckpoint()
+    finally bucketed.unpersist(blocking = false)
+  }
+
+  /** The lazy plan behind [[embeddingNearDupsLsh]], exposed (with its
+    * persisted projection, for the caller to unpersist) so LlmOpsSpec can
+    * assert the single-scan shape before checkpoint materialization. The
+    * bucketed projection is persisted BEFORE the self-join: without the
+    * cache boundary each join side re-reads the corpus and recomputes the
+    * bits×dim hyperplane dot products — two full passes at scale (the
+    * same shape minhashLsh's shingle cache eliminates). The join then
+    * reads the (id, v, bucket) cache twice, scanning the corpus ONCE. */
+  private[graft] def embeddingNearDupsLshPlan(vecs: DataFrame, idCol: String,
+      vecCol: String, dim: Int, threshold: Double, bits: Int,
+      seed: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
     val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.lshBucket(col(vecCol), dim, bits, seed).as("bucket"))
-    bucketed.as("x").join(bucketed.as("y"),
+        Similarity.lshBucket(col(vecCol), dim, bits, seed).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cos", Similarity.cosineCols(col("x.v"), col("y.v")))
       .filter(col("cos") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos"))
+    (out, bucketed)
   }
 
   /** Connected-component cluster assignment over near-dup pairs: every

@@ -97,13 +97,19 @@ object Graphs {
 
   /** Per-node triangle counts over the undirected simple graph induced by
     * `edges` (self-loops dropped, direction and multiplicity collapsed).
-    * The classic compact-forward shape: orient every edge from the
-    * smaller to the larger endpoint, so each triangle a<b<c is found
-    * exactly once as e(a,b)⋈e(b,c) checked against e(a,c) — two
-    * hash-partitioned joins, never an all-pairs expansion; at 100 TB
-    * orient by DEGREE instead of id (same plan, bounds the join fan-out
-    * by arboricity). The oriented edge list is materialized once
-    * (localCheckpoint) and reused by all three join legs. */
+    * Compact-forward with DEGREE orientation: every edge points from its
+    * lower-degree endpoint to its higher-degree endpoint (ties broken by
+    * id), so each triangle is found exactly once as e(u,v)⋈e(v,w) checked
+    * against the closing e(u,w) — two hash-partitioned joins, never an
+    * all-pairs expansion. Orienting by degree (not id) bounds each node's
+    * out-degree by O(√E)/arboricity, so the wedge join's per-key fan-out
+    * stays bounded even when a power-law hub touches millions of edges —
+    * with id orientation a high-id hub becomes the source of its entire
+    * edge set and the wedge join fans out quadratically in hub degree
+    * (asserted against a synthetic hub in GraphsSpec). The oriented edge
+    * list is materialized once (localCheckpoint) and reused by all three
+    * join legs; the degree frame is one aggregate of the canonical edge
+    * set. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
@@ -111,12 +117,24 @@ object Graphs {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // a < b by construction, so on equal degrees the id tie-break keeps
+    // a→b; otherwise the lower-degree endpoint becomes the source.
+    val fwd = col("da") <= col("db")
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
       .as("w")
-      .join(und.as("e3"),
-        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .join(oriented.as("e3"),
+        col("w.a") === col("e3.u") && col("w.c") === col("e3.v"))
       .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))

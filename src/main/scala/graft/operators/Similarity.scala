@@ -161,6 +161,101 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Seed of the `t`-th independent LSH table: t=0 is the base seed, so a
+    * 1-table sweep reproduces the single-table family exactly. 1009 is an
+    * arbitrary odd prime keeping table seeds off each other's (seed,b,d)
+    * hash inputs. */
+  def tableSeed(seed: Int, t: Int): Int = seed + 1009 * t
+
+  /** OR-construction recall/cost sweep: `tables` INDEPENDENT hyperplane
+    * families (one per seed), a vector matching a query in ANY table's
+    * probe set (hamming ≤ 1 there) is a candidate. One 8-bit table tops
+    * out around recall@10 ≈ 0.36 at radius 2 (measured by q138); L tables
+    * is the standard recall lever — each table gives an independent
+    * chance to co-locate a true neighbor, at L× index storage and ~L×
+    * probe I/O. This harness measures the whole curve in ONE run:
+    *
+    *   - the corpus is scanned once, computing ALL L bucket columns;
+    *   - candidates carry the MIN table index that matched (`t_min`), so
+    *     the L-table candidate set is exactly `t_min < L` — the per-L
+    *     results come from filters over one checkpointed candidate frame,
+    *     never L re-scans;
+    *   - brute-force ground truth is computed once and reused per L.
+    *
+    * Output: one row per (l_tables ∈ 1..tables, query) with the candidate
+    * count (probe cost) and recall@k — the artifact a deployment reads to
+    * pick L. Distributed exactly like [[annRecall]]: queries broadcast,
+    * per-query windows, no driver loops. */
+  def annRecallMultiTable(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryFilter: Column, dim: Int, k: Int = 10,
+      bits: Int = 8, tables: Int = 4, seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(queryFilter)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val corpus = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val wnd = Window.partitionBy(col("qid"), col("l_tables"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    val bruteWnd = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    val brute = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vid"),
+        cosineCols(col("v"), col("qv")).as("cos"))
+      .withColumn("__r", row_number().over(bruteWnd))
+      .filter(col("__r") <= k).select("qid", "vid")
+      .localCheckpoint()
+    // corpus side: L bucket longs per vector, one scan; unpivoted to
+    // (vid, v, table, bucket) — the same L× blow-up a materialized
+    // OR-construction index pays on disk
+    val cbWide = corpus.select(col("vid") +: col("v") +:
+      (0 until tables).map(t =>
+        lshBucket(col("v"), dim, bits, tableSeed(seed, t)).as(s"__b$t")): _*)
+    val cb = cbWide.select(col("vid"), col("v"), explode(array(
+        (0 until tables).map(t =>
+          struct(lit(t).as("t"), col(s"__b$t").as("b"))): _*)).as("p"))
+      .select(col("vid"), col("v"),
+        col("p.t").as("__t"), col("p.b").as("__b"))
+    // probe side (small, broadcast): per (query, table) the own bucket
+    // plus 1-bit flips, as equi-join rows (table, bucket)
+    val flips: Seq[Long] = 0L +: (0 until bits).map(b => 1L << b)
+    val qbWide = queries.select(col("qid") +: col("qv") +:
+      (0 until tables).map(t =>
+        lshBucket(col("qv"), dim, bits, tableSeed(seed, t)).as(s"__q$t")): _*)
+    val probes = qbWide.select(col("qid"), col("qv"), explode(array(
+        (for (t <- 0 until tables; f <- flips) yield
+          struct(lit(t).as("t"), col(s"__q$t").bitwiseXOR(lit(f)).as("b"))): _*))
+        .as("p"))
+      .select(col("qid"), col("qv"),
+        col("p.t").as("__t"), col("p.b").as("__b"))
+    // candidates: min matching table + cosine (identical across tables,
+    // max() just picks it); checkpointed — every per-L pass below reads
+    // this frame, not the corpus
+    val matched = cb.join(broadcast(probes), Seq("__t", "__b"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(min(col("__t")).as("t_min"),
+        max(cosineCols(col("v"), col("qv"))).as("cos"))
+      .localCheckpoint()
+    val perL = (1 to tables).map { l =>
+      matched.filter(col("t_min") < l).withColumn("l_tables", lit(l))
+    }.reduce(_ unionByName _)
+    val cost = perL.groupBy("l_tables", "qid")
+      .agg(count(lit(1)).as("n_candidates"))
+    val lshTop = perL
+      .withColumn("__r", row_number().over(wnd))
+      .filter(col("__r") <= k).select("l_tables", "qid", "vid")
+    val hits = brute.join(lshTop, Seq("qid", "vid"))
+      .groupBy("l_tables", "qid").agg(count(lit(1)).as("n_hits"))
+    val grid = queries.select(col("qid"))
+      .crossJoin((1 to tables).toDF("l_tables"))
+    grid
+      .join(cost, Seq("l_tables", "qid"), "left")
+      .join(hits, Seq("l_tables", "qid"), "left")
+      .select(col("l_tables"), col("qid"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Per-group mean embedding (class prototypes, IVF training step).
     * posexplode → per-(group, position) decimal-summed mean → reassemble
     * sorted — two keyed shuffles of (group, pos, value) triples with full

@@ -23,7 +23,10 @@ object TimeSeries {
   def gapFill(df: DataFrame, keyCol: String, bucketCol: String,
       valueCol: String): DataFrame = {
     val r = df.agg(min(col(bucketCol)), max(col(bucketCol))).collect()(0)
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    // Empty input: min/max are NULL — getLong would NPE. Any (lo, hi)
+    // works then, since the key grid is empty too; the plan below yields
+    // an empty frame with the normal output schema.
+    val (lo, hi) = if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     val grid = df.select(col(keyCol)).distinct()
       .select(col(keyCol), explode(sequence(lit(lo), lit(hi))).as(bucketCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))

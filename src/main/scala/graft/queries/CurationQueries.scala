@@ -520,9 +520,13 @@ object CurationQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text"),
       Some(s"""WITH t AS (SELECT doc_id,
             CAST(len($Toks5Sql) AS BIGINT) AS difficulty FROM documents),
-          c AS (SELECT quantile_cont(difficulty, 0.25E0) AS c1,
-            quantile_cont(difficulty, 0.5E0) AS c2,
-            quantile_cont(difficulty, 0.75E0) AS c3 FROM t)
+          c AS (SELECT
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "quantile_cont(difficulty, 0.25E0)", 6)} AS c1,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "quantile_cont(difficulty, 0.5E0)", 6)} AS c2,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "quantile_cont(difficulty, 0.75E0)", 6)} AS c3 FROM t)
         SELECT doc_id, difficulty, CAST(1
           + CASE WHEN difficulty > c1 THEN 1 ELSE 0 END
           + CASE WHEN difficulty > c2 THEN 1 ELSE 0 END

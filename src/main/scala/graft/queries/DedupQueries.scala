@@ -300,7 +300,7 @@ object DedupQueries {
               FROM $CorpusSql) GROUP BY 1, 2),
           dfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
             GROUP BY tok HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
-          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $CorpusSql),
+          n AS (SELECT CAST(COUNT(DISTINCT doc) AS BIGINT) AS n FROM tf),
           wtd AS (SELECT doc, tf.tok,
               CAST($w8 AS DECIMAL(18,4)) AS w
             FROM tf JOIN dfx USING (tok), n),
@@ -417,9 +417,10 @@ object DedupQueries {
         s1 AS (SELECT o_orderkey,
             regexp_replace(url, '#.*$', '') AS u FROM raw),
         s2 AS (SELECT o_orderkey,
-            regexp_replace(u, 'utm_[A-Za-z]+=[^&]*&', '', 'g') AS u FROM s1),
+            regexp_replace(u, '([?&])(utm_[A-Za-z0-9_]+=[^&]*&)+', '\1', 'g')
+              AS u FROM s1),
         s3 AS (SELECT o_orderkey,
-            regexp_replace(u, '[?&]utm_[A-Za-z]+=[^&]*$', '') AS u FROM s2),
+            regexp_replace(u, '[?&]utm_[A-Za-z0-9_]+=[^&]*$', '') AS u FROM s2),
         s4 AS (SELECT o_orderkey,
             regexp_replace(u, '\?&', '?', 'g') AS u FROM s3),
         s5 AS (SELECT o_orderkey,

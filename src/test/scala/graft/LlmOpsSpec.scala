@@ -259,6 +259,61 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r === Map("a" -> 1L, "b" -> 1L, "c" -> 1L)) // d in no triangle
   }
 
+  test("triangle counts: power-law hub stays correct (degree orientation)") {
+    // Star hub h touching 40 spokes, spokes chained s_i—s_{i+1}: each
+    // chain edge closes one triangle with the hub. Degree orientation
+    // points every hub edge INTO h (spoke deg ≤ 3 << 41), so the wedge
+    // join never fans out quadratically in hub degree — id orientation
+    // would make low-id "a00" the source of all 40 hub edges here.
+    val spokes = (0 until 40).map(i => f"s$i%02d")
+    val hubEdges = spokes.map(s => ("a00", s)) // hub id SORTS FIRST on purpose
+    val chain = (0 until 39).map(i => (spokes(i), spokes(i + 1)))
+    val e = (hubEdges ++ chain).toDF("src", "dst")
+    val r = graft.operators.Graphs.triangleCounts(e, "src", "dst")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a00") === 39L)                    // one per chain edge
+    assert(r("s00") === 1L && r("s39") === 1L)  // chain ends
+    assert((1 until 39).forall(i => r(f"s$i%02d") === 2L))
+  }
+
+  test("embeddingNearDupsLsh scans the corpus once (cached self-join)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val dir = java.nio.file.Files.createTempDirectory("nearduplsh").toString
+    (0 until 100).map { i => // i and i+50 are exact dups → pairs exist
+      i.toLong -> Array.tabulate(8)(d => math.sin((i % 50) * 8 + d).toFloat)
+    }.toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    val (out, bucketed) = Dedup.embeddingNearDupsLshPlan(
+      vecs, "id", "v", dim = 8, threshold = 0.9, bits = 6, seed = 42)
+    try {
+      // both self-join sides must read the persisted bucketed projection
+      // (one underlying corpus scan), never the parquet files directly
+      val plan = out.queryExecution.sparkPlan
+      val fileScans = plan.collect { case f: FileSourceScanExec => f }
+      val cacheScans = plan.collect { case m: InMemoryTableScanExec => m }
+      assert(fileScans.isEmpty,
+        s"self-join re-scans the corpus: ${fileScans.mkString(", ")}")
+      assert(cacheScans.length === 2)
+      assert(out.collect().nonEmpty) // and the plan actually runs
+    } finally bucketed.unpersist(blocking = true)
+  }
+
+  test("canonicalUrl: anchored utm rules preserve non-utm params") {
+    val urls = Seq(
+      "http://h.com/p?xutm_source=1&b=2",        // embedded utm_ NOT stripped
+      "http://h.com/p?utm_source_platform=tw&b=2", // underscore name fully stripped
+      "http://h.com/p?utm_a=1&utm_b=2&c=3",      // consecutive utm run
+      "http://h.com/p?utm_a=1&utm_b=2"           // run + tail
+    ).toDF("u")
+    val c = urls.select(TextFunctions.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(c(0) === "http://h.com/p?xutm_source=1&b=2")
+    assert(c(1) === "http://h.com/p?b=2")
+    assert(c(2) === "http://h.com/p?c=3")
+    assert(c(3) === "http://h.com/p")
+  }
+
   test("cooccurrence pmi: collocated pair beats independent pair") {
     val d = Seq.tabulate(12)(i =>
       (i.toLong, s"new york w$i filler${i % 2} mid w$i end"))
