@@ -190,6 +190,8 @@ object Similarity {
       vecCol: String, queryFilter: Column, dim: Int, k: Int = 10,
       bits: Int = 8, tables: Int = 4, seed: Int = 42): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sp = embeddings.sparkSession
+    import sp.implicits._
     val queries = embeddings.filter(queryFilter)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val corpus = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))

@@ -161,6 +161,76 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(col("__hit")).as("in_bloom"))
 
+  /** Bucket id of the log-linear (HDR-histogram / DDSketch-style)
+    * quantile sketch: values below 2^m map to themselves (exact linear
+    * region); above, the top m bits after the leading one sub-divide
+    * each power-of-two range, bounding RELATIVE error by 2^-m. The msb
+    * comes from `length(bin(x))` — pure integer/string ops, so the
+    * binning is bit-identical on every engine (a log()-based DDSketch
+    * bucket is 1-ulp fragile at bucket boundaries and could never be
+    * hash-gated). Input must be a non-negative integer (scale doubles
+    * to cents/micros first — with floor(), which both engines apply
+    * identically to the same double). */
+  def hdrBucket(x: Column, subBits: Int = 6): Column = {
+    val cap = 1L << subBits
+    val msb = (length(bin(x)) - 1).cast("long")
+    val shift = (msb - subBits).cast("int")
+    val top = floor(x.cast("double") / pow(lit(2.0), shift.cast("double")))
+      .cast("long")
+    when(x < cap, x.cast("long"))
+      .otherwise((shift + 1).cast("long") * cap + top - cap)
+  }
+
+  /** The same bucket id in DuckDB SQL (kept beside the operator — the
+    * two must evolve in lockstep). */
+  def hdrBucketSql(x: String, subBits: Int = 6): String = {
+    val cap = 1L << subBits
+    val msb = s"(length(bin($x)) - 1)"
+    s"""CASE WHEN $x < $cap THEN CAST($x AS BIGINT)
+        ELSE CAST(($msb - $subBits + 1) * $cap
+          + ($x // CAST(power(2, $msb - $subBits) AS BIGINT)) - $cap
+          AS BIGINT) END"""
+  }
+
+  /** Mergeable quantile histogram: one (group, bucket, cnt) row per
+    * touched bucket — O(groups × 64·m) rows regardless of corpus size
+    * (a 100 TB column collapses to a few thousand counters per group),
+    * built in one aggregation with full map-side combine. Histograms
+    * over different slices (partitions, days, streams) MERGE by summing
+    * cnt per (group, bucket) — the algebraic property the streamed gate
+    * exercises. */
+  def hdrHistogram(df: DataFrame, groupCol: String, valCol: String,
+      subBits: Int = 6): DataFrame =
+    df.select(col(groupCol), hdrBucket(col(valCol), subBits).as("bucket"))
+      .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a (merged) histogram: rank = ⌈n·q⌉ with
+    * exact ppm integer arithmetic, answer = lower bound of the bucket
+    * holding that rank (deterministic; relative error ≤ 2^-m). The
+    * histogram is tiny, so the cumulative walk is a window over a few
+    * thousand rows however large the corpus was. */
+  def hdrQuantiles(hist: DataFrame, groupCol: String, qPpms: Seq[Int],
+      subBits: Int = 6): DataFrame = {
+    val cap = 1L << subBits
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bucket"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val b = col("bucket")
+    val est = when(b < 2L * cap, b).otherwise(
+      (lit(cap) + b % cap) *
+        pow(lit(2.0), (expr(s"bucket div $cap") - 1L).cast("double"))
+          .cast("long"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wg))
+      .select(col(groupCol), b, col("cnt"), col("cum"), col("n"),
+        explode(array(qPpms.map(q => lit(q.toLong)): _*)).as("q_ppm"))
+      .filter(col("cum") >= expr("greatest(1L, (n * q_ppm + 999999) div 1000000)") &&
+        (col("cum") - col("cnt")) < expr("greatest(1L, (n * q_ppm + 999999) div 1000000)"))
+      .select(col(groupCol), col("q_ppm"), col("n").as("n_values"),
+        est.as("est"))
+  }
+
   /** Point estimate for each query term: min over the depth rows of the
     * term's counter — ≥ the true count, with the classic CM overestimate
     * bound. The sketch side is tiny (depth×width) → broadcast join. */

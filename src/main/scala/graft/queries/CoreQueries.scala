@@ -238,6 +238,42 @@ object CoreQueries {
         FROM lineitem GROUP BY l_returnflag""")),
 
     GraftQuery(
+      "q158_hdr_quantiles",
+      (s, dir) => {
+        // q41's scale path made concrete: a log-linear (HDR/DDSketch-
+        // style) quantile HISTOGRAM — O(64·m) counters per group however
+        // large the column, mergeable by summing counts — with integer-
+        // exact bucketing (length(bin(x)), never log()) so the estimate
+        // itself hash-gates across engines. Relative error ≤ 2^-6.
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val hist = graft.operators.Sketches.hdrHistogram(
+          li, "l_returnflag", "cents")
+        graft.operators.Sketches.hdrQuantiles(hist, "l_returnflag",
+          Seq(500000, 900000, 990000))
+      },
+      Some(s"""WITH v AS (SELECT l_returnflag,
+            CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+        h AS (SELECT l_returnflag,
+            ${graft.operators.Sketches.hdrBucketSql("cents")} AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, bucket, cnt,
+            SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+            SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+          FROM h),
+        q AS (SELECT c.*, CAST(r.q AS BIGINT) AS q_ppm,
+            greatest(1, (n * r.q + 999999) // 1000000) AS rank
+          FROM c, (SELECT unnest([500000, 900000, 990000]) AS q) r)
+      SELECT l_returnflag, q_ppm, CAST(n AS BIGINT) AS n_values,
+        CASE WHEN bucket < 128 THEN bucket
+          ELSE CAST((64 + bucket % 64) *
+            CAST(power(2, bucket // 64 - 1) AS BIGINT) AS BIGINT) END AS est
+      FROM q WHERE cum >= rank AND cum - cnt < rank""")),
+
+    GraftQuery(
       "q42_salted_join",
       (s, dir) => {
         // skew-proof fact⋈dim join: row-identical to the plain join (the

@@ -809,6 +809,65 @@ object StreamQueries {
         FROM documents""")),
 
     GraftQuery(
+      "q155_stream_ann_index",
+      (s, dir) => {
+        // ANN index kept FRESH from a stream (no rebuilds): three waves
+        // of vectors arrive as micro-batches; each foreachBatch appends
+        // its rows under __bucket=b/__batch=id via dynamic partition
+        // overwrite, so a REPLAYED batch rewrites exactly its own files
+        // (exercised: batch 2 is written twice). A probe over the
+        // stream-maintained index must equal the same probe over a
+        // batch-built index of the full corpus — the freshness path adds
+        // files, never answers.
+        val emb = Tables.load(s, dir, "embeddings")
+          .select("vec_id", "embedding")
+        val qv = emb.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toSeq.map(_.toDouble)
+        val k = col("vec_id")
+        def wave(p: Column) = emb.filter(p)
+          .select(to_json(struct(col("vec_id"), col("embedding"))).as("value"))
+        val frames = Seq(
+          wave(k % 3 === 0), wave(k % 3 === 1), wave(k % 3 === 2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id LONG, embedding ARRAY<FLOAT>")
+        val streamedIdx = runStaged(s, frames, "ann_idx") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+          parsed.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              graft.operators.AnnIndex.appendBatch(
+                b, "vec_id", "embedding", s"$out/ann_idx",
+                dim = 64, bits = 8, batchId = id)
+              if (id == 2) // simulate a retried batch: idempotent rewrite
+                graft.operators.AnnIndex.appendBatch(
+                  b, "vec_id", "embedding", s"$out/ann_idx",
+                  dim = 64, bits = 8, batchId = id)
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        val bpath = Files.createTempDirectory("graft-annbatch")
+          .resolve("idx").toString
+        graft.operators.AnnIndex.build(emb, "vec_id", "embedding", bpath,
+          dim = 64, bits = 8)
+        val batchProbe = graft.operators.AnnIndex.topK(
+            graft.operators.AnnIndex.load(s, bpath),
+            "vec_id", "embedding", qv, k = 10, bits = 8)
+          .select(lit("batch").as("src"), col("vec_id"), col("cos"))
+        val streamedProbe = graft.operators.AnnIndex.topK(
+            streamedIdx.drop("__batch"),
+            "vec_id", "embedding", qv, k = 10, bits = 8)
+          .select(lit("streamed").as("src"), col("vec_id"), col("cos"))
+        batchProbe.unionByName(streamedProbe)
+      },
+      // both probes must answer exactly the known single-table LSH top-k
+      Some(s"""SELECT 'batch' AS src, vec_id, cos
+          FROM (${VectorQueries.lshTopKOracle})
+        UNION ALL SELECT 'streamed' AS src, vec_id, cos
+          FROM (${VectorQueries.lshTopKOracle})""")),
+
+    GraftQuery(
       "q91_stream_sketch",
       (s, dir) => {
         // corpus statistics maintained AS A STREAM: three waves of
@@ -848,6 +907,67 @@ object StreamQueries {
         SELECT term, MIN(COALESCE(c.c, 0)) AS est
         FROM q LEFT JOIN counters c ON c.j = q.j AND c.bucket = q.bucket
         GROUP BY term""")),
+
+    GraftQuery(
+      "q159_stream_hdr_quantiles",
+      (s, dir) => {
+        // the mergeable-quantile property run as a stream: three
+        // partitioning waves of lineitem each fold into a per-batch HDR
+        // histogram (idempotently overwritten under batch=<id> — batch 1
+        // is written twice to exercise replay), the per-batch counters
+        // merge by SUM, and the merged histogram's quantile estimates
+        // must equal q158's batch-built answers bit-for-bit.
+        val k = col("l_orderkey")
+        val li = Tables.load(s, dir, "lineitem").select(k.as("k"),
+          col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        def wave(p: Column) = li.filter(p)
+          .select(to_json(struct(col("l_returnflag"), col("cents"))).as("value"))
+        val frames = Seq(wave(col("k") % 3 === 0), wave(col("k") % 3 === 1),
+          wave(col("k") % 3 === 2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "l_returnflag STRING, cents LONG")
+        val batchHists = runStaged(s, frames, "hist") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+          parsed.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              def put(): Unit = graft.operators.Sketches
+                .hdrHistogram(b, "l_returnflag", "cents")
+                .write.mode("overwrite").parquet(s"$out/hist/batch=$id")
+              put()
+              if (id == 1) put() // simulate a retried batch
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        val merged = batchHists.groupBy(col("l_returnflag"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt"))
+        graft.operators.Sketches.hdrQuantiles(merged, "l_returnflag",
+          Seq(500000, 900000, 990000))
+      },
+      // identical to q158's oracle by design: streamed, sum-merged
+      // counters must reproduce the batch-built histogram exactly
+      Some(s"""WITH v AS (SELECT l_returnflag,
+            CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+        h AS (SELECT l_returnflag,
+            ${graft.operators.Sketches.hdrBucketSql("cents")} AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1, 2),
+        c AS (SELECT l_returnflag, bucket, cnt,
+            SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+            SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+          FROM h),
+        q AS (SELECT c.*, CAST(r.q AS BIGINT) AS q_ppm,
+            greatest(1, (n * r.q + 999999) // 1000000) AS rank
+          FROM c, (SELECT unnest([500000, 900000, 990000]) AS q) r)
+      SELECT l_returnflag, q_ppm, CAST(n AS BIGINT) AS n_values,
+        CASE WHEN bucket < 128 THEN bucket
+          ELSE CAST((64 + bucket % 64) *
+            CAST(power(2, bucket // 64 - 1) AS BIGINT) AS BIGINT) END AS est
+      FROM q WHERE cum >= rank AND cum - cnt < rank""")),
 
     GraftQuery(
       "q94_stream_hll",
@@ -1203,11 +1323,14 @@ object StreamQueries {
           cust.filter(filter).select(to_json(struct(
             concat(lit("k-"), col("k") % 20).as("key"),
             ts.cast("long").as("ts"))).as("value"))
+        // wave filters are MODULAR (k%3, k=20), never absolute custkey
+        // ranges: sf0.001 has only 150 customers, and an empty wave 2/3
+        // would freeze the watermark so no timer ever fires (0 rows)
         val frames = Seq(
-          wave(col("k") < 500, col("k") % 25 * 5 + expr("k div 100") + 1),
-          wave(col("k") >= 500 && col("k") < 1000 && col("k") % 20 < 10,
+          wave(lit(true), col("k") % 25 * 5 + expr("k div 100") + 1),
+          wave(col("k") % 3 === 0 && col("k") % 20 < 10,
             lit(5000) + col("k") % 97),
-          wave(col("k") === 1000, lit(10000)))
+          wave(col("k") === 20, lit(10000)))
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "key STRING, ts LONG")
         val alerts = runStaged(s, frames, "stale") { (raw, out, ckpt) =>
@@ -1230,15 +1353,87 @@ object StreamQueries {
           e AS (
             SELECT 'k-' || (k % 20) AS key,
               CAST((k % 25) * 5 + k // 100 + 1 AS BIGINT) AS ts
-            FROM b WHERE k < 500
+            FROM b
             UNION ALL
             SELECT 'k-' || (k % 20), CAST(5000 + k % 97 AS BIGINT)
-            FROM b WHERE k >= 500 AND k < 1000 AND k % 20 < 10
+            FROM b WHERE k % 3 = 0 AND k % 20 < 10
             UNION ALL
-            SELECT 'k-0', CAST(10000 AS BIGINT) FROM b WHERE k = 1000)
+            SELECT 'k-0', CAST(10000 AS BIGINT) FROM b WHERE k = 20)
         SELECT key, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_events
         FROM e GROUP BY key
         HAVING key <> 'k-0'""")),
+
+    GraftQuery(
+      "q157_stream_count_or_time",
+      (s, dir) => {
+        // the reference's custom Flink trigger (TimeCountMessageTrigger:
+        // fire the keyed window early whenever its pane holds maxCount
+        // events, flush the remainder when the window's timer expires),
+        // run deterministically: three modular waves of order events
+        // land in [1,180] over 60 s tumbling windows with maxCount=7;
+        // a pane's fire boundaries depend only on arrival order
+        // (wave, then ordinal), which the oracle replays with a
+        // row_number over the same ordering. The 200 s watermark delay
+        // keeps all three same-range waves non-late; the sentinel wave
+        // advances the final watermark so every remainder pane flushes
+        // on the trailing no-data batch.
+        import s.implicits._
+        val k = col("k")
+        val ord = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey").as("k"))
+        def wave(f: Column) = ord.filter(f).select(to_json(struct(
+          concat(lit("k-"), k % 8).as("key"),
+          (lit(1) + k % 180).cast("long").as("ts"),
+          k.cast("long").as("ordinal"),
+          (k % 100).cast("long").as("x"))).as("value"))
+        val frames = Seq(
+          wave(k % 3 === 0), wave(k % 3 === 1), wave(k % 3 === 2),
+          ord.limit(1).select(to_json(struct(lit("k-z").as("key"),
+            lit(10000L).as("ts"), lit(0L).as("ordinal"),
+            lit(0L).as("x"))).as("value")))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, ts LONG, ordinal LONG, x LONG")
+        val fires = runStaged(s, frames, "fires") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.key").as("key"), col("j.ts").as("ts"),
+              col("j.ordinal").as("ordinal"), col("j.x").as("x"),
+              col("j.ts").cast("timestamp").as("et"))
+            .withWatermark("et", "200 seconds")
+            .as[graft.streaming.StatefulOps.CotEvent]
+          graft.streaming.StatefulOps
+            .countOrTimeFires(parsed, maxCount = 7, windowSeconds = 60L)
+            .toDF()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/fires")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        // the sentinel's own pane never flushes (its window end stays
+        // beyond the final watermark) — nothing to filter out
+        fires
+      },
+      Some("""WITH b AS (SELECT o_orderkey AS k FROM orders
+            WHERE o_orderkey % 5 = 0),
+          e AS (SELECT 'k-' || (k % 8) AS key,
+              CAST(1 + (k % 180) AS BIGINT) AS ts,
+              k AS ordinal, CAST(k % 100 AS BIGINT) AS x, k % 3 AS wave
+            FROM b),
+          w AS (SELECT key, ts - ts % 60 AS window_start, ordinal, x, wave
+            FROM e),
+          r AS (SELECT key, window_start, x,
+              row_number() OVER (PARTITION BY key, window_start
+                ORDER BY wave, ordinal) - 1 AS rn
+            FROM w),
+          g AS (SELECT key, window_start, rn // 7 AS fire_seq,
+              COUNT(*) AS n, SUM(x) AS sx
+            FROM r GROUP BY 1, 2, 3)
+        SELECT key, CAST(window_start AS BIGINT) AS window_start,
+          CAST(fire_seq AS BIGINT) AS fire_seq,
+          CAST(n AS BIGINT) AS n_events, CAST(sx AS BIGINT) AS sum_x,
+          n = 7 AS early
+        FROM g""")),
 
     GraftQuery(
       "q130_stream_funnel",

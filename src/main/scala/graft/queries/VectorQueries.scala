@@ -52,7 +52,7 @@ object VectorQueries {
   /** One oracle for both LSH probes (q34 scan-time, q70 materialized):
     * the pruning is the same hamming ≤ 1 bucket set; only the Spark-side
     * I/O differs. */
-  private val lshTopKOracle: String =
+  private[queries] val lshTopKOracle: String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         eb AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket
                FROM embeddings),
@@ -109,7 +109,71 @@ object VectorQueries {
           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0E0 AS recall
         FROM q LEFT JOIN hits h ON h.qid = q.qid)"""
 
+  /** DuckDB twin of the q154 multi-table sweep: per-table bucket exprs
+    * with [[Similarity.tableSeed]] seeds; t_min via first-true CASE. */
+  private def annMultiTableOracle(tables: Int, bits: Int = 8): String = {
+    def seedT(t: Int) = Similarity.tableSeed(42, t)
+    val ebCols = (0 until tables).map(t =>
+      s"${bucketSql("embedding", bits, seedT(t))} AS b$t").mkString(", ")
+    val qbCols = (0 until tables).map(t =>
+      s"${bucketSql("qv", bits, seedT(t))} AS q$t").mkString(", ")
+    val matchT = (t: Int) => s"bit_count(xor(eb.b$t, qb.q$t)) <= 1"
+    val tMin = "CASE " + (0 until tables).map(t =>
+      s"WHEN ${matchT(t)} THEN $t").mkString(" ") + " END"
+    val anyMatch = (0 until tables).map(matchT).mkString(" OR ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 0),
+        brute AS (SELECT qid, vid FROM (
+            SELECT q.qid, e.vec_id AS vid,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${cosSql("e.embedding", "q.qv")} DESC,
+                  e.vec_id ASC) AS r
+            FROM embeddings e, q) WHERE r <= 10),
+        eb AS (SELECT vec_id, embedding, $ebCols FROM embeddings),
+        qb AS (SELECT qid, qv, $qbCols FROM q),
+        matched AS (SELECT qb.qid, eb.vec_id AS vid, $tMin AS t_min,
+            ${cosSql("eb.embedding", "qb.qv")} AS cos
+          FROM eb JOIN qb ON ($anyMatch)),
+        cand AS (SELECT CAST(r.l AS INTEGER) AS l_tables, m.qid, m.vid, m.cos
+          FROM matched m, range(1, ${tables + 1}) r(l) WHERE m.t_min < r.l),
+        cost AS (SELECT l_tables, qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+          FROM cand GROUP BY 1, 2),
+        lsh AS (SELECT l_tables, qid, vid FROM (
+            SELECT l_tables, qid, vid, row_number()
+              OVER (PARTITION BY l_tables, qid
+                ORDER BY cos DESC, vid ASC) AS r
+            FROM cand) WHERE r <= 10),
+        hits AS (SELECT l.l_tables, l.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM lsh l JOIN brute b ON b.qid = l.qid AND b.vid = l.vid
+          GROUP BY 1, 2),
+        grid AS (SELECT CAST(r.l AS INTEGER) AS l_tables, q.qid
+          FROM q, range(1, ${tables + 1}) r(l))
+        SELECT g.l_tables, g.qid,
+          COALESCE(c.n_candidates, 0) AS n_candidates,
+          COALESCE(h.n_hits, 0) AS n_hits,
+          CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0E0 AS recall
+        FROM grid g
+        LEFT JOIN cost c ON c.l_tables = g.l_tables AND c.qid = g.qid
+        LEFT JOIN hits h ON h.l_tables = g.l_tables AND h.qid = g.qid"""
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q154_ann_multitable_recall",
+      (s, dir) => {
+        // the OR-construction recall curve: L independent 8-bit tables,
+        // radius-1 probes each — L=3 costs ~27 of 256 buckets (≈ what
+        // radius-2 single-table pays) but each table is an independent
+        // chance to co-locate a neighbor, so recall climbs with L. One
+        // corpus scan, one brute pass, per-L results from one candidate
+        // frame — the artifact a deployment reads to pick L.
+        Similarity.annRecallMultiTable(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, dim = Dim, k = 10, bits = 8, tables = 3)
+      },
+      Some(annMultiTableOracle(3)),
+      bench = true),
+
     GraftQuery(
       "q138_ann_recall",
       (s, dir) => {

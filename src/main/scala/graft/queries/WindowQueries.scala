@@ -211,6 +211,65 @@ object HistoryQueries {
           valid_to IS NULL AS is_current FROM h""")),
 
     GraftQuery(
+      "q156_scd2_incremental_merge",
+      (s, dir) => {
+        // day-2 SCD2: merge a NEW per-key snapshot into the EXISTING
+        // q101 history — no-op keys keep their open row, changed keys
+        // (every user_id%3=0 gets an upper-cased state) close + insert,
+        // unseen keys (user_id+1000000 for %10=0) start fresh chains,
+        // and keys missing from the snapshot (%5=4) pass through open.
+        // The oracle REBUILDS the history from scratch over
+        // updates ∪ snapshot, so the gate is merge ≡ rebuild bit-exact.
+        val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type"))
+        val cutoff = ev.agg(max("sec")).collect()(0).getLong(0) + 1
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("sec").desc, col("event_id").desc)
+        val last = ev.withColumn("__r", row_number().over(w))
+          .filter(col("__r") === 1).select("user_id", "event_type")
+        val snap = last.filter(col("user_id") % 5 =!= 4)
+          .select(col("user_id"),
+            when(col("user_id") % 3 === 0, upper(col("event_type")))
+              .otherwise(col("event_type")).as("event_type"))
+          .unionByName(last.filter(col("user_id") % 10 === 0)
+            .select((col("user_id") + 1000000L).as("user_id"),
+              lit("synthetic-new").as("event_type")))
+        val hist = graft.operators.Scd2.history(ev, Seq("user_id"), "sec",
+          Seq("event_type"), tieBreak = Seq("event_id"))
+        graft.operators.Scd2.merge(hist, snap, Seq("user_id"),
+          Seq("event_type"), asOf = cutoff)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type FROM events),
+          lastst AS (SELECT user_id, event_type FROM (
+              SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS r
+              FROM e) WHERE r = 1),
+          snap AS (SELECT user_id,
+              CASE WHEN user_id % 3 = 0 THEN upper(event_type)
+                   ELSE event_type END AS event_type
+            FROM lastst WHERE user_id % 5 <> 4
+            UNION ALL
+            SELECT user_id + 1000000, 'synthetic-new' FROM lastst
+            WHERE user_id % 10 = 0),
+          cut AS (SELECT MAX(sec) + 1 AS c FROM e),
+          u AS (SELECT user_id, event_id, sec, event_type FROM e
+            UNION ALL
+            SELECT user_id, 9223372036854775807, c, event_type
+            FROM snap, cut),
+          ch AS (SELECT *, LAG(event_type) OVER w AS prev
+            FROM u WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+          v AS (SELECT user_id, sec, event_id, event_type FROM ch
+            WHERE prev IS NULL OR prev <> event_type),
+          h AS (SELECT user_id, event_type, sec AS valid_from,
+            LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+              AS valid_to
+            FROM v)
+        SELECT user_id, event_type, valid_from, valid_to,
+          valid_to IS NULL AS is_current FROM h""")),
+
+    GraftQuery(
       "q139_gap_fill",
       (s, dir) => {
         // daily per-user-bucket event counts, forward-filled over the

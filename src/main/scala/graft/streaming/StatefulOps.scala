@@ -166,6 +166,70 @@ object StatefulOps {
       }
   }
 
+  final case class CotEvent(key: String, ts: Long, ordinal: Long, x: Long,
+      et: java.sql.Timestamp)
+  final case class CotState(bufN: Long, bufSum: Long, fires: Long)
+  final case class CotFire(key: String, window_start: Long, fire_seq: Long,
+      n_events: Long, sum_x: Long, early: Boolean)
+
+  /** Count-OR-time early-fire window trigger — the reference's custom
+    * Flink trigger (`CONSOLE/time/TimeCountMessageTrigger.java:46-104`:
+    * FIRE_AND_PURGE when the keyed window's buffered count reaches
+    * `maxCount`, otherwise when the window's timer expires), re-expressed
+    * as a deterministic Structured Streaming state machine. Per
+    * (key, tumbling window) the state is the buffered pane (count + sum
+    * + fires-so-far); each micro-batch folds its events in ordinal
+    * order, emitting a fire row the instant the pane reaches `maxCount`
+    * (`early=true`, pane purged — each fire covers ONLY events since the
+    * last fire, Flink's FIRE_AND_PURGE semantics); the event-time
+    * timeout at window end flushes the final partial pane
+    * (`early=false`). The reference's processing-time timer is replaced
+    * by an event-time timer so the result is replay-deterministic —
+    * which the Flink original is not (its fires depend on wall-clock).
+    *
+    * State is O(live windows), three longs each; panes never buffer raw
+    * events (the fold aggregates in place), so a hot key at 100 TB costs
+    * the same state as a cold one. Input must carry `withWatermark` on
+    * `et`; a fire's identity (key, window_start, fire_seq) is stable
+    * across replays, so an idempotent sink dedups on it. */
+  def countOrTimeFires(events: Dataset[CotEvent], maxCount: Int,
+      windowSeconds: Long): Dataset[CotFire] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.key, e.ts - e.ts % windowSeconds))
+      .flatMapGroupsWithState[CotState, CotFire](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: (String, Long), rows: Iterator[CotEvent], state: GroupState[CotState]) =>
+          val (key, wstart) = k
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.bufN > 0L)
+              Iterator.single(CotFire(key, wstart, st.fires, st.bufN,
+                st.bufSum, early = false))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(CotState(0L, 0L, 0L))
+            val out = Seq.newBuilder[CotFire]
+            rows.toSeq.sortBy(_.ordinal).foreach { e =>
+              st = CotState(st.bufN + 1L, st.bufSum + e.x, st.fires)
+              if (st.bufN >= maxCount) {
+                out += CotFire(key, wstart, st.fires, st.bufN, st.bufSum,
+                  early = true)
+                st = CotState(0L, 0L, st.fires + 1L)
+              }
+            }
+            state.update(st)
+            // the window-end timer; if the watermark already passed it
+            // (late-ish pane admitted by the delay), arm for the very
+            // next advance instead of throwing
+            state.setTimeoutTimestamp(math.max(
+              (wstart + windowSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
   final case class FunnelEvent(key: String, ordinal: Long, step: String)
   final case class FunnelState(t0: Long, t1: Long, t2: Long, n: Long)
   final case class FunnelSnapshot(key: String, n_events: Long,

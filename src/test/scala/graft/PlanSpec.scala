@@ -84,4 +84,47 @@ class PlanSpec extends AnyFunSuite {
         _.getClass.getSimpleName == "TakeOrderedAndProjectExec"),
       "q146 limit should plan as TakeOrderedAndProject")
   }
+
+  test("AQE actually splits a deliberately skewed shuffle join") {
+    // The engine's skew story is salting (q42) + AQE skew-join as the
+    // runtime backstop — this asserts the backstop WORKS, not just that
+    // the config is set: half of a 200k-row fact collapses onto key 0,
+    // broadcast is disabled so the join must shuffle, and after
+    // execution the adaptive plan's sort-merge join must carry
+    // isSkewJoin=true (OptimizeSkewedJoin split the oversized
+    // partition into advisory-sized reader splits).
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id") % 1000).as("k"),
+        concat(lit("payload-payload-payload-"), col("id")).as("p"))
+      val right = spark.range(1000).select(col("id").as("k"), lit("d").as("d"))
+      val df = left.join(right, "k").agg(sum(length(col("p"))).as("s"))
+      df.collect()
+      // the final adaptive plan hides operators inside QueryStageExec
+      // leaves; AdaptiveSparkPlanHelper.collect descends through them
+      val helper =
+        new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      val smjs = helper.collect(df.queryExecution.executedPlan) {
+        case s: SortMergeJoinExec => s
+      }
+      assert(smjs.nonEmpty, "expected a sort-merge join in the final plan")
+      assert(smjs.exists(_.isSkewJoin),
+        "OptimizeSkewedJoin did not mark the skewed join (isSkewJoin=false)")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
