@@ -95,6 +95,39 @@ object Graphs {
     labels
   }
 
+  /** Single-source BFS hop distance over the undirected simple graph, the
+    * reachability primitive (crawl-frontier depth, citation distance,
+    * "within k hops of a trusted seed" curation filters). Synchronous
+    * frontier expansion for `maxDepth` rounds: each round joins ONLY the
+    * current frontier against the edge list (never the whole visited
+    * set), dedups, and anti-joins visited — both joins hash-partitioned
+    * on node, frontier persisted per round with O(1) lineage. Unreached
+    * nodes are simply absent (no infinity sentinel). Deterministic: a
+    * node's level is the round that first reached it. */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      source: String, maxDepth: Int = 3): DataFrame = {
+    val s = edges.sparkSession
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = sym.union(sym.select(col("b"), col("a"))).distinct()
+      .localCheckpoint()
+    var visited = s.range(1)
+      .select(lit(source).as("node"), lit(0).as("lvl")).localCheckpoint()
+    var frontier = visited
+    (1 to maxDepth).foreach { i =>
+      val next = und
+        .join(frontier.select(col("node").as("a")), "a")
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("lvl", lit(i))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    und.unpersist()
+    visited
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced by
     * `edges` (self-loops dropped, direction and multiplicity collapsed).
     * Compact-forward with DEGREE orientation: every edge points from its

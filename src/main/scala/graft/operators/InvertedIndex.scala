@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Positional inverted index + exact phrase search — the retrieval
+  * primitive behind contamination checks and "find training docs
+  * containing this exact string" audits, where the n-gram containment
+  * operators ([[Dedup.containmentPairs]]) answer the fuzzier overlap
+  * question.
+  *
+  * The index is the classic (term, doc, position) posting relation: at
+  * 100 TB it partitions by term (each query term touches only its
+  * posting list), and a phrase query joins the lists of its k terms on
+  * (doc, aligned position) — selectivity comes from the term filter
+  * reaching the scan, never from an all-pairs shape.
+  */
+object InvertedIndex {
+
+  /** One (doc_id, pos, term) row per token occurrence. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "term")))
+
+  /** Docs containing the exact consecutive phrase, with match counts.
+    * One tokenize pass: the postings are filtered to the phrase's terms
+    * and materialized once (localCheckpoint), then each further term
+    * joins on (doc, start-aligned position) — k−1 equi-joins whose
+    * inputs are single posting lists, so cost is bounded by the rarest
+    * term's list however large the corpus. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val p = postings(docs, idCol, textCol)
+      .filter(col("term").isin(phrase.distinct: _*))
+      .localCheckpoint()
+    val first = p.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(p.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+}

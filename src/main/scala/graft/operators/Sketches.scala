@@ -238,13 +238,23 @@ object Sketches {
       depth: Int = 4, salt: String = "graft-cms"): DataFrame = {
     val spark = sketch.sparkSession
     import spark.implicits._
-    val q = terms.toDF("term")
-      .select(col("term"), explode(array((0 until depth).map(lit): _*)).as("j"))
+    cmsEstimateFrame(sketch, terms.toDF("term"), "term", width, depth, salt)
+  }
+
+  /** [[cmsEstimate]] for a whole DataFrame of candidate terms (e.g.
+    * every distinct token, for heavy-hitter extraction): the sketch side
+    * stays depth×width rows → broadcast, the candidate side shuffles
+    * once on (j, bucket). */
+  def cmsEstimateFrame(sketch: DataFrame, terms: DataFrame, termCol: String,
+      width: Int = 1024, depth: Int = 4,
+      salt: String = "graft-cms"): DataFrame =
+    terms
+      .select(col(termCol).as("term"),
+        explode(array((0 until depth).map(lit): _*)).as("j"))
       .select(col("term"), col("j"),
         (TextFunctions.md5Key60(
           concat(lit(salt), col("j"), col("term"))) % width).as("bucket"))
-    q.join(sketch, Seq("j", "bucket"), "left")
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy("term")
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
-  }
 }

@@ -598,6 +598,80 @@ object CurationQueries {
         GROUP BY term""")),
 
     GraftQuery(
+      "q162_phrase_search",
+      (s, dir) => graft.operators.InvertedIndex.phraseMatches(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("value", "table")),
+      // exact-phrase retrieval over the positional inverted index: the
+      // oracle zips each doc's token list with its ordinals and replays
+      // the same (doc, aligned-position) join
+      Some(s"""WITH p AS (SELECT doc_id,
+            unnest($Toks5Sql) AS term,
+            unnest(range(1, len($Toks5Sql) + 1)) AS pos
+          FROM documents),
+        m AS (SELECT p0.doc_id FROM p p0
+          JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+          WHERE p0.term = 'value' AND p1.term = 'table')
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM m GROUP BY doc_id""")),
+
+    GraftQuery(
+      "q163_cms_heavy_hitters",
+      (s, dir) => {
+        // sketch-quality harness, the CMS analogue of q138's ANN recall:
+        // the top-20 heavy hitters by sketch estimate, rank-aligned
+        // against the exact top-20 — the artifact a deployment reads to
+        // size width×depth. The ranking windows are global but run over
+        // the vocab-bounded aggregate (distinct terms), never the token
+        // stream.
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(
+            graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        val sk = graft.operators.Sketches.cmSketch(toks, "tok")
+        val est = graft.operators.Sketches.cmsEstimateFrame(
+          sk, toks.distinct(), "tok")
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val re = exact
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("tok").asc)))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("tok").as("tok_exact"),
+            col("n").as("n_exact"))
+        val rc = est
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("est").desc, col("term").asc)))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("term").as("tok_cms"),
+            col("est").as("est_cms"))
+        re.join(rc, "rank")
+      },
+      Some(s"""WITH toks AS (SELECT unnest($Toks5Sql) AS tok FROM documents),
+          exact AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+          hh AS (SELECT r.j AS j,
+              ${md5Key60Sql("'graft-cms' || CAST(r.j AS VARCHAR) || tok")}
+                % 1024 AS bucket
+            FROM toks, range(0, 4) r(j)),
+          counters AS (SELECT j, bucket, COUNT(*) AS c FROM hh GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT tok FROM toks),
+          estq AS (SELECT t.tok, r.j,
+              ${md5Key60Sql("'graft-cms' || CAST(r.j AS VARCHAR) || t.tok")}
+                % 1024 AS bucket
+            FROM cand t, range(0, 4) r(j)),
+          est AS (SELECT q.tok, MIN(COALESCE(c.c, 0)) AS est
+            FROM estq q LEFT JOIN counters c
+              ON c.j = q.j AND c.bucket = q.bucket
+            GROUP BY q.tok),
+          re AS (SELECT tok, n, row_number()
+              OVER (ORDER BY n DESC, tok ASC) AS rank FROM exact),
+          rc AS (SELECT tok, est, row_number()
+              OVER (ORDER BY est DESC, tok ASC) AS rank FROM est)
+        SELECT CAST(re.rank AS INTEGER) AS rank, re.tok AS tok_exact,
+          CAST(re.n AS BIGINT) AS n_exact, rc.tok AS tok_cms,
+          CAST(rc.est AS BIGINT) AS est_cms
+        FROM re JOIN rc ON rc.rank = re.rank WHERE re.rank <= 20""")),
+
+    GraftQuery(
       "q90_length_band",
       (s, dir) => Curation.lengthBandFilter(
           Tables.load(s, dir, "documents"), "doc_id", "text")

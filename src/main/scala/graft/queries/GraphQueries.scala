@@ -104,6 +104,39 @@ object GraphQueries {
           ${round("l0", "c1", "l1")},
           ${round("l1", "c2", "l2")}
         SELECT node, label FROM l2"""
+      }),
+
+    GraftQuery(
+      "q160_bfs_levels",
+      (s, dir) => {
+        // hop distance from a seed over the same domain graph — the
+        // "within k hops of a trusted seed" reachability filter; three
+        // synchronous frontier rounds, each joining only the frontier.
+        val o = Tables.load(s, dir, "orders")
+        val edges = o.select(
+          concat(lit("n"), col("o_custkey") % 500).as("src"),
+          concat(lit("n"), col("o_orderkey") % 500).as("dst"))
+        graft.operators.Graphs.bfsLevels(edges, "src", "dst",
+          source = "n0", maxDepth = 3)
+      },
+      Some {
+        def level(prev: Seq[String], f: String) =
+          s"""$f AS (SELECT DISTINCT u.b AS node FROM und u
+              JOIN ${prev.last} p ON p.node = u.a
+              WHERE u.b NOT IN (${prev.map(p => s"SELECT node FROM $p")
+                .mkString(" UNION ALL ")}))"""
+        s"""WITH e0 AS (SELECT DISTINCT 'n' || (o_custkey % 500) AS a,
+              'n' || (o_orderkey % 500) AS b FROM orders),
+          e1 AS (SELECT a, b FROM e0 WHERE a <> b),
+          und AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+          l0 AS (SELECT 'n0' AS node),
+          ${level(Seq("l0"), "l1")},
+          ${level(Seq("l0", "l1"), "l2")},
+          ${level(Seq("l0", "l1", "l2"), "l3")}
+        SELECT node, CAST(0 AS INTEGER) AS lvl FROM l0
+        UNION ALL SELECT node, 1 FROM l1
+        UNION ALL SELECT node, 2 FROM l2
+        UNION ALL SELECT node, 3 FROM l3"""
       })
   )
 }

@@ -270,6 +270,66 @@ object HistoryQueries {
           valid_to IS NULL AS is_current FROM h""")),
 
     GraftQuery(
+      "q161_scd2_multiday_fold",
+      (s, dir) => {
+        // the day-N warehouse loop: three successive snapshots (state at
+        // t1 < t2 < t3) folded into the history by repeated Scd2.merge —
+        // starting from an EMPTY history — must equal the history
+        // rebuilt in one shot from the time-stamped snapshot rows.
+        // Proves merge composes: closed rows written on day 2 are never
+        // touched on day 3.
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          col("event_id"), unix_timestamp(col("ts")).as("sec"),
+          col("event_type"))
+        val mm = ev.agg(min("sec"), max("sec")).collect()(0)
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val cuts = Seq(mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3),
+          mx + 1)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("sec").desc, col("event_id").desc)
+        def snapAt(t: Long) = ev.filter(col("sec") < t)
+          .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+          .select("user_id", "event_type")
+        val empty = ev.select(col("user_id"), col("event_type"),
+          col("sec").as("valid_from"), col("sec").as("valid_to"),
+          lit(true).as("is_current")).limit(0)
+        cuts.foldLeft(empty) { (hist, t) =>
+          graft.operators.Scd2.merge(hist, snapAt(t), Seq("user_id"),
+            Seq("event_type"), asOf = t)
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type FROM events),
+          mmx AS (SELECT MIN(sec) AS mn, MAX(sec) AS mx FROM e),
+          cut AS (SELECT mn + (mx - mn) // 3 AS t1,
+              mn + 2 * ((mx - mn) // 3) AS t2, mx + 1 AS t3 FROM mmx),
+          sn AS (
+            SELECT user_id, c.t1 AS sec, event_type FROM (
+              SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS r
+              FROM e, cut c0 WHERE sec < c0.t1) s, cut c WHERE r = 1
+            UNION ALL
+            SELECT user_id, c.t2, event_type FROM (
+              SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS r
+              FROM e, cut c0 WHERE sec < c0.t2) s, cut c WHERE r = 1
+            UNION ALL
+            SELECT user_id, c.t3, event_type FROM (
+              SELECT user_id, event_type, row_number() OVER (
+                PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS r
+              FROM e, cut c0 WHERE sec < c0.t3) s, cut c WHERE r = 1),
+          ch AS (SELECT *, LAG(event_type) OVER w AS prev FROM sn
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+          v AS (SELECT user_id, sec, event_type FROM ch
+            WHERE prev IS NULL OR prev <> event_type),
+          h AS (SELECT user_id, event_type, sec AS valid_from,
+            LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec) AS valid_to
+            FROM v)
+        SELECT user_id, event_type, valid_from, valid_to,
+          valid_to IS NULL AS is_current FROM h""")),
+
+    GraftQuery(
       "q139_gap_fill",
       (s, dir) => {
         // daily per-user-bucket event counts, forward-filled over the
