@@ -32,6 +32,25 @@ class PropertySpec extends AnyFunSuite {
     Gen.oneOf(0.0, -1.0, 100.0, 5000.0, 0.01, 0.7), // rule boundaries
     Gen.choose(0.0, 1.0))
 
+  test("property: hdr bucket is monotone; lower bound within 2^-m relative error") {
+    import graft.operators.Sketches
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+    val cap = 64L
+    val df = spark.range(1L, 300001L).select(col("id").as("x"))
+      .withColumn("b", Sketches.hdrBucket(col("x"), 6))
+      .withColumn("lb", when(col("b") < 2L * cap, col("b")).otherwise(
+        (lit(cap) + col("b") % cap) *
+          pow(lit(2.0), (expr("b div 64") - 1L).cast("double")).cast("long")))
+    // lb ≤ x (lower bound), (x − lb)·2^m < max(lb, 2^m) (relative error),
+    // and bucket ids never decrease as x grows
+    val bad = df
+      .withColumn("pb", lag(col("b"), 1).over(w))
+      .filter(col("lb") > col("x") ||
+        (col("x") - col("lb")) * cap >= greatest(col("lb"), lit(cap)) ||
+        (col("pb").isNotNull && col("pb") > col("b")))
+    assert(bad.count() === 0L)
+  }
+
   test("property: every protocol score is in [0,100] for any input batch") {
     val ping = PQDefaults.config.byProtocol("PING")
     val game = PQDefaults.config.byProtocol("GAME")

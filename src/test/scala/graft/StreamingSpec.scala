@@ -203,6 +203,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(("p3", 5L)) === true)
   }
 
+  test("count-or-time trigger: early fires mid-batch, timeout flushes remainder") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{CotEvent, CotFire}
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long, Long)]
+    val ds = input.toDS()
+      .select(col("_1").as("key"), col("_2").as("ts"), col("_3").as("ordinal"),
+        col("_4").as("x"), col("_2").cast("timestamp").as("et"))
+      .withWatermark("et", "0 seconds")
+      .as[CotEvent]
+    val q = StatefulOps.countOrTimeFires(ds, maxCount = 3, windowSeconds = 60L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cot").start()
+    // batch 1: 4 events in window [0,60) → pane fills at the 3rd (early
+    // fire covering exactly those 3), 4th stays buffered
+    input.addData(("a", 5L, 1L, 10L), ("a", 6L, 2L, 10L), ("a", 7L, 3L, 10L),
+      ("a", 8L, 4L, 5L))
+    q.processAllAvailable()
+    // batch 2: the buffer carries ACROSS batches — 2 more fill the pane
+    // (5+1+2), the 3rd starts the next pane
+    input.addData(("a", 9L, 5L, 1L), ("a", 10L, 6L, 2L), ("a", 11L, 7L, 3L))
+    q.processAllAvailable()
+    // batch 3: watermark jumps past the window end → the partial pane
+    // flushes via event-time timeout; b's own window stays open (its end
+    // is beyond the final watermark) and must NOT fire
+    input.addData(("b", 100L, 8L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val fires = spark.table("cot").as[CotFire].collect()
+      .map(f => (f.key, f.window_start, f.fire_seq) ->
+        (f.n_events, f.sum_x, f.early)).toMap
+    assert(fires(("a", 0L, 0L)) === ((3L, 30L, true)))
+    assert(fires(("a", 0L, 1L)) === ((3L, 8L, true)))
+    assert(fires(("a", 0L, 2L)) === ((1L, 3L, false)))
+    assert(fires.size === 3, s"unexpected fires: $fires")
+  }
+
   test("stream dedup: first arrival wins across batches; watermark bounds state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
