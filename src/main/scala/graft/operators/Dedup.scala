@@ -23,6 +23,57 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** WITHIN-document repeated-span removal — the intra-doc counterpart of
+    * the cross-doc dedup family (boilerplate headers, templated
+    * paragraphs, copy-pasted runs repeated inside ONE document inflate
+    * token counts and teach models to loop). A token is dropped when it
+    * is covered by any n-gram occurrence that is NOT the first occurrence
+    * of that n-gram within its document; the first occurrence always
+    * survives (a span starting at position 0 can never be a repeat, so no
+    * document empties out).
+    *
+    * Scale shape: per-position n-grams explode to (doc, pos, gram) rows
+    * and the duplicate test is a min-window over (doc, gram) — O(tokens)
+    * rows shuffled, never the O(len²) per-document array scan a naive
+    * in-row formulation pays on long documents. The tokenized base is
+    * localCheckpoint'd so the text is tokenized once for the gram pass,
+    * the token pass, and the rebuild. Output: (doc, n_tokens, n_kept,
+    * cleaned) — cleaned text reassembled from surviving tokens in
+    * position order. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol).as("doc"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .localCheckpoint()
+    // gram list bound in its OWN select below the explode (the
+    // ExtractGenerator discipline: never an expensive expr beside a
+    // generator)
+    val grams = base
+      .withColumn("g", when(col("nt") < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), col("nt") - n),
+          i => concat_ws("\u0001", slice(col("toks"), i + 1, lit(n))))))
+      .select(col("doc"), posexplode(col("g")).as(Seq("i", "gram")))
+    val dup = grams
+      .withColumn("mi",
+        min(col("i")).over(Window.partitionBy(col("doc"), col("gram"))))
+      .filter(col("i") > col("mi"))
+    val covered = dup.select(col("doc"),
+      explode(sequence(col("i"), col("i") + n - 1)).as("t")).distinct()
+    val kept = base
+      .select(col("doc"), col("nt").cast("long").as("nt"),
+        posexplode(col("toks")).as(Seq("t", "tok")))
+      .join(covered, Seq("doc", "t"), "left_anti")
+    kept.groupBy(col("doc"))
+      .agg(max(col("nt")).as("n_tokens"), count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          p => p.getField("tok"))).as("cleaned"))
+      .withColumnRenamed("doc", idCol)
+  }
+
   /** Exact duplicate groups: canonical id = min doc id per fingerprint.
     * Input needs (idCol, textCol); output one row per duplicated content. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

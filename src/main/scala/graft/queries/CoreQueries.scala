@@ -274,6 +274,24 @@ object CoreQueries {
       FROM q WHERE cum >= rank AND cum - cnt < rank""")),
 
     GraftQuery(
+      "q164_global_rank",
+      (s, dir) => {
+        // global total-order ranking WITHOUT the SinglePartition window:
+        // range-repartition + local row_numbers + driver prefix-sum of
+        // ≤32 partition counts (PlanSpec asserts no single-partition
+        // exchange in this plan — the anti-pattern this operator kills).
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        graft.operators.GlobalSort.withGlobalRank(li,
+          Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice,
+          CAST(row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+            l_linenumber) AS BIGINT) AS rank
+        FROM lineitem""")),
+
+    GraftQuery(
       "q42_salted_join",
       (s, dir) => {
         // skew-proof fact⋈dim join: row-identical to the plain join (the

@@ -61,6 +61,57 @@ object DedupQueries {
       bench = true),
 
     GraftQuery(
+      "q165_repeated_span_removal",
+      (s, dir) => {
+        // WITHIN-document repeated-span removal (the Gopher-style
+        // repetition filter as an actual cleaner, not just q67's stats):
+        // docs are salted with known repetitions — %3=1 docs fully
+        // doubled, %3=0 docs re-append their first 10 tokens — and every
+        // token covered by a non-first occurrence of its 4-gram is
+        // dropped; the doubled tail must vanish, the untouched docs must
+        // pass through with n_kept = n_tokens.
+        val t = graft.functions.TextFunctions.tokens(col("text"))
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 1,
+              concat_ws(" ", col("text"), col("text")))
+            .when(col("doc_id") % 3 === 0, concat_ws(" ", col("text"),
+              concat_ws(" ", slice(t, 1, 10))))
+            .otherwise(col("text")).as("text"))
+        Dedup.removeRepeatedSpans(docs, "doc_id", "text")
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, text,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+          FROM documents),
+        d0 AS (SELECT doc_id, CASE
+            WHEN doc_id % 3 = 1 THEN text || ' ' || text
+            WHEN doc_id % 3 = 0 THEN text || ' ' ||
+              array_to_string(list_slice(tk, 1, 10), ' ')
+            ELSE text END AS text FROM t0),
+        d AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM d0),
+        g AS (SELECT doc_id,
+            unnest(range(0, greatest(len(toks) - 3, 0))) AS i,
+            unnest(list_transform(range(0, greatest(len(toks) - 3, 0)),
+              i -> array_to_string(list_slice(toks, i + 1, i + 4), chr(1))))
+              AS gram
+          FROM d),
+        dup AS (SELECT doc_id, i FROM (
+            SELECT doc_id, i, MIN(i) OVER (PARTITION BY doc_id, gram) AS mi
+            FROM g) x WHERE i > mi),
+        cov AS (SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, unnest(range(i, i + 4)) AS t FROM dup) u),
+        tp AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+            unnest(range(0, len(toks))) AS t, unnest(toks) AS tok
+          FROM d),
+        kept AS (SELECT tp.doc_id, tp.nt, tp.t, tp.tok FROM tp
+          LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.t = tp.t
+          WHERE cov.doc_id IS NULL)
+      SELECT doc_id, MAX(nt) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        array_to_string(list(tok ORDER BY t), ' ') AS cleaned
+      FROM kept GROUP BY doc_id""")),
+
+    GraftQuery(
       "q30_jaccard_pairs",
       (s, dir) => Dedup.jaccardPairs(corpus(s, dir), "doc_id", "text",
         k = 3, threshold = 0.8),

@@ -85,6 +85,18 @@ class PlanSpec extends AnyFunSuite {
       "q146 limit should plan as TakeOrderedAndProject")
   }
 
+  test("global rank plans without a single-partition exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val df = Registry.byName("q164_global_rank").run(spark, SfDir)
+    val single = operators(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition => e
+    }
+    assert(single.isEmpty,
+      "q164 must never funnel the dataset through one partition — " +
+        "that is the anti-pattern GlobalSort exists to kill")
+  }
+
   test("AQE actually splits a deliberately skewed shuffle join") {
     // The engine's skew story is salting (q42) + AQE skew-join as the
     // runtime backstop — this asserts the backstop WORKS, not just that
