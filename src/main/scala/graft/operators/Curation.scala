@@ -328,10 +328,16 @@ object Curation {
       scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.SafeMath
+    // tokenize once (checkpoint) — the vocab table and the scoring join
+    // both read the materialized tokens, and the corpus total comes from
+    // the vocab-sized freq frame, never a separate token-stream pass
     val toks = docs.select(col(idCol).as("__doc"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
-    val total = toks.count()
+      .localCheckpoint()
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totRow = freq.agg(sum(col("cnt"))).collect()(0)
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     val per = toks.join(freq, "tok")
       .select(col("__doc"),
         SafeMath.roundHalfUp(
@@ -345,6 +351,52 @@ object Curation {
       .join(agg.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll"), lit(0.0)).as("nll"))
+  }
+
+  /** Bigram language-model scoring — [[unigramLogProb]]'s context-aware
+    * sibling (catches token SEQUENCES that are unusual even when every
+    * token is common — shuffled/garbled text scores high here and
+    * normal there; the pair is the classic cheap fluency filter).
+    * Add-one smoothing: P(c|p) = (count(p,c)+1) / (count(p)+V). One
+    * corpus pass builds both tables (bigrams via a zipped-successor
+    * transform bound below its explode); scoring is two token-keyed
+    * joins; per-bigram NLLs rounded and decimal-summed so the mean is
+    * partition-order-independent. Docs with <2 tokens → n_bigrams=0. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val base = docs.select(col(idCol).as("__doc"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .localCheckpoint()
+    val toks = base.select(col("__doc"), explode(col("toks")).as("tok"))
+    val big = base
+      .withColumn("bg", when(size(col("toks")) < 2,
+          array().cast("array<struct<p:string,c:string>>"))
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("p"),
+            element_at(col("toks"), i + 2).as("c")))))
+      .select(col("__doc"), explode(col("bg")).as("b"))
+      .select(col("__doc"), col("b.p").as("p"), col("b.c").as("c"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+      .localCheckpoint() // vocab-sized; count + join read it, not the corpus
+    val vocab = uni.count()
+    val bc = big.groupBy("p", "c").agg(count(lit(1)).as("bc"))
+    val per = big.join(bc, Seq("p", "c"))
+      .join(uni.select(col("tok").as("p"), col("uc")), Seq("p"))
+      .select(col("__doc"), SafeMath.roundHalfUp(
+          -log((col("bc") + 1).cast("double") /
+            (col("uc") + vocab).cast("double")), 8)
+        .cast(DecimalType(28, 8)).as("nll8"))
+    val agg = per.groupBy("__doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        SafeMath.roundHalfUp(
+          sum(col("nll8")).cast("double") / count(lit(1)), scale).as("nll"))
+    docs.select(col(idCol))
+      .join(agg.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("nll"), lit(0.0)).as("nll"))
   }
 

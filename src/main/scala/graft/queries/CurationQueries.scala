@@ -239,6 +239,72 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q166_bigram_nll",
+      (s, dir) => Curation.bigramLogProb(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      // q82's context-aware sibling: add-one-smoothed bigram LM, mean
+      // per-bigram NLL per doc; same decimal-sum FP discipline
+      Some(s"""WITH d AS (SELECT doc_id AS doc, $Toks5Sql AS toks
+            FROM documents),
+          toks AS (SELECT doc, unnest(toks) AS tok FROM d),
+          uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS uc FROM toks
+            GROUP BY tok),
+          v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+          big AS (SELECT doc,
+              unnest(list_slice(toks, 1, len(toks) - 1)) AS p,
+              unnest(list_slice(toks, 2, len(toks))) AS c
+            FROM d WHERE len(toks) >= 2),
+          bc AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS bc FROM big
+            GROUP BY 1, 2),
+          per AS (SELECT big.doc, ${graft.functions.SafeMath.roundHalfUpSql(
+            "-ln(CAST(bc.bc + 1 AS DOUBLE) / CAST(uni.uc + v.vocab AS DOUBLE))",
+            8)} AS nll8
+            FROM big JOIN bc ON bc.p = big.p AND bc.c = big.c
+            JOIN uni ON uni.tok = big.p, v),
+          agg AS (SELECT doc, COUNT(*) AS n_bigrams,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(SUM(CAST(nll8 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)",
+              6)} AS nll
+            FROM per GROUP BY doc)
+        SELECT d2.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+          COALESCE(a.nll, 0.0E0) AS nll
+        FROM documents d2 LEFT JOIN agg a ON a.doc = d2.doc_id""")),
+
+    GraftQuery(
+      "q167_rank_fusion",
+      (s, dir) => {
+        // reciprocal-rank fusion of two term rankings — the calibration-
+        // free way to combine heterogeneous rankers (BM25 × embeddings in
+        // production; two term-frequency rankers here keep the oracle
+        // exact); top-20 by fused score.
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        def tfRank(term: String) = docs.select(col("doc_id"),
+          size(filter(col("toks"), x => x === term)).cast("long")
+            .as("score"))
+        graft.operators.InvertedIndex.rrfFuse(
+            Seq(tfRank("table"), tfRank("spark")), "doc_id", "score")
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $Toks5Sql AS toks FROM documents),
+          s1 AS (SELECT doc_id, len(list_filter(toks, x -> x = 'table'))
+            AS score FROM d),
+          s2 AS (SELECT doc_id, len(list_filter(toks, x -> x = 'spark'))
+            AS score FROM d),
+          r1 AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC,
+            doc_id) AS INTEGER) AS r1 FROM s1),
+          r2 AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC,
+            doc_id) AS INTEGER) AS r2 FROM s2),
+          f AS (SELECT r1.doc_id, r1.r1, r2.r2,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "1.0E0 / CAST(60 + r1 AS DOUBLE) + 1.0E0 / CAST(60 + r2 AS DOUBLE)",
+              8)} AS rrf
+            FROM r1 JOIN r2 USING (doc_id))
+        SELECT doc_id, r1, r2, rrf FROM f
+        ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    GraftQuery(
       "q120_dsir_resample",
       (s, dir) => Curation.dsirScore(
         Tables.load(s, dir, "documents"), "doc_id", "text",

@@ -1023,6 +1023,61 @@ object StreamQueries {
         "wstart", "user_id"))),
 
     GraftQuery(
+      "q168_stream_windowed_hdr",
+      (s, dir) => {
+        // per-hour-window value quantiles on an infinite stream: each
+        // micro-batch folds its events into per-(window, bucket) HDR
+        // counters (idempotently overwritten under batch=<id>), counters
+        // sum-merge at read, and the merged per-window quantiles must
+        // equal the batch build over the full table — the windowed
+        // sibling of q159, as q150 is to q94.
+        val ev = Tables.events(s, dir).select(
+          graft.functions.TimeBuckets.hourStart(col("ts")).as("wstart"),
+          col("event_id"), (col("event_id") % 997 + 1).as("val"))
+        def wave(p: Column) = ev.filter(p)
+          .select(to_json(struct(col("wstart"), col("val"))).as("value"))
+        val frames = Seq(wave(col("event_id") % 3 === 0),
+          wave(col("event_id") % 3 === 1), wave(col("event_id") % 3 === 2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "wstart LONG, val LONG")
+        val hists = runStaged(s, frames, "whist") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+          parsed.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              graft.operators.Sketches.hdrHistogram(b, "wstart", "val")
+                .write.mode("overwrite").parquet(s"$out/whist/batch=$id")
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        val merged = hists.groupBy(col("wstart"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt"))
+        graft.operators.Sketches.hdrQuantiles(merged, "wstart",
+          Seq(500000, 990000))
+      },
+      Some(s"""WITH v AS (SELECT
+            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart,
+            CAST(event_id % 997 + 1 AS BIGINT) AS val FROM events),
+        h AS (SELECT wstart,
+            ${graft.operators.Sketches.hdrBucketSql("val")} AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1, 2),
+        c AS (SELECT wstart, bucket, cnt,
+            SUM(cnt) OVER (PARTITION BY wstart ORDER BY bucket) AS cum,
+            SUM(cnt) OVER (PARTITION BY wstart) AS n
+          FROM h),
+        q AS (SELECT c.*, CAST(r.q AS BIGINT) AS q_ppm,
+            greatest(1, (n * r.q + 999999) // 1000000) AS rank
+          FROM c, (SELECT unnest([500000, 990000]) AS q) r)
+      SELECT wstart, q_ppm, CAST(n AS BIGINT) AS n_values,
+        CASE WHEN bucket < 128 THEN bucket
+          ELSE CAST((64 + bucket % 64) *
+            CAST(power(2, bucket // 64 - 1) AS BIGINT) AS BIGINT) END AS est
+      FROM q WHERE cum >= rank AND cum - cnt < rank""")),
+
+    GraftQuery(
       "q98_stream_interval_join",
       (s, dir) => {
         // Flink-style event-time INTERVAL JOIN as a real stream-stream

@@ -600,4 +600,48 @@ class LlmOpsSpec extends AnyFunSuite {
     // monotone: a longer doc never lands in an earlier stage
     (0L until 39L).foreach(i => assert(r(i) <= r(i + 1)))
   }
+
+  test("repeated-span removal drops only non-first 4-gram occurrences") {
+    val d = Seq(
+      (1L, "a b c d a b c d"),          // doubled: tail vanishes
+      (2L, "x y z w q"),                // no repeats: untouched
+      (3L, "p q r s t p q r s")         // partial repeat of first 4
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedSpans(d, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("cleaned"))).toMap
+    assert(r(1L) === ((8L, 4L, "a b c d")))
+    assert(r(2L) === ((5L, 5L, "x y z w q")))
+    // grams: pqrs(0) qrst(1) rstp(2) stpq(3) tpqr(4) pqrs(5,dup) →
+    // positions 5..8 covered
+    assert(r(3L) === ((9L, 5L, "p q r s t")))
+  }
+
+  test("rrf fusion is rank-based and deterministic under ties") {
+    val a = Seq((1L, 10L), (2L, 5L), (3L, 5L)).toDF("id", "score")
+    val b = Seq((1L, 1L), (2L, 9L), (3L, 2L)).toDF("id", "score")
+    val r = graft.operators.InvertedIndex.rrfFuse(Seq(a, b), "id", "score")
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Int]("r1"), x.getAs[Int]("r2"))).toMap
+    // ties in a (ids 2,3 score 5) break by id asc
+    assert(r(1L) === ((1, 3)))
+    assert(r(2L) === ((2, 1)))
+    assert(r(3L) === ((3, 2)))
+  }
+
+  test("bigram NLL: doubled-bigram docs score lower than shuffled docs") {
+    val d = Seq(
+      (1L, "a b a b a b a b"),  // all bigrams frequent
+      (2L, "a a b b b a a b"),  // rarer transitions, same unigrams
+      (3L, "z")                 // <2 tokens → n_bigrams 0
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Curation.bigramLogProb(d, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("nll"))).toMap
+    assert(r(1L)._1 === 7L && r(2L)._1 === 7L)
+    assert(r(3L) === ((0L, 0.0)))
+    assert(r(1L)._2 < r(2L)._2,
+      s"frequent-transition doc must score lower NLL: $r")
+  }
 }
