@@ -45,6 +45,41 @@ object TimeSeries {
     * final divisions of exact longs — deterministic on any engine, so
     * the fit itself hash-gates. Keys with a degenerate x range get NULL
     * slope/intercept. */
+  /** Seasonal anomaly baseline — the robust ops-monitoring primitive:
+    * per (key, hour-of-day) the MEDIAN and MAD (median absolute
+    * deviation) of a value, plus how many observations exceed
+    * `k × MAD` from the median. Median/MAD resist the outliers they
+    * hunt (a mean/stddev baseline is dragged by the very spikes it
+    * should flag — q84/q110 are the z-score/MAD global cousins; this
+    * adds the seasonal dimension). Two grouped aggregations + one
+    * baseline join (baseline side is keys×24 rows → broadcast);
+    * engine-interpolated medians are roundHalfUp'd before any
+    * comparison so the anomaly threshold can't flip at the half
+    * boundary (the curriculumBins discipline). */
+  def seasonalAnomalies(df: DataFrame, keyCol: String, hodCol: String,
+      valCol: String, k: Int = 3, scale: Int = 6): DataFrame = {
+    import graft.functions.SafeMath
+    val e = df.select(col(keyCol), col(hodCol), col(valCol).as("__v"))
+    val med = e.groupBy(col(keyCol), col(hodCol))
+      .agg(SafeMath.roundHalfUp(
+        percentile(col("__v"), lit(0.5)), scale).as("med"))
+    val dev = e.join(broadcast(med), Seq(keyCol, hodCol))
+      .withColumn("__adev", abs(col("__v") - col("med")))
+      .localCheckpoint() // one deviation pass feeds both MAD and the flags
+    val mad = dev.groupBy(col(keyCol), col(hodCol))
+      .agg(first(col("med")).as("med"),
+        SafeMath.roundHalfUp(
+          percentile(col("__adev"), lit(0.5)), scale).as("mad"),
+        count(lit(1)).as("n"))
+    dev.select(col(keyCol), col(hodCol), col("__adev"))
+      .join(broadcast(mad), Seq(keyCol, hodCol))
+      .groupBy(col(keyCol), col(hodCol))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        first(col("n")).as("n"),
+        sum(when(col("__adev") > lit(k.toDouble) * col("mad"), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+  }
+
   def olsTrend(df: DataFrame, keyCol: String, xCol: String,
       yCol: String, scale: Int = 6): DataFrame = {
     import graft.functions.SafeMath

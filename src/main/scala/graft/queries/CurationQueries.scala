@@ -691,9 +691,12 @@ object CurationQueries {
         // the vocab-bounded aggregate (distinct terms), never the token
         // stream.
         import org.apache.spark.sql.expressions.Window
+        // tokenize once: sketch build, candidate set, and exact counts
+        // all read the checkpointed token stream
         val toks = Tables.load(s, dir, "documents")
           .select(explode(
             graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+          .localCheckpoint()
         val sk = graft.operators.Sketches.cmSketch(toks, "tok")
         val est = graft.operators.Sketches.cmsEstimateFrame(
           sk, toks.distinct(), "tok")

@@ -330,6 +330,43 @@ object HistoryQueries {
           valid_to IS NULL AS is_current FROM h""")),
 
     GraftQuery(
+      "q169_seasonal_anomalies",
+      (s, dir) => {
+        // robust seasonal baseline: per (event_type, hour-of-day) the
+        // median/MAD of a value and how many observations sit > 3 MAD
+        // out — the monitoring shape a fleet runs per device-type per
+        // hour slot; medians rounded before any threshold comparison.
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          hour(col("ts")).as("hod"),
+          (col("event_id") % 1000).cast("double").as("v"))
+        graft.operators.TimeSeries.seasonalAnomalies(
+          ev, "event_type", "hod", "v", k = 3)
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+            CAST(hour(ts) AS INTEGER) AS hod,
+            CAST(event_id % 1000 AS DOUBLE) AS v FROM events),
+          med AS (SELECT event_type, hod,
+              ${graft.functions.SafeMath.roundHalfUpSql(
+                "quantile_cont(v, 0.5)", 6)} AS med
+            FROM e GROUP BY 1, 2),
+          dev AS (SELECT e.event_type, e.hod,
+              abs(e.v - m.med) AS adev, m.med
+            FROM e JOIN med m ON m.event_type = e.event_type
+              AND m.hod = e.hod),
+          mad AS (SELECT event_type, hod, MIN(med) AS med,
+              ${graft.functions.SafeMath.roundHalfUpSql(
+                "quantile_cont(adev, 0.5)", 6)} AS mad,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM dev GROUP BY 1, 2)
+        SELECT d.event_type, d.hod, MIN(m.med) AS med, MIN(m.mad) AS mad,
+          MIN(m.n) AS n,
+          CAST(SUM(CASE WHEN d.adev > 3.0E0 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
+        FROM dev d JOIN mad m ON m.event_type = d.event_type
+          AND m.hod = d.hod
+        GROUP BY 1, 2""")),
+
+    GraftQuery(
       "q139_gap_fill",
       (s, dir) => {
         // daily per-user-bucket event counts, forward-filled over the
