@@ -80,6 +80,43 @@ object TimeSeries {
           .otherwise(0L)).as("n_anomalies"))
   }
 
+  /** Interval-overlap join: pair every point (`tsCol`, epoch seconds)
+    * with every interval `[startCol, endCol)` it falls inside — the
+    * batch form of q98's stream interval join, and the IpGeo recipe
+    * (`operators/IpGeo.scala`) generalized from IP ranges to time.
+    *
+    * A naive `ts >= s AND ts < e` join has no equi-key, so Spark plans
+    * BroadcastNestedLoop (fine only while intervals broadcast) or a
+    * cartesian. Instead both sides are bucketed into fixed
+    * `bucketSec`-wide cells: points hash to one cell, intervals explode
+    * to the cells they span (`sequence` over bucket ids), and the join
+    * becomes a plain shuffled equi-join on the cell id with the exact
+    * range predicate re-applied after. Candidate volume is bounded by
+    * points-per-cell × intervals-overlapping-that-cell — pick
+    * `bucketSec` on the order of the typical interval length so most
+    * intervals explode to ~2 cells. Scales to arbitrarily many
+    * intervals; no driver collect, no broadcast requirement.
+    *
+    * Output: every left row + every right row, one output row per
+    * overlapping (point, interval) pair. Callers aggregate after. */
+  def intervalJoin(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketSec: Long = 3600L): DataFrame = {
+    val b = lit(bucketSec)
+    val pts = points.withColumn("__cell", floor(col(tsCol) / b))
+    // end is exclusive: an interval [s, e) covers cells floor(s/b) ..
+    // floor((e-1)/b); empty/invalid intervals (e <= s) cover nothing.
+    val iv = intervals
+      .withColumn("__cell",
+        explode(when(col(endCol) <= col(startCol),
+            array().cast("array<bigint>"))
+          .otherwise(sequence(floor(col(startCol) / b),
+            floor((col(endCol) - 1) / b)))))
+    pts.join(iv, Seq("__cell"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__cell")
+  }
+
   def olsTrend(df: DataFrame, keyCol: String, xCol: String,
       yCol: String, scale: Int = 6): DataFrame = {
     import graft.functions.SafeMath

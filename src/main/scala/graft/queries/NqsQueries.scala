@@ -132,6 +132,57 @@ object NqsQueries {
       },
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    GraftQuery(
+      "q170_grouping_sets",
+      (s, dir) => {
+        // §2.5 completes the multi-level-agg family: rollup (q21) and
+        // cube (q45) are fixed lattices; GROUPING SETS is the general
+        // form — here the two marginals + grand total WITHOUT the
+        // (flag, status) cross cells a cube would add. grouping_id
+        // disambiguates a synthesized NULL from a data NULL (both
+        // engines emit the same MSB-first bitmask). One pass, one
+        // shuffle — Spark expands sets map-side, same as rollup.
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
+
+    GraftQuery(
+      "q171_unpivot",
+      (s, dir) => {
+        // wide→long reshape (the inverse of q46's pivot): the four
+        // lineitem measures melted to (measure, value) rows. Spark's
+        // native unpivot is a zero-shuffle narrow map — the Expand
+        // operator emits 4 rows per input row with no exchange; at
+        // 100 TB this is scan-bound, exactly as cheap as the scan.
+        val li = Tables.load(s, dir, "lineitem")
+        li.unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, m AS measure, v AS value
+        FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS m, l_quantity AS v FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)"""))
   )
 }

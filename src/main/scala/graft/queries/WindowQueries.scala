@@ -174,7 +174,71 @@ object WindowQueries {
       },
       Some("""SELECT event_type, COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY event_type"""))
+        FROM events GROUP BY event_type""")),
+
+    GraftQuery(
+      "q172_interval_overlap_join",
+      (s, dir) => {
+        // batch interval-overlap join: the top-20 highest-value events
+        // open 1-hour "incident windows"; count ALL events landing in
+        // each window by type. A ts-between-s-and-e join has no
+        // equi-key — TimeSeries.intervalJoin buckets both sides into
+        // 1-hour cells (the IpGeo recipe on the time axis) so the plan
+        // is a shuffled equi-join on the cell id, not a nested loop.
+        // Works unchanged when incidents number 20 million, not 20.
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            unix_timestamp(col("ts")).as("sec"))
+          .localCheckpoint() // one scan feeds incident pick + join probe
+        val inc = ev
+          .orderBy(col("value").desc, col("event_id"))
+          .limit(20)
+          .select(col("event_id").as("incident_id"),
+            col("sec").as("s"), (col("sec") + 3600L).as("e"))
+        graft.operators.TimeSeries
+          .intervalJoin(ev.select(col("event_type"), col("sec")), "sec",
+            inc, "s", "e", bucketSec = 3600L)
+          .groupBy(col("incident_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type, value,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+          inc AS (SELECT event_id AS incident_id, sec AS s, sec + 3600 AS e
+            FROM ev ORDER BY value DESC, event_id LIMIT 20)
+        SELECT i.incident_id, e.event_type, COUNT(*) AS n
+        FROM inc i JOIN ev e ON e.sec >= i.s AND e.sec < i.e
+        GROUP BY 1, 2""")),
+
+    GraftQuery(
+      "q173_period_over_period",
+      (s, dir) => {
+        // period-over-period: daily revenue with the prior day's value,
+        // absolute delta, and day count — the BI comparison shape. The
+        // lag window is a single global ordering, but over one row per
+        // DAY (bounded by calendar span, not data volume), so the
+        // single-partition sort is safe at any corpus scale; the heavy
+        // lifting is the one hash aggregation below it. Doubles come
+        // from identical DECIMAL sums on both engines, and the delta is
+        // a single IEEE subtraction of those — bit-deterministic.
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("rev"))
+        val w = Window.orderBy(col("day"))
+        daily.select(col("day"), col("n_orders"), col("rev"),
+          lag(col("rev"), 1).over(w).as("prev_rev"),
+          (col("rev") - lag(col("rev"), 1).over(w)).as("delta"))
+      },
+      Some("""WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM orders GROUP BY 1)
+        SELECT day, n_orders, rev,
+          lag(rev) OVER (ORDER BY day) AS prev_rev,
+          rev - lag(rev) OVER (ORDER BY day) AS delta
+        FROM d"""))
   )
 }
 

@@ -644,4 +644,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(1L)._2 < r(2L)._2,
       s"frequent-transition doc must score lower NLL: $r")
   }
+
+  test("interval join: [s,e) boundaries, cross-cell spans, empty intervals") {
+    val pts = Seq((1L, 0L), (2L, 99L), (3L, 100L), (4L, 250L), (5L, 399L),
+      (6L, 400L)).toDF("pid", "sec")
+    val iv = Seq((10L, 100L, 400L),  // spans cells 1..3 at bucket=100
+      (11L, 0L, 100L),               // exactly one cell; 100 excluded
+      (12L, 50L, 50L),               // empty: e == s matches nothing
+      (13L, 60L, 40L)                // inverted: matches nothing
+    ).toDF("iid", "s", "e")
+    val got = graft.operators.TimeSeries
+      .intervalJoin(pts, "sec", iv, "s", "e", bucketSec = 100L)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 3L), (10L, 4L), (10L, 5L),  // 400 excluded
+      (11L, 1L), (11L, 2L)))                             // 100 excluded
+  }
 }
