@@ -432,7 +432,10 @@ object Curation {
     val Seq(rawTotal, tgtTotal, vocab) = {
       val r = freq.agg(sum("raw_cnt"), sum("tgt_cnt"), count(lit(1)))
         .collect()(0)
-      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      // empty corpus: the sums are NULL — any totals work, the scoring
+      // join below is over an empty freq frame either way
+      if (r.isNullAt(0)) Seq(0L, 0L, 0L)
+      else Seq(r.getLong(0), r.getLong(1), r.getLong(2))
     }
     def smoothed(cnt: Column, total: Long): Column =
       SafeMath.roundHalfUp(
@@ -482,7 +485,7 @@ object Curation {
       .localCheckpoint()
     val Seq(nTok, vocab) = {
       val r = g.agg(sum("cnt_g"), count(lit(1))).collect()(0)
-      Seq(r.getLong(0), r.getLong(1))
+      if (r.isNullAt(0)) Seq(0L, 0L) else Seq(r.getLong(0), r.getLong(1))
     }
     val p = col("cnt_s").cast("double") / col("t_s").cast("double")
     val qProb = (col("cnt_g") - col("cnt_s") + lit(1L)).cast("double") /
@@ -582,7 +585,8 @@ object Curation {
       .localCheckpoint()
     val gb = sb.groupBy("bin").agg(sum("c_sb").as("c_b"))
     val totals = sb.groupBy("source").agg(sum("c_sb").as("t_s"))
-    val n = sb.agg(sum("c_sb")).collect()(0).getLong(0)
+    val nRow = sb.agg(sum("c_sb")).collect()(0)
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     // full source × bin grid so a bin the source MISSES (but the rest
     // populates) still contributes its (0 − q)²/q term
     val grid = totals.select(col("source"), col("t_s"),
@@ -694,12 +698,14 @@ object Curation {
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val Seq(nTok, nPairs) = {
-      val total = uni.agg(sum("c")).collect()(0).getLong(0)
-      val d = docs.select(TextFunctions.tokenCount(col(textCol)).as("n"))
+      val tRow = uni.agg(sum("c")).collect()(0)
+      val dRow = docs.select(TextFunctions.tokenCount(col(textCol)).as("n"))
         .agg(sum(
           (1 to window).map(g => greatest(col("n") - g, lit(0L)))
-            .reduce(_ + _)).as("d")).collect()(0).getLong(0)
-      Seq(total, d)
+            .reduce(_ + _)).as("d")).collect()(0)
+      // empty corpus: both sums are NULL; the pair join is empty anyway
+      Seq(if (tRow.isNullAt(0)) 0L else tRow.getLong(0),
+        if (dRow.isNullAt(0)) 0L else dRow.getLong(0))
     }
     val out = pairs
       .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
@@ -734,8 +740,12 @@ object Curation {
     // `>` comparison when a cutoff sits exactly on an integer difficulty.
     // roundHalfUp both sides before comparing (CLAUDE.md half-boundary
     // discipline).
-    val cuts = cutRow.getSeq[Double](0)
-      .map(graft.functions.SafeMath.roundHalfUpD(_, 6))
+    // empty input: percentile yields NULL — no cutoffs, every (zero)
+    // row would land in stage 1
+    val cuts =
+      if (cutRow.isNullAt(0)) Seq.empty[Double]
+      else cutRow.getSeq[Double](0)
+        .map(graft.functions.SafeMath.roundHalfUpD(_, 6))
     val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
       acc + when(col("difficulty") > lit(c), 1).otherwise(0)
     }
@@ -903,7 +913,10 @@ object Curation {
     val cuts = withN.agg(
       percentile(col("n_tokens"), lit(pLo)).as("lo"),
       percentile(col("n_tokens"), lit(pHi)).as("hi")).collect()(0)
-    val (lo, hi) = (cuts.getDouble(0), cuts.getDouble(1))
+    // empty input: percentiles are NULL; any band keeps the zero rows
+    val (lo, hi) =
+      if (cuts.isNullAt(0)) (0.0, 0.0)
+      else (cuts.getDouble(0), cuts.getDouble(1))
     withN.filter(col("n_tokens") >= lit(lo) && col("n_tokens") <= lit(hi))
   }
 

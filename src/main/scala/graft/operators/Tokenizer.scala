@@ -46,17 +46,23 @@ object Tokenizer {
       .localCheckpoint()
 
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
-    (1 to rounds).foreach { round =>
+    var exhausted = false
+    (1 to rounds).foreach { round => if (!exhausted) {
       val pairCol =
         when(size(col("syms")) < 2, array().cast("array<struct<l:string,r:string>>"))
           .otherwise(transform(sequence(lit(0), size(col("syms")) - 2),
             i => struct(element_at(col("syms"), i + 1).as("l"),
               element_at(col("syms"), i + 2).as("r"))))
-      val best = vocab.select(col("freq"), explode(pairCol).as("p"))
+      val bestRows = vocab.select(col("freq"), explode(pairCol).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
+        .limit(1).collect()
+      // empty corpus, or every word already a single symbol: no pairs
+      // remain — training simply stops early
+      if (bestRows.isEmpty) exhausted = true
+      else {
+      val best = bestRows(0)
       val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
 
       val zero = struct(array().cast("array<string>").as("out"),
@@ -79,7 +85,8 @@ object Tokenizer {
         .agg(sum(size(col("syms")).cast("long") * col("freq")))
         .collect()(0).getLong(0)
       out += ((round, l, r, cnt, nSym))
-    }
+      }
+    }}
     out.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count", "corpus_symbols")
   }
 }

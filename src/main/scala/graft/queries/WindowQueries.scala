@@ -207,7 +207,8 @@ object WindowQueries {
             FROM ev ORDER BY value DESC, event_id LIMIT 20)
         SELECT i.incident_id, e.event_type, COUNT(*) AS n
         FROM inc i JOIN ev e ON e.sec >= i.s AND e.sec < i.e
-        GROUP BY 1, 2""")),
+        GROUP BY 1, 2"""),
+      bench = true),
 
     GraftQuery(
       "q173_period_over_period",

@@ -342,4 +342,26 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(c - exact(id)) < 0.02, s"vec $id: $c vs ${exact(id)}")
     }
   }
+
+  test("driver-read operators tolerate an empty corpus (library hygiene)") {
+    // Every operator that collect()s a global aggregate to the driver
+    // must survive the NULL row an empty input produces — these are
+    // library entry points, not just gate plumbing. Each call below
+    // NPE'd or threw ArrayIndexOutOfBounds before the guards.
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val srcDocs = Seq.empty[(String, String)].toDF("source", "text")
+    val vals = Seq.empty[(String, Double)].toDF("source", "v")
+    assert(Curation.dsirScore(docs, "doc_id", "text",
+      lit(false)).count() === 0)
+    assert(Curation.sourceKl(srcDocs, "source", "text").count() === 0)
+    assert(Curation.chiSquareShift(vals, "source", "v", 10L, 4)
+      .count() === 0)
+    assert(Curation.cooccurrencePmi(docs, "text").count() === 0)
+    assert(Curation.curriculumBins(docs, "doc_id", "text").count() === 0)
+    assert(Curation.lengthBandFilter(docs, "doc_id", "text").count() === 0)
+    assert(graft.operators.Tokenizer.bpeMerges(docs, "text").count() === 0)
+    assert(graft.operators.TimeSeries.gapFill(
+      Seq.empty[(String, Long, Double)].toDF("k", "bucket", "v"),
+      "k", "bucket", "v").count() === 0)
+  }
 }
