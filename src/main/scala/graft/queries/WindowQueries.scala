@@ -239,7 +239,52 @@ object WindowQueries {
         SELECT day, n_orders, rev,
           lag(rev) OVER (ORDER BY day) AS prev_rev,
           rev - lag(rev) OVER (ORDER BY day) AS delta
-        FROM d"""))
+        FROM d""")),
+
+    GraftQuery(
+      "q174_capped_sessions",
+      (s, dir) => {
+        // production sessionizer: 30-min inactivity gap AND a 2-hour
+        // hard cap — a session that stays active past the cap is split
+        // at fixed offsets from its start (the rule q24's session_window
+        // cannot express). All windows partition by user_id, so the
+        // whole query is ONE shuffle: the lag/cumsum/min windows and the
+        // final (user_id, s_start, sub) aggregation all reuse the same
+        // hash partitioning. Tied seconds are safe under the default
+        // RANGE frame: tied peers share the cumulative flag sum on both
+        // engines, and a lag across a tie sees the same value either
+        // way. Integer seconds end-to-end — hash-exact.
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+        val w = Window.partitionBy("user_id").orderBy("sec")
+        val prev = lag(col("sec"), 1).over(w)
+        e.withColumn("new_s",
+            when(prev.isNull || col("sec") - prev > 1800L, 1L).otherwise(0L))
+          .withColumn("gid", sum(col("new_s")).over(w))
+          .withColumn("s_start",
+            min(col("sec")).over(Window.partitionBy("user_id", "gid")))
+          .withColumn("sub", floor((col("sec") - col("s_start")) / 7200L))
+          .groupBy(col("user_id"), col("s_start"), col("sub"))
+          .agg(count(lit(1)).as("n"),
+            min(col("sec")).as("sub_start"), max(col("sec")).as("sub_end"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+          f AS (SELECT user_id, sec,
+              CASE WHEN LAG(sec) OVER w IS NULL
+                     OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+          g AS (SELECT user_id, sec,
+              SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec) AS gid
+            FROM f),
+          h AS (SELECT user_id, sec, gid,
+              MIN(sec) OVER (PARTITION BY user_id, gid) AS s_start
+            FROM g)
+        SELECT user_id, s_start,
+          CAST(floor((sec - s_start) / 7200) AS BIGINT) AS sub,
+          COUNT(*) AS n, MIN(sec) AS sub_start, MAX(sec) AS sub_end
+        FROM h GROUP BY 1, 2, 3"""))
   )
 }
 
