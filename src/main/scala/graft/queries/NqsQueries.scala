@@ -183,6 +183,54 @@ object NqsQueries {
           UNION ALL
           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
           UNION ALL
-          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)"""))
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)""")),
+
+    GraftQuery(
+      "q175_time_rollup",
+      (s, dir) => {
+        // the multi-granularity materialization the reference delegates
+        // to four separate ClickHouse GROUP BYs over its _h/_d/_w/_m
+        // bucket columns (SURVEY §2.8 F3) — here ALL four granularities
+        // aggregate in ONE scan via GROUPING SETS: Expand emits 4 rows
+        // per input (one per set), partial agg collapses them map-side,
+        // one shuffle total. grouping_id → granularity label; the
+        // surviving bucket column is coalesced into one output key.
+        import graft.functions.TimeBuckets
+        val ev = TimeBuckets.withBuckets(
+          Tables.events(s, dir).select(col("ts"), col("value")), "ts", "ts")
+        val gran = {
+          // gid bitmask (MSB = ts_h): hour set → 0b0111, day → 0b1011,
+          // week → 0b1101, month → 0b1110 on both engines
+          val g = grouping_id()
+          when(g === 7, "hour").when(g === 11, "day")
+            .when(g === 13, "week").otherwise("month")
+        }
+        ev.groupingSets(
+            Seq(Seq(col("ts_h")), Seq(col("ts_d")),
+              Seq(col("ts_w")), Seq(col("ts_m"))),
+            col("ts_h"), col("ts_d"), col("ts_w"), col("ts_m"))
+          .agg(gran.as("gran"),
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_value"))
+          .select(
+            coalesce(col("ts_h"), col("ts_d"), col("ts_w"), col("ts_m"))
+              .as("bucket"),
+            col("gran"), col("n"), col("sum_value"))
+      },
+      Some("""WITH b AS (SELECT value,
+            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ts_h,
+            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ts_d,
+            CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS ts_w,
+            CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS ts_m
+          FROM events)
+        SELECT coalesce(ts_h, ts_d, ts_w, ts_m) AS bucket,
+          CASE GROUPING(ts_h, ts_d, ts_w, ts_m)
+            WHEN 7 THEN 'hour' WHEN 11 THEN 'day'
+            WHEN 13 THEN 'week' ELSE 'month' END AS gran,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM b
+        GROUP BY GROUPING SETS ((ts_h), (ts_d), (ts_w), (ts_m))"""))
   )
 }
