@@ -90,4 +90,27 @@ object Audit {
     }
     row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Order-independent per-bucket table checksum — the cross-replica
+    * integrity primitive: after replicating/compacting/migrating a
+    * table, both sides compute (row count, XOR of a portable row hash)
+    * per bucket and diff the two tiny frames; a mismatched bucket
+    * pinpoints where to re-sync without comparing rows. XOR is
+    * commutative so partition order can't perturb it, and the row hash
+    * is md5-based ([[graft.functions.TextFunctions.md5Key60]]) so ANY
+    * engine can recompute it. NULLs are folded as a sentinel distinct
+    * from any rendered value. One map-side-combined aggregation — scan
+    * bound at any scale. */
+  def tableChecksum(df: DataFrame, bucketCol: String,
+      cols: Seq[String]): DataFrame = {
+    // unit-separator-joined so ("ab","c") can't collide with ("a","bc")
+    val rendered = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("NULL")))
+    val rowKey = graft.functions.TextFunctions.md5Key60(
+      concat_ws("\u001f", rendered: _*))
+    df.select(col(bucketCol).as("bucket"), rowKey.as("__rk"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__rk)").as("xor_key"))
+  }
 }

@@ -1044,4 +1044,25 @@ object Curation {
               (acc, x) => acc + x)) * lit(Similarity.normLit(query))), scale)
       }
     }
+
+  /** Exactly-k-per-group deterministic sample: keep the `k` rows of each
+    * group whose salted md5 key sorts lowest — the balanced-subset
+    * primitive (k examples per class for an eval set, k docs per domain
+    * for inspection). Unlike rate-based [[stratifiedSample]], the output
+    * size is exact: min(k, |group|) rows per group, replay-stable under
+    * re-partitioning because the order is (hash, id), never physical.
+    * One shuffle on the group key; for a hot group at extreme scale,
+    * pre-filter by hash range (keep md5 % m < m·k·safety/|group|) before
+    * the window so the per-group sort touches a sliver, not the group. */
+  def exactKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = TextFunctions.md5Key60(
+      concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

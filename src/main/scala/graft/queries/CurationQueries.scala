@@ -1063,6 +1063,52 @@ object CurationQueries {
             CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot
           FROM documents)
         SELECT doc_id, source, n_chars, cum_weight
-        FROM r WHERE cum_weight - n_chars < (tot * 8) // 10"""))
+        FROM r WHERE cum_weight - n_chars < (tot * 8) // 10""")),
+
+    GraftQuery(
+      "q176_exact_k_per_group",
+      (s, dir) => {
+        // balanced-subset primitive: exactly 50 events per type, chosen
+        // by salted-hash order (replay-stable, partitioning-independent)
+        // — the "k examples per class" eval-set cut that rate-based
+        // sampling (q59) can't promise. One shuffle on the class key.
+        val ev = graft.core.Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"))
+        graft.operators.Curation.exactKPerGroup(
+          ev, "event_type", "event_id", k = 50, salt = "graft-k")
+      },
+      Some(s"""SELECT event_id, event_type FROM (
+          SELECT event_id, event_type, row_number() OVER (
+              PARTITION BY event_type
+              ORDER BY ${md5Key60Sql(
+                "'graft-k' || CAST(event_id AS VARCHAR)")} ASC,
+                event_id ASC) AS rn
+          FROM events) WHERE rn <= 50""")),
+
+    GraftQuery(
+      "q177_table_checksum",
+      (s, dir) => {
+        // cross-replica integrity: per-day (row count, XOR of a portable
+        // md5 row hash) — two replicas diff these tiny frames to find
+        // the exact bucket that diverged, without comparing rows. XOR
+        // is order-independent, so partition layout can't perturb it;
+        // the same query on any engine (here: the DuckDB oracle itself)
+        // reproduces the checksum bit-for-bit.
+        val o = graft.core.Tables.load(s, dir, "orders")
+          .withColumn("bucket_d",
+            unix_timestamp(date_trunc("day", col("o_orderdate"))))
+        graft.operators.Audit.tableChecksum(o, "bucket_d",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      },
+      Some(s"""WITH r AS (SELECT
+            CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS bucket,
+            ${md5Key60Sql(
+              "COALESCE(CAST(o_orderkey AS VARCHAR), 'NULL') || chr(31) || " +
+              "COALESCE(CAST(o_custkey AS VARCHAR), 'NULL') || chr(31) || " +
+              "COALESCE(o_orderstatus, 'NULL') || chr(31) || " +
+              "COALESCE(o_orderpriority, 'NULL')")} AS rk
+          FROM orders)
+        SELECT bucket, COUNT(*) AS n_rows, bit_xor(rk) AS xor_key
+        FROM r GROUP BY 1"""))
   )
 }
