@@ -1566,6 +1566,63 @@ object StreamQueries {
         FROM n
         LEFT JOIN s0 USING (key)
         LEFT JOIN s1 USING (key)
-        LEFT JOIN s2 USING (key)"""))
+        LEFT JOIN s2 USING (key)""")),
+
+    GraftQuery(
+      "q178_stream_checksum",
+      (s, dir) => {
+        // the replica-integrity checksum (q177) maintained AS A STREAM:
+        // each wave's batch folds to per-bucket (count, xor) partials
+        // written idempotently under batch=<id> (batch 1 is deliberately
+        // re-run — the overwrite makes the retry a no-op); partials
+        // merge at read by (sum, bit_xor) since XOR-of-XORs is the XOR
+        // of the union. The merged frame must equal the batch-built
+        // checksum bit-for-bit — q177's oracle verbatim.
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("bucket_d",
+            unix_timestamp(date_trunc("day", col("o_orderdate"))))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_orderpriority"), col("bucket_d"))
+        def wave(p: Column) = o.filter(p)
+          .select(to_json(struct(o.columns.map(col): _*)).as("value"))
+        val k = col("o_orderkey")
+        val frames = Seq(wave(k % 3 === 0), wave(k % 3 === 1),
+          wave(k % 3 === 2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+            "o_orderpriority STRING, bucket_d LONG")
+        val parts = runStaged(s, frames, "chk") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+          parsed.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              def put(): Unit = graft.operators.Audit
+                .tableChecksum(b, "bucket_d",
+                  Seq("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_orderpriority"))
+                .write.mode("overwrite").parquet(s"$out/chk/batch=$id")
+              put()
+              if (id == 1) put() // simulate a retried batch
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        parts.groupBy(col("bucket"))
+          .agg(sum(col("n_rows")).as("n_rows"),
+            expr("bit_xor(xor_key)").as("xor_key"))
+      },
+      // identical to q177's oracle by design: streamed partials merged
+      // by (sum, xor) must reproduce the batch checksum exactly
+      Some(s"""WITH r AS (SELECT
+            CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS bucket,
+            ${CurationQueries.md5Key60Sql(
+              "COALESCE(CAST(o_orderkey AS VARCHAR), 'NULL') || chr(31) || " +
+              "COALESCE(CAST(o_custkey AS VARCHAR), 'NULL') || chr(31) || " +
+              "COALESCE(o_orderstatus, 'NULL') || chr(31) || " +
+              "COALESCE(o_orderpriority, 'NULL')")} AS rk
+          FROM orders)
+        SELECT bucket, COUNT(*) AS n_rows, bit_xor(rk) AS xor_key
+        FROM r GROUP BY 1"""))
   )
 }
