@@ -284,7 +284,73 @@ object WindowQueries {
         SELECT user_id, s_start,
           CAST(floor((sec - s_start) / 7200) AS BIGINT) AS sub,
           COUNT(*) AS n, MIN(sec) AS sub_start, MAX(sec) AS sub_end
-        FROM h GROUP BY 1, 2, 3"""))
+        FROM h GROUP BY 1, 2, 3""")),
+
+    GraftQuery(
+      "q179_market_basket",
+      (s, dir) => {
+        // association rules over (user, day) baskets: pair support,
+        // both-direction confidence, and lift. The scale trick is the
+        // same as q123's PMI: pairs generate IN-ROW from each basket's
+        // sorted distinct items (bounded by basket size², here ≤ 5
+        // event types), never via a basket self-join — so the plan is
+        // two hash aggregations and a broadcast of the tiny item-count
+        // table, linear in baskets at any corpus size. All ratios are
+        // single IEEE divisions of exact longs — bit-deterministic.
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day"),
+          col("event_type"))
+        val baskets = ev.groupBy("user_id", "day")
+          .agg(sort_array(collect_set(col("event_type"))).as("items"))
+          .localCheckpoint() // one shuffle feeds N, item counts, pairs
+        val nB = {
+          val r = baskets.agg(count(lit(1))).collect()(0)
+          r.getLong(0)
+        }
+        val itemCounts = baskets
+          .select(explode(col("items")).as("item"))
+          .groupBy("item").agg(count(lit(1)).as("s"))
+        val n = size(col("items"))
+        val pairsCol = when(n < 2,
+            array().cast("array<struct<item_a:string,item_b:string>>"))
+          .otherwise(flatten(transform(sequence(lit(1), n - 1), i =>
+            transform(slice(col("items"), i + 1, n),
+              x => struct(element_at(col("items"), i).as("item_a"),
+                x.as("item_b"))))))
+        val pairCounts = baskets.select(explode(pairsCol).as("p"))
+          .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+          .agg(count(lit(1)).as("s_ab"))
+        pairCounts
+          .join(broadcast(itemCounts.select(col("item").as("item_a"),
+            col("s").as("s_a"))), "item_a")
+          .join(broadcast(itemCounts.select(col("item").as("item_b"),
+            col("s").as("s_b"))), "item_b")
+          .select(col("item_a"), col("item_b"), col("s_ab"),
+            col("s_a"), col("s_b"),
+            (col("s_ab").cast("double") / col("s_a")).as("conf_ab"),
+            (col("s_ab").cast("double") / col("s_b")).as("conf_ba"),
+            ((col("s_ab") * lit(nB)).cast("double") /
+              (col("s_a") * col("s_b"))).as("lift"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT user_id,
+            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day, event_type
+          FROM events),
+        nb AS (SELECT COUNT(*) AS n
+          FROM (SELECT DISTINCT user_id, day FROM b)),
+        ic AS (SELECT event_type, COUNT(*) AS s FROM b GROUP BY 1),
+        pc AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+            COUNT(*) AS s_ab
+          FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+            AND x.event_type < y.event_type
+          GROUP BY 1, 2)
+        SELECT pc.item_a, pc.item_b, pc.s_ab, ia.s AS s_a, ib.s AS s_b,
+          CAST(pc.s_ab AS DOUBLE) / ia.s AS conf_ab,
+          CAST(pc.s_ab AS DOUBLE) / ib.s AS conf_ba,
+          CAST(pc.s_ab * (SELECT n FROM nb) AS DOUBLE) / (ia.s * ib.s)
+            AS lift
+        FROM pc
+        JOIN ic ia ON ia.event_type = pc.item_a
+        JOIN ic ib ON ib.event_type = pc.item_b"""))
   )
 }
 
