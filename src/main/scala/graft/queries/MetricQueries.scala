@@ -288,6 +288,76 @@ object MetricQueries {
         SELECT event_id, event_type, v AS value, robust_z,
           (robust_z > 3.0E0) AS is_outlier
         FROM z"""
-      })
+      }),
+
+    GraftQuery(
+      "q180_ab_test",
+      (s, dir) => {
+        // experiment analysis: users hash-assigned to two variants (the
+        // q75 split discipline — replay-stable, no RNG), conversion =
+        // "did a purchase event", and the two-proportion z-test on the
+        // conversion rates. Everything reduces to ONE aggregation over
+        // users; the z statistic is IEEE arithmetic over exact longs
+        // (sqrt is correctly rounded per IEEE 754) so even the test
+        // statistic hash-gates without rounding discipline — provided
+        // both engines mirror the expression tree exactly.
+        val ev = Tables.events(s, dir)
+        val visits = ev
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).as("day"),
+            col("event_type"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("converted"))
+          .withColumn("variant",
+            graft.functions.TextFunctions.md5Key60(
+              concat(lit("graft-ab"), col("user_id").cast("string"),
+                lit(":"), col("day").cast("string"))) % 2L)
+        val agg = visits.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+        val a = agg.filter(col("variant") === 0)
+          .select(col("n").as("n_a"), col("conv").as("conv_a"))
+        val b = agg.filter(col("variant") === 1)
+          .select(col("n").as("n_b"), col("conv").as("conv_b"))
+        val pA = col("conv_a").cast("double") / col("n_a")
+        val pB = col("conv_b").cast("double") / col("n_b")
+        val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b"))
+        val degenerate = (col("conv_a") + col("conv_b")) === 0 ||
+          (col("conv_a") + col("conv_b")) === (col("n_a") + col("n_b"))
+        a.crossJoin(b) // 1×1 rows: the two variant summaries
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            pA.as("p_a"), pB.as("p_b"),
+            // all-converted / none-converted corpora have zero pooled
+            // variance: the test is undefined (NULL), not an error
+            when(degenerate, lit(null).cast("double"))
+              .otherwise((pA - pB) / sqrt(pPool * (lit(1.0) - pPool) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+              .as("z"))
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS converted,
+            ${CurationQueries.md5Key60Sql(
+              "'graft-ab' || CAST(user_id AS VARCHAR) || ':' || " +
+              "CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS VARCHAR)"
+            )} % 2 AS variant
+          FROM events GROUP BY 1, 2, 4),
+        v AS (SELECT variant, COUNT(*) AS n,
+            CAST(SUM(converted) AS BIGINT) AS conv
+          FROM u GROUP BY 1),
+        a AS (SELECT n AS n_a, conv AS conv_a FROM v WHERE variant = 0),
+        b AS (SELECT n AS n_b, conv AS conv_b FROM v WHERE variant = 1)
+        SELECT n_a, conv_a, n_b, conv_b,
+          CAST(conv_a AS DOUBLE) / n_a AS p_a,
+          CAST(conv_b AS DOUBLE) / n_b AS p_b,
+          CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN NULL
+            ELSE (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+              sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                (1.0E0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                (1.0E0 / n_a + 1.0E0 / n_b)) END AS z
+        FROM a, b"""))
   )
 }
