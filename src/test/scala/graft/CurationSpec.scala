@@ -364,4 +364,37 @@ class CurationSpec extends AnyFunSuite {
       Seq.empty[(String, Long, Double)].toDF("k", "bucket", "v"),
       "k", "bucket", "v").count() === 0)
   }
+
+  test("table checksum localizes a single-row mutation to its bucket") {
+    import graft.operators.Audit
+    val base = Seq((1L, 10L, "A", "x"), (2L, 10L, "B", "y"),
+      (3L, 20L, "C", "z")).toDF("id", "bucket", "s1", "s2")
+    // mutate one field of one row in bucket 10; bucket 20 untouched
+    val mutated = Seq((1L, 10L, "A", "x"), (2L, 10L, "B", "Y"),
+      (3L, 20L, "C", "z")).toDF("id", "bucket", "s1", "s2")
+    def chk(df: org.apache.spark.sql.DataFrame) =
+      Audit.tableChecksum(df, "bucket", Seq("id", "s1", "s2"))
+        .collect().map(r => r.getAs[Long]("bucket") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_key"))).toMap
+    val (cb, cm) = (chk(base), chk(mutated))
+    assert(cb(20L) === cm(20L), "untouched bucket must match")
+    assert(cb(10L)._1 === cm(10L)._1, "counts equal — only content moved")
+    assert(cb(10L)._2 !== cm(10L)._2, "mutated bucket must diverge")
+    // order independence: reversed input produces identical checksums
+    assert(chk(base.orderBy(col("id").desc)) === cb)
+  }
+
+  test("exactKPerGroup returns exactly min(k, |group|) rows per group") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 103L).map(i => (i, "small"))).toDF("id", "grp")
+    val out = Curation.exactKPerGroup(df, "grp", "id", k = 10, salt = "t")
+    val sizes = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("big" -> 10L, "small" -> 3L))
+    // replay-stable: same rows under a different physical layout
+    val out2 = Curation.exactKPerGroup(df.repartition(7), "grp", "id",
+      k = 10, salt = "t")
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      out2.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }
