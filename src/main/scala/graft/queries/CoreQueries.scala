@@ -614,6 +614,69 @@ object CoreQueries {
           FROM documents"""
         Seq("doc_id", "text", "lang", "source", "n_chars")
           .map(row).mkString("\nUNION ALL\n")
+      }),
+
+    GraftQuery(
+      "q181_profile_drift",
+      (s, dir) => {
+        // day-over-day dataset drift report: the profile card of
+        // yesterday's slice vs today's full snapshot, joined per column
+        // — row growth, null-rate delta (ppm, integer-exact), distinct
+        // growth, and range-moved flags. This is the check a pipeline
+        // runs BEFORE publishing a snapshot: a column whose null rate
+        // jumped or whose range collapsed is a broken upstream, caught
+        // from two tiny card frames, never a row-level diff. Cards are
+        // one fused aggregation pass each; the join is card-sized.
+        import graft.operators.Audit
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val full = Tables.load(s, dir, "documents")
+        val prev = Audit.profileCard(full.filter(col("doc_id") % 10 < 7), cols)
+        val cur = Audit.profileCard(full, cols)
+        def ppm(n: org.apache.spark.sql.Column,
+            d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          floor(n.cast("double") / d.cast("double") * 1000000.0 + 0.5)
+            .cast("long")
+        prev.select(col("col_name"), col("n_rows").as("rows_prev"),
+            col("n_null").as("null_prev"),
+            col("n_distinct").as("dst_prev"),
+            col("min_value").as("min_prev"), col("max_value").as("max_prev"))
+          .join(cur.select(col("col_name"), col("n_rows").as("rows_cur"),
+            col("n_null").as("null_cur"),
+            col("n_distinct").as("dst_cur"),
+            col("min_value").as("min_cur"), col("max_value").as("max_cur")),
+            "col_name")
+          .select(col("col_name"),
+            col("rows_prev"), col("rows_cur"),
+            (ppm(col("null_cur"), col("rows_cur")) -
+              ppm(col("null_prev"), col("rows_prev"))).as("null_ppm_delta"),
+            (col("dst_cur") - col("dst_prev")).as("distinct_delta"),
+            (col("min_cur") =!= col("min_prev") ||
+              col("max_cur") =!= col("max_prev")).as("range_moved"))
+      },
+      Some {
+        def card(name: String, pred: String): String = {
+          def row(c: String): String =
+            s"""SELECT '$c' AS col_name,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+              CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+              CAST(MIN($c) AS VARCHAR) AS min_value,
+              CAST(MAX($c) AS VARCHAR) AS max_value
+            FROM documents $pred"""
+          Seq("doc_id", "text", "lang", "source", "n_chars")
+            .map(row).mkString(" UNION ALL ")
+        }
+        s"""WITH prev AS (${card("prev", "WHERE doc_id % 10 < 7")}),
+          cur AS (${card("cur", "")})
+        SELECT p.col_name, p.n_rows AS rows_prev, c.n_rows AS rows_cur,
+          CAST(floor(CAST(c.n_null AS DOUBLE) / c.n_rows * 1000000 + 0.5)
+              AS BIGINT)
+            - CAST(floor(CAST(p.n_null AS DOUBLE) / p.n_rows * 1000000 + 0.5)
+              AS BIGINT) AS null_ppm_delta,
+          c.n_distinct - p.n_distinct AS distinct_delta,
+          (c.min_value <> p.min_value OR c.max_value <> p.max_value)
+            AS range_moved
+        FROM prev p JOIN cur c ON c.col_name = p.col_name"""
       })
   )
 }
