@@ -161,6 +161,73 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Scale-8 decimal DCG weights 1/log2(i+1) for positions 1..k, computed
+    * on the DRIVER so log2 never reaches either engine — the weights are
+    * exact decimal literals on both sides and the whole DCG sum is
+    * integer/decimal arithmetic (no libm ulp hazard, no FP sum order). */
+  def dcgWeights8(k: Int): Seq[java.math.BigDecimal] =
+    (1 to k).map { i =>
+      val w = graft.functions.SafeMath.roundHalfUpD(
+        1.0 / (math.log(i + 1.0) / math.log(2.0)), 8)
+      new java.math.BigDecimal(f"$w%.8f")
+    }
+
+  /** NDCG@k of the LSH probe ranking against the brute-force ideal — the
+    * ORDER-quality complement of [[annRecall]]'s set-quality: recall says
+    * how many true neighbors surfaced; NDCG says whether they surfaced in
+    * the right order (graded relevance k+1−brute_rank, position-discounted
+    * by [[dcgWeights8]]). Same one-scan probe skeleton as annRecall; the
+    * DCG/IDCG sums are exact decimals, the final ratio one IEEE division. */
+  def annNdcg(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryFilter: Column, dim: Int, k: Int = 10, bits: Int = 8,
+      probeRadius: Int = 1, seed: Int = 42): DataFrame = {
+    require(probeRadius == 1 || probeRadius == 2, "radius 1 or 2")
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(queryFilter)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val corpus = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val wnd = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    def ranked(scored: DataFrame, rank: String): DataFrame = scored
+      .withColumn(rank, row_number().over(wnd))
+      .filter(col(rank) <= k).select(col("qid"), col("vid"), col(rank))
+    val brute = ranked(corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vid"),
+        cosineCols(col("v"), col("qv")).as("cos")), "r")
+      .localCheckpoint() // feeds IDCG and the relevance lookup
+    val flips: Seq[Long] = 0L +:
+      ((0 until bits).map(b => 1L << b) ++
+        (if (probeRadius >= 2)
+          for (a <- 0 until bits; b <- a + 1 until bits)
+            yield (1L << a) | (1L << b)
+        else Seq.empty))
+    val cb = corpus.withColumn("__b", lshBucket(col("v"), dim, bits, seed))
+    val probes = queries
+      .withColumn("__qb", lshBucket(col("qv"), dim, bits, seed))
+      .select(col("qid"), col("qv"), explode(array(
+        flips.map(f => col("__qb").bitwiseXOR(lit(f))): _*)).as("__b"))
+    val lsh = ranked(cb.join(broadcast(probes), Seq("__b"))
+      .select(col("qid"), col("vid"),
+        cosineCols(col("v"), col("qv")).as("cos")), "pos")
+    val wArr = array(dcgWeights8(k).map(lit(_)): _*)
+    val idcg = brute.groupBy("qid")
+      .agg(sum((lit(k + 1) - col("r")) * element_at(wArr, col("r")))
+        .as("idcg8"))
+    val dcg = lsh
+      .join(brute.select(col("qid"), col("vid"), col("r")),
+        Seq("qid", "vid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(lit(k + 1) - col("r"), lit(0L)) *
+        element_at(wArr, col("pos"))).as("dcg8"))
+    queries.select(col("qid"))
+      .join(idcg, Seq("qid"), "left")
+      .join(dcg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("dcg8"), lit(0)).cast("double").as("dcg"),
+        (coalesce(col("dcg8"), lit(0)).cast("double") /
+          col("idcg8").cast("double")).as("ndcg"))
+  }
+
   /** Seed of the `t`-th independent LSH table: t=0 is the base seed, so a
     * 1-table sweep reproduces the single-table family exactly. 1009 is an
     * arbitrary odd prime keeping table seeds off each other's (seed,b,d)

@@ -175,6 +175,58 @@ object VectorQueries {
       bench = true),
 
     GraftQuery(
+      "q182_ann_ndcg",
+      (s, dir) => {
+        // ranking quality of the LSH probe, not just set recall: NDCG@10
+        // against the brute-force ideal ordering. DCG weights are
+        // scale-8 decimals computed on the driver (log2 never reaches an
+        // engine), so the discounted sums are exact decimal arithmetic
+        // and even the metric hash-gates.
+        Similarity.annNdcg(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, dim = Dim, k = 10, bits = 8,
+          probeRadius = 2)
+      },
+      Some {
+        val k = 10
+        val ws = Similarity.dcgWeights8(k)
+          .map(_.toPlainString).mkString("[", ", ", "]")
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id % 50 = 0),
+            brute AS (SELECT qid, vid, r FROM (
+                SELECT q.qid, e.vec_id AS vid,
+                  row_number() OVER (PARTITION BY q.qid
+                    ORDER BY ${cosSql("e.embedding", "q.qv")} DESC,
+                      e.vec_id ASC) AS r
+                FROM embeddings e, q) WHERE r <= $k),
+            eb AS (SELECT vec_id, embedding,
+                ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+            qb AS (SELECT qid, qv, ${bucketSql("qv", 8)} AS qbucket FROM q),
+            lsh AS (SELECT qid, vid, r AS pos FROM (
+                SELECT qb.qid, eb.vec_id AS vid,
+                  row_number() OVER (PARTITION BY qb.qid
+                    ORDER BY ${cosSql("eb.embedding", "qb.qv")} DESC,
+                      eb.vec_id ASC) AS r
+                FROM eb JOIN qb
+                  ON bit_count(xor(eb.bucket, qb.qbucket)) <= 2)
+              WHERE r <= $k),
+            idcg AS (SELECT qid,
+                SUM((${k + 1} - r) * ($ws)[r]) AS idcg8
+              FROM brute GROUP BY 1),
+            dcg AS (SELECT l.qid,
+                SUM(COALESCE(${k + 1} - b.r, 0) * ($ws)[l.pos]) AS dcg8
+              FROM lsh l LEFT JOIN brute b
+                ON b.qid = l.qid AND b.vid = l.vid
+              GROUP BY 1)
+            SELECT q.qid, CAST(COALESCE(d.dcg8, 0) AS DOUBLE) AS dcg,
+              CAST(COALESCE(d.dcg8, 0) AS DOUBLE) / CAST(i.idcg8 AS DOUBLE)
+                AS ndcg
+            FROM q
+            JOIN idcg i ON i.qid = q.qid
+            LEFT JOIN dcg d ON d.qid = q.qid"""
+      }),
+
+    GraftQuery(
       "q138_ann_recall",
       (s, dir) => {
         // the recall/cost curve of the LSH index, measured distributed:
