@@ -139,4 +139,38 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("intervalJoin stays an equi-join when intervals outgrow broadcast") {
+    // The whole point of the bucketed-cell formulation: a range join
+    // whose interval side is too big to broadcast must NOT degrade to
+    // BroadcastNestedLoop/cartesian — the cell id gives Catalyst an
+    // equi-key, so the plan is an ordinary shuffled join at ANY interval
+    // count. Broadcast is disabled to simulate the at-scale shape.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.functions._
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pts = spark.range(5000).select(col("id").as("pid"),
+        (col("id") * 37 % 100000).as("sec"))
+      val iv = spark.range(20000).select(col("id").as("iid"),
+        (col("id") * 5 % 100000).as("s"),
+        (col("id") * 5 % 100000 + 200).as("e"))
+      val df = graft.operators.TimeSeries
+        .intervalJoin(pts, "sec", iv, "s", "e", bucketSec = 300L)
+        .groupBy("iid").agg(count(lit(1)).as("n"))
+      df.collect()
+      val helper =
+        new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      val bad = helper.collect(df.queryExecution.executedPlan) {
+        case b: BroadcastNestedLoopJoinExec => b
+        case c: CartesianProductExec => c
+      }
+      assert(bad.isEmpty,
+        s"interval join degraded to a non-equi join: ${bad.map(_.nodeName)}")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
