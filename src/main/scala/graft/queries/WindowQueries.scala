@@ -350,7 +350,52 @@ object WindowQueries {
             AS lift
         FROM pc
         JOIN ic ia ON ia.event_type = pc.item_a
-        JOIN ic ib ON ib.event_type = pc.item_b"""))
+        JOIN ic ib ON ib.event_type = pc.item_b""")),
+
+    GraftQuery(
+      "q183_dau_wau_mau",
+      (s, dir) => {
+        // growth metrics: daily / trailing-7-day / trailing-30-day
+        // distinct actives and the DAU/MAU stickiness ratio. Trailing
+        // DISTINCT counts can't ride a range window (no distinct over
+        // frames), so each (user, day) activity row is exploded to the
+        // 7 (resp. 30) target days it supports and the count becomes a
+        // plain shuffled distinct aggregation — volume is user-days ×37,
+        // linear, partitioned by day; the exact standard shape at fleet
+        // scale. Integer day keys end-to-end; stickiness is one IEEE
+        // division of exact longs.
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+          .distinct()
+          .localCheckpoint() // one activity table feeds dau/wau/mau
+        def trailing(n: Int, name: String) = ud
+          .select(col("user_id"), explode(sequence(lit(0), lit(n - 1)))
+            .as("__k"), col("day"))
+          .select(col("user_id"), (col("day") + col("__k") * 86400L).as("day"))
+          .groupBy("day").agg(countDistinct(col("user_id")).as(name))
+        val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+        dau
+          .join(trailing(7, "wau"), Seq("day"))
+          .join(trailing(30, "mau"), Seq("day"))
+          .select(col("day"), col("dau"), col("wau"), col("mau"),
+            (col("dau").cast("double") / col("mau")).as("stickiness"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day FROM events),
+          dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+            FROM ud GROUP BY 1),
+          wau AS (SELECT u.day + s.x * 86400 AS day,
+              COUNT(DISTINCT u.user_id) AS wau
+            FROM ud u, (SELECT unnest(range(0, 7)) AS x) s GROUP BY 1),
+          mau AS (SELECT u.day + s.x * 86400 AS day,
+              COUNT(DISTINCT u.user_id) AS mau
+            FROM ud u, (SELECT unnest(range(0, 30)) AS x) s GROUP BY 1)
+        SELECT d.day, d.dau, w.wau, m.mau,
+          CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+        FROM dau d
+        JOIN wau w ON w.day = d.day
+        JOIN mau m ON m.day = d.day"""))
   )
 }
 
