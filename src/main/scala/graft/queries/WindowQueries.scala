@@ -395,7 +395,52 @@ object WindowQueries {
           CAST(d.dau AS DOUBLE) / m.mau AS stickiness
         FROM dau d
         JOIN wau w ON w.day = d.day
-        JOIN mau m ON m.day = d.day"""))
+        JOIN mau m ON m.day = d.day""")),
+
+    GraftQuery(
+      "q184_hll_growth",
+      (s, dir) => {
+        // q183's scale path: at fleet scale the exact trailing distinct
+        // is the expensive half (user-day rows ×37 through a distinct
+        // agg), so production dashboards run it on HLL registers — one
+        // tiny (day, idx, mr) register table per day, trailing windows
+        // merged by register-max. Here the portable deterministic HLL
+        // (q93's machinery) computes DAU and trailing-7 WAU estimates:
+        // the sketch state is ≤256 rows per day regardless of corpus
+        // size, and merging 7 days is a max over ≤1792 rows — the whole
+        // dashboard reads sketches, never the events table.
+        import graft.operators.Sketches
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+          .distinct()
+          .localCheckpoint()
+        val dau = Sketches.hllDistinct(ud, "day", "user_id")
+          .select(col("day"), col("est").as("dau_est"))
+        val wd = ud.select(
+            explode(sequence(lit(0), lit(6))).as("__k"),
+            col("day"), col("user_id"))
+          .select((col("day") + col("__k") * 86400L).as("day"),
+            col("user_id"))
+        val wau = Sketches.hllDistinct(wd, "day", "user_id")
+          .select(col("day"), col("est").as("wau_est"))
+        dau.join(wau, Seq("day"))
+      },
+      Some {
+        val udRel = """(SELECT DISTINCT user_id,
+            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day
+          FROM events) ud"""
+        val wdRel = """(SELECT u.day + s.x * 86400 AS day, u.user_id
+          FROM (SELECT DISTINCT user_id,
+              CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day
+            FROM events) u,
+            (SELECT unnest(range(0, 7)) AS x) s) wd"""
+        s"""SELECT d.day, d.est AS dau_est, w.est AS wau_est
+          FROM (${graft.operators.Sketches.hllDistinctSql(
+            udRel, "day", "user_id")}) d
+          JOIN (${graft.operators.Sketches.hllDistinctSql(
+            wdRel, "day", "user_id")}) w ON w.day = d.day"""
+      })
   )
 }
 
