@@ -331,6 +331,54 @@ object DedupQueries {
         FROM cand WHERE levenshtein(name_a, name_b) <= 1""")),
 
     GraftQuery(
+      "q185_entity_resolution",
+      (s, dir) => {
+        // entity resolution end-to-end: SymSpell edit-1 blocking (q140)
+        // feeds connected components (q47's pointer-jumping machinery,
+        // here over STRING labels — the changed-row convergence probe
+        // path) and every record maps to its component's min-name
+        // canonical entity. This is the composed artifact an MDM/dedupe
+        // user actually consumes — match, cluster, survivorship in one
+        // frame. Subset keyed on custkey so the oracle's recursive-CTE
+        // twin stays bounded at 10× while the Spark path is the same
+        // linear blocking + O(log d) rounds at any scale.
+        val cust = Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") % 100 < 10)
+          .select(col("c_custkey"), col("c_name"))
+        val pairs = Dedup.editOnePairs(cust, "c_name")
+        val labels = Dedup.clusterAssignments(pairs, "name_a", "name_b")
+        cust.join(labels.withColumnRenamed("node", "c_name"),
+            Seq("c_name"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("cluster"), col("c_name")).as("entity"))
+          .withColumn("is_canonical", col("entity") === col("c_name"))
+      },
+      Some("""WITH RECURSIVE
+          cust AS (SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey % 100 < 10),
+          names AS (SELECT DISTINCT c_name AS name FROM cust),
+          idx AS (SELECT name, unnest(list_prepend(name,
+              list_transform(range(1, length(name) + 1),
+                i -> substr(name, 1, i - 1) ||
+                  substr(name, i + 1, length(name) - i)))) AS v
+            FROM names),
+          cand AS (SELECT DISTINCT a.name AS a, b.name AS b
+            FROM idx a JOIN idx b ON a.v = b.v AND a.name < b.name),
+          edges AS (SELECT a, b FROM cand WHERE levenshtein(a, b) <= 1),
+          sym AS (SELECT a AS src, b AS dst FROM edges
+            UNION SELECT b, a FROM edges),
+          reach(src, dst) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+          lab AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+            FROM reach GROUP BY src)
+        SELECT c.c_custkey, c.c_name,
+          COALESCE(l.cluster, c.c_name) AS entity,
+          COALESCE(l.cluster, c.c_name) = c.c_name AS is_canonical
+        FROM cust c LEFT JOIN lab l ON l.node = c.c_name""")),
+
+    GraftQuery(
       "q133_tfidf_cosine_pairs",
       (s, dir) => Dedup.tfidfCosinePairs(corpus(s, dir), "doc_id", "text",
         k = 2, threshold = 0.3, dfCap = 50),
