@@ -21,6 +21,12 @@ import graft.operators.KeepLatest
   */
 object CoreQueries {
 
+  /** q152/q186 shared oracle fragment: the line-level gross with the same
+    * scale-6 rounding the Spark side applies before the decimal sum. */
+  private val SafeMathReconcileSql: String =
+    graft.functions.SafeMath.roundHalfUpSql(
+      "(l_extendedprice * (1.0E0 - l_discount)) * (1.0E0 + l_tax)", 6)
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q01_agg_pricing",
@@ -677,6 +683,70 @@ object CoreQueries {
           (c.min_value <> p.min_value OR c.max_value <> p.max_value)
             AS range_moved
         FROM prev p JOIN cur c ON c.col_name = p.col_name"""
-      })
+      }),
+
+    GraftQuery(
+      "q186_health_report",
+      (s, dir) => {
+        // the morning health report — the warehouse analogue of q92's
+        // composed curation pipeline: row volume, FK orphans, financial
+        // reconciliation misses, and checksum coverage folded into ONE
+        // (check_name, value) frame a scheduler can diff against
+        // yesterday and alert on. Each signal is the already-gated
+        // operator (q134/q152/q177) reused as a library call — the
+        // composition IS the artifact.
+        import graft.functions.SafeMath
+        import org.apache.spark.sql.types.DecimalType
+        val orders = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        def metric(name: String, v: org.apache.spark.sql.DataFrame) =
+          v.select(lit(name).as("check_name"),
+            col("v").cast("long").as("value"))
+        val rows = metric("orders_rows", orders.agg(count(lit(1)).as("v")))
+        val orphans = metric("lineitem_orphans",
+          graft.operators.Audit.fkAudit("x", li, "l_orderkey",
+            orders, "o_orderkey").select(col("n_orphans").as("v")))
+        val gross = li.groupBy(col("l_orderkey")).agg(
+          sum(SafeMath.roundHalfUp(
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount"))) *
+                (lit(1.0) + col("l_tax")), 6)
+            .cast(DecimalType(28, 6))).as("li_total"))
+        val unrecon = metric("orders_unreconciled",
+          orders.join(gross, col("o_orderkey") === col("l_orderkey"), "left")
+            .select(abs(col("o_totalprice").cast(DecimalType(18, 2))
+                .cast(DecimalType(28, 6)) -
+              coalesce(col("li_total"), lit(0).cast(DecimalType(28, 6))))
+              .cast("double").as("diff"))
+            .agg(sum(when(col("diff") > 0.01, 1L).otherwise(0L)).as("v")))
+        val buckets = metric("checksum_buckets",
+          graft.operators.Audit.tableChecksum(
+            orders.withColumn("bucket_d",
+              unix_timestamp(date_trunc("day", col("o_orderdate")))),
+            "bucket_d", Seq("o_orderkey", "o_custkey"))
+            .agg(count(lit(1)).as("v")))
+        rows.unionByName(orphans).unionByName(unrecon).unionByName(buckets)
+      },
+      Some(s"""SELECT 'orders_rows' AS check_name,
+          CAST(COUNT(*) AS BIGINT) AS value FROM orders
+        UNION ALL
+        SELECT 'lineitem_orphans', CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey IS NOT NULL
+            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders_unreconciled', (
+          WITH gross AS (SELECT l_orderkey,
+              SUM(CAST(${SafeMathReconcileSql} AS DECIMAL(28,6))) AS li_total
+            FROM lineitem GROUP BY l_orderkey)
+          SELECT CAST(SUM(CASE WHEN
+              CAST(abs(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  AS DECIMAL(28,6))
+                - COALESCE(li_total, CAST(0 AS DECIMAL(28,6)))) AS DOUBLE)
+                > 0.01E0
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders LEFT JOIN gross ON l_orderkey = o_orderkey)
+        UNION ALL
+        SELECT 'checksum_buckets',
+          CAST(COUNT(DISTINCT date_trunc('day', o_orderdate)) AS BIGINT)
+          FROM orders"""))
   )
 }
