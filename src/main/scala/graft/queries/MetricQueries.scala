@@ -358,6 +358,45 @@ object MetricQueries {
               sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
                 (1.0E0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
                 (1.0E0 / n_a + 1.0E0 / n_b)) END AS z
-        FROM a, b"""))
+        FROM a, b""")),
+
+    GraftQuery(
+      "q187_trimmed_mean",
+      (s, dir) => {
+        // robust per-group central tendency: the 5–95% trimmed mean of
+        // event values — the metric ops dashboards use when raw means
+        // are spike-dragged. Per-group percentile cutoffs (one grouped
+        // aggregate, groups×2 doubles) broadcast back into a zero-sort
+        // filter; the trimmed mean itself is a DECIMAL sum / count.
+        // Cutoffs are roundHalfUp'd on both engines before the BETWEEN
+        // (the half-boundary discipline), the mean rounded at scale 6.
+        import graft.functions.SafeMath
+        import org.apache.spark.sql.types.DecimalType
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("value").as("v"))
+        val cuts = ev.groupBy("event_type").agg(
+          SafeMath.roundHalfUp(percentile(col("v"), lit(0.05)), 6).as("lo"),
+          SafeMath.roundHalfUp(percentile(col("v"), lit(0.95)), 6).as("hi"))
+        ev.join(broadcast(cuts), Seq("event_type"))
+          .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_kept"),
+            SafeMath.roundHalfUp(
+              sum(col("v").cast(DecimalType(18, 2))).cast("double") /
+                count(lit(1)).cast("double"), 6).as("trimmed_mean"))
+      },
+      Some(s"""WITH cuts AS (SELECT event_type,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "quantile_cont(value, 0.05)", 6)} AS lo,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "quantile_cont(value, 0.95)", 6)} AS hi
+          FROM events GROUP BY 1)
+        SELECT e.event_type, COUNT(*) AS n_kept,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE)", 6)} AS trimmed_mean
+        FROM events e JOIN cuts c ON c.event_type = e.event_type
+        WHERE e.value >= c.lo AND e.value <= c.hi
+        GROUP BY 1"""))
   )
 }
