@@ -747,6 +747,64 @@ object CoreQueries {
         UNION ALL
         SELECT 'checksum_buckets',
           CAST(COUNT(DISTINCT date_trunc('day', o_orderdate)) AS BIGINT)
-          FROM orders"""))
+          FROM orders""")),
+
+    GraftQuery(
+      "q188_decile_report",
+      (s, dir) => {
+        // customer-value decile report — the classic contribution curve
+        // ("do the top 10% carry 40% of revenue?"): per-customer revenue,
+        // decile cutoffs as ONE aggregate (9 doubles to the driver —
+        // q124's percentile-cutoff pattern, never a global ntile sort),
+        // zero-shuffle bin assignment, then per-decile totals and share
+        // of a window total over the 10-row result. Cutoffs and shares
+        // are roundHalfUp'd on both engines.
+        import graft.functions.SafeMath
+        import org.apache.spark.sql.types.DecimalType
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("rev"))
+          .localCheckpoint() // one pass feeds cutoffs and binning
+        val ps = (1 until 10).map(_.toDouble / 10)
+        val cutRow = rev.agg(
+          percentile(col("rev"), typedLit(ps)).as("cuts")).collect()(0)
+        val cuts =
+          if (cutRow.isNullAt(0)) Seq.empty[Double]
+          else cutRow.getSeq[Double](0).map(SafeMath.roundHalfUpD(_, 6))
+        val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
+          acc + when(col("rev") > lit(c), 1).otherwise(0)
+        }
+        val byDecile = rev.groupBy(bin.as("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("rev").cast(DecimalType(18, 2)))
+              .cast("double").as("decile_rev"))
+        byDecile.select(col("decile"), col("n_customers"), col("decile_rev"),
+          SafeMath.roundHalfUp(col("decile_rev") /
+            sum(col("decile_rev")).over(Window.partitionBy()), 6)
+            .as("rev_share"))
+      },
+      Some {
+        val cutsSql = (1 until 10).map(i =>
+          graft.functions.SafeMath.roundHalfUpSql(
+            s"quantile_cont(rev, 0.$i)", 6) + s" AS c$i").mkString(", ")
+        val binSql = "1 + " + (1 until 10).map(i =>
+          s"CASE WHEN rev > c$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH rev AS (SELECT o_custkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS rev
+            FROM orders GROUP BY 1),
+          cuts AS (SELECT $cutsSql FROM rev),
+          binned AS (SELECT CAST(($binSql) AS INTEGER) AS decile, rev
+            FROM rev, cuts),
+          d AS (SELECT decile, COUNT(*) AS n_customers,
+              CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS decile_rev
+            FROM binned GROUP BY 1)
+        SELECT decile, n_customers, decile_rev,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "decile_rev / SUM(decile_rev) OVER ()", 6)} AS rev_share
+        FROM d"""
+      })
   )
 }
