@@ -614,8 +614,12 @@ object Dedup {
         // optimizer walks an ever-growing tree
         .localCheckpoint()
       if (numericIds) {
+        // no pairs at all → labels is empty and both sums are NULL;
+        // that's the (trivially converged) fixpoint, not an NPE
         val nextSum = labelSum(next)
-        converged = nextSum.compareTo(prevSum) == 0
+        converged =
+          if (nextSum == null || prevSum == null) nextSum == prevSum
+          else nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
       } else converged = unchanged(labels, next)
       labels.unpersist()

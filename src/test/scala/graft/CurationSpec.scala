@@ -363,6 +363,12 @@ class CurationSpec extends AnyFunSuite {
     assert(graft.operators.TimeSeries.gapFill(
       Seq.empty[(String, Long, Double)].toDF("k", "bucket", "v"),
       "k", "bucket", "v").count() === 0)
+    // no near-dup pairs at all (both id flavors): CC must return an
+    // empty label frame, not loop or NPE on the null convergence sum
+    assert(graft.operators.Dedup.clusterAssignments(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0)
+    assert(graft.operators.Dedup.clusterAssignments(
+      Seq.empty[(String, String)].toDF("doc_a", "doc_b")).count() === 0)
   }
 
   test("table checksum localizes a single-row mutation to its bucket") {
