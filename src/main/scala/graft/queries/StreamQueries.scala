@@ -1623,6 +1623,68 @@ object StreamQueries {
               "COALESCE(o_orderpriority, 'NULL')")} AS rk
           FROM orders)
         SELECT bucket, COUNT(*) AS n_rows, bit_xor(rk) AS xor_key
-        FROM r GROUP BY 1"""))
+        FROM r GROUP BY 1""")),
+
+    GraftQuery(
+      "q189_stream_batch_audit",
+      (s, dir) => {
+        // ingest lineage as data: every micro-batch writes ONE audit row
+        // (rows, distinct keys, day span) alongside its sink output —
+        // the per-batch manifest an ops team replays incidents from.
+        // The gate reconciles the merged audit trail against the whole
+        // corpus: batch row counts must SUM to the table count, key
+        // counts to the distinct total, and the span to the corpus span
+        // — so a dropped or double-committed batch is visible in the
+        // manifest itself (batch 1's deliberate retry overwrites
+        // idempotently and must NOT double-count).
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("day",
+            unix_timestamp(date_trunc("day", col("o_orderdate"))))
+          .select(col("o_orderkey"), col("day"))
+        def wave(p: Column) = o.filter(p)
+          .select(to_json(struct(col("o_orderkey"), col("day"))).as("value"))
+        val k = col("o_orderkey")
+        val frames = Seq(wave(k % 3 === 0), wave(k % 3 === 1),
+          wave(k % 3 === 2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey LONG, day LONG")
+        val audit = runStaged(s, frames, "audit") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+          parsed.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              def put(): Unit = b.agg(
+                  count(lit(1)).as("n_rows"),
+                  countDistinct(col("o_orderkey")).as("n_keys"),
+                  min(col("day")).as("min_day"),
+                  max(col("day")).as("max_day"))
+                .withColumn("batch_id", lit(id))
+                .write.mode("overwrite").parquet(s"$out/audit/batch=$id")
+              put()
+              if (id == 1) put() // retried batch: idempotent overwrite
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        audit.agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("n_rows")).as("total_rows"),
+          sum(col("n_keys")).as("total_keys"),
+          min(col("min_day")).as("min_day"),
+          max(col("max_day")).as("max_day"))
+      },
+      // the manifest must reconcile with the corpus: per-wave rows sum
+      // to the table count, keys are disjoint across waves (mod split),
+      // and the day span is the corpus span
+      Some("""SELECT CAST(COUNT(DISTINCT o_orderkey % 3) AS BIGINT)
+            AS n_batches,
+          CAST(COUNT(*) AS BIGINT) AS total_rows,
+          CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS total_keys,
+          CAST(min(epoch(date_trunc('day', o_orderdate))) AS BIGINT)
+            AS min_day,
+          CAST(max(epoch(date_trunc('day', o_orderdate))) AS BIGINT)
+            AS max_day
+        FROM orders"""))
   )
 }
