@@ -805,6 +805,64 @@ object CoreQueries {
           ${graft.functions.SafeMath.roundHalfUpSql(
             "decile_rev / SUM(decile_rev) OVER ()", 6)} AS rev_share
         FROM d"""
-      })
+      }),
+
+    GraftQuery(
+      "q190_partition_audit",
+      (s, dir) => {
+        // backfill triage: which expected day partitions are MISSING
+        // and which are THIN (under half the average density)? The
+        // expected grid is a sequence explode over the observed [min,
+        // max] span (never a driver loop); the verdict joins the grid
+        // to per-day counts. Input is deliberately damaged (q134's
+        // corrupted-child precedent): every 50th day index dropped,
+        // every 31st thinned to ~30% — so both verdict paths prove out.
+        val days = Tables.load(s, dir, "orders")
+          .select(unix_timestamp(date_trunc("day", col("o_orderdate")))
+            .as("day"), col("o_orderkey"))
+          .withColumn("__di", (col("day") / 86400L).cast("long"))
+          .filter(col("__di") % 50 =!= 0)
+          .filter(col("__di") % 31 =!= 0 || col("o_orderkey") % 10 < 3)
+        val counts = days.groupBy("day").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val mm = counts.agg(min(col("day")), max(col("day")),
+          sum(col("n"))).collect()(0)
+        if (mm.isNullAt(0)) counts.select(col("day"), col("n"),
+          lit("").as("status")) // empty input → empty audit
+        else {
+          val (lo, hi, tot) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+          val nDays = (hi - lo) / 86400L + 1L
+          val avg = tot.toDouble / nDays.toDouble
+          val grid = s.range(1).select(explode(
+            sequence(lit(lo), lit(hi), lit(86400L))).as("day"))
+          grid.join(counts, Seq("day"), "left")
+            .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+            .withColumn("status",
+              when(col("n") === 0, "missing")
+                .when(col("n") < lit(0.5) * lit(avg), "thin"))
+            .filter(col("status").isNotNull)
+        }
+      },
+      Some("""WITH src AS (SELECT
+            CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day,
+            o_orderkey,
+            CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400
+              AS di
+          FROM orders),
+        damaged AS (SELECT day, o_orderkey FROM src
+          WHERE di % 50 <> 0 AND (di % 31 <> 0 OR o_orderkey % 10 < 3)),
+        counts AS (SELECT day, COUNT(*) AS n FROM damaged GROUP BY 1),
+        mm AS (SELECT MIN(day) AS lo, MAX(day) AS hi,
+            CAST(SUM(n) AS DOUBLE) /
+              (CAST((MAX(day) - MIN(day)) // 86400 + 1 AS DOUBLE)) AS avg
+          FROM counts),
+        grid AS (SELECT unnest(generate_series(mm.lo, mm.hi, 86400))
+            AS day, mm.avg FROM mm),
+        audit AS (SELECT g.day, COALESCE(c.n, 0) AS n,
+            CASE WHEN COALESCE(c.n, 0) = 0 THEN 'missing'
+              WHEN COALESCE(c.n, 0) < 0.5E0 * g.avg THEN 'thin' END
+              AS status
+          FROM grid g LEFT JOIN counts c ON c.day = g.day)
+        SELECT day, n, status FROM audit WHERE status IS NOT NULL"""))
   )
 }
