@@ -397,6 +397,97 @@ object MetricQueries {
               "CAST(COUNT(*) AS DOUBLE)", 6)} AS trimmed_mean
         FROM events e JOIN cuts c ON c.event_type = e.event_type
         WHERE e.value >= c.lo AND e.value <= c.hi
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    GraftQuery(
+      "q191_fulfillment_latency",
+      (s, dir) => {
+        // cross-table latency distribution: order date → line ship date
+        // in whole days, summarized per order priority (count, mean,
+        // p50/p90) — the SLA report shape. The join ships only two
+        // columns of each table; day deltas are exact integers, the mean
+        // a DECIMAL sum / count, percentiles rounded on both engines.
+        import graft.functions.SafeMath
+        import org.apache.spark.sql.types.DecimalType
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            unix_timestamp(date_trunc("day", col("o_orderdate"))).as("od"))
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            unix_timestamp(date_trunc("day", col("l_shipdate"))).as("sd"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            ((col("sd") - col("od")) / 86400L).cast("long").as("lat_days"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            SafeMath.roundHalfUp(
+              sum(col("lat_days").cast(DecimalType(18, 0))).cast("double") /
+                count(lit(1)).cast("double"), 6).as("mean_days"),
+            SafeMath.roundHalfUp(
+              percentile(col("lat_days"), lit(0.5)), 6).as("p50_days"),
+            SafeMath.roundHalfUp(
+              percentile(col("lat_days"), lit(0.9)), 6).as("p90_days"))
+      },
+      Some(s"""WITH d AS (SELECT o_orderpriority,
+            (CAST(epoch(date_trunc('day', l_shipdate)) AS BIGINT)
+              - CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT))
+              // 86400 AS lat_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT o_orderpriority, COUNT(*) AS n,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "CAST(SUM(CAST(lat_days AS DECIMAL(18,0))) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_days,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "quantile_cont(lat_days, 0.5)", 6)} AS p50_days,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "quantile_cont(lat_days, 0.9)", 6)} AS p90_days
+        FROM d GROUP BY 1""")),
+
+    GraftQuery(
+      "q192_series_correlation",
+      (s, dir) => {
+        // do views drive purchases? Pearson correlation between the two
+        // daily count series, computed from exact INTEGER sufficient
+        // statistics (the q141 OLS discipline): counts are longs, all
+        // five sums exact, FP only in the final expression — so even r
+        // hash-gates without rounding games. One aggregation over days.
+        val ev = Tables.events(s, dir)
+          .select(unix_timestamp(date_trunc("day", col("ts"))).as("day"),
+            col("event_type"))
+          .groupBy("day")
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        val st = ev.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+        val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+        st.select(col("n").as("n_days"),
+          when(den === 0.0, lit(null).cast("double"))
+            .otherwise(num / den).as("r"))
+      },
+      Some("""WITH d AS (SELECT
+            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        st AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM d)
+        SELECT n AS n_days,
+          CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+              CAST(n * syy - sy * sy AS DOUBLE)) = 0.0E0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                CAST(n * syy - sy * sy AS DOUBLE)) END AS r
+        FROM st"""))
   )
 }
