@@ -440,7 +440,46 @@ object WindowQueries {
             udRel, "day", "user_id")}) d
           JOIN (${graft.operators.Sketches.hllDistinctSql(
             wdRel, "day", "user_id")}) w ON w.day = d.day"""
-      })
+      }),
+
+    GraftQuery(
+      "q193_new_vs_returning",
+      (s, dir) => {
+        // the adoption curve: per day, how many actives are NEW (first
+        // ever seen today) vs returning, plus the cumulative user count.
+        // First-seen is one min-aggregate per user; the day-level join
+        // and running total operate on day-bounded frames, so the only
+        // data-volume work is the two user-keyed aggregations. The
+        // cumulative window runs over one row per DAY — bounded by
+        // calendar span, safe at any corpus size (q173's argument).
+        import org.apache.spark.sql.expressions.Window
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+          .distinct()
+          .localCheckpoint()
+        val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+        val firstSeen = ud.groupBy("user_id").agg(min(col("day")).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dau.join(firstSeen, Seq("day"), "left")
+          .select(col("day"), col("dau"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("n_returning", col("dau") - col("n_new"))
+          .withColumn("cum_users", sum(col("n_new")).over(w))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day FROM events),
+          dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+            FROM ud GROUP BY 1),
+          fs AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY 1),
+          nn AS (SELECT day, COUNT(*) AS n_new FROM fs GROUP BY 1)
+        SELECT d.day, d.dau, COALESCE(n.n_new, 0) AS n_new,
+          d.dau - COALESCE(n.n_new, 0) AS n_returning,
+          CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM dau d LEFT JOIN nn n ON n.day = d.day"""))
   )
 }
 
