@@ -780,9 +780,12 @@ object CoreQueries {
           .agg(count(lit(1)).as("n_customers"),
             sum(col("rev").cast(DecimalType(18, 2)))
               .cast("double").as("decile_rev"))
+        // window total sums DECIMAL, not raw doubles — partition arrival
+        // order must not move the sum by a ulp across runs
         byDecile.select(col("decile"), col("n_customers"), col("decile_rev"),
           SafeMath.roundHalfUp(col("decile_rev") /
-            sum(col("decile_rev")).over(Window.partitionBy()), 6)
+            sum(col("decile_rev").cast(DecimalType(18, 2)))
+              .over(Window.partitionBy()).cast("double"), 6)
             .as("rev_share"))
       },
       Some {
@@ -803,7 +806,8 @@ object CoreQueries {
             FROM binned GROUP BY 1)
         SELECT decile, n_customers, decile_rev,
           ${graft.functions.SafeMath.roundHalfUpSql(
-            "decile_rev / SUM(decile_rev) OVER ()", 6)} AS rev_share
+            "decile_rev / CAST(SUM(CAST(decile_rev AS DECIMAL(18,2)))" +
+              " OVER () AS DOUBLE)", 6)} AS rev_share
         FROM d"""
       }),
 

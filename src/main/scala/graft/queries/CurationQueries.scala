@@ -1103,10 +1103,10 @@ object CurationQueries {
       Some(s"""WITH r AS (SELECT
             CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS bucket,
             ${md5Key60Sql(
-              "COALESCE(CAST(o_orderkey AS VARCHAR), 'NULL') || chr(31) || " +
-              "COALESCE(CAST(o_custkey AS VARCHAR), 'NULL') || chr(31) || " +
-              "COALESCE(o_orderstatus, 'NULL') || chr(31) || " +
-              "COALESCE(o_orderpriority, 'NULL')")} AS rk
+              "COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(31) || " +
+              "COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(31) || " +
+              "COALESCE(o_orderstatus, chr(0)) || chr(31) || " +
+              "COALESCE(o_orderpriority, chr(0))")} AS rk
           FROM orders)
         SELECT bucket, COUNT(*) AS n_rows, bit_xor(rk) AS xor_key
         FROM r GROUP BY 1"""))
