@@ -1051,7 +1051,11 @@ object Curation {
     * for inspection). Unlike rate-based [[stratifiedSample]], the output
     * size is exact: min(k, |group|) rows per group, replay-stable under
     * re-partitioning because the order is (hash, id), never physical.
-    * One shuffle on the group key; for a hot group at extreme scale,
+    * Replay stability REQUIRES `idCol` unique within each group (the
+    * [[Scd2]] tieBreak contract): duplicate ids produce identical
+    * (hash, id) sort keys, and which duplicate row_number keeps is then
+    * partitioning-dependent. One shuffle on the group key; for a hot
+    * group at extreme scale,
     * pre-filter by hash range (keep md5 % m < m·k·safety/|group|) before
     * the window so the per-group sort touches a sliver, not the group. */
   def exactKPerGroup(df: DataFrame, groupCol: String, idCol: String,

@@ -517,11 +517,25 @@ object Dedup {
   /** Embedding near-dups at scale: random-hyperplane LSH bucket blocking —
     * pairs form only inside a bucket (one shuffle on the bucket id), then
     * exact cosine verification. Near-identical vectors agree on every
-    * sign bit, so true near-dups stay in one bucket. */
+    * sign bit, so true near-dups stay in one bucket.
+    *
+    * In-bucket pair generation is BOUNDED: real embedding corpora
+    * cluster, and a popular sign pattern would otherwise degenerate the
+    * bucket self-join toward O(n²). Buckets holding more than
+    * `maxBucket` vectors are sub-split by a secondary id hash into
+    * ⌈n/maxBucket⌉ cells, so total candidate pairs stay
+    * O(maxBucket · n) — linear in corpus size — at the cost of missing
+    * cross-cell pairs inside a hot bucket (a pair there survives with
+    * probability 1/⌈n/maxBucket⌉). A hot bucket IS a dense region;
+    * [[Similarity.semDedup]]-style centroid dedup (q97) is the
+    * documented path for corpora where that recall loss matters. The
+    * mirror of [[jaccardPairs]]' posting-list df-cap, on the vector
+    * side. */
   def embeddingNearDupsLsh(vecs: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, bits: Int = 12, seed: Int = 42): DataFrame = {
-    val (out, bucketed) =
-      embeddingNearDupsLshPlan(vecs, idCol, vecCol, dim, threshold, bits, seed)
+      dim: Int, threshold: Double, bits: Int = 12, seed: Int = 42,
+      maxBucket: Int = 2000): DataFrame = {
+    val (out, bucketed) = embeddingNearDupsLshPlan(
+      vecs, idCol, vecCol, dim, threshold, bits, seed, maxBucket)
     try out.localCheckpoint()
     finally bucketed.unpersist(blocking = false)
   }
@@ -533,16 +547,40 @@ object Dedup {
     * cache boundary each join side re-reads the corpus and recomputes the
     * bits×dim hyperplane dot products — two full passes at scale (the
     * same shape minhashLsh's shingle cache eliminates). The join then
-    * reads the (id, v, bucket) cache twice, scanning the corpus ONCE. */
+    * reads the (id, v, bucket) cache twice, scanning the corpus ONCE.
+    *
+    * The hot-bucket census reads the already-persisted projection (a
+    * map-side-combined count per bucket), and only buckets OVER the cap
+    * reach the driver — at most n/maxBucket rows by construction, a
+    * bounded read like the k-means centroid collect. When no bucket is
+    * hot (the common case at sane `bits`) the returned plan is
+    * bit-identical to the uncapped one: no sub column, no extra join
+    * key, same two cache scans. */
   private[graft] def embeddingNearDupsLshPlan(vecs: DataFrame, idCol: String,
       vecCol: String, dim: Int, threshold: Double, bits: Int,
-      seed: Int): (DataFrame, DataFrame) = {
+      seed: Int, maxBucket: Int = 2000): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val bucketed = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.lshBucket(col(vecCol), dim, bits, seed).as("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = bucketed.as("x").join(bucketed.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+    // census of over-full buckets only: bucket → number of sub-cells
+    val hot: Map[Long, Int] = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1) + maxBucket - 1) / maxBucket).toInt)
+      .toMap
+    val sided =
+      if (hot.isEmpty) bucketed
+      else bucketed.withColumn("__sub",
+        pmod(xxhash64(col("id")),
+          coalesce(element_at(typedLit(hot), col("bucket")), lit(1))))
+    val joinCond =
+      if (hot.isEmpty)
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id")
+      else col("x.bucket") === col("y.bucket") &&
+        col("x.__sub") === col("y.__sub") && col("x.id") < col("y.id")
+    val out = sided.as("x").join(sided.as("y"), joinCond)
       .withColumn("cos", Similarity.cosineCols(col("x.v"), col("y.v")))
       .filter(col("cos") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos"))

@@ -121,9 +121,18 @@ object Graphs {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("lvl", lit(i))
         .localCheckpoint()
+      // release superseded per-round frames once the new union is
+      // checkpointed — without this, cached blocks accrue linearly in
+      // maxDepth on a long-lived session (clusterAssignments' per-round
+      // unpersist pattern). Round 1's frontier IS visited; skip it.
+      val prevVisited = visited
+      val prevFrontier = frontier
       visited = visited.unionByName(next).localCheckpoint()
+      prevVisited.unpersist(blocking = false)
+      if (prevFrontier ne prevVisited) prevFrontier.unpersist(blocking = false)
       frontier = next
     }
+    frontier.unpersist(blocking = false)
     und.unpersist()
     visited
   }

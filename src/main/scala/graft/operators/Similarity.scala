@@ -397,7 +397,14 @@ object Similarity {
         }
       cents = (0 until k).map(i => byCell.getOrElse(i, cents(i)))
     }
-    e.select(col(idCol), nearest(cents)(col("__v")).as("cluster"))
+    // materialize the assignment, then release the cached projection —
+    // composed as a library call (semDedup, curriculum pipelines) a
+    // pinned corpus-sized cache would otherwise leak per invocation
+    // (the clusterAssignments checkpoint-then-unpersist discipline)
+    val out = e.select(col(idCol), nearest(cents)(col("__v")).as("cluster"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    out
   }
 
   /** SemDedup-style semantic near-duplicate pairs: coarse [[kmeans]]

@@ -132,6 +132,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(even.size === 1 && odd.size === 1 && even != odd)
   }
 
+  test("kmeans releases its cached projection (no leak per invocation)") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(4)(d => math.sin(i * 4 + d).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Similarity.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    assert(out.count() === 20L)
+    // only the localCheckpoint of the RESULT may remain pinned — the
+    // internal (id, vec) cache must be gone the moment kmeans returns
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"kmeans leaked ${leaked.size} persistent RDDs (expected ≤1: the " +
+        "checkpointed result)")
+  }
+
   test("duplicate passages: shared run surfaces, scattered overlap does not") {
     val shared = (1 to 9).map(i => s"common$i").mkString(" ")
     val docs = Seq(
@@ -297,6 +312,43 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(cacheScans.length === 2)
       assert(out.collect().nonEmpty) // and the plan actually runs
     } finally bucketed.unpersist(blocking = true)
+  }
+
+  test("embeddingNearDupsLsh bounds pair generation on a degenerate " +
+      "(single hot bucket) corpus") {
+    // 1200 IDENTICAL vectors: every one lands in the same sign bucket,
+    // so the uncapped self-join would emit C(1200,2) = 719,400 pairs.
+    // With maxBucket=100 the bucket sub-splits into ⌈1200/100⌉ = 12
+    // hash cells → candidate pairs ≈ 12·C(100,2) ≈ 59k, O(cap·n) not
+    // O(n²). Bound asserted with slack for hash imbalance, far below
+    // quadratic.
+    val n = 1200
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(d).toFloat).toSeq)
+    }.toDF("id", "v")
+    val out = Dedup.embeddingNearDupsLsh(vecs, "id", "v",
+      dim = 8, threshold = 0.999, bits = 6, maxBucket = 100)
+    val m = out.count()
+    assert(m > 0L)
+    assert(m < 200000L, // quadratic would be 719,400
+      s"hot-bucket cap not bounding pair generation: $m pairs")
+    // emitted pairs still pass exact verification
+    assert(out.filter(col("cos") < 0.999).count() === 0L)
+    // and a corpus with NO hot bucket is untouched by the cap: the
+    // capped and uncapped pair sets are identical (the plan carries no
+    // sub column at all — asserted by the single-scan test above)
+    val spread = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat).toSeq)
+    }.toDF("id", "v")
+    val capped = Dedup.embeddingNearDupsLsh(spread, "id", "v",
+      dim = 8, threshold = 0.9, bits = 6, maxBucket = 100)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val open = Dedup.embeddingNearDupsLsh(spread, "id", "v",
+      dim = 8, threshold = 0.9, bits = 6, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === open)
   }
 
   test("canonicalUrl: anchored utm rules preserve non-utm params") {
