@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata alongside (the lakehouse-standard layout —
   * media bytes inline for small assets, else object-store URIs).
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) needs
-  * native libraries that are NOT in this environment, so the decoders are
-  * deliberate STUBS with real Spark plumbing: correct schemas, per-batch
-  * iteration via `mapPartitions` (the Scala analog of `mapInPandas` batch
-  * shape), and size-binned repartitioning so one 4 GB video doesn't skew
-  * an executor. Swapping `StubCodec` for a JNI/javacv implementation is a
-  * one-class change.
+  * IMAGE decode is REAL: [[ImageIoCodec]] and [[decodeImageStats]] run
+  * the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP — pure Java, no native
+  * libs) through the distributed `mapPartitions` batch seam. Audio/video
+  * codec work (resampling, frame extraction) needs ffmpeg-class native
+  * libraries that are NOT in this environment, so those stay deliberate
+  * STUBS behind the same [[MediaCodec]] seam with real Spark plumbing:
+  * correct schemas, per-batch iteration via `mapPartitions` (the Scala
+  * analog of `mapInPandas` batch shape), and size-binned repartitioning
+  * so one 4 GB video doesn't skew an executor. Swapping in a JNI/javacv
+  * implementation is a one-class change.
   */
 object Multimodal {
 
@@ -45,11 +48,131 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec: `javax.imageio` decode — pure JDK, no native
+    * libs. Format is sniffed from magic bytes (container truth, not the
+    * decoder's guess); undecodable payloads yield a null-metadata row
+    * instead of failing the partition, so one corrupt blob can't kill a
+    * 100 TB stage. Stills report n_frames=1 and no duration. */
+  object ImageIoCodec extends MediaCodec {
+    def decodeMeta(id: Long, bytes: Array[Byte]): Row = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null)
+        Row(id, bytes.length.toLong, sniffFormat(bytes), null, null, null, null)
+      else Row(id, bytes.length.toLong, sniffFormat(bytes),
+        img.getWidth, img.getHeight, 1, null)
+    }
+  }
+
+  /** Container format from magic bytes: PNG / JPEG / GIF / BMP, else
+    * null. Deliberately independent of the decode path so a mislabeled
+    * payload (jpeg bytes in a .png column) is visible as
+    * format≠decoder-success. */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else null
+
   /** Attach a binary media column (test stand-in: the UTF-8 bytes of a
     * text column — real pipelines read actual media files here). */
   def withBinaryFromText(df: DataFrame, textCol: String,
       out: String = "media_bytes"): DataFrame =
     df.withColumn(out, encode(col(textCol), "UTF-8"))
+
+  /** Encode one RGB image to PNG bytes, pixel value supplied per (x,y).
+    * JDK-only; used by tests and the synthetic-media gate generator. */
+  def pngBytes(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // no per-task tmp files
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic synthetic media: one real PNG per row, dimensions and
+    * solid fill derived from the id (w=id%16+1, h=id%8+1,
+    * rgb=(7id,13id,29id) mod 256) — so an arithmetic oracle can predict
+    * the DECODED stats without being able to decode PNG itself. Real
+    * pipelines read actual media files here; this is the gate/test
+    * stand-in that still exercises a genuine encode→decode round trip. */
+  def attachSyntheticPng(df: DataFrame, idCol: String,
+      out: String = "media_bytes"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField(out, BinaryType)))
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val rgb = (((id * 7) % 256).toInt << 16) |
+          (((id * 13) % 256).toInt << 8) | ((id * 29) % 256).toInt
+        Row(id, pngBytes((id % 16 + 1).toInt, (id % 8 + 1).toInt,
+          (_, _) => rgb))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** Distributed REAL image feature extraction: decode every payload with
+    * `javax.imageio` and emit (dims, per-channel means) — the feature
+    * row a vision-pretraining curation pass filters on. Same batch shape
+    * as [[decodeMeta]]: size-binned partitions, one decoder loop per
+    * partition, integer sums (exact — no FP accumulation order to
+    * disagree on) divided once per image. Undecodable rows keep their id
+    * with null stats. */
+  def decodeImageStats(df: DataFrame, idCol: String, binCol: String,
+      sizeBins: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df
+      .select(col(idCol).cast("long"), col(binCol))
+      .repartition(sizeBins, pmod(length(col(binCol)), lit(sizeBins)))
+    val rdd = binned.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        catch { case _: Exception => null }
+        if (img == null) Row(id, null, null, null, null, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Row(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageStatsSchema)
+  }
 
   /** Decode metadata for every media row. Batch shape: one partition =
     * one codec instance iterating rows (exactly `mapInPandas`' contract).

@@ -369,6 +369,51 @@ object VectorQueries {
     ,
 
     GraftQuery(
+      "q194_image_decode_stats",
+      (s, dir) => {
+        // REAL image decode, distributed: one genuine PNG per document
+        // (encoded on the executors, dims + solid fill derived from the
+        // id), then javax.imageio decode → (dims, per-channel means)
+        // through the size-binned mapPartitions seam. The oracle can't
+        // decode PNG — it predicts the decoded stats arithmetically from
+        // the same id derivation, so any decode fault (wrong dims,
+        // swapped channels, bad color space) breaks the hash.
+        val d = Tables.load(s, dir, "documents").select("doc_id")
+        Multimodal.decodeImageStats(
+          Multimodal.attachSyntheticPng(d, "doc_id"),
+          "media_id", "media_bytes")
+      },
+      Some("""SELECT doc_id AS media_id,
+        CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+        CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_r,
+        CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_g,
+        CAST(doc_id * 29 % 256 AS DOUBLE) AS mean_b
+        FROM documents""")),
+
+    GraftQuery(
+      "q195_image_meta_real",
+      (s, dir) => {
+        // ImageIoCodec through the decodeMeta plumbing: real PNG payloads,
+        // real decode, magic-byte format sniff. byte_len is projected out
+        // (PNG encoder output size isn't oracle-predictable); everything
+        // the DECODER reports is gated.
+        val d = Tables.load(s, dir, "documents").select("doc_id")
+        Multimodal.decodeMeta(
+          Multimodal.attachSyntheticPng(d, "doc_id"),
+          "media_id", "media_bytes", codec = Multimodal.ImageIoCodec)
+          .select("media_id", "format", "width", "height", "n_frames",
+            "duration_ms")
+      },
+      Some("""SELECT doc_id AS media_id, 'png' AS format,
+        CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+        CAST(1 AS INTEGER) AS n_frames,
+        CAST(NULL AS BIGINT) AS duration_ms
+        FROM documents"""))
+    ,
+
+    GraftQuery(
       "q68_centroids",
       (s, dir) => {
         // per-group mean embedding (class prototypes); the gate flattens

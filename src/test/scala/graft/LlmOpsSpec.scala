@@ -314,6 +314,40 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally bucketed.unpersist(blocking = true)
   }
 
+  test("decodeImageStats really decodes: gradient PNG means, channel " +
+      "order, corrupt payload isolation") {
+    // horizontal red gradient + constant green/blue: mean_r is the
+    // gradient mean, and r≠g≠b catches a BGR/ARGB channel swap that a
+    // solid-gray fixture would miss
+    val w = 16; val h = 4
+    val png = Multimodal.pngBytes(w, h,
+      (x, _) => (x * 16 << 16) | (40 << 8) | 200)
+    val expectedR = (0 until w).map(_ * 16).sum.toDouble / w
+    val rows = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+    val out = Multimodal.decodeImageStats(rows, "id", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getInt(1) === w && ok.getInt(2) === h)
+    assert(ok.getDouble(3) === expectedR)
+    assert(ok.getDouble(4) === 40.0)
+    assert(ok.getDouble(5) === 200.0)
+    assert(out(2L).isNullAt(1)) // corrupt row survives as null stats
+    // magic-byte sniff is decoder-independent
+    assert(Multimodal.sniffFormat(png) === "png")
+    assert(Multimodal.sniffFormat(
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) === "jpeg")
+    assert(Multimodal.sniffFormat("junk".getBytes("UTF-8")) === null)
+    // ImageIoCodec through the decodeMeta seam
+    val meta = Multimodal.decodeMeta(rows, "id", "bytes",
+      codec = Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getString(2) === "png" &&
+      meta(1L).getInt(3) === w && meta(1L).getInt(4) === h &&
+      meta(1L).getInt(5) === 1)
+    assert(meta(2L).isNullAt(3))
+  }
+
   test("embeddingNearDupsLsh bounds pair generation on a degenerate " +
       "(single hot bucket) corpus") {
     // 1200 IDENTICAL vectors: every one lands in the same sign bucket,
