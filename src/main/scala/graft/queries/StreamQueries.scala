@@ -1686,5 +1686,73 @@ object StreamQueries {
           CAST(max(epoch(date_trunc('day', o_orderdate))) AS BIGINT)
             AS max_day
         FROM orders"""))
+    ,
+
+    GraftQuery(
+      "q196_stream_paned_task_data",
+      (s, dir) => {
+        // T2/U4 composed INTO the task-data topology (the reference's
+        // ConsoleTaskDataMain.java:83 layout): three waves of PING wire
+        // messages run the full parse→clamp→enrich→derive pipeline AS A
+        // STREAM, and the count-or-time pane state machine batches the
+        // parsed facts per (task, 10-min window) before the sink — a
+        // pane fires early the instant it holds 7 measurements, the
+        // event-time timer flushes remainders on the trailing no-data
+        // batch. Probe ids are unique per source row, so the parsed
+        // probe suffix is the deterministic pane fold order; the 20000 s
+        // watermark delay spans the waves' full event-time range (no
+        // cross-wave late drops), and a far-future sentinel (within the
+        // P9 clamp bound, so it survives the pipeline) advances the
+        // final watermark past every real window end.
+        import s.implicits._
+        val k = col("c_custkey")
+        val ts = lit(Now) - 86000L + (k % 180) * 60L
+        def meas(pid: Column, task: Column, t: Column, rtt: Column) =
+          concat(
+            lit("""[{"probe_id":""""), pid,
+            lit("""","task_id":"t-"""), task,
+            lit("""","task_type_name":"PING","test_time":"""), t,
+            lit(""","host_ip":"1.2.3.4","rtt":"""), rtt,
+            lit(""","jitter":1,"lost_rate":2}]"""))
+        val cust = Tables.load(s, dir, "customer")
+        def wave(f: Column) = cust.filter(f)
+          .select(meas(concat(lit("p-"), k), k % 5, ts, k % 130).as("value"))
+        val frames = Seq(
+          wave(k % 3 === 0), wave(k % 3 === 1), wave(k % 3 === 2),
+          cust.limit(1).select(
+            meas(lit("p-0"), lit("z"), lit(Now) + 100000L, lit(0)).as("value")))
+        val dims = PipelineFixtures.dims(s, dir)
+        val fires = runStaged(s, frames, "paned_facts") { (raw, out, ckpt) =>
+          StreamJobs.runTaskDataPaned(raw, dims, out, ckpt, nowEpoch = Now,
+            keyCol = col("task_id"),
+            ordinalCol = substring(col("probe_id"), 3, 12),
+            xCol = col("rtt"),
+            maxCount = 7, windowSeconds = 600L,
+            watermarkDelay = "20000 seconds",
+            trigger = Trigger.AvailableNow())
+        }
+        // the sentinel's own pane never flushes (its window end stays
+        // beyond the final watermark); its key never reaches the sink
+        fires
+      },
+      Some(s"""WITH base AS (SELECT c_custkey AS k FROM customer),
+          e AS (SELECT 't-' || (k % 5) AS key,
+              CAST($Now - 86000 + (k % 180) * 60 AS BIGINT) AS ts,
+              k AS ordinal, CAST(k % 130 AS BIGINT) AS x, k % 3 AS wave
+            FROM base),
+          w AS (SELECT key, ts - ts % 600 AS window_start, ordinal, x, wave
+            FROM e),
+          r AS (SELECT key, window_start, x,
+              row_number() OVER (PARTITION BY key, window_start
+                ORDER BY wave, ordinal) - 1 AS rn
+            FROM w),
+          g AS (SELECT key, window_start, rn // 7 AS fire_seq,
+              COUNT(*) AS n, SUM(x) AS sx
+            FROM r GROUP BY 1, 2, 3)
+        SELECT key, CAST(window_start AS BIGINT) AS window_start,
+          CAST(fire_seq AS BIGINT) AS fire_seq,
+          CAST(n AS BIGINT) AS n_events, CAST(sx AS BIGINT) AS sum_x,
+          n = 7 AS early
+        FROM g"""))
   )
 }

@@ -13,9 +13,11 @@ import graft.score.{PQConfig, PQDefaults}
   *  - 10 s tumbling processing-time windows that only BATCH records
   *    (no cross-record aggregation) → micro-batches with
   *    `Trigger.ProcessingTime("10 seconds")` — the faithful equivalent (T1);
-  *  - the count-1000 early-fire trigger (T2) has no Structured Streaming
-  *    counterpart → bound batch size at the source instead
-  *    (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`); documented divergence;
+  *  - the count-1000 early-fire trigger (T2/U4) → the deterministic
+  *    pane state machine [[StatefulOps.countOrTimeFires]], composed into
+  *    the task-data topology by [[runTaskDataPaned]] (plus
+  *    `maxOffsetsPerTrigger` / `maxFilesPerTrigger` source bounding for
+  *    the plain batching path);
   *  - per-record MySQL/Redis side effects (T6) → separate output frames
   *    written in the same `foreachBatch`, transactionally per batch;
   *  - at-least-once + ClickHouse ReplacingMergeTree dedup (T8/O8) →
@@ -101,6 +103,45 @@ object StreamJobs {
         ()
       }
       .start()
+
+  /** Task-data job with the reference's count-or-time early-fire
+    * batching composed IN the topology (`ConsoleTaskDataMain.java:83`:
+    * the custom trigger sits between the parsed stream and the sink):
+    * the full parse→clamp→enrich→derive pipeline runs as a streaming
+    * transform, feeds [[StatefulOps.countOrTimeFires]] keyed/ordered by
+    * caller-supplied columns, and the sink receives PANES — (key,
+    * window, fire_seq, count, sum) rows emitted the instant a pane
+    * reaches `maxCount` (early) or when the window's event-time timer
+    * expires (final flush). Everything upstream of the state machine is
+    * stream-safe by construction: projections, per-row HOF detail
+    * aggregates, and broadcast stream-static dim joins — no shuffle
+    * before the keyed state exchange. `ordinalCol` must be unique per
+    * key for replay determinism (the fold order inside a pane). */
+  def runTaskDataPaned(raw: DataFrame, dims: TaskDataPipeline.Dims,
+      outDir: String, checkpointDir: String, nowEpoch: Long,
+      keyCol: org.apache.spark.sql.Column,
+      ordinalCol: org.apache.spark.sql.Column,
+      xCol: org.apache.spark.sql.Column,
+      maxCount: Int, windowSeconds: Long, watermarkDelay: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery = {
+    val facts = TaskDataPipeline.preScore(raw, dims, nowEpoch)
+    import facts.sparkSession.implicits._
+    val evs = facts.select(
+        keyCol.cast("string").as("key"),
+        col("test_time").cast("long").as("ts"),
+        ordinalCol.cast("long").as("ordinal"),
+        xCol.cast("long").as("x"),
+        col("test_time").cast("timestamp").as("et"))
+      .withWatermark("et", watermarkDelay)
+      .as[StatefulOps.CotEvent]
+    StatefulOps.countOrTimeFires(evs, maxCount, windowSeconds)
+      .toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", s"$outDir/paned_facts")
+      .trigger(trigger)
+      .start()
+  }
 
   /** Heartbeat job: facts + new-probe registrations as two sinks.
     *
