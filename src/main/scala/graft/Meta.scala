@@ -1,0 +1,24 @@
+package graft
+
+/** Dumps the query Registry as one JSON object per line — the
+  * authoritative feed for `tools/gen_queries_md.py` (the generated
+  * QUERIES.md index) and `tools/bench_duckdb.py` (the DuckDB comparison
+  * artifact). No SparkSession: Registry construction is pure. */
+object Meta {
+  def main(args: Array[String]): Unit = {
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    graft.queries.Registry.all.foreach { q =>
+      val oracle = q.oracle.map(esc).getOrElse("null")
+      println(s"""META {"name":${esc(q.name)},"bench":${q.bench},""" +
+        s""""oracle":$oracle}""")
+    }
+  }
+}

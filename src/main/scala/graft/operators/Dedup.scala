@@ -203,15 +203,19 @@ object Dedup {
       scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.SafeMath
-    // ONE corpus scan: tf is checkpointed, and nDocs (the IDF numerator),
-    // the df frame, and the weighted join all read the checkpoint. A
-    // separate docs.count() would re-scan the text for a single long;
-    // N = #docs with at least one term — docs too short to shingle can't
-    // pair anyway, and this keeps N derivable from tf on any engine.
+    // ONE corpus scan: tf is lazily persisted, and the nDocs action (the
+    // IDF numerator) POPULATES the cache as it computes — no separate
+    // materialization job (an eager tf localCheckpoint here cost an
+    // extra full pass, the round-4 q133 bench regression). The df frame
+    // and the weighted join then read the cache, which is released the
+    // moment `weighted` is checkpointed. A separate docs.count() would
+    // re-scan the text for a single long; N = #docs with at least one
+    // term — docs too short to shingle can't pair anyway, and this keeps
+    // N derivable from tf on any engine.
     val tf = docs.select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), k)).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs =
       tf.agg(countDistinct(col("doc")).as("n")).collect()(0).getLong(0)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -223,6 +227,7 @@ object Dedup {
               log(lit(nDocs.toDouble) / col("df").cast("double")), 4)
           .cast(DecimalType(18, 4)).as("w"))
       .localCheckpoint()
+    tf.unpersist(blocking = false)
     val norms = weighted.groupBy("doc")
       .agg(sum(col("w") * col("w")).as("n2"))
     val dots = weighted.as("x").join(weighted.as("y"),
