@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional extra args: restrict to the named queries (local iteration
-    // only — the driver always calls with exactly (sfDir, outDir))
-    val only = args.drop(2).toSet
+    // optional extra args: restrict to the named queries, or exclude
+    // "-name"-prefixed ones (local iteration only — the driver always
+    // calls with exactly (sfDir, outDir))
+    val (excluded, only) = args.drop(2).toSet.partition(_.startsWith("-"))
+    val skip = excluded.map(_.drop(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +21,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .filter { case (name, _) =>
+        (only.isEmpty || only.contains(name)) && !skip.contains(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

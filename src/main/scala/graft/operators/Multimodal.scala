@@ -55,14 +55,22 @@ object Multimodal {
     * 100 TB stage. Stills report n_frames=1 and no duration. */
   object ImageIoCodec extends MediaCodec {
     def decodeMeta(id: Long, bytes: Array[Byte]): Row = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+      val img = readImage(bytes)
       if (img == null)
         Row(id, bytes.length.toLong, sniffFormat(bytes), null, null, null, null)
       else Row(id, bytes.length.toLong, sniffFormat(bytes),
         img.getWidth, img.getHeight, 1, null)
     }
+  }
+
+  /** In-memory `javax.imageio` decode: the disk cache is disabled ONCE
+    * per JVM (the default spills every ImageInputStream to a /tmp file —
+    * per-row temp-file churn on a decode-heavy executor); null on any
+    * decode failure. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: Exception => null }
   }
 
   /** Container format from magic bytes: PNG / JPEG / GIF / BMP, else
@@ -149,9 +157,7 @@ object Multimodal {
     val rdd = binned.rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val img = try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        catch { case _: Exception => null }
+        val img = readImage(r.getAs[Array[Byte]](1))
         if (img == null) Row(id, null, null, null, null, null)
         else {
           val (w, h) = (img.getWidth, img.getHeight)
