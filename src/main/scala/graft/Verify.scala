@@ -24,9 +24,17 @@ object Verify {
       .filter { case (name, _) =>
         (only.isEmpty || only.contains(name)) && !skip.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        // repartition(1), NOT coalesce(1): coalesce folds the whole
+        // upstream into the single write task when no shuffle separates
+        // them (a broadcast join + filter ran its O(n²) loop on one core
+        // here); repartition keeps the computation wide and only funnels
+        // the small gated result through a shuffle into one file.
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

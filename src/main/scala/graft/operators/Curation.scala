@@ -1037,11 +1037,12 @@ object Curation {
         c => when(q.getField("scale") === 0.0, lit(0.0))
           .otherwise(c.cast("double") / q.getField("scale")))
       TextFunctions.bindOnce(deq0) { deq =>
+        // codegen'd ArrayDot, same left-fold order as the HOF chain
         graft.functions.SafeMath.roundHalfUp(
-          aggregate(zip_with(deq, array(query.map(lit): _*), (x, w) => x * w),
-            lit(0.0), (acc, x) => acc + x) /
-            (sqrt(aggregate(transform(deq, x => x * x), lit(0.0),
-              (acc, x) => acc + x)) * lit(Similarity.normLit(query))), scale)
+          graft.expressions.ArrayDot.array_dot(deq,
+            array(query.map(lit): _*)) /
+            (sqrt(graft.expressions.ArrayDot.array_dot(deq, deq)) *
+              lit(Similarity.normLit(query))), scale)
       }
     }
 

@@ -511,8 +511,15 @@ object Dedup {
     * scale. */
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // the non-equi join plans as a broadcast nested loop whose task count
+    // is the STREAMED side's partition count — and Spark picks the
+    // broadcast side from stats, so spread BOTH sides: whichever one ends
+    // up streamed is then wide. A single-split corpus otherwise runs the
+    // whole O(n²) loop on one core.
+    val a = Similarity.spread(
+      vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")))
+    val b = Similarity.spread(
+      vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b")))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", Similarity.cosineCols(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)

@@ -24,19 +24,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of an array column with a literal vector. */
+  /** Widen a narrow frame to the session's default parallelism. Small
+    * corpora arrive as ONE parquet split, and the O(n·q) brute-force
+    * joins below inherit the streamed side's partition count — a
+    * single-split 20k-vector corpus turns a 32-core crossJoin into a
+    * single-threaded nested loop (observed: 21+ min vs ~40 s at sf1).
+    * The round-robin shuffle is negligible next to the scoring work; a
+    * corpus scan that is already ≥ defaultParallelism partitions (any
+    * real cluster read) passes through untouched. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Sequential-fold dot product of an array column with a literal
+    * vector. Routed through the codegen'd [[graft.expressions.ArrayDot]]
+    * (identical left-fold FP order to the former HOF chain — gated
+    * values unchanged); the interpreted HOF version dominated runtime
+    * in O(n²) pair joins and O(n·k) bucket/assignment scans. */
   def dotLit(vec: Column, q: Seq[Double]): Column =
-    aggregate(
-      zip_with(transform(vec, _.cast("double")),
-        array(q.map(lit): _*), (x, w) => x * w),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.ArrayDot.array_dot(vec, array(q.map(lit): _*))
 
   def normLit(q: Seq[Double]): Double = math.sqrt(q.map(x => x * x).sum)
 
-  /** Sequential L2 norm of an array column. */
+  /** Sequential L2 norm of an array column (same fold as `dot(v, v)`). */
   def norm(vec: Column): Column =
-    sqrt(aggregate(transform(vec, _.cast("double")), lit(0.0),
-      (acc, x) => acc + x * x))
+    sqrt(graft.expressions.ArrayDot.array_dot(vec, vec))
 
   /** Cosine similarity against a literal query vector, rounded to `scale`
     * so downstream top-k cuts are reproducible. */
@@ -46,10 +59,7 @@ object Similarity {
 
   /** Cosine similarity of two array columns (same rounding contract). */
   def cosineCols(a: Column, b: Column, scale: Int = 6): Column = {
-    val dot = aggregate(
-      zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")),
-        (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = graft.expressions.ArrayDot.array_dot(a, b)
     graft.functions.SafeMath.roundHalfUp(dot / (norm(a) * norm(b)), scale)
   }
 
@@ -125,7 +135,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val queries = embeddings.filter(queryFilter)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val corpus = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val corpus = spread(
+      embeddings.select(col(idCol).as("vid"), col(vecCol).as("v")))
     val wnd = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
     def topK(scored: DataFrame): DataFrame = scored
@@ -185,7 +196,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val queries = embeddings.filter(queryFilter)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val corpus = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val corpus = spread(
+      embeddings.select(col(idCol).as("vid"), col(vecCol).as("v")))
     val wnd = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
     def ranked(scored: DataFrame, rank: String): DataFrame = scored
@@ -261,7 +273,8 @@ object Similarity {
     import sp.implicits._
     val queries = embeddings.filter(queryFilter)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val corpus = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val corpus = spread(
+      embeddings.select(col(idCol).as("vid"), col(vecCol).as("v")))
     val wnd = Window.partitionBy(col("qid"), col("l_tables"))
       .orderBy(col("cos").desc, col("vid").asc)
     val bruteWnd = Window.partitionBy(col("qid"))
@@ -427,11 +440,22 @@ object Similarity {
     val e = embeddings.select(col(idCol),
       transform(col(vecCol), _.cast("double")).as("__v"))
     val withCell = e.join(assign, Seq(idCol))
+    // Salt the in-cluster self-join: a plain join on `cluster` has at
+    // most k populated reduce keys, so k=8 caps the quadratic pair
+    // scoring at 8 cores no matter how many executors exist. The a-side
+    // splits into S deterministic salt lanes by id hash and the b-side
+    // replicates ×S — identical pair set, k·S-way parallelism, and the
+    // per-task pair count drops ×S (observed at sf1: 596 s → bounded by
+    // cores, not clusters). S is fixed (not cores-dependent) so the
+    // emitted pairs and their plan shape are reproducible everywhere.
+    val S = 16
     val a = withCell.select(col("cluster"), col(idCol).as("id_a"),
-      col("__v").as("__va"))
+      col("__v").as("__va"),
+      pmod(xxhash64(col(idCol)), lit(S)).as("__salt"))
     val b = withCell.select(col("cluster"), col(idCol).as("id_b"),
-      col("__v").as("__vb"))
-    a.join(b, Seq("cluster"))
+      col("__v").as("__vb"),
+      explode(array((0 until S).map(lit): _*)).as("__salt"))
+    a.join(b, Seq("cluster", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("cluster"), col("id_a"), col("id_b"),
         cosineCols(col("__va"), col("__vb"), scale).as("cos"))

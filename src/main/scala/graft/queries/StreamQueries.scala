@@ -1091,7 +1091,12 @@ object StreamQueries {
         def row(kind: String, ts: Column, v: Column): Column =
           concat(lit(s"""{"kind":"$kind","key":"p-"""), k % 30,
             lit("""","ts":"""), ts, lit(""","v":"""), v, lit("}"))
+        // cap the synthesized stream: key/ts spaces are FIXED moduli, so
+        // row volume must not scale with SF or the join's output grows
+        // quadratically (at ~sf1 this gate would emit >100M pairs while
+        // verifying the same semantics). No-op at the sf0.01 gate.
         val cust = Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") <= 15000)
         val imps = cust.select(
           row("imp", lit(Now) + (k % 40) * 60, k % 89).as("value"))
         val clks = cust.select(
@@ -1122,7 +1127,7 @@ object StreamQueries {
             .start()
         }
       },
-      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 15000),
           imp AS (SELECT 'p-' || (k % 30) AS key,
             CAST($Now + (k % 40) * 60 AS BIGINT) AS imp_ts,
             CAST(k % 89 AS BIGINT) AS imp_v FROM b),
@@ -1204,7 +1209,10 @@ object StreamQueries {
         def row(kind: String, ts: Column, v: Column): Column =
           concat(lit(s"""{"kind":"$kind","key":"p-"""), k % 30,
             lit("""","ts":"""), ts, lit(""","v":"""), v, lit("}"))
+        // same fixed-moduli cap as q98: bound the synthesized stream so
+        // the outer join's pair volume stays constant as SF grows
         val cust = Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") <= 15000)
         val far = lit(Now) + 30L * 86400
         val imps = cust.select(
           row("imp", lit(Now) + (k % 40) * 60, k % 89).as("value"))
@@ -1241,7 +1249,7 @@ object StreamQueries {
             .start()
         }.filter(col("key") =!= "p-9999")
       },
-      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 15000),
           imp AS (SELECT 'p-' || (k % 30) AS key,
             CAST($Now + (k % 40) * 60 AS BIGINT) AS imp_ts,
             CAST(k % 89 AS BIGINT) AS imp_v FROM b),

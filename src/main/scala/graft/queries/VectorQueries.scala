@@ -308,15 +308,22 @@ object VectorQueries {
       "q37_embedding_near_dup",
       (s, dir) => {
         // dup-guaranteed corpus (id-shifted copy) so pairs exist at every
-        // SF; brute-force pass = the oracle-checkable baseline.
-        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        // SF; brute-force pass = the oracle-checkable baseline. The gate
+        // corpus is CAPPED at the first 2000 vectors (a no-op through
+        // sf0.1): both this O(n²) pass and its pairwise SQL oracle grow
+        // quadratically with SF while verifying the same semantics — the
+        // scale path for real corpora is q38's LSH blocking.
+        val e = Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") < 2000).select("vec_id", "embedding")
         val corpus = e.unionByName(
           e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
         graft.operators.Dedup.embeddingNearDups(corpus, "vec_id", "embedding", 0.95)
       },
       Some {
         val corpus = s"""(SELECT vec_id, embedding FROM embeddings
-          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)"""
+            WHERE vec_id < 2000
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id < 2000)"""
         s"""SELECT id_a, id_b, cos FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             ${cosSql("a.embedding", "b.embedding")} AS cos

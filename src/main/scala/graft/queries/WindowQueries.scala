@@ -73,17 +73,26 @@ object WindowQueries {
             col("n"))
       },
       Some("""WITH e AS (
-          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+            COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        -- boundaries over DISTINCT (user, sec) only: with duplicate secs
+        -- in a partition the LAG pass and the running-SUM pass tie-break
+        -- independently (separate sort instances), and the lone new_s=1
+        -- row can land mid-prefix, splitting a session nondeterministically
+        -- (caught by the sf1 sweep, where every event has 10 copies; same
+        -- guard as q71's stream oracle)
         s AS (
-          SELECT user_id, sec,
+          SELECT user_id, sec, cnt,
             CASE WHEN LAG(sec) OVER w IS NULL
                    OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
         g AS (
-          SELECT user_id, sec,
+          SELECT user_id, sec, cnt,
             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid
           FROM s)
-        SELECT user_id, MIN(sec) AS session_start, COUNT(*) AS n
+        SELECT user_id, MIN(sec) AS session_start,
+          CAST(SUM(cnt) AS BIGINT) AS n
         FROM g GROUP BY user_id, sid"""),
       bench = true),
 

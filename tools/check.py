@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Extra args restrict the compare to the named queries (local iteration);
+with none, every query in oracle_sql.json + names.json is checked.
 
 Runs each oracle_sql.json query in DuckDB over the sfDir parquet tables,
 loads the corresponding Spark parquet result, sorts columns by name, and
@@ -61,7 +64,7 @@ def dtypes_of(df: pd.DataFrame) -> dict:
     return d
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=()) -> int:
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -69,6 +72,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if only and name not in only:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -101,7 +106,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     all_names = (json.load(open(names_file)) if os.path.exists(names_file)
                  else [d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")])
     for name in sorted(all_names):
-        if name in have: continue
+        if name in have or (only and name not in only): continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         rows = sum(len(pd.read_parquet(f)) for f in files) if files else 0
         print(f"{'PASS' if rows > 0 else 'FAIL'} {name} (rows-only: {rows})")
@@ -112,4 +117,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], frozenset(sys.argv[3:])))
