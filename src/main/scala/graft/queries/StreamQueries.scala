@@ -266,7 +266,15 @@ object StreamQueries {
         // row count (and hash) breaks.
         val k = col("c_custkey")
         val t1 = lit(Now) - (k % 1000) * 60 - 60
+        // cap the seed: the wire content-id is sha256(probe|task|PING|
+        // test_time) = f(k%30, k%7, k%1000), unique only for k < 21000
+        // (their lcm). Above that, synthesized measurements genuinely
+        // collide and the T8 content-id dedup rightly collapses them —
+        // but which colliding payload survives is arrival-order, so the
+        // gate must keep ids unique to stay hash-checkable. No-op at the
+        // driver's scales.
         val cust = Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") <= 15000)
         val m1 = pingMeas(k, k % 7, t1, k % 130, k % 105)
         val m2 = pingMeas(k, (k + 3) % 7, t1 - 30, (k + 17) % 130, (k + 31) % 105)
         val frames = Seq(
@@ -289,7 +297,8 @@ object StreamQueries {
             graft.score.ScoreEngine.Source(col(name), s"($name)")
           else graft.score.ScoreEngine.Source(
             lit(null).cast("double"), "CAST(NULL AS DOUBLE)"))
-        s"""WITH base AS (SELECT c_custkey AS k FROM customer),
+        s"""WITH base AS (SELECT c_custkey AS k FROM customer
+            WHERE c_custkey <= 15000),
           meas AS (
             SELECT k, 'p-' || (k % 30) AS probe_id, 't-' || (k % 7) AS task_id,
               CAST($Now - (k % 1000) * 60 - 60 AS BIGINT) AS test_time,
