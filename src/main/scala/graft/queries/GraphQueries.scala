@@ -160,6 +160,82 @@ object LayoutQueries {
       Some(s"""SELECT l_orderkey, l_linenumber,
           ${graft.functions.Layout.zorder2Sql("l_orderkey", "l_partkey")}
             AS zkey
-        FROM lineitem"""))
+        FROM lineitem""")),
+
+    GraftQuery(
+      "q197_zorder_skipping",
+      (s, dir) => {
+        // File-skipping effectiveness of the q105 write-side key: bucket
+        // rows into 64 "files" under two layouts — linear (sorted by
+        // l_orderkey only) and z-order — take each file's min/max footer
+        // stats in BOTH dimensions, and count the files a central
+        // 10%×10% box predicate cannot prune. Equal-WIDTH buckets
+        // (key div width), not ntile: bucket assignment is a per-row
+        // projection with no global window, so the layout plan itself
+        // is shuffle-free at any scale. All-integer arithmetic, DIV not
+        // `/` (long/long→double loses exactness past 2^53).
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("x"), col("l_partkey").as("y"))
+          .withColumn("zkey",
+            graft.functions.Layout.zorder2(col("x"), col("y")))
+        val m = l.agg(max("x").as("mx"), max("y").as("my"),
+          max("zkey").as("mz"))
+        l.crossJoin(broadcast(m))
+          .selectExpr(
+            "stack(2, 'linear', least(63L, x DIV ((mx DIV 64) + 1))," +
+              "         'zorder', least(63L, zkey DIV ((mz DIV 64) + 1)))" +
+              " AS (layout, bucket)",
+            "x", "y", "mx", "my")
+          .groupBy("layout", "bucket")
+          .agg(min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"),
+            count(lit(1)).as("cnt"),
+            max("mx").as("mx"), max("my").as("my"))
+          .withColumn("hit",
+            col("min_x") <= expr("(mx * 55) DIV 100") &&
+              col("max_x") >= expr("(mx * 45) DIV 100") &&
+              col("min_y") <= expr("(my * 55) DIV 100") &&
+              col("max_y") >= expr("(my * 45) DIV 100"))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("files"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("files_hit"),
+            sum(when(col("hit"), col("cnt")).otherwise(0L))
+              .as("rows_scanned"))
+          .orderBy("layout")
+      },
+      Some(s"""WITH base AS (
+          SELECT l_orderkey AS x, l_partkey AS y,
+            ${graft.functions.Layout.zorder2Sql("l_orderkey", "l_partkey")}
+              AS zkey
+          FROM lineitem),
+        m AS (SELECT max(x) AS mx, max(y) AS my, max(zkey) AS mz FROM base),
+        assigned AS (
+          SELECT x, y,
+            least(63, x // ((mx // 64) + 1)) AS b_lin,
+            least(63, zkey // ((mz // 64) + 1)) AS b_z, mx, my
+          FROM base, m),
+        layouts AS (
+          SELECT 'linear' AS layout, b_lin AS bucket, x, y, mx, my
+          FROM assigned
+          UNION ALL
+          SELECT 'zorder', b_z, x, y, mx, my FROM assigned),
+        stats AS (
+          SELECT layout, bucket,
+            min(x) AS min_x, max(x) AS max_x,
+            min(y) AS min_y, max(y) AS max_y,
+            count(*) AS cnt, max(mx) AS mx, max(my) AS my
+          FROM layouts GROUP BY 1, 2)
+        SELECT layout, count(*) AS files,
+          CAST(SUM(CASE WHEN min_x <= (mx * 55) // 100
+              AND max_x >= (mx * 45) // 100
+              AND min_y <= (my * 55) // 100
+              AND max_y >= (my * 45) // 100 THEN 1 ELSE 0 END) AS BIGINT)
+            AS files_hit,
+          CAST(SUM(CASE WHEN min_x <= (mx * 55) // 100
+              AND max_x >= (mx * 45) // 100
+              AND min_y <= (my * 55) // 100
+              AND max_y >= (my * 45) // 100 THEN cnt ELSE 0 END) AS BIGINT)
+            AS rows_scanned
+        FROM stats GROUP BY layout ORDER BY layout"""))
   )
 }
