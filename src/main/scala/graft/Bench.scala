@@ -30,7 +30,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=q30_jaccard_pairs,q47_dedup_clusters —
+    // profiling aid: time a subset in an otherwise-identical harness.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val headline = Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -64,8 +69,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sj = sentinels.mkString("[", ",", "]")
+    // per-pass times alongside the min: round-over-round deltas are then
+    // attributable at a glance (a one-pass spike reads as load, a
+    // uniform shift across passes reads as code)
+    val pj = passes.map(p => headline.map(q =>
+        "\"" + q.name + "\":" + p(q.name)).mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sentinel":$sj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sentinel":$sj,"passes":$pj,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info], which broke the driver's JSON
     // extraction in round 1 — emit on BOTH channels it might scrape and
     // also drop the line in a file next to the data dir for good measure

@@ -172,9 +172,9 @@ object TextFunctions {
     * re-evaluates once per shingle position (~50× per row — measured
     * 4.7 s vs 0.2 s for the shingle explode at sf0.1). */
   def shingles(text: Column, k: Int = 3): Column =
-    bindOnce(tokens(text)) { t =>
-      when(size(t) < k, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(t) - k),
-          i => concat_ws(" ", slice(t, i + 1, lit(k)))))
-    }
+    // codegen'd byte-scan expression, bit-identical to the former HOF
+    // chain `transform(sequence(0, size(t)-k), i => concat_ws(" ",
+    // slice(t, i+1, k)))` — see WordShingles for why (interpreted HOFs
+    // dominated the dedup family's corpus-scan CPU)
+    graft.expressions.WordShingles.word_shingles(text, k)
 }

@@ -203,19 +203,27 @@ object Dedup {
       scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.SafeMath
-    // ONE corpus scan: tf is lazily persisted, and the nDocs action (the
-    // IDF numerator) POPULATES the cache as it computes — no separate
-    // materialization job (an eager tf localCheckpoint here cost an
-    // extra full pass, the round-4 q133 bench regression). The df frame
-    // and the weighted join then read the cache, which is released the
-    // moment `weighted` is checkpointed. A separate docs.count() would
-    // re-scan the text for a single long; N = #docs with at least one
-    // term — docs too short to shingle can't pair anyway, and this keeps
-    // N derivable from tf on any engine.
-    val tf = docs.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), k)).as("tok"))
+    // ONE corpus scan: tf is eagerly checkpointed (tokenizing is cheap
+    // since WordShingles went codegen, so one materializing pass beats
+    // the persist-and-populate dance it replaces), and the nDocs action
+    // (the IDF numerator), the df frame, and the weighted join all read
+    // the checkpoint. Terms are keyed by xxhash64, not string — the
+    // shuffles and the dots self-join below then compare 8-byte longs
+    // (the shingleIndex collision contract: a collision only merges two
+    // terms' df, ~n²/2^65). A separate docs.count() would re-scan the
+    // text for a single long; N = #docs with at least one term — docs
+    // too short to shingle can't pair anyway, and this keeps N
+    // derivable from tf on any engine. spread() first: the
+    // tokenize+explode map side is the CPU-dense step and a small
+    // corpus arrives as 1-2 parquet splits (no-op on a multi-split
+    // cluster read).
+    val tf = Similarity.spread(
+        docs.select(col(idCol).as("doc"), col(textCol).as("__text")))
+      .select(col("doc"),
+        explode(TextFunctions.shingles(col("__text"), k)).as("tok_str"))
+      .select(col("doc"), xxhash64(col("tok_str")).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nDocs =
       tf.agg(countDistinct(col("doc")).as("n")).collect()(0).getLong(0)
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -234,13 +242,16 @@ object Dedup {
         col("x.tok") === col("y.tok") && col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .agg(sum(col("x.w") * col("y.w")).as("dot"))
+    // identical `norms` subplan on both legs (aliased, not renamed) so
+    // the planner builds one exchange and reuses it — the per-leg
+    // renames computed norms twice (same fix as pairStats)
     dots
-      .join(norms.select(col("doc").as("doc_a"), col("n2").as("na2")), "doc_a")
-      .join(norms.select(col("doc").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .join(norms.as("__na"), col("doc_a") === col("__na.doc"))
+      .join(norms.as("__nb"), col("doc_b") === col("__nb.doc"))
       .select(col("doc_a"), col("doc_b"),
         SafeMath.roundHalfUp(
           col("dot").cast("double") /
-            sqrt(col("na2").cast("double") * col("nb2").cast("double")),
+            sqrt(col("__na.n2").cast("double") * col("__nb.n2").cast("double")),
           scale).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -259,8 +270,13 @@ object Dedup {
     * sf0.1; at corpus scale it's a shuffle of Σ|shingles| rows). */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), k)))
+    // spread() before tokenizing: a small corpus arrives as 1-2 parquet
+    // splits and shingling is the CPU-dense step — without the widening
+    // round-robin (a no-op on any multi-split cluster read) the whole
+    // scan runs on as many cores as there are files
+    Similarity.spread(docs.select(col(idCol).as("doc"), col(textCol).as("__text")))
+      .select(col("doc"),
+        explode(array_distinct(TextFunctions.shingles(col("__text"), k)))
           .as("sh_str"))
       .select(col("doc"), xxhash64(col("sh_str")).as("sh"))
 
@@ -285,21 +301,25 @@ object Dedup {
     * as [[jaccardPairs]]; only the final metric differs. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.9, dfCap: Int = 100): DataFrame =
-    pairStats(docs, idCol, textCol, k, dfCap)
-      .withColumn("containment",
-        col("inter").cast("double") / least(col("n_a"), col("n_b")))
-      .filter(col("containment") >= threshold)
-      .select("doc_a", "doc_b", "containment")
-      .localCheckpoint()
+    pairStats(docs, idCol, textCol, k, dfCap) { stats =>
+      stats
+        .withColumn("containment",
+          col("inter").cast("double") / least(col("n_a"), col("n_b")))
+        .filter(col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    }
 
   /** Shared guts of [[jaccardPairs]] / [[containmentPairs]]: candidate
-    * pairs with (inter, n_a, n_b) set statistics. ONE shuffle groups the
-    * inverted index by shingle; the df-cap is a per-row size() filter on
-    * the grouped frame, and candidate pairs are generated IN-ROW from
-    * each posting list (O(df²) per shingle, bounded by the cap) — no
-    * index self-join, no hot-shingle anti-join. */
+    * pairs with (inter, n_a, n_b) set statistics, passed through `finish`
+    * (metric + threshold filter) BEFORE the materializing checkpoint — so
+    * only the small surviving pair set is ever written, not the full
+    * candidate frame. ONE shuffle groups the inverted index by shingle;
+    * the df-cap is a per-row size() filter on the grouped frame, and
+    * candidate pairs are generated IN-ROW from each posting list (O(df²)
+    * per shingle, bounded by the cap) — no index self-join, no
+    * hot-shingle anti-join. */
   private def pairStats(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, dfCap: Int): DataFrame = {
+      k: Int, dfCap: Int)(finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val byShingle = shingleIndex(docs, idCol, textCol, k)
       .groupBy("sh").agg(collect_list("doc").as("docs"))
@@ -308,26 +328,44 @@ object Dedup {
     try {
       val sizes = byShingle.select(explode(col("docs")).as("doc"))
         .groupBy("doc").agg(count(lit(1)).as("n_sh"))
+      // in-row pair generation via two stacked generators (posexplode,
+      // then explode of the positional tail slice) + least/greatest for
+      // the canonical (doc_a < doc_b) order — every expression here is
+      // codegen'd. The previous transform/filter/struct HOF chain built
+      // the same pairs interpreted at ~10µs/pair (HOF lambdas run
+      // outside codegen). Positional pairing emits each unordered
+      // in-list pair exactly once, same as the value-ordered form
+      // (posting lists are distinct by construction).
       val co = byShingle.filter(size(col("docs")) >= 2)
-        .select(explode(flatten(transform(col("docs"), a =>
-          transform(filter(col("docs"), b => b > a),
-            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .select(col("docs"), posexplode(col("docs")).as(Seq("__i", "__a")))
+        .select(col("__a"),
+          explode(slice(col("docs"), col("__i") + lit(2),
+            size(col("docs")) - col("__i") - lit(1))).as("__b"))
+        .groupBy(least(col("__a"), col("__b")).as("doc_a"),
+          greatest(col("__a"), col("__b")).as("doc_b"))
         .agg(count(lit(1)).as("inter"))
-      co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .localCheckpoint()
+      // both legs reference the IDENTICAL `sizes` subplan (aliased, not
+      // column-renamed): per-leg renames made the subplans distinct and
+      // defeated ReuseExchange, computing sizes twice — with plain
+      // aliases the planner builds ONE exchange and reuses it
+      val stats = co
+        .join(sizes.as("__sa"), col("doc_a") === col("__sa.doc"))
+        .join(sizes.as("__sb"), col("doc_b") === col("__sb.doc"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("__sa.n_sh").as("n_a"), col("__sb.n_sh").as("n_b"))
+      finish(stats).localCheckpoint()
     } finally byShingle.unpersist()
   }
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, dfCap: Int = 100): DataFrame =
-    pairStats(docs, idCol, textCol, k, dfCap)
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint()
+    pairStats(docs, idCol, textCol, k, dfCap) { stats =>
+      stats
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
 
   /** Duplicate-passage pairs (the exact-substring dedup family): document
     * pairs sharing at least `minRun` CONSECUTIVE word k-shingles — a
@@ -609,9 +647,27 @@ object Dedup {
   def clusterAssignments(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, NumericType}
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val spark = pairs.sparkSession
+    val edgesAll = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
+    // Size the iteration to the COUNTED edge set (Adaptive): a near-dup
+    // graph is tiny relative to its corpus, and AQE won't coalesce the
+    // per-round stages below defaultParallelism, so without this a
+    // few-hundred-edge graph pays ~32 near-empty tasks × ~6 stages ×
+    // rounds. When the loop runs narrower than the session width, the
+    // edge frame is re-materialized at loop width so every round scans
+    // `parts` blocks instead of the ambient-width cache.
+    val m = edgesAll.count()
+    val parts = graft.core.Adaptive.partsFor(spark, m)
+    val ambient = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.core.Adaptive.withShufflePartitions(spark, parts) {
+    val edges =
+      if (parts < ambient) {
+        val narrow = edgesAll.coalesce(parts).localCheckpoint()
+        edgesAll.unpersist(blocking = false)
+        narrow
+      } else edgesAll
     // init = identity fused with the FIRST propagation hop: min(self,
     // neighbors) costs the same single shuffle the identity-label
     // distinct() did, but starts one round ahead — pair components (the
@@ -682,6 +738,7 @@ object Dedup {
         s"clusterAssignments did not converge in $maxIter rounds — " +
           "raise maxIter (pointer jumping needs ~log2(component diameter))")
     labels
+    }
   }
 
   /** Apply cluster assignments to a corpus: keep each component's

@@ -31,32 +31,56 @@ object Graphs {
     * current ranks on src, one map-side-combined shuffle on dst. The
     * rank frame is persisted + localCheckpoint'd per round so lineage
     * stays O(1) across iterations (the [[Dedup.clusterAssignments]]
-    * recipe).
+    * recipe). The whole iteration runs at a shuffle width sized to the
+    * COUNTED graph ([[graft.core.Adaptive.partsFor]]): AQE won't
+    * coalesce below defaultParallelism, so a small graph would
+    * otherwise iterate on ~32 near-empty tasks per stage × many stages
+    * per round — the measured bulk of the bench cost — while a
+    * billion-edge graph keeps the session's configured width.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
-    val nodes = e.select(col("src").as("node"))
+    val nodesAll = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().persist()
-    val eo = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src").persist()
-    val n = nodes.count()
+    val n = nodesAll.count()
+    val m = e.count()
+    val parts = graft.core.Adaptive.partsFor(spark, math.max(n, m))
     val base = Scale * 15 / 100 / n
-    var pr = nodes.withColumn("pr", lit(Scale / n)).localCheckpoint()
-    (1 to iterations).foreach { _ =>
-      val contrib = eo.join(pr, eo("src") === pr("node"))
-        .select(col("dst"), expr("pr div outdeg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("c"))
-      val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
-        .localCheckpoint()
-      pr.unpersist()
-      pr = next
+    graft.core.Adaptive.withShufflePartitions(spark, parts) {
+      // re-materialize the loop-invariant frames at the loop width: the
+      // per-round stages then scan `parts` blocks, not the ambient-width
+      // cache (a 32-block scan of 200 rows costs more than the rounds)
+      val nodes = nodesAll.coalesce(parts).localCheckpoint()
+      val eo = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .coalesce(parts).localCheckpoint()
+      e.unpersist(blocking = false)
+      nodesAll.unpersist(blocking = false)
+      var pr = nodes.withColumn("pr", lit(Scale / n))
+      var prevCheckpointed: DataFrame = null
+      (1 to iterations).foreach { _ =>
+        val contrib = eo.join(pr, eo("src") === pr("node"))
+          .select(col("dst"), expr("pr div outdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("c"))
+        val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
+          .localCheckpoint()
+        if (prevCheckpointed != null) prevCheckpointed.unpersist()
+        prevCheckpointed = next
+        pr = next
+      }
+      // with zero iterations pr still reads the nodes checkpoint (a
+      // localCheckpoint can't be recomputed once its blocks are dropped)
+      if (prevCheckpointed != null) {
+        nodes.unpersist(blocking = false)
+        eo.unpersist(blocking = false)
+      }
+      pr
     }
-    e.unpersist(); eo.unpersist(); nodes.unpersist()
-    pr
   }
 
   /** Synchronous label propagation (community detection): every node

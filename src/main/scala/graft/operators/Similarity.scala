@@ -32,7 +32,7 @@ object Similarity {
     * The round-robin shuffle is negligible next to the scoring work; a
     * corpus scan that is already ≥ defaultParallelism partitions (any
     * real cluster read) passes through untouched. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -267,7 +267,22 @@ object Similarity {
     * per-query windows, no driver loops. */
   def annRecallMultiTable(embeddings: DataFrame, idCol: String,
       vecCol: String, queryFilter: Column, dim: Int, k: Int = 10,
-      bits: Int = 8, tables: Int = 4, seed: Int = 42): DataFrame = {
+      bits: Int = 8, tables: Int = 4, seed: Int = 42): DataFrame =
+    annRecallOperatingPoints(embeddings, idCol, vecCol, queryFilter, dim,
+      k, Seq((bits, tables)), seed).drop("bits")
+
+  /** The full AND-OR operating grid: each (bits, tables) config is a
+    * bands×tables point — bits per band is the AND width (selectivity),
+    * tables the OR width (recall) — and every config shares ONE corpus
+    * scan for ground truth. Fewer bits per band raises per-table
+    * collision probability, so e.g. (6 bits, 6 tables) reaches the
+    * ≥0.6-recall regime a deployment would actually pick, where
+    * (8 bits, 3 tables) bottoms out near 0.36; the cost column shows
+    * what each point pays for it. Output adds a leading `bits` column to
+    * the [[annRecallMultiTable]] schema. */
+  def annRecallOperatingPoints(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryFilter: Column, dim: Int, k: Int,
+      configs: Seq[(Int, Int)], seed: Int = 42): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sp = embeddings.sparkSession
     import sp.implicits._
@@ -279,63 +294,67 @@ object Similarity {
       .orderBy(col("cos").desc, col("vid").asc)
     val bruteWnd = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
+    // brute-force ground truth: ONE corpus pass shared by every config
     val brute = corpus.crossJoin(broadcast(queries))
       .select(col("qid"), col("vid"),
         cosineCols(col("v"), col("qv")).as("cos"))
       .withColumn("__r", row_number().over(bruteWnd))
       .filter(col("__r") <= k).select("qid", "vid")
       .localCheckpoint()
-    // corpus side: L bucket longs per vector, one scan; unpivoted to
-    // (vid, v, table, bucket) — the same L× blow-up a materialized
-    // OR-construction index pays on disk
-    val cbWide = corpus.select(col("vid") +: col("v") +:
-      (0 until tables).map(t =>
-        lshBucket(col("v"), dim, bits, tableSeed(seed, t)).as(s"__b$t")): _*)
-    val cb = cbWide.select(col("vid"), col("v"), explode(array(
+    val perConfig = configs.map { case (bits, tables) =>
+      // corpus side: L bucket longs per vector, one scan; unpivoted to
+      // (vid, v, table, bucket) — the same L× blow-up a materialized
+      // OR-construction index pays on disk
+      val cbWide = corpus.select(col("vid") +: col("v") +:
         (0 until tables).map(t =>
-          struct(lit(t).as("t"), col(s"__b$t").as("b"))): _*)).as("p"))
-      .select(col("vid"), col("v"),
-        col("p.t").as("__t"), col("p.b").as("__b"))
-    // probe side (small, broadcast): per (query, table) the own bucket
-    // plus 1-bit flips, as equi-join rows (table, bucket)
-    val flips: Seq[Long] = 0L +: (0 until bits).map(b => 1L << b)
-    val qbWide = queries.select(col("qid") +: col("qv") +:
-      (0 until tables).map(t =>
-        lshBucket(col("qv"), dim, bits, tableSeed(seed, t)).as(s"__q$t")): _*)
-    val probes = qbWide.select(col("qid"), col("qv"), explode(array(
-        (for (t <- 0 until tables; f <- flips) yield
-          struct(lit(t).as("t"), col(s"__q$t").bitwiseXOR(lit(f)).as("b"))): _*))
-        .as("p"))
-      .select(col("qid"), col("qv"),
-        col("p.t").as("__t"), col("p.b").as("__b"))
-    // candidates: min matching table + cosine (identical across tables,
-    // max() just picks it); checkpointed — every per-L pass below reads
-    // this frame, not the corpus
-    val matched = cb.join(broadcast(probes), Seq("__t", "__b"))
-      .groupBy(col("qid"), col("vid"))
-      .agg(min(col("__t")).as("t_min"),
-        max(cosineCols(col("v"), col("qv"))).as("cos"))
-      .localCheckpoint()
-    val perL = (1 to tables).map { l =>
-      matched.filter(col("t_min") < l).withColumn("l_tables", lit(l))
-    }.reduce(_ unionByName _)
-    val cost = perL.groupBy("l_tables", "qid")
-      .agg(count(lit(1)).as("n_candidates"))
-    val lshTop = perL
-      .withColumn("__r", row_number().over(wnd))
-      .filter(col("__r") <= k).select("l_tables", "qid", "vid")
-    val hits = brute.join(lshTop, Seq("qid", "vid"))
-      .groupBy("l_tables", "qid").agg(count(lit(1)).as("n_hits"))
-    val grid = queries.select(col("qid"))
-      .crossJoin((1 to tables).toDF("l_tables"))
-    grid
-      .join(cost, Seq("l_tables", "qid"), "left")
-      .join(hits, Seq("l_tables", "qid"), "left")
-      .select(col("l_tables"), col("qid"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
-          .as("recall"))
+          lshBucket(col("v"), dim, bits, tableSeed(seed, t)).as(s"__b$t")): _*)
+      val cb = cbWide.select(col("vid"), col("v"), explode(array(
+          (0 until tables).map(t =>
+            struct(lit(t).as("t"), col(s"__b$t").as("b"))): _*)).as("p"))
+        .select(col("vid"), col("v"),
+          col("p.t").as("__t"), col("p.b").as("__b"))
+      // probe side (small, broadcast): per (query, table) the own bucket
+      // plus 1-bit flips, as equi-join rows (table, bucket)
+      val flips: Seq[Long] = 0L +: (0 until bits).map(b => 1L << b)
+      val qbWide = queries.select(col("qid") +: col("qv") +:
+        (0 until tables).map(t =>
+          lshBucket(col("qv"), dim, bits, tableSeed(seed, t)).as(s"__q$t")): _*)
+      val probes = qbWide.select(col("qid"), col("qv"), explode(array(
+          (for (t <- 0 until tables; f <- flips) yield
+            struct(lit(t).as("t"), col(s"__q$t").bitwiseXOR(lit(f)).as("b"))): _*))
+          .as("p"))
+        .select(col("qid"), col("qv"),
+          col("p.t").as("__t"), col("p.b").as("__b"))
+      // candidates: min matching table + cosine (identical across tables,
+      // max() just picks it); checkpointed — every per-L pass below reads
+      // this frame, not the corpus
+      val matched = cb.join(broadcast(probes), Seq("__t", "__b"))
+        .groupBy(col("qid"), col("vid"))
+        .agg(min(col("__t")).as("t_min"),
+          max(cosineCols(col("v"), col("qv"))).as("cos"))
+        .localCheckpoint()
+      val perL = (1 to tables).map { l =>
+        matched.filter(col("t_min") < l).withColumn("l_tables", lit(l))
+      }.reduce(_ unionByName _)
+      val cost = perL.groupBy("l_tables", "qid")
+        .agg(count(lit(1)).as("n_candidates"))
+      val lshTop = perL
+        .withColumn("__r", row_number().over(wnd))
+        .filter(col("__r") <= k).select("l_tables", "qid", "vid")
+      val hits = brute.join(lshTop, Seq("qid", "vid"))
+        .groupBy("l_tables", "qid").agg(count(lit(1)).as("n_hits"))
+      val grid = queries.select(col("qid"))
+        .crossJoin((1 to tables).toDF("l_tables"))
+      grid
+        .join(cost, Seq("l_tables", "qid"), "left")
+        .join(hits, Seq("l_tables", "qid"), "left")
+        .select(lit(bits).as("bits"), col("l_tables"), col("qid"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+            .as("recall"))
+    }
+    perConfig.reduce(_ unionByName _)
   }
 
   /** Per-group mean embedding (class prototypes, IVF training step).

@@ -204,13 +204,24 @@ object CoreQueries {
     GraftQuery(
       "q40_approx_distinct",
       (s, dir) => {
-        // HLL++ sketch — engine-specific estimates, so rows-only gate;
-        // at 100 TB this replaces exact distinct wherever ±2% is fine.
+        // HLL++ sketch — the estimate itself is engine-specific (DuckDB's
+        // approx sketch can't hash-match Spark's), so the gated output is
+        // the ASSERTION: the exact count plus a boolean that Spark's
+        // rsd=0.02 estimate landed within ±5% of it. A drifting estimate
+        // flips the boolean and fails the hash gate — a real correctness
+        // check, not rows-only. (q93 gates a fully portable HLL twin.)
+        // At 100 TB this operator replaces exact distinct wherever ±2%
+        // error is acceptable.
         val ev = Tables.events(s, dir)
         ev.groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("__approx"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(col("event_type"), col("n_users"),
+            (abs(col("__approx") - col("n_users")).cast("double") <=
+              col("n_users").cast("double") * 0.05).as("approx_within_5pct"))
       },
-      None),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        true AS approx_within_5pct FROM events GROUP BY event_type""")),
 
     GraftQuery(
       "q93_hll_portable",

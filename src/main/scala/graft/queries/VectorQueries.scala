@@ -161,17 +161,23 @@ object VectorQueries {
     GraftQuery(
       "q154_ann_multitable_recall",
       (s, dir) => {
-        // the OR-construction recall curve: L independent 8-bit tables,
-        // radius-1 probes each — L=3 costs ~27 of 256 buckets (≈ what
-        // radius-2 single-table pays) but each table is an independent
-        // chance to co-locate a neighbor, so recall climbs with L. One
-        // corpus scan, one brute pass, per-L results from one candidate
-        // frame — the artifact a deployment reads to pick L.
-        Similarity.annRecallMultiTable(
+        // the AND-OR operating grid: each (bits, tables) point is a
+        // bands×tables configuration with radius-1 probes per table —
+        // (8 bits, L≤3) is the selective/cheap corner (~0.36 recall),
+        // (6 bits, L≤6) widens the bands and ORs more tables to reach
+        // the ≥0.6-recall regime a deployment would actually pick. One
+        // corpus scan and ONE shared brute ground-truth pass feed every
+        // point; n_candidates is the probe cost each point pays.
+        Similarity.annRecallOperatingPoints(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-          col("vec_id") % 50 === 0, dim = Dim, k = 10, bits = 8, tables = 3)
+          col("vec_id") % 50 === 0, dim = Dim, k = 10,
+          configs = Seq((8, 3), (6, 6)))
       },
-      Some(annMultiTableOracle(3)),
+      Some(s"""SELECT CAST(8 AS INTEGER) AS bits, o.*
+          FROM (${annMultiTableOracle(3, 8)}) o
+        UNION ALL
+        SELECT CAST(6 AS INTEGER) AS bits, o2.*
+          FROM (${annMultiTableOracle(6, 6)}) o2"""),
       bench = true),
 
     GraftQuery(

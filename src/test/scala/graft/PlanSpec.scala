@@ -173,4 +173,51 @@ class PlanSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("spread() is a no-op on already-wide inputs and widens narrow ones") {
+    // the sf1 fixes inserted spread() ahead of O(n·q) scoring scans; this
+    // pins its contract so a future edit can't turn it into an
+    // unconditional shuffle (at cluster scale every scan is already wide)
+    import org.apache.spark.sql.functions.col
+    val target = spark.sparkContext.defaultParallelism
+    val wide = spark.range(1000).select(col("id")).repartition(target + 2)
+    assert(graft.operators.Similarity.spread(wide) eq wide,
+      "spread() must pass a wide frame through untouched")
+    val narrow = spark.range(1000).coalesce(1)
+      .select(col("id"))
+    assert(graft.operators.Similarity.spread(narrow).rdd.getNumPartitions
+      === target,
+      "spread() must widen a single-split frame to defaultParallelism")
+  }
+
+  test("no gated batch plan nests a BroadcastNestedLoopJoin outside the brute-force baselines") {
+    // the single-core O(n²) shape the sf1 sweep caught: a non-equi join
+    // plans as BroadcastNestedLoop, and only the DELIBERATE brute-force
+    // measurement baselines may contain one — everything else must keep
+    // an equi-key. A new gate that trips this either needs a bucketed
+    // reformulation or an explicit entry here with a reason.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    spark.sparkContext.setLogLevel("ERROR")
+    val bruteForceBaselines = Set(
+      "q33_cosine_topk",        // brute top-k: the recall/cost baseline
+      "q37_embedding_near_dup", // brute near-dup: ditto (both spread())
+      "q138_ann_recall",        // recall harness joins brute vs LSH truth
+      "q154_ann_multitable_recall", // ditto, multi-table
+      "q182_ann_ndcg",          // NDCG against brute ground truth
+      // crossJoin(broadcast(<one-row aggregate>)) also plans as BNLJ —
+      // a single-row build side is O(n), not O(n²), so these are fine:
+      "q76_bm25",               // broadcasts (N, avgdl) corpus scalars
+      "q180_ab_test",           // crossJoins two 1-row variant aggregates
+      "q197_zorder_skipping")   // broadcasts (mx, my, mz) maxima
+    val offenders = batchGates
+      .filterNot(q => bruteForceBaselines.contains(q.name))
+      .flatMap { q =>
+        val plan = q.run(spark, SfDir).queryExecution.executedPlan
+        if (operators(plan).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+          Some(q.name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unexpected BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
+  }
 }
