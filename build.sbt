@@ -9,6 +9,18 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// DuckDB's JDBC driver, straight from the pre-warmed LOCAL coursier
+// cache as an unmanaged jar (no resolver involvement — offline-safe,
+// zero egress): it backs the q198 gate and spec for the pure-java.sql
+// JdbcBatchSink with a real embedded database. Located by glob so no
+// repository layout is hardcoded; when absent everything still
+// compiles — only the gate/spec would fail.
+def duckdbJdbcJar: Seq[Attributed[File]] = {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-1.0.0.jar").get().headOption.toSeq.map(Attributed.blank)
+}
+Runtime / unmanagedJars ++= duckdbJdbcJar
+Test / unmanagedJars ++= duckdbJdbcJar
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

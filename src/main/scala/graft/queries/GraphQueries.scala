@@ -178,6 +178,10 @@ object LayoutQueries {
           .select(col("l_orderkey").as("x"), col("l_partkey").as("y"))
           .withColumn("zkey",
             graft.functions.Layout.zorder2(col("x"), col("y")))
+          // materialize once: the 62-term zorder projection feeds both
+          // the stats aggregate and the crossJoin leg — without this the
+          // scan+zorder runs twice (it was q197's whole sf1 cost)
+          .localCheckpoint()
         val m = l.agg(max("x").as("mx"), max("y").as("my"),
           max("zkey").as("mz"))
         l.crossJoin(broadcast(m))

@@ -546,7 +546,39 @@ object PipelineQueries {
           '/100000/' || concat_ws('/', g.pcode, g.ccode, g.dcode) || '/' AS region_path,
           CAST(10 AS INTEGER) AS status,
           CAST($Now AS BIGINT) AS create_time
-        FROM r LEFT JOIN g ON g.ip = r.internet_ip"""))
+        FROM r LEFT JOIN g ON g.ip = r.internet_ip""")),
+
+    GraftQuery(
+      "q198_jdbc_batch_sink",
+      (s, dir) => {
+        // K2/K7's bulk-write physics through a REAL JDBC database: the
+        // fact frame goes out via JdbcBatchSink (per-partition writers,
+        // the reference's 10k-row/4s flush contract,
+        // ClickhouseSink.java:28-31) into an embedded DuckDB file, is
+        // read back over the same JDBC URL, and the roundtrip is
+        // hash-gated against the parquet truth — a type-mapping, batch
+        // or commit bug anywhere in the sink breaks the gate. Batch size
+        // is lowered to 1000 so sf0.01's ~7k rows exercise several
+        // flush/commit cycles, not one.
+        val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc")
+        val url = s"jdbc:duckdb:${dbDir.resolve("facts.db")}"
+        val facts = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+          .repartition(4, col("l_orderkey"))
+        graft.sources.JdbcBatchSink.write(facts, url, "lineitem_facts",
+          batchRows = 1000)
+        graft.sources.JdbcBatchSink.ensureDialect()
+        s.read.format("jdbc")
+          .option("url", url)
+          .option("dbtable", "lineitem_facts")
+          .option("driver", "org.duckdb.DuckDBDriver")
+          .load()
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+          l_extendedprice, l_returnflag
+        FROM lineitem WHERE l_quantity >= 45"""))
   )
 }
 

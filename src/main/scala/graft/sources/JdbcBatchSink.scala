@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Generic JDBC batch sink with the reference's ClickHouse flush
+  * contract: buffer rows per writer and flush when EITHER 10 000 rows
+  * accumulate OR 4000 ms elapse since the last flush
+  * (`nqs-console/.../sink/ClickhouseSink.java:28-31`).
+  *
+  * Spark-first shape: one connection per PARTITION (`foreachPartition`),
+  * so on a cluster each executor core is an independent batching writer —
+  * the same topology as the reference's per-subtask sink, but the
+  * parallelism is the frame's partitioning (repartition on the table's
+  * shard key upstream, e.g. via [[OutputCatalog]] specs, to co-locate a
+  * key's rows on one writer). Pure `java.sql` — no driver-specific API —
+  * so the same code targets ClickHouse/MySQL/anything with a JDBC URL;
+  * the test double and the q198 gate run it against an embedded DuckDB
+  * file database.
+  *
+  * Batches commit transactionally per flush; a flush that fails with a
+  * transient conflict (concurrent appends under optimistic MVCC) is
+  * retried once after rollback — append-only inserts touch disjoint rows,
+  * so a second attempt succeeds unless the database itself is down.
+  */
+object JdbcBatchSink {
+
+  val DefaultBatchRows = 10000
+  val DefaultFlushMs = 4000L
+
+  /** Spark JDBC dialect for embedded DuckDB: the driver's metadata
+    * reports integer columns as unsigned (`isSigned=false`), which makes
+    * Spark's default mapping widen BIGINT→DECIMAL(20,0) and
+    * INTEGER→BIGINT on read — a silent schema drift that breaks
+    * roundtrip parity (and the q198 hash gate). The dialect pins the
+    * exact-width signed mappings. Registered lazily, once. */
+  object DuckDBDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean =
+      url.startsWith("jdbc:duckdb:")
+    override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+        md: org.apache.spark.sql.types.MetadataBuilder): Option[DataType] =
+      sqlType match {
+        case java.sql.Types.BIGINT => Some(LongType)
+        case java.sql.Types.INTEGER => Some(IntegerType)
+        case java.sql.Types.SMALLINT => Some(ShortType)
+        case java.sql.Types.TINYINT => Some(ByteType)
+        case _ => None
+      }
+  }
+
+  @volatile private var dialectRegistered = false
+
+  def ensureDialect(): Unit = if (!dialectRegistered) synchronized {
+    if (!dialectRegistered) {
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDBDialect)
+      dialectRegistered = true
+    }
+  }
+
+  /** DDL type for a Spark field — the portable ANSI names DuckDB,
+    * ClickHouse (via JDBC), MySQL and Postgres all accept. */
+  private def sqlType(dt: DataType): String = dt match {
+    case StringType => "VARCHAR"
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case ByteType => "TINYINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"JdbcBatchSink: unsupported column type ${other.sql}")
+  }
+
+  /** CREATE TABLE IF NOT EXISTS matching `schema` (driver-side, once). */
+  def ensureTable(url: String, table: String, schema: StructType): Unit = {
+    val cols = schema.fields
+      .map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try st.execute(s"""CREATE TABLE IF NOT EXISTS "$table" ($cols)""")
+      finally st.close()
+    }
+  }
+
+  /** Write `df` into `table` at `url` (creating it from the frame's
+    * schema), one batching writer per partition. */
+  def write(df: DataFrame, url: String, table: String,
+      batchRows: Int = DefaultBatchRows, flushMs: Long = DefaultFlushMs): Unit = {
+    val schema = df.schema
+    ensureTable(url, table, schema)
+    val insert = s"""INSERT INTO "$table" (${schema.fields
+        .map(f => s""""${f.name}"""").mkString(", ")}) VALUES (${schema.fields
+        .map(_ => "?").mkString(", ")})"""
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) writePartition(rows, url, insert, schema, batchRows, flushMs)
+    }
+  }
+
+  /** One partition's writer loop: addBatch rows, flush on count OR time. */
+  private def writePartition(rows: Iterator[Row], url: String,
+      insert: String, schema: StructType, batchRows: Int, flushMs: Long): Unit =
+    withConnection(url) { conn =>
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement(insert)
+      try {
+        var buffered = 0
+        var lastFlush = System.nanoTime()
+        while (rows.hasNext) {
+          bind(ps, rows.next(), schema)
+          ps.addBatch()
+          buffered += 1
+          val elapsedMs = (System.nanoTime() - lastFlush) / 1000000L
+          if (buffered >= batchRows || (buffered > 0 && elapsedMs >= flushMs)) {
+            flush(conn, ps)
+            buffered = 0
+            lastFlush = System.nanoTime()
+          }
+        }
+        if (buffered > 0) flush(conn, ps)
+      } finally ps.close()
+    }
+
+  /** executeBatch + commit, one rollback-and-retry on transient failure. */
+  private def flush(conn: Connection, ps: PreparedStatement): Unit =
+    try { ps.executeBatch(); conn.commit() }
+    catch {
+      case _: SQLException =>
+        conn.rollback()
+        ps.executeBatch(); conn.commit()
+    }
+
+  private def bind(ps: PreparedStatement, row: Row, schema: StructType): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      val v = if (row.isNullAt(i)) null else row.get(i)
+      v match {
+        case null => ps.setObject(i + 1, null)
+        case s: String => ps.setString(i + 1, s)
+        case l: Long => ps.setLong(i + 1, l)
+        case n: Int => ps.setInt(i + 1, n)
+        case n: Short => ps.setShort(i + 1, n)
+        case n: Byte => ps.setByte(i + 1, n)
+        case d: Double => ps.setDouble(i + 1, d)
+        case f: Float => ps.setFloat(i + 1, f)
+        case b: Boolean => ps.setBoolean(i + 1, b)
+        case d: java.math.BigDecimal => ps.setBigDecimal(i + 1, d)
+        case d: java.sql.Date => ps.setDate(i + 1, d)
+        case t: java.sql.Timestamp => ps.setTimestamp(i + 1, t)
+        case other => ps.setObject(i + 1, other)
+      }
+      i += 1
+    }
+  }
+
+  private def withConnection[T](url: String)(body: Connection => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try body(conn) finally conn.close()
+  }
+}
