@@ -40,12 +40,17 @@ object TaskDataPipeline {
     * limit (the batch path survives only because sink-side column pruning
     * shrinks its projections). */
   def preScore(raw: DataFrame, dims: Dims, nowEpoch: Long,
-      firstScreenFactor: Double = 1.0): DataFrame = {
+      firstScreenFactor: Double = 1.0,
+      maxSkewSec: Long = graft.core.DynamicConf.DefaultProbeTimeOffset): DataFrame = {
     val parsed = Parse.dataUpload(raw).filter(!col("bad_msg")).drop("bad_msg")
 
     // P9: timestamp clamp against processing time (deterministic `now`).
+    // The threshold is the reference's runtime-reloadable
+    // `gw-console.probe.time.offset` (`TaskDataClickHouseSink.java:71`) —
+    // the streaming job re-resolves it per micro-batch from a
+    // [[graft.core.DynamicConf]].
     val clamped = parsed.withColumn("test_time",
-      when(abs(lit(nowEpoch) - col("test_time")) > 108000L, lit(nowEpoch))
+      when(abs(lit(nowEpoch) - col("test_time")) > maxSkewSec, lit(nowEpoch))
         .otherwise(col("test_time")))
 
     // J1-J4 enrichment; geo override needs host_province/city/operator
@@ -86,8 +91,9 @@ object TaskDataPipeline {
       ScoreEngine.scoreAll(cfg, col("task_type_name"), safeSrc(df)))
 
   def apply(raw: DataFrame, dims: Dims, cfg: PQConfig = PQDefaults.config,
-      nowEpoch: Long, firstScreenFactor: Double = 1.0): DataFrame =
-    withScore(preScore(raw, dims, nowEpoch, firstScreenFactor), cfg)
+      nowEpoch: Long, firstScreenFactor: Double = 1.0,
+      maxSkewSec: Long = graft.core.DynamicConf.DefaultProbeTimeOffset): DataFrame =
+    withScore(preScore(raw, dims, nowEpoch, firstScreenFactor, maxSkewSec), cfg)
 
   /** U3: explode HTTP detail arrays into child fact rows carrying the
     * parent id (`WindowDataProcessFunction.java:47-77`,

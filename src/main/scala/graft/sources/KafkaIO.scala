@@ -51,20 +51,53 @@ object KafkaIO {
     auth ++ conf.groupId.map("kafka.group.id" -> _)
   }
 
+  /** The exact record schema `spark-sql-kafka-0-10` emits from `.load()`
+    * (key/value as BINARY plus consumer metadata). Public so tests can
+    * fabricate connector-shaped frames and drive [[decodeKafkaFrame]] on
+    * real wire bytes without a broker. */
+  val kafkaRecordSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+  }
+
+  /** Wire-decode step shared by [[source]] and the broker-less boundary
+    * tests: UTF-8-decodes the binary Kafka `value` (the byte-for-byte
+    * payload the reference consumer sees, incl. the heartbeat topic's raw
+    * 0x02 separators, `HeartBeatMessage.java:16-21`) into the STRING
+    * `value` column every `graft.nqs.Parse` parser takes, and keeps the
+    * consumer metadata. */
+  def decodeKafkaFrame(records: DataFrame): DataFrame =
+    records.select(
+      col("value").cast("string").as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
+
   /** Streaming source: one STRING `value` row per message (the wire format
     * every `graft.nqs.Parse` parser takes), plus the Kafka metadata. */
   def source(spark: SparkSession, conf: KafkaConf): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", conf.bootstrapServers)
-      .option("subscribe", conf.topic)
-      .option("startingOffsets", conf.startingOffsets)
-      .option("maxOffsetsPerTrigger", conf.maxOffsetsPerTrigger)
-      .options(clientOptions(conf))
-      .load()
-      .select(
-        col("value").cast("string").as("value"),
-        col("topic"), col("partition"), col("offset"), col("timestamp"))
+    decodeKafkaFrame(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", conf.bootstrapServers)
+        .option("subscribe", conf.topic)
+        .option("startingOffsets", conf.startingOffsets)
+        .option("maxOffsetsPerTrigger", conf.maxOffsetsPerTrigger)
+        .options(clientOptions(conf))
+        .load())
+
+  /** Producer-side projection shared by [[sink]] and the boundary tests:
+    * JSON-serializes the full row into the Kafka `value` keyed by `keyCol`
+    * — the K6 saved-event wire shape (`KafkaMessageProducer.java`). */
+  def encodeForKafka(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
 
   /** Streaming sink: JSON-serializes the frame into Kafka `value`s keyed by
     * `keyCol` — the K6 saved-event branch shape. Returns the writer so the
@@ -72,9 +105,7 @@ object KafkaIO {
   def sink(df: DataFrame, conf: KafkaConf, keyCol: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[Row] =
-    df.select(
-        col(keyCol).cast("string").as("key"),
-        to_json(struct(df.columns.map(col): _*)).as("value"))
+    encodeForKafka(df, keyCol)
       .writeStream
       .format("kafka")
       .trigger(trigger)

@@ -43,18 +43,30 @@ object StreamJobs {
   def runTaskData(raw: DataFrame, dims: TaskDataPipeline.Dims, outDir: String,
       checkpointDir: String, cfg: PQConfig = PQDefaults.config,
       nowEpoch: Long = System.currentTimeMillis() / 1000,
-      trigger: Trigger = DefaultTrigger): StreamingQuery =
+      trigger: Trigger = DefaultTrigger,
+      dynConf: Option[graft.core.DynamicConf] = None): StreamingQuery =
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Dynamic config re-resolves at every batch boundary — the Spark
+        // analog of the reference's per-record xxl-conf lookups
+        // (`TaskDataClickHouseSink.java:71`, `HttpDataParser.java:54`):
+        // a changed mirror file takes effect at the next micro-batch, no
+        // restart, and a batch is internally consistent (one value per
+        // key per batch).
+        import graft.core.DynamicConf._
+        val skew = dynConf.map(_.getLong(ProbeTimeOffsetKey,
+          DefaultProbeTimeOffset)).getOrElse(DefaultProbeTimeOffset)
+        val fsf = dynConf.map(_.getDouble(FirstScreenFactorKey,
+          DefaultFirstScreenFactor)).getOrElse(DefaultFirstScreenFactor)
         // persist-for-the-batch: the three sinks would otherwise each
         // re-run the whole parse→enrich→derive pipeline. The cache stops
         // BEFORE the 14-protocol score — only the facts sink needs the
         // score, so it's one small projection over the cache scan; fusing
         // it into the cache-build stage overran janino's 64 KB method
         // limit and dropped the whole stage out of whole-stage codegen.
-        val pre = TaskDataPipeline.preScore(batch, dims, nowEpoch)
+        val pre = TaskDataPipeline.preScore(batch, dims, nowEpoch, fsf, skew)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val details = TaskDataPipeline.explodeHttpDetails(pre, cfg)
