@@ -1770,6 +1770,69 @@ object StreamQueries {
           CAST(fire_seq AS BIGINT) AS fire_seq,
           CAST(n AS BIGINT) AS n_events, CAST(sx AS BIGINT) AS sum_x,
           n = 7 AS early
-        FROM g"""))
+        FROM g""")),
+
+    GraftQuery(
+      "q199_dynamic_clamp_stream",
+      (s, dir) => {
+        // The xxl-conf analog end-to-end (`core/DynamicConf`): the SAME
+        // 2-day-stale PING wire input runs through runTaskData twice
+        // under two mirror-file values of the reference's runtime key
+        // `gw-console.probe.time.offset` (`TaskDataClickHouseSink.java:
+        // 71`) — the 30 h default clamps every test_time to `now`, the
+        // widened 300 000 s gate keeps the reported times. Both runs
+        // append to ONE facts table, so the gate hashes the conf value
+        // binding into the plan, not just a parameter default. Payload
+        // fields are functions of the id key (k%30, k%7, k%480 via the
+        // timestamp), so content-id collisions collapse value-neutrally
+        // at any scale; host/geo columns (k%40) are excluded from the
+        // projection for the same reason.
+        val k = col("c_custkey")
+        val cust = Tables.load(s, dir, "customer")
+        val t0 = lit(Now) - 172800L - (k % 480) * 60L
+        val msg = pingMeas(k, k % 7, t0,
+          (k % 30) + (k % 7) * 2, (k % 7) * 5)
+        val frames = cust.select(concat(lit("["), msg, lit("]")).as("value"))
+        val dims = PipelineFixtures.dims(s, dir)
+        val base = Files.createTempDirectory("graft-dynclamp")
+        val mirror = base.resolve("xxl-mirror.properties").toString
+        val outDir = base.resolve("out").toString
+        for ((offset, run) <- Seq(108000L -> "a", 300000L -> "b")) {
+          graft.core.DynamicConf.writeMirror(mirror, Map(
+            graft.core.DynamicConf.ProbeTimeOffsetKey -> offset.toString))
+          val inDir = stage(base.resolve(s"in$run"), Seq(frames))
+          val q = StreamJobs.runTaskData(
+            StreamJobs.fileSource(s, inDir.toString),
+            dims, outDir, base.resolve(s"ckpt$run").toString,
+            nowEpoch = Now, trigger = Trigger.AvailableNow(),
+            dynConf = Some(new graft.core.DynamicConf(mirror, ttlMs = 0L)))
+          q.awaitTermination()
+        }
+        s.read.parquet(s"$outDir/gw_facts")
+          .select("id", "probe_id", "task_id", "task_type_name",
+            "test_time", "rtt", "jitter", "lost_rate", "test_time_h",
+            "create_time")
+          .localCheckpoint()
+      },
+      Some(s"""WITH b AS (SELECT c_custkey AS k FROM customer),
+          m AS (SELECT DISTINCT k % 30 AS pk, k % 7 AS tk, k % 35 AS jit,
+              CAST($Now - 172800 - (k % 480) * 60 AS BIGINT) AS t0
+            FROM b),
+          runs AS (
+            SELECT DISTINCT pk, tk, jit, CAST($Now AS BIGINT) AS test_time
+              FROM m
+            UNION ALL
+            SELECT DISTINCT pk, tk, jit, t0 FROM m)
+          SELECT
+            sha256('p-' || pk || '|' || 't-' || tk || '|' || 'PING' || '|'
+              || test_time) AS id,
+            'p-' || pk AS probe_id, 't-' || tk AS task_id,
+            'PING' AS task_type_name, test_time,
+            CAST(pk + tk * 2 AS DOUBLE) AS rtt,
+            CAST(jit AS DOUBLE) AS jitter,
+            CAST(tk * 5 AS DOUBLE) AS lost_rate,
+            CAST(epoch(date_trunc('hour', make_timestamp(test_time * 1000000))) AS BIGINT) AS test_time_h,
+            CAST($Now AS BIGINT) AS create_time
+          FROM runs"""))
   )
 }
