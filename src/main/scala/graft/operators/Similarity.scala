@@ -333,9 +333,14 @@ object Similarity {
         .agg(min(col("__t")).as("t_min"),
           max(cosineCols(col("v"), col("qv"))).as("cos"))
         .localCheckpoint()
-      val perL = (1 to tables).map { l =>
-        matched.filter(col("t_min") < l).withColumn("l_tables", lit(l))
-      }.reduce(_ unionByName _)
+      // a candidate with min matching table t_min belongs to every
+      // operating point l > t_min — ONE generator pass over the
+      // checkpointed frame instead of L filter+union scans (the union
+      // form re-read `matched` L times and stacked L plan branches).
+      // sequence() is safe here: t_min+1 ≤ tables always (t_min is a
+      // 0-based table index), so the range is never empty/descending.
+      val perL = matched.withColumn("l_tables",
+        explode(sequence(col("t_min") + lit(1), lit(tables))))
       val cost = perL.groupBy("l_tables", "qid")
         .agg(count(lit(1)).as("n_candidates"))
       val lshTop = perL
