@@ -463,15 +463,21 @@ object Similarity {
       scale: Int): DataFrame = {
     val e = embeddings.select(col(idCol),
       transform(col(vecCol), _.cast("double")).as("__v"))
-    val withCell = e.join(assign, Seq(idCol))
-    // Salt the in-cluster self-join: a plain join on `cluster` has at
-    // most k populated reduce keys, so k=8 caps the quadratic pair
-    // scoring at 8 cores no matter how many executors exist. The a-side
-    // splits into S deterministic salt lanes by id hash and the b-side
-    // replicates ×S — identical pair set, k·S-way parallelism, and the
-    // per-task pair count drops ×S (observed at sf1: 596 s → bounded by
-    // cores, not clusters). S is fixed (not cores-dependent) so the
-    // emitted pairs and their plan shape are reproducible everywhere.
+    saltedCellPairs(e.join(assign, Seq(idCol)), idCol, threshold, scale)
+  }
+
+  /** Pairwise cosine within a cell over a (idCol, __v, cluster) frame.
+    *
+    * Salt the in-cluster self-join: a plain join on `cluster` has at
+    * most k populated reduce keys, so k=8 caps the quadratic pair
+    * scoring at 8 cores no matter how many executors exist. The a-side
+    * splits into S deterministic salt lanes by id hash and the b-side
+    * replicates ×S — identical pair set, k·S-way parallelism, and the
+    * per-task pair count drops ×S (observed at sf1: 596 s → bounded by
+    * cores, not clusters). S is fixed (not cores-dependent) so the
+    * emitted pairs and their plan shape are reproducible everywhere. */
+  private def saltedCellPairs(withCell: DataFrame, idCol: String,
+      threshold: Double, scale: Int): DataFrame = {
     val S = 16
     val a = withCell.select(col("cluster"), col(idCol).as("id_a"),
       col("__v").as("__va"),
@@ -502,6 +508,35 @@ object Similarity {
     val dropped = pairs.select(col("id_b").as(idCol)).distinct()
       .withColumn("__d", lit(true))
     assign.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__d"), lit(false)).unary_!.as("is_kept"))
+  }
+
+  /** [[semDedup]] with LSH sign-buckets as the cells instead of k-means
+    * clusters — the operating point that stays linear as the corpus
+    * grows. Broadcast-Lloyd cells have two fixed-k scale walls: per-cell
+    * pair volume grows (n/k)² (measured 8.7× runtime on 3× data at
+    * k=8), and raising k inflates the nearest-centroid expression until
+    * it breaks whole-stage codegen. A sign-bucket cell is O(bits·dim)
+    * per row with no iteration and no driver state, and `bits` scales
+    * the cell count exponentially (2^bits) — pick
+    * bits ≈ log2(n/targetCellSize) and per-cell pair volume stays flat
+    * at any corpus size. The recall trade is the same one [[semDedup]]
+    * already makes at cell granularity: near-dups across cells are
+    * missed, and bucket cells make that trade per-hyperplane rather than
+    * per-centroid. Output contract matches [[semDedup]]:
+    * (id, cluster = bucket, is_kept) with the greedy lower-id keep. */
+  def semDedupLsh(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, threshold: Double = 0.95, scale: Int = 6,
+      seed: Int = 42): DataFrame = {
+    val withCell = embeddings.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("__v"),
+      lshBucket(col(vecCol), dim, bits, seed).as("cluster"))
+    val pairs = saltedCellPairs(withCell, idCol, threshold, scale)
+    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
+      .withColumn("__d", lit(true))
+    withCell.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("__d"), lit(false)).unary_!.as("is_kept"))
   }

@@ -486,6 +486,35 @@ object VectorQueries {
           drops AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.95E0)
         SELECT a2.vec_id, a2.cell AS cluster, (d.id_b IS NULL) AS is_kept
         FROM a2 LEFT JOIN drops d ON d.id_b = a2.vec_id"""
+      }),
+
+    GraftQuery(
+      "q200_semdedup_lsh",
+      (s, dir) => {
+        // q97's scale wall removed: fixed k=8 Lloyd cells make per-cell
+        // pair volume grow (n/k)² (measured 8.7× runtime on 3× data at
+        // sf3), while sign-bucket cells keep it flat — 2^bits cells for
+        // O(bits·dim)/row, no iteration, bits ≈ log2(n/cellSize) at any
+        // corpus. Same dup-guaranteed corpus and keep/drop contract as
+        // q97; the exact duplicates land in identical buckets by
+        // construction, so every one MUST come back is_kept=false.
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val corpus = e.unionByName(
+          e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        Similarity.semDedupLsh(corpus, "vec_id", "embedding", Dim,
+          bits = 10, threshold = 0.95)
+      },
+      Some {
+        val corpus = s"""(SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)"""
+        s"""WITH eb AS (SELECT vec_id, embedding,
+              ${bucketSql("embedding", 10)} AS bucket FROM $corpus),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              ${cosSql("a.embedding", "b.embedding")} AS cos
+            FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          drops AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.95E0)
+        SELECT eb.vec_id, eb.bucket AS cluster, (d.id_b IS NULL) AS is_kept
+        FROM eb LEFT JOIN drops d ON d.id_b = eb.vec_id"""
       })
   )
 
