@@ -69,24 +69,33 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (av, bv) => {
+      // freshName, NOT fixed names: cosineCols inlines THREE ArrayDots
+      // into one projection (a·b, a·a, b·b); fixed locals collide when
+      // janino compiles them into the same method ("Redefinition of
+      // local variable"), silently dropping the whole stage to
+      // interpreted eval — the pre-fix bench spent 6–12 CPU-s per
+      // 0.5 MB stage on exactly that.
+      val n = ctx.freshName("adN")
+      val acc = ctx.freshName("adAcc")
+      val i = ctx.freshName("adI")
       def getter(side: Expression, arr: String) =
         elemType(side.dataType).get match {
-          case FloatType => s"(double) $arr.getFloat(__i)"
-          case _ => s"$arr.getDouble(__i)"
+          case FloatType => s"(double) $arr.getFloat($i)"
+          case _ => s"$arr.getDouble($i)"
         }
       s"""
-         |int __n = $av.numElements();
-         |if (__n != $bv.numElements()) {
+         |int $n = $av.numElements();
+         |if ($n != $bv.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double __acc = 0.0;
-         |  for (int __i = 0; __i < __n; __i++) {
-         |    if ($av.isNullAt(__i) || $bv.isNullAt(__i)) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($av.isNullAt($i) || $bv.isNullAt($i)) {
          |      ${ev.isNull} = true; break;
          |    }
-         |    __acc += ${getter(left, av)} * ${getter(right, bv)};
+         |    $acc += ${getter(left, av)} * ${getter(right, bv)};
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = __acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -71,4 +71,45 @@ class ArrayDotSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("q38's LSH pair plan compiles clean — no silent codegen fallback") {
+    // cosineCols inlines three dots (a·b, a·a, b·b) into one generated
+    // method; doGenCode locals must come from ctx.freshName or janino
+    // rejects the method ("Redefinition of local variable __n") and the
+    // stage SILENTLY drops to interpreted eval — the pre-fix bench paid
+    // 20 such failures and 6–12 CPU-s per 0.5 MB stage, all attributed
+    // to q38's bucket self-join. Compile failure is logged, not thrown,
+    // so the guard watches the CodeGenerator logger while the real
+    // gated query runs.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender("graft-codegen-watch", null, null,
+        true, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(Level.ERROR))
+          errors.add(String.valueOf(e.getMessage.getFormattedMessage))
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val loggerName =
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"
+    val lc = cfg.getLoggerConfig(loggerName)
+    lc.addAppender(appender, Level.ERROR, null)
+    try {
+      val q = graft.queries.Registry.all
+        .find(_.name == "q38_embedding_near_dup_lsh").get
+      assert(q.run(spark, "/root/testdata/sf0.001").count() > 0)
+      val bad = scala.jdk.CollectionConverters.CollectionHasAsScala(errors)
+        .asScala.filter(_.contains("Failed to compile"))
+      assert(bad.isEmpty,
+        s"codegen compile failures during q38: ${bad.take(2).mkString("; ")}")
+    } finally {
+      lc.removeAppender("graft-codegen-watch")
+      appender.stop()
+    }
+  }
 }
