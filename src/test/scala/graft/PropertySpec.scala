@@ -164,4 +164,34 @@ class PropertySpec extends AnyFunSuite {
       assert(fps.length === fps.distinct.length, s"seed $seed")
     }
   }
+
+  test("property: semDedupLsh always drops an exact duplicate, keeps the min id") {
+    // identical vectors share every hyperplane sign, hence every bucket —
+    // at ANY bits setting an exact duplicate can never escape its
+    // original's cell, so the greedy lower-id rule must drop it. Random
+    // vectors, random duplicate choices, several bits settings.
+    val dim = 8
+    for (seed <- 1L to 3L; bits <- Seq(2, 6, 12)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0L until 40L).map(i =>
+        (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val dups = (0 until 10).map { j =>
+        val (i, v) = base(rnd.nextInt(base.size))
+        (1000L + j, i, v)
+      }
+      val df = (base.map { case (i, v) => (i, v) } ++
+        dups.map { case (d, _, v) => (d, v) }).toDF("id", "v")
+      val out = graft.operators.Similarity
+        .semDedupLsh(df, "id", "v", dim, bits, threshold = 0.999999)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      dups.foreach { case (d, orig, _) =>
+        assert(!out(d), s"seed=$seed bits=$bits: dup $d of $orig kept")
+      }
+      // dup ids are all above the base ids and random 8-dim vectors are
+      // never cosine-0.999999-close by chance, so the drops are EXACTLY
+      // the duplicates: every base row stays kept
+      assert(out.values.count(identity) === base.size,
+        s"seed=$seed bits=$bits: a base row was dropped")
+    }
+  }
 }
