@@ -37,6 +37,14 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release whatever the query left persisted (localCheckpoint RDDs
+      // outlive their operators until driver GC + ContextCleaner catch
+      // up — across 30+ heavy queries at a stress scale the stale blocks
+      // OOM'd an 8g heap before the async cleaner ran). Results are on
+      // disk by now and nothing caches across queries, so this only
+      // trades a re-read of tiny parquet for deterministic memory.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
