@@ -515,7 +515,7 @@ object Similarity {
   /** [[semDedup]] with LSH sign-buckets as the cells instead of k-means
     * clusters — the operating point that stays linear as the corpus
     * grows. Broadcast-Lloyd cells have two fixed-k scale walls: per-cell
-    * pair volume grows (n/k)² (measured 8.7× runtime on 3× data at
+    * pair volume grows (n/k)² (measured 5.1× runtime on 3× data at
     * k=8), and raising k inflates the nearest-centroid expression until
     * it breaks whole-stage codegen. A sign-bucket cell is O(bits·dim)
     * per row with no iteration and no driver state, and `bits` scales

@@ -492,7 +492,7 @@ object VectorQueries {
       "q200_semdedup_lsh",
       (s, dir) => {
         // q97's scale wall removed: fixed k=8 Lloyd cells make per-cell
-        // pair volume grow (n/k)² (measured 8.7× runtime on 3× data at
+        // pair volume grow (n/k)² (measured 5.1× runtime on 3× data at
         // sf3), while sign-bucket cells keep it flat — 2^bits cells for
         // O(bits·dim)/row, no iteration, bits ≈ log2(n/cellSize) at any
         // corpus. Same dup-guaranteed corpus and keep/drop contract as
