@@ -49,9 +49,18 @@ object Bench {
         .map(x => x * 2654435761L + 1).reduce(_ ^ _)
     }
     def pass(): Seq[(String, Double)] = headline.map { q =>
-      q.name -> time {
+      val timed = q.name -> time {
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
       }
+      // Unmetered, between queries: localCheckpoint blocks outlive their
+      // operators until GC + the async ContextCleaner run, and 36 heavy
+      // queries × 4 passes of stale blocks showed up as multi-second GC
+      // outlier passes (and OOM'd the sf3 sweep, see SF3.md). Releasing
+      // them here keeps each query's time its own, not the previous
+      // queries' garbage collection.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      timed
     }
 
     sentinel() // JVM-warm the sentinel path itself before trusting it
