@@ -118,27 +118,14 @@ object TextFunctions {
 
   /** Per-document Shannon character entropy in nats — the cheap gibberish
     * / boilerplate / encoded-blob detector (random base64 scores high,
-    * repeated padding scores low). Pure per-row HOF work, zero shuffle:
-    * O(distinct-chars × len) per row, never an explode+groupBy over the
-    * corpus' characters. Cross-engine: the distinct-char list is SORTED
-    * so both engines fold in the same order, each ln() is roundHalfUp'd
-    * at scale 8, and the final value at `scale`. BMP text only (both
-    * engines index by code point there). */
-  def charEntropy(text: Column, scale: Int = 6): Column = {
-    val chars = when(length(text) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(text)),
-        i => text.substr(i, lit(1))))
-    bindOnce(chars) { ch =>
-      bindOnce(size(ch).cast("double")) { n =>
-        val folded = aggregate(array_sort(array_distinct(ch)), lit(0.0),
-          (acc, c) => acc + bindOnce(
-              size(filter(ch, x => x === c)).cast("double") / n) { p =>
-            p * SafeMath.roundHalfUp(log(p), 8)
-          })
-        SafeMath.roundHalfUp(-folded, scale)
-      }
-    }
-  }
+    * repeated padding scores low). Pure per-row work, zero shuffle —
+    * a codegen'd expression ([[graft.expressions.CharEntropy]]): one
+    * code-point scan per row, replacing the O(distinct-chars × len)
+    * interpreted HOF chain bit-for-bit. Cross-engine: distinct chars
+    * fold in sorted (code-point) order, each ln() is roundHalfUp'd at
+    * scale 8, the final value at `scale`. */
+  def charEntropy(text: Column, scale: Int = 6): Column =
+    graft.expressions.CharEntropy.char_entropy(text, scale)
 
   /** URL canonicalization — the CommonCrawl-style dedup key: strip the
     * fragment, drop `utm_*` tracking parameters (tidying separators),

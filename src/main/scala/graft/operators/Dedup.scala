@@ -768,15 +768,10 @@ object Dedup {
   def simhash(text: Column): Column = {
     val keys = transform(TextFunctions.tokens(text),
       t => TextFunctions.md5Key60(t))
-    val votes = aggregate(keys, array_repeat(lit(0L), SimhashBits),
-      (acc, h) => zip_with(acc,
-        array((0 until SimhashBits).map(j =>
-          when(h.bitwiseAND(lit(1L << j)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*),
-        (a, b) => a + b))
-    // Σ of distinct powers of two == the bitwise OR of the set bits
-    aggregate(
-      zip_with(votes, array((0 until SimhashBits).map(j => lit(1L << j)): _*),
-        (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    // bit-vote fold as a codegen'd expression — the HOF formulation
+    // allocated and interpretedly zipped a 60-element array per token
+    // (the dominant CPU of the simhash corpus scan); SimhashVotes is
+    // bit-identical including the null-key quirk
+    graft.expressions.SimhashVotes.simhash_votes(keys, SimhashBits)
   }
 }
