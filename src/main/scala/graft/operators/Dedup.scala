@@ -442,19 +442,16 @@ object Dedup {
     * downstream reference (16 hashes × 3 references = 48 tokenizations
     * per row — measured 350+ s at sf0.1 vs <2 s for this form). */
   def minhashSignature(text: Column, numHashes: Int, k: Int = 3): Column = {
-    val maxSig = array_repeat(lit(Long.MaxValue), numHashes)
     // emptiness is gated on the cheap token count — guarding on
     // size(shingles) or size(keys) would force the expensive subtree to
-    // evaluate twice per row (the projection-collapse trap)
+    // evaluate twice per row (the projection-collapse trap). The min
+    // fold itself is the codegen'd MinhashSig expression (the HOF form
+    // interpretedly zipped a numHashes-element array per shingle).
     when(size(TextFunctions.tokens(text)) < k, array().cast("array<bigint>"))
-      .otherwise(aggregate(
+      .otherwise(graft.expressions.MinhashSig.minhash_sig(
         transform(TextFunctions.shingles(text, k),
           s => TextFunctions.md5Key60(s) % MinhashP),
-        maxSig, (acc, h) =>
-          zip_with(acc,
-            array((0 until numHashes).map(i =>
-              (h * mhA(i) + mhB(i)) % MinhashP): _*),
-            (a, b) => least(a, b))))
+        numHashes))
   }
 
   /** LSH candidate pairs + exact-Jaccard verification.
@@ -491,14 +488,10 @@ object Dedup {
     try {
     val base = raw.select(col("doc"), col("b.shs").as("shs"),
       col("b.keys").as("keys"))
-    val maxSig = array_repeat(lit(Long.MaxValue), numHashes)
     val sig = base.filter(size(col("keys")) > 0)
       .select(col("doc"),
-        aggregate(col("keys"), maxSig, (acc, h) =>
-          zip_with(acc,
-            array((0 until numHashes).map(i =>
-              (h * mhA(i) + mhB(i)) % MinhashP): _*),
-            (a, b) => least(a, b))).as("sig"))
+        graft.expressions.MinhashSig.minhash_sig(col("keys"), numHashes)
+          .as("sig"))
     // band key: overflow-free arithmetic fold of the band's signature
     // slice (init b+1 so identical slices in different bands collide
     // only by chance) — 8-byte join keys the oracle reproduces exactly.
