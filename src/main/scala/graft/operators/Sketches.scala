@@ -82,42 +82,115 @@ object Sketches {
         }, scale).as("est"))
   }
 
-  /** The exact SQL twin of [[hllDistinct]] over a relation exposing the
-    * group and key columns — kept next to the operator because the two
-    * must evolve in lockstep. */
-  def hllDistinctSql(rel: String, groupCol: String, keyCol: String,
-      salt: String = "graft-hll", scale: Int = 6): String = {
-    val m = 256
-    val alphaM2 = graft.score.ScoreEngine.fmtD(0.7213 / (1.0 + 1.079 / m) * m * m)
-    val lowbits = (0 until 52).map(j => (1L << j).toString).mkString("[", ", ", "]")
-    val fold = s"""list_reduce(
-        list_prepend(CAST(256 - len(regs) AS DOUBLE),
-          list_transform(regs, r -> power(2.0E0, -CAST(r.mr AS DOUBLE)))),
-        (a, b) -> a + b)"""
-    val md5fold = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+  /** SQL building blocks of the portable HLL, shared by [[hllDistinctSql]]
+    * and [[hllOverlapSql]] so the twins can never drift apart. */
+  private def hllMd5FoldSql(keyCol: String, salt: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
         list_transform(range(1, 16),
           j -> CAST(strpos('0123456789abcdef',
             substr(md5('$salt' || CAST($keyCol AS VARCHAR)), j, 1)) - 1 AS BIGINT))),
         (a, v) -> a * 16 + v)"""
-    s"""WITH hh AS (SELECT $groupCol, $md5fold AS h FROM $rel
+
+  private val HllRhoSql: String = {
+    val lowbits = (0 until 52).map(j => (1L << j).toString).mkString("[", ", ", "]")
+    s"""CASE WHEN (h // 256) = 0 THEN 53
+        ELSE CAST(list_position($lowbits,
+          (h // 256) & (-(h // 256))) AS INTEGER) END"""
+  }
+
+  /** Harmonic-mean estimate expression over a `regs` list column (the SQL
+    * twin of [[hllEstimate]]'s fold + linear-counting correction). */
+  private def hllEstFoldSql: String =
+    s"""list_reduce(
+        list_prepend(CAST(256 - len(regs) AS DOUBLE),
+          list_transform(regs, r -> power(2.0E0, -CAST(r.mr AS DOUBLE)))),
+        (a, b) -> a + b)"""
+
+  private def hllEstCaseSql(scale: Int): String = {
+    val m = 256
+    val alphaM2 = graft.score.ScoreEngine.fmtD(0.7213 / (1.0 + 1.079 / m) * m * m)
+    graft.functions.SafeMath.roundHalfUpSql(
+      s"""CASE WHEN ($alphaM2 / s) <= 640.0E0 AND v > 0
+        THEN 256.0E0 * ln(256.0E0 / CAST(v AS DOUBLE))
+        ELSE ($alphaM2 / s) END""", scale)
+  }
+
+  /** The exact SQL twin of [[hllDistinct]] over a relation exposing the
+    * group and key columns — kept next to the operator because the two
+    * must evolve in lockstep. */
+  def hllDistinctSql(rel: String, groupCol: String, keyCol: String,
+      salt: String = "graft-hll", scale: Int = 6): String =
+    s"""WITH hh AS (SELECT $groupCol, ${hllMd5FoldSql(keyCol, salt)} AS h FROM $rel
           WHERE $keyCol IS NOT NULL),
       rr AS (SELECT $groupCol, CAST(h % 256 AS INTEGER) AS idx,
-          CASE WHEN (h // 256) = 0 THEN 53
-            ELSE CAST(list_position($lowbits,
-              (h // 256) & (-(h // 256))) AS INTEGER) END AS rho
+          $HllRhoSql AS rho
         FROM hh),
       regs AS (SELECT $groupCol, idx, MAX(rho) AS mr FROM rr GROUP BY 1, 2),
       g AS (SELECT $groupCol,
           list(struct_pack(idx := idx, mr := mr) ORDER BY idx) AS regs
         FROM regs GROUP BY $groupCol),
-      e AS (SELECT $groupCol, $fold AS s, 256 - len(regs) AS v FROM g)
-    SELECT $groupCol,
-      ${graft.functions.SafeMath.roundHalfUpSql(
-        s"""CASE WHEN ($alphaM2 / s) <= 640.0E0 AND v > 0
-          THEN 256.0E0 * ln(256.0E0 / CAST(v AS DOUBLE))
-          ELSE ($alphaM2 / s) END""", scale)} AS est
+      e AS (SELECT $groupCol, $hllEstFoldSql AS s, 256 - len(regs) AS v FROM g)
+    SELECT $groupCol, ${hllEstCaseSql(scale)} AS est
     FROM e"""
+
+  /** Distinct-set OVERLAP between two groups by inclusion–exclusion over
+    * the portable HLL: |A∩B| ≈ |A| + |B| − |A∪B|, where the union sketch
+    * is the per-register MAX-merge of the two group sketches — the
+    * algebraic trick that answers audience-overlap / shared-entity
+    * questions from sketches alone. At 100 TB each side's distinct set
+    * never materializes: the whole computation is one keyed register
+    * aggregation (map-side combined, ≤ 2·256 rows out) and arithmetic on
+    * ≤ 3·256 register rows. Deterministic md5 registers → the estimates
+    * themselves hash-gate (q202). */
+  def hllOverlap(df: DataFrame, groupCol: String, keyCol: String,
+      ga: String, gb: String, salt: String = "graft-hll",
+      scale: Int = 6): DataFrame = {
+    val regs = hllRegisters(
+      df.filter(col(groupCol).isin(ga, gb)), groupCol, keyCol, salt)
+    val sides = regs
+      .select(when(col(groupCol) === ga, lit("a")).otherwise(lit("b")).as("side"),
+        col("idx"), col("mr"))
+      .unionByName(regs.select(lit("u").as("side"), col("idx"), col("mr")))
+      .groupBy("side", "idx").agg(max(col("mr")).as("mr"))
+    val ests = hllEstimate(sides, "side", scale)
+    ests.agg(
+        max(when(col("side") === "a", col("est"))).as("est_a"),
+        max(when(col("side") === "b", col("est"))).as("est_b"),
+        max(when(col("side") === "u", col("est"))).as("est_union"))
+      .select(lit(ga).as("group_a"), lit(gb).as("group_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0), (col("est_a") + col("est_b")) - col("est_union"))
+          .as("est_overlap"))
   }
+
+  /** The exact SQL twin of [[hllOverlap]]. */
+  def hllOverlapSql(rel: String, groupCol: String, keyCol: String,
+      ga: String, gb: String, salt: String = "graft-hll",
+      scale: Int = 6): String =
+    s"""WITH hh AS (SELECT
+          CASE WHEN $groupCol = '$ga' THEN 'a' ELSE 'b' END AS side,
+          ${hllMd5FoldSql(keyCol, salt)} AS h
+        FROM $rel
+        WHERE $keyCol IS NOT NULL AND $groupCol IN ('$ga', '$gb')),
+      rr AS (SELECT side, CAST(h % 256 AS INTEGER) AS idx,
+          $HllRhoSql AS rho
+        FROM hh),
+      rr2 AS (SELECT side, idx, rho FROM rr
+        UNION ALL SELECT 'u' AS side, idx, rho FROM rr),
+      regs AS (SELECT side, idx, MAX(rho) AS mr FROM rr2 GROUP BY 1, 2),
+      g AS (SELECT side,
+          list(struct_pack(idx := idx, mr := mr) ORDER BY idx) AS regs
+        FROM regs GROUP BY side),
+      e AS (SELECT side, $hllEstFoldSql AS s, 256 - len(regs) AS v FROM g),
+      est AS (SELECT side, ${hllEstCaseSql(scale)} AS est FROM e),
+      sel AS (SELECT
+          MAX(CASE WHEN side = 'a' THEN est END) AS est_a,
+          MAX(CASE WHEN side = 'b' THEN est END) AS est_b,
+          MAX(CASE WHEN side = 'u' THEN est END) AS est_union
+        FROM est)
+    SELECT '$ga' AS group_a, '$gb' AS group_b, est_a, est_b, est_union,
+      greatest(0.0E0, (est_a + est_b) - est_union) AS est_overlap
+    FROM sel"""
 
   /** Portable Bloom filter over a key column: `mBits` bits stored as
     * mBits/32 BIGINT words — only the low 32 bits of each word are used,

@@ -89,4 +89,82 @@ object Tokenizer {
     }}
     out.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count", "corpus_symbols")
   }
+
+  /** Tokenizer ENCODE — apply a trained merge list ([[bpeMerges]] output,
+    * or any fixed vocabulary) to every document, as a PURE PROJECTION:
+    * zero shuffle, zero explode, one pass over the corpus however many
+    * merge rules there are. The per-document symbol stream is carried as
+    * a string of 0x1F-WRAPPED symbols (`\u001ft\u001f\u001fh\u001f...` — symbols never
+    * contain 0x1F: input is casefolded to `[a-z ]`); each merge rule
+    * (l, r) is one `replace(s, SEP+l+SEP+SEP+r+SEP, SEP+lr+SEP)` —
+    * left-to-right non-overlapping, applied in rank order, which is the
+    * standard single-pass-per-rule BPE apply. Wrapping BOTH sides of
+    * every symbol makes matches boundary-exact: a rule (e, r) can never
+    * fire on the trailing 'e' of an already-merged "the" (the
+    * single-separator encoding had exactly that defect — caught by
+    * LlmOpsSpec's hand-traced "there"). Word boundaries need no special
+    * casing either: the space character is itself a symbol, and
+    * letter-only rules can never match across one.
+    *
+    * Returns (idCol, n_words, n_tokens, n_chars): alphabetic word count,
+    * post-merge token count, alphabetic char count — n_chars/n_tokens is
+    * the compression ratio a tokenizer is judged by. Counts derive from
+    * three string lengths (no symbol array ever materializes): each
+    * symbol costs its chars + 2 wrappers, so
+    * symbols = (len(enc) − len(clean)) / 2 and
+    * tokens = symbols − spaces. Deterministic and mirrored by a DuckDB
+    * twin (q203), since `replace` has identical left-to-right semantics
+    * on both engines.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sep = "\u001f"
+    val clean = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    docs.select(col(idCol),
+        TextFunctions.bindOnce(clean) { cl =>
+          val s0 = regexp_replace(cl, "(.)", sep + "$1" + sep)
+          val enc = merges.foldLeft(s0) { case (c, (l, r)) =>
+            replace(c, lit(sep + l + sep + sep + r + sep),
+              lit(sep + l + r + sep))
+          }
+          val lenC = length(cl).cast("long")
+          val nChars = length(replace(cl, lit(" "))).cast("long")
+          val nSyms = ((length(enc).cast("long") - lenC) / 2L).cast("long")
+          struct(
+            when(lenC === 0L, 0L)
+              .otherwise((lenC - nChars) + 1L).as("n_words"),
+            when(lenC === 0L, 0L)
+              .otherwise(nSyms - (lenC - nChars)).as("n_tokens"),
+            nChars.as("n_chars"))
+        }.as("m"))
+      .select(col(idCol), col("m.n_words").as("n_words"),
+        col("m.n_tokens").as("n_tokens"), col("m.n_chars").as("n_chars"))
+  }
+
+  /** The exact DuckDB twin of [[bpeEncode]] over a relation exposing the
+    * id and text columns — kept beside the operator so the two evolve in
+    * lockstep. */
+  def bpeEncodeSql(rel: String, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): String = {
+    val sepSql = "chr(31)"
+    val seedSql =
+      s"""regexp_replace(cl, '(.)', $sepSql || '\\1' || $sepSql, 'g')"""
+    val encSql = merges.foldLeft(seedSql) { case (c, (l, r)) =>
+      s"""replace($c, $sepSql || '$l' || $sepSql || $sepSql || '$r' || $sepSql,
+          $sepSql || '$l$r' || $sepSql)"""
+    }
+    s"""WITH c AS (
+        SELECT $idCol, trim(regexp_replace(lower($textCol), '[^a-z]+', ' ', 'g')) AS cl
+        FROM $rel),
+      m AS (SELECT $idCol, length(cl) AS len_c,
+          length(replace(cl, ' ', '')) AS n_chars,
+          length($encSql) AS len_e
+        FROM c)
+      SELECT $idCol,
+        CASE WHEN len_c = 0 THEN 0 ELSE (len_c - n_chars) + 1 END AS n_words,
+        CASE WHEN len_c = 0 THEN 0
+          ELSE ((len_e - len_c) // 2) - (len_c - n_chars) END AS n_tokens,
+        n_chars
+      FROM m"""
+  }
 }

@@ -878,6 +878,52 @@ object CoreQueries {
               WHEN COALESCE(c.n, 0) < 0.5E0 * g.avg THEN 'thin' END
               AS status
           FROM grid g LEFT JOIN counts c ON c.day = g.day)
-        SELECT day, n, status FROM audit WHERE status IS NOT NULL"""))
+        SELECT day, n, status FROM audit WHERE status IS NOT NULL""")),
+
+    GraftQuery(
+      "q201_bloom_join_reduction",
+      (s, dir) => {
+        // Runtime-filter semi-join reduction: the selective dim's join
+        // keys become a 262144-bit portable Bloom filter pushed into the
+        // fact SCAN as a pure projection predicate — ~(1 − fp) of the
+        // non-matching fact rows die before the join instead of being
+        // shuffled/probed, the move that pays for itself many times over
+        // on a 100 TB fact side. No false negatives, so the result is
+        // IDENTICAL to the plain join — which is exactly what the plain-
+        // join oracle checks.
+        val dim = Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderstatus") === "F")
+        val fact = graft.operators.JoinReduction.bloomPrefilter(
+          Tables.load(s, dir, "lineitem"), "l_orderkey", dim, "o_orderkey")
+        val revenue = sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(28, 4))).cast("double")
+        fact.join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(month(col("o_orderdate")).cast("long").as("mon"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT month(o_orderdate) AS mon,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        GROUP BY 1""")),
+
+    GraftQuery(
+      "q202_hll_overlap",
+      // distinct-set overlap between two segments by inclusion–exclusion
+      // over the portable HLL — |A∩B| ≈ |A| + |B| − |A∪B| with the union
+      // sketch a per-register max-merge. The audience-overlap question
+      // answered from ≤ 3·256 register rows, never a distinct-set
+      // materialization or an intersection join.
+      (s, dir) => graft.operators.Sketches.hllOverlap(
+        Tables.load(s, dir, "orders"), "o_orderpriority", "o_custkey",
+        "1-URGENT", "5-LOW"),
+      Some(graft.operators.Sketches.hllOverlapSql(
+        "orders", "o_orderpriority", "o_custkey", "1-URGENT", "5-LOW")))
   )
 }

@@ -13,6 +13,13 @@ import graft.functions.TextFunctions
 object TextQueries {
 
   private val BpePat = "[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]"
+
+  /** q203's fixed merge list: ranks 1–8 of a typical English BPE run —
+    * rule 2 consumes rule 1's output symbol, so the gate proves ordered
+    * chained application, not just independent replaces. */
+  private val BpeApplyMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t")
   /** DuckDB-side twins of TextFunctions: same tokenization, same fold. */
   private val ToksSql = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
   private val TokCountSql = s"len($ToksSql)"
@@ -236,6 +243,20 @@ object TextQueries {
           CAST(COALESCE(st.n_tokens, 0) AS BIGINT) AS n_tokens,
           CASE WHEN COALESCE(st.n_tokens, 0) = 0 THEN 0.0E0
             ELSE CAST(st.n_oov AS DOUBLE) / st.n_tokens END AS oov_rate
-        FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id"""))
+        FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id""")),
+
+    GraftQuery(
+      "q203_bpe_encode",
+      // tokenizer APPLY — the other half of q129's BPE training: encode
+      // every document with a trained merge list as a pure zero-shuffle
+      // projection (the 0x1F-symbol-stream replace chain), reporting
+      // per-doc word/token/char counts. The merge list is a fixed
+      // 8-rule English vocabulary (incl. the chained th→the rule, so
+      // rank-order application is actually exercised); bpeMerges output
+      // plugs into the same operator (LlmOpsSpec composes the two).
+      (s, dir) => graft.operators.Tokenizer.bpeEncode(
+        Tables.load(s, dir, "documents"), "doc_id", "text", BpeApplyMerges),
+      Some(graft.operators.Tokenizer.bpeEncodeSql(
+        "documents", "doc_id", "text", BpeApplyMerges)))
   )
 }

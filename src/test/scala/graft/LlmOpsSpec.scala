@@ -745,4 +745,63 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Set((10L, 3L), (10L, 4L), (10L, 5L),  // 400 excluded
       (11L, 1L), (11L, 2L)))                             // 100 excluded
   }
+
+  test("bpeEncode applies merges in rank order, chained through outputs") {
+    // "theater": t h e a t e r → (t,h) → (th,e) → (e,r) → (a,t) gives
+    // [the, at, er] = 3 tokens — rule 2 consumes rule 1's output, rule 8
+    // must NOT re-merge the 'a t' consumed by... it does: at survives.
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t")
+    val docs = Seq((1L, "The theater is there!"), (2L, ""), (3L, "  ?!  "))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Tokenizer
+      .bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the=1 tok, theater=[the,at,er]=3, is=2, there=[the,r? ...]:
+    // t h e r e → th e r e → the r e → (r,e)→re → [the, re] = 2
+    assert(got(1L) === ((4L, 8L, 17L)))
+    assert(got(2L) === ((0L, 0L, 0L))) // empty doc
+    assert(got(3L) === ((0L, 0L, 0L))) // punctuation-only doc
+  }
+
+  test("trained bpeMerges output plugs into bpeEncode and compresses") {
+    val corpus = Seq((1L, "banana bandana banana"), (2L, "banana banana"))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.Tokenizer.bpeMerges(corpus, "text", rounds = 3)
+      .orderBy("merge_round")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toSeq
+    assert(merges.nonEmpty)
+    val enc = graft.operators.Tokenizer
+      .bpeEncode(corpus, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    enc.foreach { case (nTok, nChars) =>
+      assert(nTok < nChars, "merges must compress below char-level")
+      assert(nTok > 0)
+    }
+  }
+
+  test("hllOverlap inclusion-exclusion tracks true intersection") {
+    val rows = ((1L to 1000L).map(k => ("a", k)) ++
+      (501L to 1500L).map(k => ("b", k))).toDF("g", "k")
+    val r = graft.operators.Sketches.hllOverlap(rows, "g", "k", "a", "b")
+      .collect()(0)
+    val (ea, eb, eu, ei) = (r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5))
+    assert(math.abs(ea - 1000) < 150 && math.abs(eb - 1000) < 150)
+    assert(math.abs(eu - 1500) < 225)
+    // intersection error compounds the three estimates — loose band
+    assert(ei > 200 && ei < 800, s"overlap estimate $ei out of band")
+  }
+
+  test("hllOverlap of identical groups: union equals each side") {
+    val rows = ((1L to 400L).map(k => ("a", k)) ++
+      (1L to 400L).map(k => ("b", k))).toDF("g", "k")
+    val r = graft.operators.Sketches.hllOverlap(rows, "g", "k", "a", "b")
+      .collect()(0)
+    assert(r.getDouble(2) === r.getDouble(3)) // same keys → same sketch
+    assert(r.getDouble(4) === r.getDouble(2)) // union of equals is equal
+    // overlap = a + b − union = a exactly (same rounded doubles)
+    assert(r.getDouble(5) === r.getDouble(2))
+  }
 }
