@@ -115,4 +115,30 @@ object Audit {
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__rk)").as("xor_key"))
   }
+
+  /** Snapshot row-diff — the data-versioning primitive: classify every
+    * key of two table versions as added / removed / changed / unchanged
+    * and count each class. Change detection hashes the compared columns
+    * to one md5 per row BEFORE the join, so only (key, fingerprint)
+    * pairs travel through the full-outer shuffle — at 100 TB the diff of
+    * two fact snapshots moves two narrow key/hash projections, never the
+    * rows. NULLs fold as the NUL-byte sentinel (the [[tableChecksum]]
+    * rule) so NULL→'NULL' edits are visible. Assumes `keyCol` is unique
+    * per snapshot (snapshot semantics; [[fkAudit]] is the uniqueness
+    * check). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    def keyed(df: DataFrame, k: String, h: String) = df.select(
+      col(keyCol).as(k),
+      md5(concat_ws("\u001f", compareCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h))
+    keyed(oldSnap, "__ko", "__ho")
+      .join(keyed(newSnap, "__kn", "__hn"),
+        col("__ko") === col("__kn"), "full_outer")
+      .select(when(col("__ko").isNull, "added")
+        .when(col("__kn").isNull, "removed")
+        .when(col("__ho") =!= col("__hn"), "changed")
+        .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type").agg(count(lit(1)).as("n_rows"))
+  }
 }

@@ -128,6 +128,46 @@ object Similarity {
     * (hamming ≤ radius) — exactly the recall/cost knob a deployment
     * tunes, and this harness is how the tradeoff is measured
     * (radius 1 → 9 buckets of 256, radius 2 → 37). */
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor vector, the `m` most-similar IN-BUCKET neighbors whose
+    * cosine falls in [lo, hi) — similar enough to be informative
+    * training signal, below the near-dup line so they are genuinely
+    * negative (the standard positives-come-from-dups /
+    * negatives-come-from-neighbors mining loop). LSH sign buckets block
+    * the candidates exactly like the near-dup path: pairs form only
+    * inside a bucket (ONE shuffle on the bucket id), so candidate
+    * volume is Σ n_b² over buckets, never corpus². The per-anchor top-m
+    * is a window over those bounded in-bucket candidates — never a
+    * global sort. Directed: each anchor ranks its own negatives, so a
+    * pair can serve both ends. The bucketed projection is persisted so
+    * the self-join scans the corpus once (the [[Dedup.embeddingNearDupsLsh]]
+    * discipline; its hot-bucket sub-split applies the same way if a
+    * degenerate sign pattern ever concentrates a corpus). */
+  def hardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int = 8, lo: Double = 0.0, hi: Double = 0.95,
+      m: Int = 3, seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = spread(vecs.select(col(idCol).as("__id"), col(vecCol).as("__v")))
+      .withColumn("__b", lshBucket(col("__v"), dim, bits, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = bucketed.select(col("__id").as("anchor_id"),
+        col("__v").as("__va"), col("__b"))
+      val b = bucketed.select(col("__id").as("neg_id"),
+        col("__v").as("__vb"), col("__b"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos").desc, col("neg_id").asc)
+      a.join(b, Seq("__b"))
+        .filter(col("anchor_id") =!= col("neg_id"))
+        .withColumn("cos", cosineCols(col("__va"), col("__vb")))
+        .filter(col("cos") >= lo && col("cos") < hi)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= m)
+        .select(col("anchor_id"), col("neg_id"), col("cos"), col("rk"))
+        .localCheckpoint()
+    } finally bucketed.unpersist(blocking = false)
+  }
+
   def annRecall(embeddings: DataFrame, idCol: String, vecCol: String,
       queryFilter: Column, dim: Int, k: Int = 10, bits: Int = 8,
       probeRadius: Int = 1, seed: Int = 42): DataFrame = {

@@ -304,6 +304,30 @@ object Sketches {
         est.as("est"))
   }
 
+  /** Join-cardinality estimate from two count-min sketches — the
+    * AMS-style sketch inner product: |A ⋈ₖ B| = Σₖ cntA(k)·cntB(k), and
+    * each CMS depth row estimates that sum as Σ_bucket cA·cB (an
+    * overestimate — collisions only add), so min over the depth rows is
+    * the classic CM bound. This is the optimizer-statistics question —
+    * "how big is this join going to be?" — answered WITHOUT running the
+    * join, from two depth×width counter tables that were each built in
+    * one map-side-combined pass and that merge across slices. At 100 TB
+    * the sketches are the only thing that moves: the estimate itself
+    * joins 2·depth·width counter rows. Deterministic (md5 family) → the
+    * estimate hash-gates (q204). */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      width: Int = 1024, depth: Int = 4,
+      salt: String = "graft-cms"): DataFrame = {
+    def sketch(df: DataFrame, key: String, as: String) =
+      cmSketch(df.filter(col(key).isNotNull)
+          .select(col(key).cast("string").as("__t")), "__t", width, depth, salt)
+        .select(col("j"), col("bucket"), col("c").as(as))
+    sketch(a, aKey, "ca")
+      .join(sketch(b, bKey, "cb"), Seq("j", "bucket"))
+      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_rows"))
+  }
+
   /** Point estimate for each query term: min over the depth rows of the
     * term's counter — ≥ the true count, with the classic CM overestimate
     * bound. The sketch side is tiny (depth×width) → broadcast join. */

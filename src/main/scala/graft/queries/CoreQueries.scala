@@ -924,6 +924,91 @@ object CoreQueries {
         Tables.load(s, dir, "orders"), "o_orderpriority", "o_custkey",
         "1-URGENT", "5-LOW"),
       Some(graft.operators.Sketches.hllOverlapSql(
-        "orders", "o_orderpriority", "o_custkey", "1-URGENT", "5-LOW")))
+        "orders", "o_orderpriority", "o_custkey", "1-URGENT", "5-LOW"))),
+
+    GraftQuery(
+      "q204_cms_join_size",
+      (s, dir) => {
+        // the optimizer-statistics question — how big will this join be?
+        // — answered from two count-min sketches via the AMS inner
+        // product, never by running the join. Gated on the hardest case,
+        // a self-join on a repeated key (Σ n² — the second frequency
+        // moment), next to the exact answer so the artifact shows the
+        // estimate AND its error. Each sketch is one map-side-combined
+        // pass; the estimate joins 2·depth·width counter rows.
+        val orders = Tables.load(s, dir, "orders")
+          .filter(col("o_custkey").isNotNull)
+        val est = graft.operators.Sketches.cmsJoinSize(
+          orders, "o_custkey", orders, "o_custkey")
+        val exact = orders.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * col("n")).as("exact_rows"))
+        est.crossJoin(exact)
+      },
+      Some(s"""WITH k AS (SELECT CAST(o_custkey AS VARCHAR) AS t
+            FROM orders WHERE o_custkey IS NOT NULL),
+          h AS (SELECT r.j AS j,
+              ${CurationQueries.md5Key60Sql(
+                "'graft-cms' || CAST(r.j AS VARCHAR) || t")} % 1024 AS bucket
+            FROM k, range(0, 4) r(j)),
+          counters AS (SELECT j, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2),
+          ip AS (SELECT j, SUM(c * c) AS ip FROM counters GROUP BY j),
+          e AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_rows FROM ip),
+          x AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_rows FROM (
+            SELECT COUNT(*) AS n FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey))
+        SELECT e.est_rows, x.exact_rows FROM e, x""")),
+
+    GraftQuery(
+      "q205_snapshot_diff",
+      (s, dir) => {
+        // data-versioning diff: day-2 snapshot synthesized from orders by
+        // deterministic mutations (drop %97 keys, bump %89 prices, add
+        // %101 keys shifted out of range), then classified against day 1
+        // — added/removed/changed/unchanged counts from a (key, md5)
+        // full-outer join that never ships whole rows. Prices compare as
+        // integer cents so the fingerprint string is engine-exact.
+        val base = Tables.load(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        val day2 = base.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("price_cents", when(col("o_orderkey") % 89 === 0,
+            col("price_cents") + 100L).otherwise(col("price_cents")))
+          .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+        graft.operators.Audit.snapshotDiff(base, day2, "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority", "price_cents"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+            o_orderpriority,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM orders),
+        day2 AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+            CASE WHEN o_orderkey % 89 = 0 THEN price_cents + 100
+              ELSE price_cents END AS price_cents
+          FROM base WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+            o_orderpriority, price_cents
+          FROM base WHERE o_orderkey % 101 = 0),
+        fp_old AS (SELECT o_orderkey AS k, md5(concat_ws(chr(31),
+            COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+            COALESCE(o_orderstatus, chr(0)),
+            COALESCE(o_orderpriority, chr(0)),
+            COALESCE(CAST(price_cents AS VARCHAR), chr(0)))) AS h FROM base),
+        fp_new AS (SELECT o_orderkey AS k, md5(concat_ws(chr(31),
+            COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+            COALESCE(o_orderstatus, chr(0)),
+            COALESCE(o_orderpriority, chr(0)),
+            COALESCE(CAST(price_cents AS VARCHAR), chr(0)))) AS h FROM day2),
+        j AS (SELECT o.k AS ok, n.k AS nk, o.h AS oh, n.h AS nh
+          FROM fp_old o FULL OUTER JOIN fp_new n ON o.k = n.k)
+      SELECT CASE WHEN ok IS NULL THEN 'added'
+          WHEN nk IS NULL THEN 'removed'
+          WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS change_type,
+        COUNT(*) AS n_rows
+      FROM j GROUP BY 1"""))
   )
 }

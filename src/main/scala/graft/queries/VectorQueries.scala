@@ -311,6 +311,30 @@ object VectorQueries {
         ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
 
     GraftQuery(
+      "q206_hard_negatives",
+      (s, dir) => {
+        // contrastive-training mining: per anchor, the 3 most-similar
+        // in-bucket vectors below the near-dup line — LSH blocks the
+        // candidates (one bucket shuffle, Σ n_b² pairs, never corpus²),
+        // a per-anchor window ranks them. The oracle replays the same
+        // buckets, cosines, and ties.
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        graft.operators.Similarity.hardNegatives(
+          e, "vec_id", "embedding", Dim, bits = 8, lo = 0.0, hi = 0.95, m = 3)
+      },
+      Some(s"""WITH eb AS (SELECT vec_id, embedding,
+            ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+          cand AS (SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+              ${cosSql("a.embedding", "b.embedding")} AS cos
+            FROM eb a JOIN eb b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          ranked AS (SELECT anchor_id, neg_id, cos,
+              CAST(row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cos DESC, neg_id ASC) AS INTEGER) AS rk
+            FROM cand WHERE cos >= 0.0E0 AND cos < 0.95E0)
+        SELECT anchor_id, neg_id, cos, rk FROM ranked WHERE rk <= 3""")),
+
+    GraftQuery(
       "q37_embedding_near_dup",
       (s, dir) => {
         // dup-guaranteed corpus (id-shifted copy) so pairs exist at every

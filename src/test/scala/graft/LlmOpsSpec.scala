@@ -794,6 +794,68 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ei > 200 && ei < 800, s"overlap estimate $ei out of band")
   }
 
+  test("cmsJoinSize overestimates and tracks the exact self-join size") {
+    val keys = (1L to 500L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k))
+      .toDF("k")
+    val exact = keys.groupBy("k").count()
+      .agg(sum(col("count") * col("count"))).collect()(0).getLong(0)
+    val est = graft.operators.Sketches.cmsJoinSize(keys, "k", keys, "k")
+      .collect()(0).getLong(0)
+    assert(est >= exact, "CM inner product must never underestimate")
+    // collision overhead ≈ (Σc)²/width per depth row (~2.2k here): well
+    // inside 2× of the true 5.5k — the operating regime of the estimate
+    assert(est <= exact * 2, s"est $est far above exact $exact")
+  }
+
+  test("cmsJoinSize on disjoint key sets stays near zero") {
+    val a = (1L to 300L).toDF("k")
+    val b = (10001L to 10300L).toDF("k")
+    val est = graft.operators.Sketches.cmsJoinSize(a, "k", b, "k")
+      .collect()(0).getLong(0)
+    // true join size 0; only hash collisions contribute
+    assert(est < 100L, s"disjoint-key estimate $est too large")
+  }
+
+  test("snapshotDiff classifies added/removed/changed incl. NULL edits") {
+    val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, None), (5L, Option("NULL"))).toDF("k", "v")
+    val neu = Seq((1L, Option("a")),        // unchanged
+      (2L, Option("B")),                    // changed
+      // 3 removed
+      (4L, Option("NULL")),                 // NULL -> 'NULL' must be a change
+      (5L, Option("NULL")),                 // unchanged
+      (6L, Option("f"))).toDF("k", "v")     // added
+    val got = graft.operators.Audit.snapshotDiff(old, neu, "k", Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("unchanged" -> 2L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("hardNegatives: ranked in-bucket, near-dups excluded by hi bound") {
+    val dim = 8
+    val base = Seq.tabulate(dim)(i => if (i == 0) 1.0f else 0.1f)
+    val vecs = Seq(
+      (1L, base),                                      // anchor
+      (2L, base),                                      // exact dup: cos=1, excluded
+      (3L, base.updated(1, 0.9f)),                     // close neighbor
+      (4L, base.updated(2, 0.7f)),                     // farther neighbor
+      (5L, base.map(x => -x))                          // opposite halfspace
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.hardNegatives(
+      vecs, "vec_id", "embedding", dim, bits = 4, lo = 0.0, hi = 0.999, m = 2)
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(1), "no self pairs")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 0.999)
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 2)
+    }
+    val anchor1 = got.filter(_.getLong(0) == 1L).sortBy(_.getInt(3))
+    // duplicates (cos 1.0) excluded; in-bucket neighbors ranked by cos
+    // (vec 4 is the closer one: cos≈0.878 vs vec 3's ≈0.813)
+    assert(!anchor1.exists(_.getLong(1) == 2L))
+    assert(anchor1.map(_.getLong(1)).toSeq === Seq(4L, 3L))
+  }
+
   test("hllOverlap of identical groups: union equals each side") {
     val rows = ((1L to 400L).map(k => ("a", k)) ++
       (1L to 400L).map(k => ("b", k))).toDF("g", "k")

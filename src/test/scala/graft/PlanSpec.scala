@@ -208,7 +208,8 @@ class PlanSpec extends AnyFunSuite {
       // a single-row build side is O(n), not O(n²), so these are fine:
       "q76_bm25",               // broadcasts (N, avgdl) corpus scalars
       "q180_ab_test",           // crossJoins two 1-row variant aggregates
-      "q197_zorder_skipping")   // broadcasts (mx, my, mz) maxima
+      "q197_zorder_skipping",   // broadcasts (mx, my, mz) maxima
+      "q204_cms_join_size")     // crossJoins the 1-row estimate & exact
     val offenders = batchGates
       .filterNot(q => bruteForceBaselines.contains(q.name))
       .flatMap { q =>
