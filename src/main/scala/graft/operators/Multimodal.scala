@@ -133,6 +133,33 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Synthetic GRADIENT PNG per row — per-pixel variation (unlike
+    * [[attachSyntheticPng]]'s solid fill) so geometric transforms like
+    * resize sampling are actually exercised pixel-by-pixel: every
+    * channel is an integer function of (x, y, id) an oracle can replay.
+    * Dims w=id%12+4, h=id%6+3; r=(31x+7y+id)%256, g=(13x+3id)%256,
+    * b=(11y+5id)%256. */
+  def attachSyntheticGradientPng(df: DataFrame, idCol: String,
+      out: String = "media_bytes"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField(out, BinaryType)))
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = ((id % 12 + 4).toInt, (id % 6 + 3).toInt)
+        Row(id, pngBytes(w, h, (x, y) => {
+          val rr = ((x * 31 + y * 7 + id) % 256).toInt
+          val gg = ((x * 13 + id * 3) % 256).toInt
+          val bb = ((y * 11 + id * 5) % 256).toInt
+          (rr << 16) | (gg << 8) | bb
+        }))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   val imageStatsSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType),
@@ -140,6 +167,61 @@ object Multimodal {
     StructField("mean_r", DoubleType),
     StructField("mean_g", DoubleType),
     StructField("mean_b", DoubleType)))
+
+  val resizedStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("src_width", IntegerType),
+    StructField("src_height", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** REAL distributed resize — the upgrade of [[resizeStub]]: decode,
+    * NEAREST-NEIGHBOR sample onto the (targetW × targetH) grid
+    * (sx = ⌊x·srcW/targetW⌋ — pure integer arithmetic, so the transform
+    * is bit-deterministic and an oracle can replay it; interpolating
+    * resamplers are FP-order-fragile and could never hash-gate), and
+    * emit the resized per-channel means — the thumbnail-feature pass of
+    * a vision curation pipeline. Same scale shape as
+    * [[decodeImageStats]]: size-binned partitions, one decoder loop per
+    * partition, exact integer sums, work per row bounded by
+    * targetW·targetH (not source pixels). Undecodable rows keep their
+    * id with null stats. */
+  def resizeImageStats(df: DataFrame, idCol: String, binCol: String,
+      targetW: Int, targetH: Int, sizeBins: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df
+      .select(col(idCol).cast("long"), col(binCol))
+      .repartition(sizeBins, pmod(length(col(binCol)), lit(sizeBins)))
+    val rdd = binned.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = readImage(r.getAs[Array[Byte]](1))
+        if (img == null) Row(id, null, null, null, null, null, null, null)
+        else {
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < targetH) {
+            val sy = y * sh / targetH
+            var x = 0
+            while (x < targetW) {
+              val p = img.getRGB(x * sw / targetW, sy)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = targetW.toLong * targetH
+          Row(id, sw, sh, targetW, targetH,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizedStatsSchema)
+  }
 
   /** Distributed REAL image feature extraction: decode every payload with
     * `javax.imageio` and emit (dims, per-channel means) — the feature

@@ -429,6 +429,40 @@ object VectorQueries {
         FROM documents""")),
 
     GraftQuery(
+      "q207_image_resize_stats",
+      (s, dir) => {
+        // REAL resize through the codec seam: gradient PNGs (per-pixel
+        // variation, so the sampling grid matters), decode + nearest-
+        // neighbor resample to 4×4, resized channel means. The oracle
+        // replays the integer sampling arithmetic — a wrong sample
+        // coordinate, channel order, or rounding mode breaks the hash.
+        // 4×4 target → means divide by 16, a power of two, so even the
+        // final division is FP-exact on both engines.
+        val d = Tables.load(s, dir, "documents").select("doc_id")
+        Multimodal.resizeImageStats(
+          Multimodal.attachSyntheticGradientPng(d, "doc_id"),
+          "media_id", "media_bytes", targetW = 4, targetH = 4)
+      },
+      Some("""WITH g AS (SELECT doc_id,
+            CAST(doc_id % 12 + 4 AS INTEGER) AS sw,
+            CAST(doc_id % 6 + 3 AS INTEGER) AS sh
+          FROM documents),
+        px AS (SELECT g.doc_id, g.sw, g.sh,
+            (x.i * g.sw) // 4 AS sx, (y.i * g.sh) // 4 AS sy
+          FROM g, range(0, 4) x(i), range(0, 4) y(i)),
+        sums AS (SELECT doc_id, sw, sh,
+            SUM((sx * 31 + sy * 7 + doc_id) % 256) AS sr,
+            SUM((sx * 13 + doc_id * 3) % 256) AS sg,
+            SUM((sy * 11 + doc_id * 5) % 256) AS sb
+          FROM px GROUP BY 1, 2, 3)
+      SELECT doc_id AS media_id, sw AS src_width, sh AS src_height,
+        CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        CAST(sr AS DOUBLE) / 16 AS mean_r,
+        CAST(sg AS DOUBLE) / 16 AS mean_g,
+        CAST(sb AS DOUBLE) / 16 AS mean_b
+      FROM sums""")),
+
+    GraftQuery(
       "q195_image_meta_real",
       (s, dir) => {
         // ImageIoCodec through the decodeMeta plumbing: real PNG payloads,

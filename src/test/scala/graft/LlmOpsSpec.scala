@@ -348,6 +348,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(meta(2L).isNullAt(3))
   }
 
+  test("resizeImageStats nearest-neighbor sampling: upsample repeats, " +
+      "downsample picks the ⌊x·sw/tw⌋ grid") {
+    // 2×2 source with four distinct channel-coded pixels
+    val p = Array(Array(10, 20), Array(30, 40)) // p(y)(x) red values
+    val png2 = Multimodal.pngBytes(2, 2, (x, y) => p(y)(x) << 16)
+    // 4×4 source, red = 10x + y
+    val png4 = Multimodal.pngBytes(4, 4, (x, y) => (10 * x + y) << 16)
+    val rows = Seq((1L, png2), (2L, png4)).toDF("id", "bytes")
+    val out = Multimodal.resizeImageStats(rows, "id", "bytes", 4, 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // upsample 2→4: sx = x*2/4 = [0,0,1,1] — each pixel ×4 → plain mean
+    assert(out(1L).getInt(1) === 2 && out(1L).getInt(3) === 4)
+    assert(out(1L).getDouble(5) === (10 + 20 + 30 + 40) / 4.0)
+    // identity 4→4: mean of 10x+y over the full grid
+    val exp4 = (for (x <- 0 until 4; y <- 0 until 4) yield 10 * x + y)
+      .sum / 16.0
+    assert(out(2L).getDouble(5) === exp4)
+    // downsample 4→2: picks (0,0),(2,0),(0,2),(2,2)
+    val down = Multimodal.resizeImageStats(rows.filter($"id" === 2L),
+      "id", "bytes", 2, 2).collect()(0)
+    assert(down.getDouble(5) === (0 + 20 + 2 + 22) / 4.0)
+  }
+
   test("embeddingNearDupsLsh bounds pair generation on a degenerate " +
       "(single hot bucket) corpus") {
     // 1200 IDENTICAL vectors: every one lands in the same sign bucket,
