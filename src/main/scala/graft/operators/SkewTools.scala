@@ -57,6 +57,35 @@ object SkewTools {
           scale).as("skew_ratio"))
   }
 
+  /** PARTIAL (hot-key-only) salting — the production refinement of
+    * [[saltedJoin]], closing the detect-then-salt loop [[skewProfile]]
+    * opens: count the fact side's keys, pull back only those above
+    * `hotThreshold` (a BOUNDED driver read — at most rows/hotThreshold
+    * keys can exceed the threshold, by construction), and salt ONLY
+    * them. Cold keys join on (key, 0) with zero dim replication; hot
+    * keys spread across saltN partitions with the dim replicated saltN×
+    * FOR THE HOT KEYS ALONE — dim bloat is |hotKeys|·saltN rows instead
+    * of [[saltedJoin]]'s |dim|·saltN, which is what makes salting
+    * affordable when the dim itself is large. Row-identical to the
+    * plain join (inner and left alike: every fact row carries exactly
+    * one salt, and its dim key exists at every salt value). */
+  def hotKeySaltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+      saltN: Int, hotThreshold: Long,
+      joinType: String = "inner"): DataFrame = {
+    val hot = facts.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotThreshold)
+      .select(col(key)).collect().map(_.get(0))
+    if (hot.isEmpty) return facts.join(dim, Seq(key), joinType)
+    val saltF = when(col(key).isin(hot: _*),
+      pmod(hash(facts.columns.map(col): _*), lit(saltN))).otherwise(lit(0))
+    val f = facts.withColumn("__salt", saltF)
+    val d = dim.withColumn("__salt", lit(0)).unionByName(
+      dim.filter(col(key).isin(hot: _*))
+        .withColumn("__salt", explode(sequence(lit(1), lit(saltN - 1)))))
+    f.join(d, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Two-phase salted sum/count: partial per (keys, salt), final per keys.
     * `sumCols` are summed, plus a `n_rows` count. */
   def saltedAgg(df: DataFrame, keys: Seq[String], sumCols: Seq[String],

@@ -1009,6 +1009,36 @@ object CoreQueries {
           WHEN nk IS NULL THEN 'removed'
           WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS change_type,
         COUNT(*) AS n_rows
-      FROM j GROUP BY 1"""))
+      FROM j GROUP BY 1""")),
+
+    GraftQuery(
+      "q208_hot_key_salted_join",
+      (s, dir) => {
+        // detect-then-salt, end to end: a synthetic hot key (30% of the
+        // fact stream collapses onto part 1) would hand one reduce
+        // partition a third of the join at any scale; hotKeySaltedJoin
+        // counts keys, finds the ones above threshold (a bounded driver
+        // read), and spreads ONLY those — dim replication |hot|·saltN
+        // rows, result row-identical to the plain join, which is exactly
+        // what the plain-join oracle checks.
+        val fact = Tables.load(s, dir, "lineitem")
+          .withColumn("join_key",
+            when(col("l_orderkey") % 10 < 3, 1L).otherwise(col("l_partkey")))
+        val dim = Tables.load(s, dir, "part")
+          .select(col("p_partkey").as("join_key"), col("p_brand"))
+        graft.operators.SkewTools.hotKeySaltedJoin(
+            fact, dim, "join_key", saltN = 8, hotThreshold = 1000L)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_qty"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+              ELSE l_partkey END AS join_key, l_quantity FROM lineitem) f
+        JOIN (SELECT p_partkey AS join_key, p_brand FROM part) d
+          USING (join_key)
+        GROUP BY p_brand"""))
   )
 }

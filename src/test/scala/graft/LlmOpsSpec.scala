@@ -817,6 +817,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ei > 200 && ei < 800, s"overlap estimate $ei out of band")
   }
 
+  test("hotKeySaltedJoin is row-identical to the plain join, salts only hot keys") {
+    val facts = ((1L to 900L).map(i => (7L, i)) ++        // hot key: 900 rows
+      (1L to 50L).map(i => (i % 20 + 100L, i)) ++          // cold keys
+      Seq((999L, 0L))                                      // unmatched key
+    ).toDF("k", "payload")
+    val dim = ((1L to 200L) :+ 7L).distinct.map(k => (k, s"d$k"))
+      .toDF("k", "attr")
+    val plain = facts.join(dim, Seq("k")).select("k", "payload", "attr")
+      .collect().map(_.toSeq).toSet
+    val salted = graft.operators.SkewTools
+      .hotKeySaltedJoin(facts, dim, "k", saltN = 4, hotThreshold = 100L)
+      .select("k", "payload", "attr").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    // left join keeps unmatched fact rows exactly once
+    val leftPlain = facts.join(dim, Seq("k"), "left").count()
+    val leftSalted = graft.operators.SkewTools
+      .hotKeySaltedJoin(facts, dim, "k", 4, 100L, "left").count()
+    assert(leftSalted === leftPlain)
+    // no hot keys → plain join path
+    val cold = graft.operators.SkewTools
+      .hotKeySaltedJoin(facts, dim, "k", 4, 10000L).count()
+    assert(cold === plain.size)
+  }
+
   test("cmsJoinSize overestimates and tracks the exact self-join size") {
     val keys = (1L to 500L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k))
       .toDF("k")
