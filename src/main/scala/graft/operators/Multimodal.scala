@@ -279,6 +279,99 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaMetaSchema)
   }
 
+  /** Real WAV bytes from PCM samples (16-bit signed little-endian mono):
+    * a genuine RIFF container via `javax.sound.sampled`, so the decode
+    * side exercises real header parsing — the audio analog of
+    * [[pngBytes]]. */
+  def wavBytes(rate: Float, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic synthetic audio: one real WAV per row, length and
+    * samples derived from the id (n = id%32+16 samples at 8 kHz,
+    * sample[i] = (37i + 11·id) mod 2003 − 1001) — the [[attachSyntheticPng]]
+    * recipe for the audio column. */
+  def attachSyntheticWav(df: DataFrame, idCol: String,
+      out: String = "media_bytes"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField(out, BinaryType)))
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 32 + 16).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((i * 37 + id * 11) % 2003) - 1001).toShort)
+        Row(id, wavBytes(8000f, samples))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_amp", LongType),
+    StructField("sum_sq", LongType)))
+
+  /** Distributed REAL audio feature extraction: parse each payload's
+    * RIFF/fmt headers with `javax.sound.sampled`, decode the 16-bit PCM
+    * stream, and emit (rate, length, Σ amplitude, Σ amplitude²) — the
+    * loudness/energy sufficient statistics an audio-curation pass
+    * filters on (mean and RMS derive from them), kept as EXACT integer
+    * sums so the gate hashes with no FP discipline needed at all. Same
+    * scale shape as [[decodeImageStats]]: size-binned partitions, one
+    * decoder loop per partition; undecodable or non-16-bit-mono rows
+    * keep their id with null stats. */
+  def decodeAudioStats(df: DataFrame, idCol: String, binCol: String,
+      sizeBins: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df
+      .select(col(idCol).cast("long"), col(binCol))
+      .repartition(sizeBins, pmod(length(col(binCol)), lit(sizeBins)))
+    val rdd = binned.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+              f.isBigEndian) Row(id, null, null, null, null)
+          else {
+            val bytes = ais.readAllBytes()
+            var (sa, sq) = (0L, 0L)
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+              sa += s; sq += s * s
+              i += 2
+            }
+            Row(id, f.getSampleRate.toInt, bytes.length.toLong / 2, sa, sq)
+          }
+        } catch {
+          case _: Exception => Row(id, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioStatsSchema)
+  }
+
   /** STUB resize: passes metadata through with target dims attached —
     * the real implementation maps the binary column batch-wise. */
   def resizeStub(meta: DataFrame, targetW: Int, targetH: Int): DataFrame =

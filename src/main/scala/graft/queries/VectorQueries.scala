@@ -429,6 +429,33 @@ object VectorQueries {
         FROM documents""")),
 
     GraftQuery(
+      "q209_audio_decode_stats",
+      (s, dir) => {
+        // REAL audio decode, distributed: one genuine RIFF/WAV payload
+        // per document (PCM samples derived from the id), parsed back
+        // through javax.sound.sampled on the executors → (rate, length,
+        // Σamp, Σamp²) as exact integer sums. The oracle replays the
+        // sample formula arithmetically — a header misparse, byte-order
+        // slip, or sign error breaks the hash. Closes the audio leg of
+        // the image/audio/video column family.
+        val d = Tables.load(s, dir, "documents").select("doc_id")
+        Multimodal.decodeAudioStats(
+          Multimodal.attachSyntheticWav(d, "doc_id"),
+          "media_id", "media_bytes")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+            CAST(doc_id % 32 + 16 AS BIGINT) AS n FROM documents),
+          s AS (SELECT g.doc_id, g.n,
+              ((i.i * 37 + g.doc_id * 11) % 2003) - 1001 AS v
+            FROM g, range(0, 48) i(i) WHERE i.i < g.n),
+          a AS (SELECT doc_id, MAX(n) AS n, SUM(v) AS sa, SUM(v * v) AS sq
+            FROM s GROUP BY doc_id)
+        SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+          n AS n_samples, CAST(sa AS BIGINT) AS sum_amp,
+          CAST(sq AS BIGINT) AS sum_sq
+        FROM a""")),
+
+    GraftQuery(
       "q207_image_resize_stats",
       (s, dir) => {
         // REAL resize through the codec seam: gradient PNGs (per-pixel

@@ -348,6 +348,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(meta(2L).isNullAt(3))
   }
 
+  test("decodeAudioStats really parses WAV: known sums, corrupt isolation") {
+    val samples = Array[Short](100, -200, 300, -32768, 32767)
+    val wav = Multimodal.wavBytes(8000f, samples)
+    val rows = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+    val out = Multimodal.decodeAudioStats(rows, "id", "bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = out(1L)
+    assert(ok.getInt(1) === 8000)
+    assert(ok.getLong(2) === samples.length.toLong)
+    assert(ok.getLong(3) === samples.map(_.toLong).sum)
+    assert(ok.getLong(4) === samples.map(s => s.toLong * s).sum)
+    assert(out(2L).isNullAt(1)) // corrupt payload survives as null stats
+  }
+
   test("resizeImageStats nearest-neighbor sampling: upsample repeats, " +
       "downsample picks the ⌊x·sw/tw⌋ grid") {
     // 2×2 source with four distinct channel-coded pixels
