@@ -194,4 +194,67 @@ class PropertySpec extends AnyFunSuite {
         s"seed=$seed bits=$bits: a base row was dropped")
     }
   }
+
+  test("property: bloomPrefilter never drops a matching key (no false negatives)") {
+    import graft.operators.JoinReduction
+    for (seed <- 1L to 5L) {
+      val buildKeys = sample(
+        Gen.listOfN(60, Gen.choose(0L, 100000L)), seed).distinct
+      val probe = spark.range(0L, 3000L)
+        .select((col("id") * 37 % 100000L).as("k"))
+      val build = buildKeys.toDF("bk")
+      val reduced = JoinReduction.bloomPrefilter(probe, "k", build, "bk")
+      val lost = probe.join(build, col("k") === col("bk"))
+        .select("k").except(reduced.join(build, col("k") === col("bk"))
+          .select("k"))
+      assert(lost.count() === 0L, s"seed=$seed: matching keys lost")
+    }
+  }
+
+  test("property: snapshotDiff of a snapshot against itself is all unchanged") {
+    import graft.operators.Audit
+    for (seed <- 1L to 5L) {
+      val rows = sample(Gen.listOfN(200,
+        Gen.zip(Gen.choose(0L, 10000L), Gen.option(Gen.alphaStr))), seed)
+        .distinctBy(_._1)
+      val df = rows.toDF("k", "v")
+      val got = Audit.snapshotDiff(df, df, "k", Seq("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("unchanged" -> rows.size.toLong), s"seed=$seed")
+    }
+  }
+
+  test("property: bpeEncode token counts stay within [n_words, n_chars]") {
+    import graft.operators.Tokenizer
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n", "e" -> "r")
+    for (seed <- 1L to 5L) {
+      val texts = sample(Gen.listOfN(50, Gen.oneOf(
+        Gen.alphaStr, Gen.asciiPrintableStr,
+        Gen.listOfN(8, Gen.alphaLowerStr).map(_.mkString(" ")))), seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val bad = Tokenizer.bpeEncode(df, "doc_id", "text", merges)
+        .filter(col("n_tokens") > col("n_chars") ||
+          (col("n_chars") > 0 && col("n_tokens") < col("n_words")) ||
+          col("n_tokens") < 0 || col("n_words") < 0)
+      assert(bad.count() === 0L, s"seed=$seed: count bounds violated")
+    }
+  }
+
+  test("property: hotKeySaltedJoin equals the plain join on random skew") {
+    import graft.operators.SkewTools
+    for (seed <- 1L to 3L) {
+      val hotKey = sample(Gen.choose(0L, 50L), seed)
+      val facts = (spark.range(0L, 2000L)
+        .select(when(col("id") % 3 === 0, lit(hotKey))
+          .otherwise(col("id") % 80L).as("k"), col("id").as("p")))
+      val dim = (0L until 80L).map(k => (k, s"a$k")).toDF("k", "attr")
+      val plain = facts.join(dim, Seq("k"))
+        .select("k", "p", "attr").collect().map(_.toSeq).toSet
+      val salted = SkewTools
+        .hotKeySaltedJoin(facts, dim, "k", saltN = 5, hotThreshold = 200L)
+        .select("k", "p", "attr").collect().map(_.toSeq).toSet
+      assert(salted === plain, s"seed=$seed")
+    }
+  }
 }
