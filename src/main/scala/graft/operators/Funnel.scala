@@ -64,4 +64,39 @@ object Funnel {
       .orderBy(col("cnt").desc, col("seq").asc)
       .limit(topK)
   }
+
+  /** Last-touch attribution — the marketing-analytics complement of
+    * [[detect]]: every conversion is credited to the user's most recent
+    * touch event within `lookbackSec`, or to 'direct' when none
+    * qualifies. One shuffle on the user key; the carry-forward is a
+    * `last(..., ignoreNulls)` running window (the [[TimeSeries.gapFill]]
+    * primitive) over an explicit ROWS frame ordered by (ts, id) so ties
+    * attribute deterministically. At 100 TB this is a single
+    * user-partitioned window over the event stream — no self-join of
+    * conversions against touches. Returns (channel, conv_row...) —
+    * callers aggregate. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, touchType: String,
+      convType: String, channel: org.apache.spark.sql.Column,
+      lookbackSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tse = unix_timestamp(col(tsCol))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__tse", tse)
+      .withColumn("__last_ch",
+        last(when(col(typeCol) === touchType, channel), ignoreNulls = true)
+          .over(w))
+      .withColumn("__last_ts",
+        last(when(col(typeCol) === touchType, tse), ignoreNulls = true)
+          .over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("channel",
+        when(col("__last_ch").isNotNull &&
+          col("__tse") - col("__last_ts") <= lookbackSec, col("__last_ch"))
+          .otherwise(lit("direct")))
+      .drop("__tse", "__last_ch", "__last_ts")
+  }
 }

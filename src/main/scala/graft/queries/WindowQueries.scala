@@ -912,6 +912,50 @@ object HistoryQueries {
         SELECT event_type, t_span,
           CASE WHEN t_span = 0 THEN 0.0E0
             ELSE CAST(num AS DOUBLE) / t_span END AS twa
-        FROM a"""))
+        FROM a""")),
+
+    GraftQuery(
+      "q210_last_touch_attribution",
+      (s, dir) => {
+        // marketing attribution: every purchase credited to the user's
+        // most recent click within 7 days (channel synthesized from the
+        // click's props), else 'direct'. ONE user-partitioned window
+        // carries the last click forward — never a purchases×clicks
+        // self-join — then a plain channel rollup.
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"), col("props"))
+        val channel = concat(lit("ch"),
+          (get_json_object(col("props"), "$.k").cast("long") % 5)
+            .cast("string"))
+        graft.operators.Funnel.lastTouchAttribution(ev, "user_id", "ts",
+            "event_id", "event_type", touchType = "click",
+            convType = "purchase", channel = channel,
+            lookbackSec = 604800L)
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast("double").as("revenue"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, value, ts,
+            CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+            'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+              % 5 AS VARCHAR) AS ch
+          FROM events),
+        c AS (SELECT event_type, value, tse,
+            last_value(CASE WHEN event_type = 'click' THEN ch END
+              IGNORE NULLS) OVER w AS last_ch,
+            last_value(CASE WHEN event_type = 'click' THEN tse END
+              IGNORE NULLS) OVER w AS last_ts
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        p AS (SELECT CASE WHEN last_ch IS NOT NULL
+              AND tse - last_ts <= 604800 THEN last_ch
+              ELSE 'direct' END AS channel, value
+          FROM c WHERE event_type = 'purchase')
+      SELECT channel, COUNT(*) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM p GROUP BY channel"""))
   )
 }

@@ -832,6 +832,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ei > 200 && ei < 800, s"overlap estimate $ei out of band")
   }
 
+  test("lastTouchAttribution: lookback bound, direct fallback, tie order") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: click chA at t=100, purchase at t=200 → chA
+      (1L, 1L, ts(100), "click", 0.0, "A"),
+      (2L, 1L, ts(200), "purchase", 10.0, ""),
+      // user 2: click chB at t=0, purchase at t=700000 (beyond 604800) → direct
+      (3L, 2L, ts(0), "click", 0.0, "B"),
+      (4L, 2L, ts(700000), "purchase", 20.0, ""),
+      // user 3: purchase before any click → direct
+      (5L, 3L, ts(50), "purchase", 30.0, ""),
+      (6L, 3L, ts(60), "click", 0.0, "C"),
+      // user 4: same-ts click (smaller id) then purchase → attributed
+      (7L, 4L, ts(500), "click", 0.0, "D"),
+      (8L, 4L, ts(500), "purchase", 40.0, "")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "ch")
+    val got = graft.operators.Funnel.lastTouchAttribution(ev, "user_id",
+        "ts", "event_id", "event_type", "click", "purchase",
+        channel = col("ch"), lookbackSec = 604800L)
+      .select("event_id", "channel").as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "A", 4L -> "direct", 5L -> "direct",
+      8L -> "D"))
+  }
+
   test("hotKeySaltedJoin is row-identical to the plain join, salts only hot keys") {
     val facts = ((1L to 900L).map(i => (7L, i)) ++        // hot key: 900 rows
       (1L to 50L).map(i => (i % 20 + 100L, i)) ++          // cold keys
