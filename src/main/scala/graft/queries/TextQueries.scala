@@ -257,6 +257,50 @@ object TextQueries {
       (s, dir) => graft.operators.Tokenizer.bpeEncode(
         Tables.load(s, dir, "documents"), "doc_id", "text", BpeApplyMerges),
       Some(graft.operators.Tokenizer.bpeEncodeSql(
-        "documents", "doc_id", "text", BpeApplyMerges)))
+        "documents", "doc_id", "text", BpeApplyMerges))),
+
+    GraftQuery(
+      "q211_quality_threshold_curve",
+      (s, dir) => {
+        // the filter-calibration artifact: docs and tokens surviving
+        // every candidate quality cutoff (0.0, 0.1, …, 1.0), from ONE
+        // corpus scan — an 11-bucket histogram, each bucket exploded to
+        // the thresholds it survives (an equi-join rollup over ≤ 11
+        // rows, never 11 rescans and no nested-loop threshold join).
+        // This curve is how a curation run picks its cutoff before
+        // paying for the full filter pass.
+        val d = Tables.load(s, dir, "documents")
+        val q = TextFunctions.qualityScore(col("text"))
+        val hist = d.select(
+            least(floor(q * 10).cast("int"), lit(10)).as("bucket"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("c"), sum("nt").as("tk"))
+        val surviving = hist
+          .select(explode(sequence(lit(0), col("bucket")))
+              .as("threshold_tenths"),
+            col("c"), col("tk"))
+          .groupBy("threshold_tenths")
+          .agg(sum("c").as("docs_kept"), sum("tk").as("tokens_kept"))
+        s.range(0, 11)
+          .select(col("id").cast("int").as("threshold_tenths"))
+          .join(surviving, Seq("threshold_tenths"), "left")
+          .select(col("threshold_tenths"),
+            coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      },
+      Some(s"""WITH q AS (SELECT ${qualitySqlTwin} AS qs,
+            CAST($TokCountSql AS BIGINT) AS nt FROM documents),
+          b AS (SELECT LEAST(CAST(floor(qs * 10) AS INTEGER), 10)
+              AS bucket, nt FROM q),
+          h AS (SELECT bucket, COUNT(*) AS c, SUM(nt) AS tk
+            FROM b GROUP BY 1),
+          t AS (SELECT CAST(unnest(range(0, 11)) AS INTEGER)
+              AS threshold_tenths)
+        SELECT t.threshold_tenths,
+          CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS docs_kept,
+          CAST(COALESCE(SUM(h.tk), 0) AS BIGINT) AS tokens_kept
+        FROM t LEFT JOIN h ON h.bucket >= t.threshold_tenths
+        GROUP BY t.threshold_tenths"""))
   )
 }
