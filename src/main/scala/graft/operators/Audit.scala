@@ -116,6 +116,44 @@ object Audit {
         expr("bit_xor(__rk)").as("xor_key"))
   }
 
+  /** k-anonymity via minimal generalization (local recoding over a
+    * suppression ladder) — the privacy audit+fix a dataset release runs
+    * before publishing quasi-identifiers: each row is generalized to the
+    * FIRST ladder level at which its group reaches `k` members, where
+    * level i suppresses the last i quasi-identifier columns to '*'
+    * (nested groupings are monotone, so the minimal level is
+    * well-defined). Implementation is |QI|+1 window counts over one
+    * shuffle-partitioning family and a per-row CASE — no iteration, no
+    * driver loop; the output is the generalized-combo census (display
+    * values, suppression level, group size), every group ≥ k by
+    * construction except the fully-suppressed residue (reported at the
+    * top level for the release decision). */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val levels = qiCols.indices.map(i => qiCols.dropRight(i)) :+ Seq.empty
+    val counted = levels.zipWithIndex.foldLeft(
+      df.select(qiCols.map(c => col(c).cast("string").as(c)): _*)) {
+      case (d, (cols, i)) =>
+        val w = if (cols.isEmpty) Window.partitionBy(lit(1))
+          else Window.partitionBy(cols.map(col): _*)
+        d.withColumn(s"__n$i", count(lit(1)).over(w))
+    }
+    val level = levels.indices.init.foldRight(
+      lit(levels.size - 1)) { (i, rest) =>
+      when(col(s"__n$i") >= k, i).otherwise(rest)
+    }
+    val display = qiCols.zipWithIndex.map { case (c, j) =>
+      // level i suppresses the last i columns: column j survives while
+      // j < |QI| − level
+      when(col("__level") < qiCols.size - j, col(c))
+        .otherwise(lit("*")).as(c)
+    }
+    counted.withColumn("__level", level)
+      .select(display :+ col("__level").cast("int").as("suppression_level"): _*)
+      .groupBy(qiCols.map(col) :+ col("suppression_level"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Snapshot row-diff — the data-versioning primitive: classify every
     * key of two table versions as added / removed / changed / unchanged
     * and count each class. Change detection hashes the compared columns

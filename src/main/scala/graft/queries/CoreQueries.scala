@@ -1039,6 +1039,43 @@ object CoreQueries {
               ELSE l_partkey END AS join_key, l_quantity FROM lineitem) f
         JOIN (SELECT p_partkey AS join_key, p_brand FROM part) d
           USING (join_key)
-        GROUP BY p_brand"""))
+        GROUP BY p_brand""")),
+
+    GraftQuery(
+      "q212_k_anonymity",
+      (s, dir) => {
+        // privacy release audit+fix: customers generalized over the
+        // (segment, nation, overdrawn) quasi-identifier ladder until
+        // every combo reaches k=8 members — each row lands at its
+        // MINIMAL suppression level, so sparse combos coarsen while
+        // dense ones keep full detail (at 10× scale the same query
+        // suppresses less — the k-anonymity/utility tradeoff made
+        // visible). |QI|+1 window counts, no iteration.
+        val c = Tables.load(s, dir, "customer").select(
+          col("c_mktsegment"), col("c_nationkey"),
+          (col("c_acctbal") < 0).as("overdrawn"))
+        graft.operators.Audit.kAnonymize(c,
+          Seq("c_mktsegment", "c_nationkey", "overdrawn"), k = 8)
+      },
+      Some("""WITH base AS (SELECT c_mktsegment AS seg,
+            CAST(c_nationkey AS VARCHAR) AS nat,
+            CAST(c_acctbal < 0 AS VARCHAR) AS od FROM customer),
+        c AS (SELECT seg, nat, od,
+            COUNT(*) OVER (PARTITION BY seg, nat, od) AS n0,
+            COUNT(*) OVER (PARTITION BY seg, nat) AS n1,
+            COUNT(*) OVER (PARTITION BY seg) AS n2
+          FROM base),
+        l AS (SELECT seg, nat, od,
+            CASE WHEN n0 >= 8 THEN 0 WHEN n1 >= 8 THEN 1
+              WHEN n2 >= 8 THEN 2 ELSE 3 END AS lev FROM c),
+        d AS (SELECT
+            CASE WHEN lev < 3 THEN seg ELSE '*' END AS c_mktsegment,
+            CASE WHEN lev < 2 THEN nat ELSE '*' END AS c_nationkey,
+            CASE WHEN lev < 1 THEN od ELSE '*' END AS overdrawn,
+            CAST(lev AS INTEGER) AS suppression_level
+          FROM l)
+      SELECT c_mktsegment, c_nationkey, overdrawn, suppression_level,
+        COUNT(*) AS n_rows
+      FROM d GROUP BY 1, 2, 3, 4"""))
   )
 }

@@ -832,6 +832,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ei > 200 && ei < 800, s"overlap estimate $ei out of band")
   }
 
+  test("kAnonymize: minimal suppression level per row, full-suppression residue") {
+    val rows = (Seq.fill(5)(("A", "x")) ++     // (A,x): 5 ≥ k → level 0
+      Seq.fill(2)(("A", "y")) ++               // (A,y): 2 < k, (A): 7 ≥ 4 → level 1
+      Seq(("B", "z"))                          // (B,*): 1, (B): 1, total 8 → level 2
+    ).toDF("g1", "g2")
+    val got = graft.operators.Audit.kAnonymize(rows, Seq("g1", "g2"), k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2), r.getLong(3))).toSet
+    assert(got === Set(("A", "x", 0, 5L), ("A", "*", 1, 2L),
+      ("*", "*", 2, 1L)))
+    // every surviving group at level < max meets k… except the residue,
+    // which is reported at the top level for the release decision
+    val tiny = Seq(("C", "q")).toDF("g1", "g2")
+    val res = graft.operators.Audit.kAnonymize(tiny, Seq("g1", "g2"), k = 4)
+      .collect()
+    assert(res.length === 1 && res(0).getInt(2) === 2 &&
+      res(0).getString(0) === "*")
+  }
+
   test("lastTouchAttribution: lookback bound, direct fallback, tie order") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(sec * 1000L)
