@@ -116,42 +116,112 @@ object Audit {
         expr("bit_xor(__rk)").as("xor_key"))
   }
 
-  /** k-anonymity via minimal generalization (local recoding over a
-    * suppression ladder) — the privacy audit+fix a dataset release runs
-    * before publishing quasi-identifiers: each row is generalized to the
-    * FIRST ladder level at which its group reaches `k` members, where
-    * level i suppresses the last i quasi-identifier columns to '*'
-    * (nested groupings are monotone, so the minimal level is
-    * well-defined). Implementation is |QI|+1 window counts over one
-    * shuffle-partitioning family and a per-row CASE — no iteration, no
-    * driver loop; the output is the generalized-combo census (display
-    * values, suppression level, group size), every group ≥ k by
-    * construction except the fully-suppressed residue (reported at the
-    * top level for the release decision). */
+  /** k-anonymity via local recoding over a suppression ladder — the
+    * privacy audit+fix a dataset release runs before publishing
+    * quasi-identifiers. Level i suppresses the last i QI columns to '*';
+    * releases escalate BOTTOM-UP as a fixpoint: a full-detail combo with
+    * ≥ k rows is released at level 0, the surviving rows regroup one
+    * level coarser, and so on — so group sizes are counted over the
+    * DISPLAYED (generalized) tuples each class actually releases, never
+    * the original partition. (Counting the original partition is the
+    * classic local-recoding bug: a level-i class contains only the rows
+    * whose finer combos failed k, which can be arbitrarily smaller than
+    * the partition that justified the level.) Every released class
+    * therefore reaches k by construction, except the fully-suppressed
+    * residue, which is reported at the top level for the release
+    * decision. The ladder is nested, so |QI| escalation steps suffice —
+    * no data-dependent iteration.
+    *
+    * Scale shape: the fixpoint runs over the combo census (one count per
+    * distinct QI combination — bounded by the QI cross-product
+    * cardinality, never corpus rows), checkpointed once; each ladder
+    * level is one sum-window partitioned by its prefix columns over the
+    * shrinking remainder — never a single-partition shuffle — and the
+    * residue is a scalar aggregate. */
   def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val levels = qiCols.indices.map(i => qiCols.dropRight(i)) :+ Seq.empty
-    val counted = levels.zipWithIndex.foldLeft(
-      df.select(qiCols.map(c => col(c).cast("string").as(c)): _*)) {
-      case (d, (cols, i)) =>
-        val w = if (cols.isEmpty) Window.partitionBy(lit(1))
-          else Window.partitionBy(cols.map(col): _*)
-        d.withColumn(s"__n$i", count(lit(1)).over(w))
-    }
-    val level = levels.indices.init.foldRight(
-      lit(levels.size - 1)) { (i, rest) =>
-      when(col(s"__n$i") >= k, i).otherwise(rest)
-    }
-    val display = qiCols.zipWithIndex.map { case (c, j) =>
-      // level i suppresses the last i columns: column j survives while
-      // j < |QI| − level
-      when(col("__level") < qiCols.size - j, col(c))
-        .otherwise(lit("*")).as(c)
-    }
-    counted.withColumn("__level", level)
-      .select(display :+ col("__level").cast("int").as("suppression_level"): _*)
+    val leveled = comboLevels(df, qiCols, k)
+    leveled
+      .select(displayCols(qiCols, col("__level"))
+        :+ col("__level").cast("int").as("suppression_level")
+        :+ col("__cnt"): _*)
       .groupBy(qiCols.map(col) :+ col("suppression_level"): _*)
-      .agg(count(lit(1)).as("n_rows"))
+      .agg(sum(col("__cnt")).as("n_rows"))
+  }
+
+  /** Display projection for a suppression level: QI column j survives
+    * while j < |QI| − level, else '*'. `qual` disambiguates the QI
+    * references after a self-ish join. */
+  private def displayCols(qiCols: Seq[String],
+      level: org.apache.spark.sql.Column, qual: String = "") = {
+    def ref(name: String) =
+      if (qual.isEmpty) col(name) else col(s"$qual.$name")
+    qiCols.zipWithIndex.map { case (c, j) =>
+      when(level < qiCols.size - j, ref(c)).otherwise(lit("*")).as(c)
+    }
+  }
+
+  /** The escalation fixpoint shared by [[kAnonymize]] and
+    * [[lDiversityAudit]]: the combo census (qiCols cast to string,
+    * `__cnt`) with `__level`, the ladder level each combo releases at —
+    * bottom-up over displayed tuples, so summing `__cnt` within any
+    * released (displayed, level) class gives ≥ k except at the top
+    * residue level (= |QI|). */
+  private[graft] def comboLevels(df: DataFrame, qiCols: Seq[String],
+      k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nq = qiCols.size
+    require(nq > 0, "need at least one quasi-identifier column")
+    val combos = df
+      .select(qiCols.map(c => col(c).cast("string").as(c)): _*)
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    var remaining = combos
+    val released = (0 until nq).map { i =>
+      val w = Window.partitionBy(qiCols.dropRight(i).map(col): _*)
+      val counted = remaining.withColumn("__gn", sum(col("__cnt")).over(w))
+      val rel = counted.filter(col("__gn") >= k)
+        .drop("__gn").withColumn("__level", lit(i))
+      remaining = counted.filter(col("__gn") < k).drop("__gn")
+      rel
+    }
+    (released :+ remaining.withColumn("__level", lit(nq)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** l-diversity audit over the k-anonymized release: a class whose
+    * members all share one sensitive value leaks it even at size ≥ k
+    * (the homogeneity attack) — so for every released class of
+    * [[kAnonymize]]'s generalization, report the number of DISTINCT
+    * sensitive values and flag classes below `l`. The release decision
+    * reads `meets_l`; flagged classes need suppression or a coarser QI.
+    *
+    * Scale shape: one corpus-width aggregation to (combo, sensitive)
+    * counts, the [[comboLevels]] fixpoint on the (smaller) QI census,
+    * one broadcast-friendly equi-join between the two, and a final
+    * class-level aggregation — no window touches corpus-sized data. */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String], sensCol: String,
+      k: Long, l: Long): DataFrame = {
+    val levels = comboLevels(df, qiCols, k)
+      .select(qiCols.map(col) :+ col("__level"): _*)
+    val sensCounts = df
+      .select(qiCols.map(c => col(c).cast("string").as(c))
+        :+ col(sensCol).cast("string").as("__sens"): _*)
+      .groupBy(qiCols.map(col) :+ col("__sens"): _*)
+      .agg(count(lit(1)).as("__sc"))
+    // null-safe keys: a NULL QI value is a combo like any other on both
+    // sides (groupBy groups NULLs; a plain equi-join would drop them)
+    val joinCond = qiCols.map(c =>
+      col(s"__sc_side.$c") <=> col(s"__lv_side.$c")).reduce(_ && _)
+    sensCounts.as("__sc_side")
+      .join(levels.as("__lv_side"), joinCond)
+      .select(displayCols(qiCols, col("__level"), "__lv_side")
+        :+ col("__level").cast("int").as("suppression_level")
+        :+ col("__sens") :+ col("__sc"): _*)
+      .groupBy(qiCols.map(col) :+ col("suppression_level"): _*)
+      .agg(sum(col("__sc")).as("n_rows"),
+        countDistinct(col("__sens")).as("n_sensitive"))
+      .withColumn("meets_l", col("n_sensitive") >= l)
   }
 
   /** Snapshot row-diff — the data-versioning primitive: classify every

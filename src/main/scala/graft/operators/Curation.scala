@@ -738,8 +738,8 @@ object Curation {
     // Interpolated cutoffs are engine-computed doubles: Spark percentile
     // and an oracle's quantile_cont can land 1 ulp apart, flipping the
     // `>` comparison when a cutoff sits exactly on an integer difficulty.
-    // roundHalfUp both sides before comparing (CLAUDE.md half-boundary
-    // discipline).
+    // roundHalfUp both sides before comparing (the half-boundary rule in
+    // ARCHITECTURE.md's correctness strategy).
     // empty input: percentile yields NULL — no cutoffs, every (zero)
     // row would land in stage 1
     val cuts =

@@ -320,6 +320,17 @@ object Dedup {
     * hot-shingle anti-join. */
   private def pairStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int, dfCap: Int)(finish: DataFrame => DataFrame): DataFrame = {
+    val (out, byShingle) = pairStatsPlan(docs, idCol, textCol, k, dfCap)(finish)
+    try out.localCheckpoint()
+    finally byShingle.unpersist()
+  }
+
+  /** Lazy plan behind [[pairStats]] (pre-checkpoint), with the persisted
+    * posting-list frame for the caller to unpersist — the plan-book seam
+    * (graft.Explain) and the shape the docs above describe. */
+  private[graft] def pairStatsPlan(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, dfCap: Int)(
+      finish: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val byShingle = shingleIndex(docs, idCol, textCol, k)
       .groupBy("sh").agg(collect_list("doc").as("docs"))
@@ -353,19 +364,27 @@ object Dedup {
         .join(sizes.as("__sb"), col("doc_b") === col("__sb.doc"))
         .select(col("doc_a"), col("doc_b"), col("inter"),
           col("__sa.n_sh").as("n_a"), col("__sb.n_sh").as("n_b"))
-      finish(stats).localCheckpoint()
-    } finally byShingle.unpersist()
+      (finish(stats), byShingle)
+    } catch { case e: Throwable => byShingle.unpersist(); throw e }
   }
+
+  private def jaccardFinish(threshold: Double)(stats: DataFrame): DataFrame =
+    stats
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, dfCap: Int = 100): DataFrame =
-    pairStats(docs, idCol, textCol, k, dfCap) { stats =>
-      stats
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    }
+    pairStats(docs, idCol, textCol, k, dfCap)(jaccardFinish(threshold))
+
+  /** Lazy [[jaccardPairs]] plan (pre-checkpoint) + its posting-list cache —
+    * the plan-book seam. */
+  private[graft] def jaccardPairsPlan(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, threshold: Double = 0.8,
+      dfCap: Int = 100): (DataFrame, DataFrame) =
+    pairStatsPlan(docs, idCol, textCol, k, dfCap)(jaccardFinish(threshold))
 
   /** Duplicate-passage pairs (the exact-substring dedup family): document
     * pairs sharing at least `minRun` CONSECUTIVE word k-shingles — a
@@ -466,10 +485,38 @@ object Dedup {
     * the document text is read and shingled exactly once (the previous
     * form re-scanned and re-tokenized the corpus for verification — two
     * full passes over 100 TB of text). The doc-size frame is now a
-    * per-row `size(keys)` projection instead of a count-by-doc shuffle. */
+    * per-row `size(keys)` projection instead of a count-by-doc shuffle.
+    *
+    * The band self-join is CAPPED: a boilerplate document duplicated 10⁶
+    * times puts 10⁶ rows in one (band, bh) bucket and the uncapped join
+    * would emit ~10¹² candidates there. Buckets over `maxBandBucket` are
+    * sub-split by a secondary id hash ([[embeddingNearDupsLshPlan]]'s
+    * census + sub-split, on the band side), bounding candidates at
+    * O(maxBandBucket · n). Recall cost is nil for exact duplicates — one
+    * band bucket holding thousands of docs means identical signatures,
+    * and identical TEXT is caught by the cheaper [[exactGroups]] pass
+    * that always runs first; genuinely distinct near-dups in a hot
+    * bucket survive cross-cell loss with probability 1/cells, and a hot
+    * bucket is a dense region where [[Similarity.semDedup]]-style
+    * clustering is the documented path. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, k: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBandBucket: Int = 2000): DataFrame = {
+    val parts = minhashLshParts(docs, idCol, textCol, numHashes, bands, k,
+      threshold, maxBandBucket)
+    try parts.out.localCheckpoint()
+    finally parts.caches.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Lazy pieces of [[minhashLsh]], pre-checkpoint: the verified-pair
+    * plan, the candidate-pair plan (for bounded-volume assertions), and
+    * the persisted caches the caller must unpersist. */
+  private[graft] case class LshParts(out: DataFrame, candidates: DataFrame,
+    caches: Seq[DataFrame])
+
+  private[graft] def minhashLshParts(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int, k: Int,
+      threshold: Double, maxBandBucket: Int): LshParts = {
     import org.apache.spark.storage.StorageLevel
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
@@ -485,7 +532,6 @@ object Dedup {
             transform(ss, s => TextFunctions.md5Key60(s) % MinhashP).as("keys"))
         }.as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
     val base = raw.select(col("doc"), col("b.shs").as("shs"),
       col("b.keys").as("keys"))
     val sig = base.filter(size(col("keys")) > 0)
@@ -504,36 +550,60 @@ object Dedup {
             (b + 1).cast("long"),
             (acc, x) => (acc * lit(BandM) + x) % lit(MinhashP)).as("bh")))))
       .select(col("doc"), col("col.band").as("band"), col("col.bh").as("bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val candidates = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc") < col("y.doc"))
-        .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-        .distinct()
-      // verify candidates with exact Jaccard against the SAME cached
-      // shingle keys the signatures came from — no second corpus scan.
-      // The candidate side of each join is small → AQE broadcasts it
-      // into the cached index.
-      val idx = base.select(col("doc"), explode(col("shs")).as("sh"))
-      val sizes = base.select(col("doc"), size(col("shs")).as("n_sh"))
-      // intersection via composite-key join (doc_b, sh): the second join
-      // matches shingles IN the join instead of exploding |A|×|B| rows
-      // per candidate pair and filtering afterwards
-      val inter = candidates
-        .join(idx.select(col("doc").as("doc_a"), col("sh")), "doc_a")
-        .join(idx.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint()
-    } finally banded.unpersist()
-    } finally raw.unpersist()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // hot band-bucket census: reads the already-persisted banded frame
+    // (a map-side-combined count), and only buckets OVER the cap reach
+    // the driver — at most bands·n/maxBandBucket rows by construction.
+    // When no bucket is hot (the common case) the plan is bit-identical
+    // to the uncapped one: no sub column, no extra join key. bh < P, so
+    // band·P + bh is a collision-free 38-bit map key.
+    val hot: Map[Long, Int] = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBandBucket)
+      .collect()
+      .map(r => (r.getInt(0).toLong * MinhashP + r.getLong(1)) ->
+        ((r.getLong(2) + maxBandBucket - 1) / maxBandBucket).toInt)
+      .toMap
+    val sided =
+      if (hot.isEmpty) banded
+      else banded.withColumn("__sub",
+        pmod(xxhash64(col("doc")),
+          coalesce(element_at(typedLit(hot),
+            col("band").cast("long") * MinhashP + col("bh")), lit(1))))
+    val joinCond =
+      if (hot.isEmpty)
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc")
+      else col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.__sub") === col("y.__sub") && col("x.doc") < col("y.doc")
+    val candidates = sided.as("x").join(sided.as("y"), joinCond)
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard against the SAME cached
+    // shingle keys the signatures came from — no second corpus scan.
+    // The candidate side of each join is small → AQE broadcasts it
+    // into the cached index.
+    val idx = base.select(col("doc"), explode(col("shs")).as("sh"))
+    val sizes = base.select(col("doc"), size(col("shs")).as("n_sh"))
+    // intersection via composite-key join (doc_b, sh): the second join
+    // matches shingles IN the join instead of exploding |A|×|B| rows
+    // per candidate pair and filtering afterwards
+    val inter = candidates
+      .join(idx.select(col("doc").as("doc_a"), col("sh")), "doc_a")
+      .join(idx.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // both legs reference the IDENTICAL `sizes` subplan (aliased, not
+    // column-renamed) so the planner builds ONE exchange and reuses it —
+    // per-leg withColumnRenamed copies hash differently and silently
+    // compute the aggregate twice (the pairStats rule)
+    val out = inter
+      .join(sizes.as("__sa"), col("doc_a") === col("__sa.doc"))
+      .join(sizes.as("__sb"), col("doc_b") === col("__sb.doc"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("__sa.n_sh") + col("__sb.n_sh") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+    LshParts(out, candidates, Seq(raw, banded))
   }
 
   /** Embedding-cosine near-duplicate pairs, brute force: every (a < b)
@@ -690,28 +760,10 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // 1) min label over neighbors (one hop)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("cluster")).as("n_cluster"))
-      val stepped = labels.join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
-            .as("cluster"))
-      // 2) pointer jump: adopt the label of one's label. Labels are always
-      // node ids, so the lookup hits; chains halve each round → O(log d)
-      // rounds on component diameter d instead of O(d).
-      val next = stepped.as("s")
-        .join(stepped.select(col("node").as("cluster"),
-          col("cluster").as("p_cluster")).as("p"), Seq("cluster"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("p_cluster"), col("cluster")))
-            .as("cluster"))
-        // truncate lineage every round: without this the plan re-derives
-        // the whole iteration history on any executor loss, and the
-        // optimizer walks an ever-growing tree
-        .localCheckpoint()
+      // truncate lineage every round: without this the plan re-derives
+      // the whole iteration history on any executor loss, and the
+      // optimizer walks an ever-growing tree
+      val next = ccRound(edges, labels).localCheckpoint()
       if (numericIds) {
         // no pairs at all → labels is empty and both sums are NULL;
         // that's the (trivially converged) fixpoint, not an NPE
@@ -732,6 +784,29 @@ object Dedup {
           "raise maxIter (pointer jumping needs ~log2(component diameter))")
     labels
     }
+  }
+
+  /** One [[clusterAssignments]] propagation round as a lazy plan — the
+    * loop body, exposed so each round's join tree is one reviewable unit
+    * (the plan-book seam): (1) min label over neighbors (one hop), then
+    * (2) pointer jump — adopt the label of one's label. Labels are
+    * always node ids, so the lookup hits; chains halve each round →
+    * O(log d) rounds on component diameter d instead of O(d). */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val viaNeighbors = edges
+      .join(labels.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(min(col("cluster")).as("n_cluster"))
+    val stepped = labels.join(viaNeighbors, Seq("node"), "left")
+      .select(col("node"),
+        least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+          .as("cluster"))
+    stepped.as("s")
+      .join(stepped.select(col("node").as("cluster"),
+        col("cluster").as("p_cluster")).as("p"), Seq("cluster"), "left")
+      .select(col("node"),
+        least(col("cluster"), coalesce(col("p_cluster"), col("cluster")))
+          .as("cluster"))
   }
 
   /** Apply cluster assignments to a corpus: keep each component's

@@ -50,19 +50,21 @@ object InvertedIndex {
     * same id universe into one — rrf(d) = Σᵣ 1/(k + rankᵣ(d)), the
     * standard way to fuse BM25 with embedding similarity (or any other
     * ranker pair) without score calibration. Each input needs (id,
-    * score); ranks are dense row_numbers with (score desc, id) ties so
-    * the fusion is deterministic. The per-ranking windows are global but
-    * rank CANDIDATE LISTS (top-k slices at scale), never a raw corpus.
-    * The fused score is a fixed-arity left-fold of 1/(k+r) terms —
+    * score); ranks are total-order row numbers with (score desc, id)
+    * ties so the fusion is deterministic, computed with
+    * [[GlobalSort.withGlobalRank]] (range repartition + local row_number
+    * + driver prefix-sum of partition counts) — NEVER a single-partition
+    * global window, so fusing full-corpus rankings stays parallel (at
+    * scale you'd still usually fuse top-k candidate lists). The fused
+    * score is a fixed-arity left-fold of 1/(k+r) terms —
     * engine-identical evaluation order, so it hash-gates. */
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
       kConst: Int = 60, scale: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(rankings.nonEmpty, "no rankings")
     val ranked = rankings.zipWithIndex.map { case (r, i) =>
-      r.select(col(idCol),
-        row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol)))
-          .as(s"r${i + 1}"))
+      GlobalSort.withGlobalRank(r.select(col(idCol), col(scoreCol)),
+          Seq(col(scoreCol).desc, col(idCol)), rankCol = s"r${i + 1}")
+        .select(col(idCol), col(s"r${i + 1}").cast("int").as(s"r${i + 1}"))
     }
     val joined = ranked.reduce(_.join(_, Seq(idCol)))
     val rrf = (1 to rankings.size)

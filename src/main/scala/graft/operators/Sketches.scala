@@ -314,18 +314,34 @@ object Sketches {
     * one map-side-combined pass and that merge across slices. At 100 TB
     * the sketches are the only thing that moves: the estimate itself
     * joins 2·depth·width counter rows. Deterministic (md5 family) → the
-    * estimate hash-gates (q204). */
+    * estimate hash-gates (q204).
+    *
+    * Two robustness rules: the bucket join is a LEFT join with the b-side
+    * counter coalesced to 0, so a depth row with zero shared buckets
+    * contributes an inner product of 0 instead of vanishing from the
+    * min() — fully disjoint key sets estimate 0 rows, not NULL; and the
+    * counters ride as DECIMAL(18,0) so the Σ ca·cb product cannot wrap
+    * BIGINT at advertised scale (per-bucket counts ~10⁹ give ~10¹⁸
+    * products summed over `width` buckets — Spark wraps silently
+    * non-ANSI, while an oracle summing in a wider type would not: the
+    * passes-at-small-SF/breaks-at-10× class). The sum is exact up to
+    * 10³⁸ and the oracle mirrors it in HUGEINT; only the final one-row
+    * estimate is cast back to BIGINT (it is an estimate — a join past
+    * 9.2·10¹⁸ rows needs no sketch to be declared enormous). */
   def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
       width: Int = 1024, depth: Int = 4,
       salt: String = "graft-cms"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     def sketch(df: DataFrame, key: String, as: String) =
       cmSketch(df.filter(col(key).isNotNull)
           .select(col(key).cast("string").as("__t")), "__t", width, depth, salt)
         .select(col("j"), col("bucket"), col("c").as(as))
     sketch(a, aKey, "ca")
-      .join(sketch(b, bKey, "cb"), Seq("j", "bucket"))
-      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est_rows"))
+      .join(sketch(b, bKey, "cb"), Seq("j", "bucket"), "left")
+      .groupBy(col("j"))
+      .agg(sum(col("ca").cast(DecimalType(18, 0)) *
+        coalesce(col("cb"), lit(0L)).cast(DecimalType(18, 0))).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est_rows"))
   }
 
   /** Point estimate for each query term: min over the depth rows of the

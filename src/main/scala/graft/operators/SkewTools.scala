@@ -72,6 +72,11 @@ object SkewTools {
   def hotKeySaltedJoin(facts: DataFrame, dim: DataFrame, key: String,
       saltN: Int, hotThreshold: Long,
       joinType: String = "inner"): DataFrame = {
+    // saltN <= 1 means "don't salt" — short-circuit to the plain join.
+    // (sequence(1, saltN-1) at saltN=1 is the [1,0] trap: Spark infers a
+    // NEGATIVE step for sequence(1, 0), so hot dim rows would replicate
+    // at salts 1 AND 0 and the join would silently emit duplicates.)
+    if (saltN <= 1) return facts.join(dim, Seq(key), joinType)
     val hot = facts.filter(col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= hotThreshold)

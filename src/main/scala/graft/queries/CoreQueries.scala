@@ -952,7 +952,11 @@ object CoreQueries {
                 "'graft-cms' || CAST(r.j AS VARCHAR) || t")} % 1024 AS bucket
             FROM k, range(0, 4) r(j)),
           counters AS (SELECT j, bucket, COUNT(*) AS c FROM h GROUP BY 1, 2),
-          ip AS (SELECT j, SUM(c * c) AS ip FROM counters GROUP BY j),
+          -- HUGEINT inner product mirrors the Spark side's DECIMAL(18,0)
+          -- multiply-sum: both exact, so the estimate cannot wrap on
+          -- either engine (the q133 overflow class)
+          ip AS (SELECT j, SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ip
+            FROM counters GROUP BY j),
           e AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_rows FROM ip),
           x AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_rows FROM (
             SELECT COUNT(*) AS n FROM orders
@@ -1045,12 +1049,13 @@ object CoreQueries {
       "q212_k_anonymity",
       (s, dir) => {
         // privacy release audit+fix: customers generalized over the
-        // (segment, nation, overdrawn) quasi-identifier ladder until
-        // every combo reaches k=8 members — each row lands at its
-        // MINIMAL suppression level, so sparse combos coarsen while
-        // dense ones keep full detail (at 10× scale the same query
-        // suppresses less — the k-anonymity/utility tradeoff made
-        // visible). |QI|+1 window counts, no iteration.
+        // (segment, nation, overdrawn) quasi-identifier ladder with
+        // bottom-up escalation — a combo with ≥ k=8 rows releases at
+        // full detail; the survivors regroup one level coarser, so the
+        // size of every RELEASED class (the generalized tuples an
+        // attacker actually sees) reaches k, except the fully-suppressed
+        // residue reported at the top. The oracle unrolls the |QI|=3
+        // escalation steps over the same combo census.
         val c = Tables.load(s, dir, "customer").select(
           col("c_mktsegment"), col("c_nationkey"),
           (col("c_acctbal") < 0).as("overdrawn"))
@@ -1060,22 +1065,73 @@ object CoreQueries {
       Some("""WITH base AS (SELECT c_mktsegment AS seg,
             CAST(c_nationkey AS VARCHAR) AS nat,
             CAST(c_acctbal < 0 AS VARCHAR) AS od FROM customer),
-        c AS (SELECT seg, nat, od,
-            COUNT(*) OVER (PARTITION BY seg, nat, od) AS n0,
-            COUNT(*) OVER (PARTITION BY seg, nat) AS n1,
-            COUNT(*) OVER (PARTITION BY seg) AS n2
-          FROM base),
-        l AS (SELECT seg, nat, od,
-            CASE WHEN n0 >= 8 THEN 0 WHEN n1 >= 8 THEN 1
-              WHEN n2 >= 8 THEN 2 ELSE 3 END AS lev FROM c),
+        combos AS (SELECT seg, nat, od, COUNT(*) AS cnt
+          FROM base GROUP BY 1, 2, 3),
+        rel0 AS (SELECT seg, nat, od, 0 AS lev, cnt AS n
+          FROM combos WHERE cnt >= 8),
+        rem0 AS (SELECT seg, nat, od, cnt FROM combos WHERE cnt < 8),
+        g1 AS (SELECT seg, nat, SUM(cnt) AS gn FROM rem0 GROUP BY 1, 2),
+        rel1 AS (SELECT seg, nat, '*' AS od, 1 AS lev, gn AS n
+          FROM g1 WHERE gn >= 8),
+        rem1 AS (SELECT r.seg, r.nat, r.od, r.cnt FROM rem0 r
+          JOIN g1 ON g1.seg = r.seg AND g1.nat = r.nat WHERE g1.gn < 8),
+        g2 AS (SELECT seg, SUM(cnt) AS gn FROM rem1 GROUP BY 1),
+        rel2 AS (SELECT seg, '*' AS nat, '*' AS od, 2 AS lev, gn AS n
+          FROM g2 WHERE gn >= 8),
+        rem2 AS (SELECT r.seg, r.nat, r.od, r.cnt FROM rem1 r
+          JOIN g2 ON g2.seg = r.seg WHERE g2.gn < 8),
+        res AS (SELECT '*' AS seg, '*' AS nat, '*' AS od, 3 AS lev,
+            SUM(cnt) AS n
+          FROM rem2 HAVING SUM(cnt) IS NOT NULL),
+        allout AS (SELECT * FROM rel0 UNION ALL SELECT * FROM rel1
+          UNION ALL SELECT * FROM rel2 UNION ALL SELECT * FROM res)
+      SELECT seg AS c_mktsegment, nat AS c_nationkey, od AS overdrawn,
+        CAST(lev AS INTEGER) AS suppression_level, CAST(n AS BIGINT) AS n_rows
+      FROM allout""")),
+
+    GraftQuery(
+      "q214_l_diversity",
+      (s, dir) => {
+        // the homogeneity-attack audit on top of q212: a released class
+        // can reach k members and still leak its sensitive attribute if
+        // every member shares one value — per released class of the
+        // (segment, nation) generalization, count DISTINCT balance
+        // signs and flag classes below l=2. The oracle unrolls the same
+        // escalation fixpoint and joins the per-(combo, sensitive)
+        // counts to the combo levels.
+        val c = Tables.load(s, dir, "customer").select(
+          col("c_mktsegment"), col("c_nationkey"),
+          when(col("c_acctbal") < 0, "neg").otherwise("pos")
+            .as("balance_sign"))
+        graft.operators.Audit.lDiversityAudit(c,
+          Seq("c_mktsegment", "c_nationkey"), "balance_sign", k = 8, l = 2)
+      },
+      Some("""WITH base AS (SELECT c_mktsegment AS seg,
+            CAST(c_nationkey AS VARCHAR) AS nat,
+            CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sens
+          FROM customer),
+        combos AS (SELECT seg, nat, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+        lev0 AS (SELECT seg, nat, 0 AS lev FROM combos WHERE cnt >= 8),
+        rem0 AS (SELECT seg, nat, cnt FROM combos WHERE cnt < 8),
+        g1 AS (SELECT seg, SUM(cnt) AS gn FROM rem0 GROUP BY 1),
+        lev1 AS (SELECT r.seg, r.nat, 1 AS lev FROM rem0 r
+          JOIN g1 ON g1.seg = r.seg WHERE g1.gn >= 8),
+        rem1 AS (SELECT r.seg, r.nat, r.cnt FROM rem0 r
+          JOIN g1 ON g1.seg = r.seg WHERE g1.gn < 8),
+        lev2 AS (SELECT seg, nat, 2 AS lev FROM rem1),
+        levels AS (SELECT * FROM lev0 UNION ALL SELECT * FROM lev1
+          UNION ALL SELECT * FROM lev2),
+        sc AS (SELECT seg, nat, sens, COUNT(*) AS c FROM base
+          GROUP BY 1, 2, 3),
         d AS (SELECT
-            CASE WHEN lev < 3 THEN seg ELSE '*' END AS c_mktsegment,
-            CASE WHEN lev < 2 THEN nat ELSE '*' END AS c_nationkey,
-            CASE WHEN lev < 1 THEN od ELSE '*' END AS overdrawn,
-            CAST(lev AS INTEGER) AS suppression_level
-          FROM l)
-      SELECT c_mktsegment, c_nationkey, overdrawn, suppression_level,
-        COUNT(*) AS n_rows
-      FROM d GROUP BY 1, 2, 3, 4"""))
+            CASE WHEN lev < 2 THEN s.seg ELSE '*' END AS c_mktsegment,
+            CASE WHEN lev < 1 THEN s.nat ELSE '*' END AS c_nationkey,
+            CAST(lev AS INTEGER) AS suppression_level, s.sens, s.c
+          FROM sc s JOIN levels v ON v.seg = s.seg AND v.nat = s.nat)
+      SELECT c_mktsegment, c_nationkey, suppression_level,
+        CAST(SUM(c) AS BIGINT) AS n_rows,
+        CAST(COUNT(DISTINCT sens) AS BIGINT) AS n_sensitive,
+        COUNT(DISTINCT sens) >= 2 AS meets_l
+      FROM d GROUP BY 1, 2, 3"""))
   )
 }

@@ -687,9 +687,11 @@ object CurationQueries {
         // sketch-quality harness, the CMS analogue of q138's ANN recall:
         // the top-20 heavy hitters by sketch estimate, rank-aligned
         // against the exact top-20 — the artifact a deployment reads to
-        // size width×depth. The ranking windows are global but run over
-        // the vocab-bounded aggregate (distinct terms), never the token
-        // stream.
+        // size width×depth. Each top-20 is orderBy+limit — a
+        // TakeOrderedAndProject (per-partition k, driver merge) — and
+        // only the 20-row results see a rank window: distinct tokens at
+        // corpus scale are 10⁸+, so a global row_number over the vocab
+        // would be a single-partition sort.
         import org.apache.spark.sql.expressions.Window
         // tokenize once: sketch build, candidate set, and exact counts
         // all read the checkpointed token stream
@@ -702,15 +704,15 @@ object CurationQueries {
           sk, toks.distinct(), "tok")
         val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
         val re = exact
+          .orderBy(col("n").desc, col("tok").asc).limit(20)
           .withColumn("rank", row_number().over(
             Window.orderBy(col("n").desc, col("tok").asc)))
-          .filter(col("rank") <= 20)
           .select(col("rank"), col("tok").as("tok_exact"),
             col("n").as("n_exact"))
         val rc = est
+          .orderBy(col("est").desc, col("term").asc).limit(20)
           .withColumn("rank", row_number().over(
             Window.orderBy(col("est").desc, col("term").asc)))
-          .filter(col("rank") <= 20)
           .select(col("rank"), col("term").as("tok_cms"),
             col("est").as("est_cms"))
         re.join(rc, "rank")

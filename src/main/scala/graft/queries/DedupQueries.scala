@@ -15,7 +15,7 @@ object DedupQueries {
 
   private val Shift = 1000000L
 
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
     d.unionByName(d.select((col("doc_id") + Shift).as("doc_id"), col("text")))
   }

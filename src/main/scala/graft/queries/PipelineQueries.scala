@@ -578,7 +578,42 @@ object PipelineQueries {
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
           l_extendedprice, l_returnflag
-        FROM lineitem WHERE l_quantity >= 45"""))
+        FROM lineitem WHERE l_quantity >= 45""")),
+
+    GraftQuery(
+      "q213_jdbc_sharded_sink",
+      (s, dir) => {
+        // the reference sink's multi-node rotation
+        // (ClickhouseSink.java:43-61, dead code there) made live: the
+        // fact frame fans out across TWO embedded DuckDB shard files at
+        // PARTITION granularity (partition p → shard p % 2) — each
+        // shard's writers keep q198's batch/flush contract and each
+        // flush is one transaction on one node. Both shards are read
+        // back over JDBC and unioned; the gate hashes the union against
+        // the parquet truth, so a partition lost to (or duplicated on)
+        // either node breaks it. Shard balance is asserted in
+        // JdbcBatchSinkSpec (partition counts are a session property,
+        // not gate-stable content).
+        val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc_shard")
+        val urls = Seq(s"jdbc:duckdb:${dbDir.resolve("shard0.db")}",
+          s"jdbc:duckdb:${dbDir.resolve("shard1.db")}")
+        val facts = Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") >= 200000)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .repartition(4, col("o_custkey"))
+        graft.sources.JdbcBatchSink.writeSharded(facts, urls, "order_facts",
+          batchRows = 500)
+        graft.sources.JdbcBatchSink.ensureDialect()
+        urls.map(u => s.read.format("jdbc")
+            .option("url", u)
+            .option("dbtable", "order_facts")
+            .option("driver", "org.duckdb.DuckDBDriver")
+            .load())
+          .reduce(_.unionByName(_))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_totalprice >= 200000"""))
   )
 }
 

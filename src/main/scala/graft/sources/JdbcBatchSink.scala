@@ -102,6 +102,36 @@ object JdbcBatchSink {
     }
   }
 
+  /** Shard-node round-robin write — the multi-node half of the reference
+    * sink (`ClickhouseSink.java:43-61` rotates inserts across the shard
+    * nodes of a distributed table; dead code there, modeled live here).
+    * Spark-first shape: rotation happens at PARTITION granularity —
+    * partition p's batching writer connects to `urls(p % n)` — so every
+    * flush stays ONE transaction on ONE node, and a frame repartitioned
+    * on its shard key (the [[OutputCatalog]] spec) keeps each key's rows
+    * on a single node while partitions spread uniformly across nodes.
+    * Per-INSERT rotation inside a writer (the reference's counter) would
+    * split a batch's transactionality across nodes for no balance gain.
+    * Readers union the shard nodes (`spark.read.jdbc` per url). */
+  def writeSharded(df: DataFrame, urls: Seq[String], table: String,
+      batchRows: Int = DefaultBatchRows,
+      flushMs: Long = DefaultFlushMs): Unit = {
+    require(urls.nonEmpty, "writeSharded needs at least one shard url")
+    val schema = df.schema
+    urls.foreach(u => ensureTable(u, table, schema))
+    val insert = s"""INSERT INTO "$table" (${schema.fields
+        .map(f => s""""${f.name}"""").mkString(", ")}) VALUES (${schema.fields
+        .map(_ => "?").mkString(", ")})"""
+    val shardUrls = urls.toIndexedSeq
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        writePartition(rows, shardUrls(pid % shardUrls.size), insert,
+          schema, batchRows, flushMs)
+      }
+    }
+  }
+
   /** One partition's writer loop: addBatch rows, flush on count OR time. */
   private def writePartition(rows: Iterator[Row], url: String,
       insert: String, schema: StructType, batchRows: Int, flushMs: Long): Unit =

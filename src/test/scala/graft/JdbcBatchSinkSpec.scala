@@ -87,6 +87,29 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     assert(back.schema.map(_.dataType.simpleString) === Seq("bigint", "int"))
   }
 
+  test("writeSharded round-robins partitions across shard nodes, no row lost") {
+    val dir = Files.createTempDirectory("jdbc_shard_spec")
+    val urls = Seq(s"jdbc:duckdb:${dir.resolve("s0.db")}",
+      s"jdbc:duckdb:${dir.resolve("s1.db")}")
+    val df = spark.range(0, 4000)
+      .select(col("id"), (col("id") % 97).as("k"))
+      .repartition(4, col("k"))
+    JdbcBatchSink.writeSharded(df, urls, "t", batchRows = 300)
+    val counts = urls.map { u =>
+      val conn = DriverManager.getConnection(u)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT count(*), count(DISTINCT id) FROM t")
+        assert(rs.next()); (rs.getLong(1), rs.getLong(2))
+      } finally conn.close()
+    }
+    // 4 partitions over 2 nodes → both shards hold data (round-robin,
+    // not all-on-one), every row lands exactly once, union is complete
+    counts.foreach { case (n, _) => assert(n > 0, s"empty shard: $counts") }
+    assert(counts.map(_._1).sum === 4000L)
+    assert(counts.map(_._2).sum === 4000L) // distinct per shard sums too
+  }
+
   test("unsupported column types fail loudly at the sink boundary") {
     val url = freshUrl()
     val df = spark.range(0, 3).select(array(col("id")).as("a"))

@@ -832,23 +832,68 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ei > 200 && ei < 800, s"overlap estimate $ei out of band")
   }
 
-  test("kAnonymize: minimal suppression level per row, full-suppression residue") {
-    val rows = (Seq.fill(5)(("A", "x")) ++     // (A,x): 5 ≥ k → level 0
-      Seq.fill(2)(("A", "y")) ++               // (A,y): 2 < k, (A): 7 ≥ 4 → level 1
-      Seq(("B", "z"))                          // (B,*): 1, (B): 1, total 8 → level 2
-    ).toDF("g1", "g2")
+  test("kAnonymize: every released class reaches k; escalation over displayed tuples") {
+    val rows = (Seq.fill(5)(("A", "x")) ++ // (A,x): 5 ≥ k → released level 0
+      Seq.fill(2)(("A", "y")) ++           // (A,y): 2 < k; (A,*) holds only
+      Seq(("B", "z"))                      //   the 2 survivors < k → escalate;
+    ).toDF("g1", "g2")                     //   residue (*,*) = 2+1 = 3 rows
     val got = graft.operators.Audit.kAnonymize(rows, Seq("g1", "g2"), k = 4)
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getInt(2), r.getLong(3))).toSet
-    assert(got === Set(("A", "x", 0, 5L), ("A", "*", 1, 2L),
-      ("*", "*", 2, 1L)))
-    // every surviving group at level < max meets k… except the residue,
-    // which is reported at the top level for the release decision
+    // the old original-partition count would release ("A","*") with only
+    // 2 rows (the (A) partition had 7 ≥ k, but 5 of those were already
+    // released at level 0) — the escalation fixpoint coarsens them into
+    // the residue instead, so every released class is ≥ k
+    assert(got === Set(("A", "x", 0, 5L), ("*", "*", 2, 3L)))
+    got.filter(_._3 < 2).foreach { g =>
+      assert(g._4 >= 4, s"released class below k: $g")
+    }
+    // a corpus smaller than k collapses entirely into the reported residue
     val tiny = Seq(("C", "q")).toDF("g1", "g2")
     val res = graft.operators.Audit.kAnonymize(tiny, Seq("g1", "g2"), k = 4)
       .collect()
     assert(res.length === 1 && res(0).getInt(2) === 2 &&
-      res(0).getString(0) === "*")
+      res(0).getString(0) === "*" && res(0).getLong(3) === 1L)
+  }
+
+  test("lDiversityAudit flags homogeneous released classes") {
+    // class A: 3 rows, all sensitive 's1' → k-anonymous at k=2 but
+    // l-diverse only at l=1 — the homogeneity leak the audit exists for.
+    // class B: 2 rows, two distinct values → meets l=2.
+    // class C: 1 row < k → escalates to the residue, which then holds
+    // one row with one value.
+    val rows = Seq(("A", "s1"), ("A", "s1"), ("A", "s1"),
+      ("B", "s1"), ("B", "s2"), ("C", "s3")).toDF("g", "sens")
+    val got = graft.operators.Audit
+      .lDiversityAudit(rows, Seq("g"), "sens", k = 2, l = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got === Set(
+      ("A", 0, 3L, 1L, false),
+      ("B", 0, 2L, 2L, true),
+      ("*", 1, 1L, 1L, false)))
+  }
+
+  test("minhashLsh bounds candidate volume on a hot band bucket") {
+    // pathological corpus: 2000 byte-identical documents — every band
+    // bucket holds all 2000 docs, so the uncapped band self-join would
+    // emit C(2000,2) ≈ 2.0M candidate pairs (10¹² at a 10⁶-copy
+    // boilerplate bucket). With maxBandBucket=100 the bucket census
+    // sub-splits each into ⌈2000/100⌉ = 20 id-hash cells: ~20·C(100,2)
+    // ≈ 100k in-cell pairs per band, identical across bands → ~100k
+    // distinct candidates, linear in corpus size.
+    val docs = (1L to 2000L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val parts = graft.operators.Dedup.minhashLshParts(docs, "doc_id",
+      "text", numHashes = 16, bands = 4, k = 3, threshold = 0.8,
+      maxBandBucket = 100)
+    try {
+      val nCand = parts.candidates.count()
+      assert(nCand <= 120000L, s"hot-bucket candidates not bounded: $nCand")
+      assert(nCand >= 80000L, s"in-cell pairs went missing: $nCand")
+    } finally parts.caches.foreach(_.unpersist(blocking = false))
   }
 
   test("lastTouchAttribution: lookback bound, direct fallback, tie order") {

@@ -190,6 +190,35 @@ class PlanSpec extends AnyFunSuite {
       "spread() must widen a single-split frame to defaultParallelism")
   }
 
+  test("no gated batch plan runs a global (single-partition) window over an unbounded input") {
+    // the kAnonymize scale bug class: count(*) over Window.partitionBy(lit(1))
+    // (or any window with an EMPTY partition spec) funnels the entire input
+    // through one task — correct at gate scale, dead at 100 TB. Global
+    // aggregates are fine (partial agg + 1-row exchange); global WINDOWS
+    // move every row. Exempt: windows over frames bounded by construction
+    // — a limit(k) result, or an aggregate whose cardinality is fixed by
+    // the bin count / calendar span rather than data volume. Anything
+    // corpus-sized must rank via GlobalSort.withGlobalRank (q164).
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.sparkContext.setLogLevel("ERROR")
+    val boundedWindows = Set(
+      "q163_cms_heavy_hitters",   // ranks two orderBy().limit(20) frames
+      "q188_decile_report",       // share-of-total over the 10-row decile agg
+      "q173_period_over_period",  // lag over one row per DAY (calendar-bounded)
+      "q193_new_vs_returning")    // running total over one row per DAY
+    val offenders = batchGates
+      .filterNot(q => boundedWindows.contains(q.name))
+      .flatMap { q =>
+        val plan = q.run(spark, SfDir).queryExecution.executedPlan
+        val globals = operators(plan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Some(q.name) else None
+      }
+    assert(offenders.isEmpty,
+      s"global windows (empty partition spec) in: ${offenders.mkString(", ")}")
+  }
+
   test("no gated batch plan nests a BroadcastNestedLoopJoin outside the brute-force baselines") {
     // the single-core O(n²) shape the sf1 sweep caught: a non-equi join
     // plans as BroadcastNestedLoop, and only the DELIBERATE brute-force
