@@ -189,6 +189,28 @@ object Audit {
       .reduce(_.unionByName(_))
   }
 
+  /** Row-level release of [[kAnonymize]]'s generalization: every input
+    * row with its QI columns generalized to the class it releases in,
+    * plus the suppression level — the table a publisher actually ships,
+    * with `carryCols` (non-QI payload) passed through untouched. One
+    * null-safe equi-join of the rows to the combo-level map; the map is
+    * bounded by QI cross-product cardinality, so AQE broadcasts it in
+    * the common case and falls back to a shuffled join when a huge QI
+    * space outgrows that. */
+  def kAnonymizeApply(df: DataFrame, qiCols: Seq[String], k: Long,
+      carryCols: Seq[String]): DataFrame = {
+    val levels = comboLevels(df, qiCols, k)
+      .select(qiCols.map(col) :+ col("__level"): _*)
+    val rows = df.select(
+      carryCols.map(col) ++ qiCols.map(c => col(c).cast("string").as(c)): _*)
+    val joinCond = qiCols.map(c =>
+      col(s"__r.$c") <=> col(s"__l.$c")).reduce(_ && _)
+    rows.as("__r").join(levels.as("__l"), joinCond)
+      .select(carryCols.map(c => col(s"__r.$c"))
+        ++ displayCols(qiCols, col("__level"), "__l")
+        :+ col("__level").cast("int").as("suppression_level"): _*)
+  }
+
   /** l-diversity audit over the k-anonymized release: a class whose
     * members all share one sensitive value leaks it even at size ≥ k
     * (the homogeneity attack) — so for every released class of

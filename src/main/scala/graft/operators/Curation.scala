@@ -104,6 +104,35 @@ object Curation {
       TextFunctions.md5Key60(concat(lit(salt), col(idCol).cast("string")))
         % 1000000L < least(greatest(ppm.cast("long"), lit(0L)), lit(1000000L)))
 
+  /** Exact-k WEIGHTED sample without replacement — Efraimidis–Spirakis
+    * priority sampling: each row draws u ∈ (0,1) from the replay-stable
+    * md5 family and gets priority −ln(u)/w; the k smallest priorities
+    * ARE a weighted sample without replacement. Completes the sampling
+    * family: [[weightedSample]] is per-row Bernoulli (approximate size),
+    * [[Curation.exactKPerGroup]] is exact-k unweighted — this is exact-k
+    * weighted. Plan: one scan computes priorities, the cut is
+    * orderBy+limit → TakeOrderedAndProject (per-partition k, driver
+    * merge), never a global sort. u is built from the 60-bit md5 key so
+    * both engines draw the identical number; ln's libm ulp gap is
+    * absorbed by rounding the priority to scale 8 BEFORE ordering, with
+    * the id as total-order tie-break (the q82 rounded-ln discipline).
+    * Rows with weight ≤ 0 are excluded (they have no sampling mass). */
+  def prioritySample(df: DataFrame, idCol: String,
+      weight: org.apache.spark.sql.Column, k: Int,
+      salt: String = "graft-psample"): DataFrame = {
+    import graft.functions.SafeMath
+    val key = TextFunctions.md5Key60(
+      concat(lit(salt), col(idCol).cast("string")))
+    // 2^60 is a power of two — the double literal is exact on any engine
+    val u = (key.cast("double") + lit(0.5)) / lit(1152921504606846976.0)
+    df.select(col(idCol), weight.cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("priority",
+        SafeMath.roundHalfUp(-log(u) / col("weight"), 8))
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Fixed-weight logistic quality classifier — the INFERENCE step of a
     * fasttext-style quality model run at corpus scale: per-row feature
     * extraction (length saturation, stopword density, punctuation soup,

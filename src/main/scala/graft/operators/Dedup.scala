@@ -514,16 +514,31 @@ object Dedup {
   private[graft] case class LshParts(out: DataFrame, candidates: DataFrame,
     caches: Seq[DataFrame])
 
-  private[graft] def minhashLshParts(docs: DataFrame, idCol: String,
-      textCol: String, numHashes: Int, bands: Int, k: Int,
-      threshold: Double, maxBandBucket: Int): LshParts = {
+  /** One side's minhash projections — the single corpus scan shared by
+    * the self-join ([[minhashLshParts]]) and the incremental ingest
+    * ([[minhashLshIngest]]): `raw` (the persisted scan; unpersist it),
+    * `base` (doc, shs, keys) and `banded` (doc, band, bh; persisted). */
+  private[graft] case class LshSide(raw: DataFrame, base: DataFrame,
+    banded: DataFrame) {
+    def caches: Seq[DataFrame] = Seq(raw, banded)
+  }
+
+  /** Single-scan projection: per doc, BOTH per-shingle key arrays —
+    * xxhash64 (8-byte inverted-index keys for the verification joins)
+    * and the md5-derived 31-bit minhash keys — under ONE bindOnce so the
+    * shingle subtree exists once; the struct is materialized by the
+    * persist, and the field extractions read the cache (no
+    * projection-collapse re-inline across the cache boundary). Band key:
+    * overflow-free arithmetic fold of the band's signature slice (init
+    * b+1 so identical slices in different bands collide only by chance)
+    * — 8-byte join keys the oracle reproduces exactly. posexplode AFTER
+    * a projection of sig: projection collapse would otherwise inline the
+    * signature computation into BOTH join sides. */
+  private def lshSide(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, k: Int): LshSide = {
     import org.apache.spark.storage.StorageLevel
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // both hash arrays under ONE bindOnce so the shingle subtree exists
-    // once; the struct is materialized by the persist, and the field
-    // extractions below read the cache (no projection-collapse re-inline
-    // across the cache boundary)
     val raw = docs.select(col(idCol).as("doc"),
         TextFunctions.bindOnce(
           array_distinct(TextFunctions.shingles(col(textCol), k))) { ss =>
@@ -538,11 +553,6 @@ object Dedup {
       .select(col("doc"),
         graft.expressions.MinhashSig.minhash_sig(col("keys"), numHashes)
           .as("sig"))
-    // band key: overflow-free arithmetic fold of the band's signature
-    // slice (init b+1 so identical slices in different bands collide
-    // only by chance) — 8-byte join keys the oracle reproduces exactly.
-    // posexplode AFTER a projection of sig: projection collapse would
-    // otherwise inline the signature computation into BOTH join sides.
     val banded = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -551,24 +561,72 @@ object Dedup {
             (acc, x) => (acc * lit(BandM) + x) % lit(MinhashP)).as("bh")))))
       .select(col("doc"), col("col.band").as("band"), col("col.bh").as("bh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // hot band-bucket census: reads the already-persisted banded frame
-    // (a map-side-combined count), and only buckets OVER the cap reach
-    // the driver — at most bands·n/maxBandBucket rows by construction.
-    // When no bucket is hot (the common case) the plan is bit-identical
-    // to the uncapped one: no sub column, no extra join key. bh < P, so
-    // band·P + bh is a collision-free 38-bit map key.
-    val hot: Map[Long, Int] = banded.groupBy("band", "bh")
+    LshSide(raw, base, banded)
+  }
+
+  /** Hot band-bucket census over one or more banded frames: (band, bh)
+    * buckets holding more than `maxBandBucket` rows, mapped to their
+    * sub-cell count. Reads already-persisted frames (map-side-combined
+    * counts); only over-cap buckets reach the driver — at most
+    * bands·n/maxBandBucket rows by construction. bh < P, so band·P + bh
+    * is a collision-free 38-bit map key. */
+  private def hotBandBuckets(bandedFrames: Seq[DataFrame],
+      maxBandBucket: Int): Map[Long, Int] =
+    bandedFrames.map(_.select(col("band"), col("bh"))).reduce(_.unionAll(_))
+      .groupBy("band", "bh")
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBandBucket)
       .collect()
       .map(r => (r.getInt(0).toLong * MinhashP + r.getLong(1)) ->
         ((r.getLong(2) + maxBandBucket - 1) / maxBandBucket).toInt)
       .toMap
-    val sided =
-      if (hot.isEmpty) banded
-      else banded.withColumn("__sub",
-        pmod(xxhash64(col("doc")),
-          coalesce(element_at(typedLit(hot),
-            col("band").cast("long") * MinhashP + col("bh")), lit(1))))
+
+  /** Attach the sub-cell id for over-cap buckets (1 cell → constant 0
+    * for the rest); no-op plan when the census is empty. */
+  private def subSplit(banded: DataFrame, hot: Map[Long, Int]): DataFrame =
+    if (hot.isEmpty) banded
+    else banded.withColumn("__sub",
+      pmod(xxhash64(col("doc")),
+        coalesce(element_at(typedLit(hot),
+          col("band").cast("long") * MinhashP + col("bh")), lit(1))))
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against the cached shingle-key indexes — no second corpus scan. The
+    * candidate side of each join is small → AQE broadcasts it into the
+    * cached index. Intersection via composite-key join (doc_b, sh): the
+    * second join matches shingles IN the join instead of exploding
+    * |A|×|B| rows per candidate pair and filtering afterwards. Both size
+    * legs of a same-side verification reference the IDENTICAL aliased
+    * subplan so the planner builds ONE exchange and reuses it (the
+    * pairStats rule). */
+  private def verifyJaccard(candidates: DataFrame, aSide: DataFrame,
+      bSide: DataFrame, threshold: Double): DataFrame = {
+    val idxA = aSide.select(col("doc").as("doc_a"), explode(col("shs")).as("sh"))
+    val idxB = bSide.select(col("doc").as("doc_b"), explode(col("shs")).as("sh"))
+    val sizesA = aSide.select(col("doc"), size(col("shs")).as("n_sh"))
+    val sizesB = bSide.select(col("doc"), size(col("shs")).as("n_sh"))
+    val inter = candidates
+      .join(idxA, "doc_a")
+      .join(idxB, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesA.as("__sa"), col("doc_a") === col("__sa.doc"))
+      .join(sizesB.as("__sb"), col("doc_b") === col("__sb.doc"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("__sa.n_sh") + col("__sb.n_sh") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private[graft] def minhashLshParts(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int, k: Int,
+      threshold: Double, maxBandBucket: Int): LshParts = {
+    val side = lshSide(docs, idCol, textCol, numHashes, bands, k)
+    // when no bucket is hot (the common case at sane band widths) the
+    // plan is bit-identical to the uncapped one: no sub column, no extra
+    // join key, same two cache scans
+    val hot = hotBandBuckets(Seq(side.banded), maxBandBucket)
+    val sided = subSplit(side.banded, hot)
     val joinCond =
       if (hot.isEmpty)
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -578,32 +636,51 @@ object Dedup {
     val candidates = sided.as("x").join(sided.as("y"), joinCond)
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard against the SAME cached
-    // shingle keys the signatures came from — no second corpus scan.
-    // The candidate side of each join is small → AQE broadcasts it
-    // into the cached index.
-    val idx = base.select(col("doc"), explode(col("shs")).as("sh"))
-    val sizes = base.select(col("doc"), size(col("shs")).as("n_sh"))
-    // intersection via composite-key join (doc_b, sh): the second join
-    // matches shingles IN the join instead of exploding |A|×|B| rows
-    // per candidate pair and filtering afterwards
-    val inter = candidates
-      .join(idx.select(col("doc").as("doc_a"), col("sh")), "doc_a")
-      .join(idx.select(col("doc").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    // both legs reference the IDENTICAL `sizes` subplan (aliased, not
-    // column-renamed) so the planner builds ONE exchange and reuses it —
-    // per-leg withColumnRenamed copies hash differently and silently
-    // compute the aggregate twice (the pairStats rule)
-    val out = inter
-      .join(sizes.as("__sa"), col("doc_a") === col("__sa.doc"))
-      .join(sizes.as("__sb"), col("doc_b") === col("__sb.doc"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("__sa.n_sh") + col("__sb.n_sh") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-    LshParts(out, candidates, Seq(raw, banded))
+    val out = verifyJaccard(candidates, side.base, side.base, threshold)
+    LshParts(out, candidates, side.caches)
+  }
+
+  /** Day-2 near-dup ingest — the incremental complement of
+    * [[minhashLsh]]'s self-join: candidate pairs BETWEEN a new batch and
+    * the standing corpus, so a day's ingest never re-pairs the corpus
+    * against itself. Each side is one scan producing its banded keys and
+    * shingle index; candidates are an equi-join of the two banded frames
+    * on (band, bh) — in production keep the corpus side's band index and
+    * shingle keys persisted bucketed by (band, bh) / doc, so the probe
+    * reads only the buckets the new batch's keys hash into, and appends
+    * the new side's projections to the same index afterwards (the
+    * [[AnnIndex]] maintenance pattern at the text level). Hot buckets
+    * are censused over BOTH sides together and sub-split by id hash —
+    * candidate volume is O(maxBandBucket · (n_new + n_old)); a cross-
+    * side pair in a hot bucket survives with probability 1/cells, and
+    * byte-identical re-sends are [[incrementalIngest]]'s job (run it
+    * first), so the recall cost mirrors the self-join cap's. Doc ids
+    * must be distinct across the two sides (they are distinct corpora).
+    * Output: (doc_new, doc_old, jaccard ≥ threshold). */
+  def minhashLshIngest(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 16, bands: Int = 4,
+      k: Int = 3, threshold: Double = 0.8,
+      maxBandBucket: Int = 2000): DataFrame = {
+    val oldSide = lshSide(existing, idCol, textCol, numHashes, bands, k)
+    val newSide = lshSide(incoming, idCol, textCol, numHashes, bands, k)
+    try {
+      val hot = hotBandBuckets(Seq(newSide.banded, oldSide.banded),
+        maxBandBucket)
+      val joinCond =
+        if (hot.isEmpty)
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+        else col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.__sub") === col("y.__sub")
+      val candidates = subSplit(newSide.banded, hot).as("x")
+        .join(subSplit(oldSide.banded, hot).as("y"), joinCond)
+        .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+        .distinct()
+      verifyJaccard(candidates, newSide.base, oldSide.base, threshold)
+        .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"),
+          col("jaccard"))
+        .localCheckpoint()
+    } finally (oldSide.caches ++ newSide.caches)
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** Embedding-cosine near-duplicate pairs, brute force: every (a < b)

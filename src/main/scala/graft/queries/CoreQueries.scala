@@ -1132,6 +1132,49 @@ object CoreQueries {
         CAST(SUM(c) AS BIGINT) AS n_rows,
         CAST(COUNT(DISTINCT sens) AS BIGINT) AS n_sensitive,
         COUNT(DISTINCT sens) >= 2 AS meets_l
-      FROM d GROUP BY 1, 2, 3"""))
+      FROM d GROUP BY 1, 2, 3""")),
+
+    GraftQuery(
+      "q217_k_anonymize_apply",
+      (s, dir) => {
+        // the ROW-LEVEL release of q212's generalization: every customer
+        // with its quasi-identifiers generalized to the class it releases
+        // in (payload key carried through) — the table a publisher
+        // actually ships. The oracle maps each combo to its escalation
+        // level and joins the rows back.
+        val c = Tables.load(s, dir, "customer").select(
+          col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          (col("c_acctbal") < 0).as("overdrawn"))
+        graft.operators.Audit.kAnonymizeApply(c,
+          Seq("c_mktsegment", "c_nationkey", "overdrawn"), k = 8,
+          carryCols = Seq("c_custkey"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS ck, c_mktsegment AS seg,
+            CAST(c_nationkey AS VARCHAR) AS nat,
+            CAST(c_acctbal < 0 AS VARCHAR) AS od FROM customer),
+        combos AS (SELECT seg, nat, od, COUNT(*) AS cnt
+          FROM base GROUP BY 1, 2, 3),
+        lev0 AS (SELECT seg, nat, od, 0 AS lev FROM combos WHERE cnt >= 8),
+        rem0 AS (SELECT seg, nat, od, cnt FROM combos WHERE cnt < 8),
+        g1 AS (SELECT seg, nat, SUM(cnt) AS gn FROM rem0 GROUP BY 1, 2),
+        lev1 AS (SELECT r.seg, r.nat, r.od, 1 AS lev FROM rem0 r
+          JOIN g1 ON g1.seg = r.seg AND g1.nat = r.nat WHERE g1.gn >= 8),
+        rem1 AS (SELECT r.seg, r.nat, r.od, r.cnt FROM rem0 r
+          JOIN g1 ON g1.seg = r.seg AND g1.nat = r.nat WHERE g1.gn < 8),
+        g2 AS (SELECT seg, SUM(cnt) AS gn FROM rem1 GROUP BY 1),
+        lev2 AS (SELECT r.seg, r.nat, r.od, 2 AS lev FROM rem1 r
+          JOIN g2 ON g2.seg = r.seg WHERE g2.gn >= 8),
+        rem2 AS (SELECT r.seg, r.nat, r.od FROM rem1 r
+          JOIN g2 ON g2.seg = r.seg WHERE g2.gn < 8),
+        lev3 AS (SELECT seg, nat, od, 3 AS lev FROM rem2),
+        levels AS (SELECT * FROM lev0 UNION ALL SELECT * FROM lev1
+          UNION ALL SELECT * FROM lev2 UNION ALL SELECT * FROM lev3)
+      SELECT b.ck AS c_custkey,
+        CASE WHEN lev < 3 THEN b.seg ELSE '*' END AS c_mktsegment,
+        CASE WHEN lev < 2 THEN b.nat ELSE '*' END AS c_nationkey,
+        CASE WHEN lev < 1 THEN b.od ELSE '*' END AS overdrawn,
+        CAST(lev AS INTEGER) AS suppression_level
+      FROM base b JOIN levels v
+        ON v.seg = b.seg AND v.nat = b.nat AND v.od = b.od"""))
   )
 }

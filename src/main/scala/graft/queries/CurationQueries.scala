@@ -305,6 +305,28 @@ object CurationQueries {
         ORDER BY rrf DESC, doc_id LIMIT 20""")),
 
     GraftQuery(
+      "q216_priority_sample",
+      (s, dir) => graft.operators.Curation.prioritySample(
+        Tables.load(s, dir, "documents"), "doc_id",
+        graft.functions.TextFunctions.tokenCount(col("text")), k = 100),
+      // Efraimidis–Spirakis exact-k weighted sample: u from the md5
+      // family (both engines draw the identical number), priority
+      // −ln(u)/w rounded at scale 8 before the (priority, id) total
+      // order — the q82 rounded-ln discipline — and the cut is a
+      // TakeOrderedAndProject, never a global sort.
+      Some(s"""WITH w AS (SELECT doc_id,
+            CAST(len($Toks5Sql) AS DOUBLE) AS weight FROM documents),
+          p AS (SELECT doc_id, weight,
+              ${graft.functions.SafeMath.roundHalfUpSql(
+                s"-ln((CAST(${md5Key60Sql(
+                  "'graft-psample' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)" +
+                  " + 0.5E0) / 1152921504606846976E0) / weight",
+                8)} AS priority
+            FROM w WHERE weight > 0)
+        SELECT doc_id, weight, priority FROM p
+        ORDER BY priority, doc_id LIMIT 100""")),
+
+    GraftQuery(
       "q120_dsir_resample",
       (s, dir) => Curation.dsirScore(
         Tables.load(s, dir, "documents"), "doc_id", "text",

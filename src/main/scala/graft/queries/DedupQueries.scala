@@ -263,6 +263,66 @@ object DedupQueries {
       bench = true),
 
     GraftQuery(
+      "q215_minhash_ingest",
+      (s, dir) => {
+        // day-2 near-dup ingest: the new batch (a shifted re-send of the
+        // corpus) pairs against the standing corpus via the banded
+        // minhash index — candidates are a CROSS-side equi-join on
+        // (band, bh), never a corpus self-join, so the standing corpus
+        // is probed, not re-paired. Every new doc must find its day-1
+        // twin (identical text → jaccard 1) plus the genuine cross-day
+        // near-dups; corpus-internal dup pairs must NOT appear. The
+        // oracle replays the banded join over the union corpus with the
+        // cross-day id constraint.
+        val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val incoming = d.select((col("doc_id") + Shift).as("doc_id"),
+          col("text"))
+        Dedup.minhashLshIngest(d, incoming, "doc_id", "text",
+          numHashes = 16, bands = 4, k = 3, threshold = 0.8)
+      },
+      Some {
+        val P = Dedup.MinhashP
+        val numHashes = 16; val bands = 4; val rows = numHashes / bands
+        val sigCols = (0 until numHashes).map(i =>
+          s"MIN((key * ${Dedup.mhA(i)} + ${Dedup.mhB(i)}) % $P) AS s$i")
+          .mkString(", ")
+        def bh(j: Int): String =
+          (0 until rows).foldLeft(s"CAST(${j + 1} AS BIGINT)")((acc, r) =>
+            s"(($acc * ${Dedup.BandM} + s${j * rows + r}) % $P)")
+        val bandSelects = (0 until bands).map(j =>
+          s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""WITH shingled AS (
+            SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $CorpusSql),
+          keys AS (
+            SELECT doc, (${md5FoldSql("h")}) % $P AS key
+            FROM (SELECT doc, md5(sh) AS h FROM shingled)),
+          sigs AS (SELECT doc, $sigCols FROM keys GROUP BY doc),
+          banded AS ($bandSelects),
+          cand AS (
+            SELECT DISTINCT x.doc AS doc_new, y.doc AS doc_old
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bh = y.bh
+            WHERE x.doc >= $Shift AND y.doc < $Shift),
+          idx AS (
+            SELECT DISTINCT doc_id AS doc, sh FROM (
+              SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
+          sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+          inter AS (
+            SELECT c.doc_new, c.doc_old, COUNT(*) AS inter
+            FROM cand c
+            JOIN idx xa ON xa.doc = c.doc_new
+            JOIN idx xb ON xb.doc = c.doc_old AND xa.sh = xb.sh
+            GROUP BY 1, 2)
+          SELECT doc_new, doc_old,
+            CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) AS jaccard
+          FROM inter
+          JOIN sizes a ON a.doc = doc_new
+          JOIN sizes b ON b.doc = doc_old
+          WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""
+      }),
+
+    GraftQuery(
       "q32_simhash",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")

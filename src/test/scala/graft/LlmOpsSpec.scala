@@ -896,6 +896,57 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally parts.caches.foreach(_.unpersist(blocking = false))
   }
 
+  test("minhashLshIngest pairs new docs against the corpus, never corpus-self") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta epsilon zeta") // in-corpus dup of 1
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta"), // twin of 1 and 3
+      (12L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .minhashLshIngest(existing, incoming, "doc_id", "text",
+        numHashes = 16, bands = 4, k = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cross-day twins found at jaccard 1; the (1,3) in-corpus dup pair
+    // must NOT appear (that's the self-join's job, already paid for)
+    assert(got === Set((11L, 1L, 1.0), (11L, 3L, 1.0)))
+  }
+
+  test("prioritySample: exact k, deterministic, zero-weight rows excluded") {
+    val docs = (1L to 200L)
+      .map(i => (i, if (i % 50 == 0) 0.0 else i.toDouble))
+      .toDF("id", "w")
+    val s1 = graft.operators.Curation.prioritySample(docs, "id", col("w"), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val s2 = graft.operators.Curation.prioritySample(docs, "id", col("w"), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(s1.toSeq === s2.toSeq, "sample must be replay-stable")
+    assert(s1.length === 20)
+    assert(s1.forall { case (id, p) => id % 50 != 0 && p > 0 })
+    // weighted bias: ids 101..200 carry ~3x the total mass of 1..100,
+    // so they must dominate the sample (deterministic given the fixed
+    // md5 draws — this pins the weighting direction, not a p-value)
+    assert(s1.count(_._1 > 100) > 10)
+  }
+
+  test("kAnonymizeApply rows aggregate back to the kAnonymize census") {
+    val rows = (Seq.fill(5)(("A", "x")) ++ Seq.fill(2)(("A", "y")) ++
+      Seq(("B", "z"))).toDF("g1", "g2")
+    val applied = graft.operators.Audit
+      .kAnonymizeApply(rows, Seq("g1", "g2"), k = 4, carryCols = Seq())
+      .groupBy("g1", "g2", "suppression_level")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // row-level release re-aggregates to exactly the census kAnonymize
+    // publishes — same classes, same sizes
+    assert(applied === Set(("A", "x", 0, 5L), ("*", "*", 2, 3L)))
+  }
+
   test("lastTouchAttribution: lookback bound, direct fallback, tie order") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(sec * 1000L)
