@@ -262,6 +262,129 @@ object Multimodal {
     spark.createDataFrame(rdd, imageStatsSchema)
   }
 
+  val videoFrameStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** Minimal deterministic video container for the gate/test stand-in —
+    * "GMJ1": 4-byte magic, big-endian frame count, then per frame a
+    * big-endian byte length + a REAL PNG payload (a motion-JPEG-style
+    * intra-only stream, with PNG in place of JPEG so decode is lossless
+    * and the oracle arithmetic stays exact). Real pipelines read actual
+    * containers here; the Spark-side plumbing — binary column, size
+    * binning, per-partition decode loop, length-prefix frame skipping —
+    * is the same either way. */
+  def mjpegBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(baos)
+    out.write("GMJ1".getBytes("US-ASCII"))
+    out.writeInt(frames.size)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    baos.toByteArray
+  }
+
+  /** Deterministic synthetic video per row: n = id%6+2 solid-fill PNG
+    * frames (w = id%8+2, h = id%4+2), frame f's channels
+    * (7id+11f, 13id+3f, 29id+5f) mod 256 — so an arithmetic oracle
+    * predicts every SAMPLED frame's decoded stats without being able to
+    * parse the container. */
+  def attachSyntheticVideo(df: DataFrame, idCol: String,
+      out: String = "media_bytes"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField(out, BinaryType)))
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 6 + 2).toInt
+        val frames = (0 until n).map { f =>
+          val rgb = (((id * 7 + f * 11) % 256).toInt << 16) |
+            (((id * 13 + f * 3) % 256).toInt << 8) |
+            ((id * 29 + f * 5) % 256).toInt
+          pngBytes((id % 8 + 2).toInt, (id % 4 + 2).toInt, (_, _) => rgb)
+        }
+        Row(id, mjpegBytes(frames))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame-SAMPLED video feature extraction — the video leg of the
+    * image/audio/video column family: every everyN-th frame is decoded
+    * into (dims, per-channel means), one output row per sampled frame
+    * (the training-data shape — frames become rows). Unsampled frames
+    * are skipped at the CONTAINER level via the length prefix, never
+    * decoded, so work per row is bounded by the sampled frame count —
+    * at everyN=30 a curation pass pays ~3% of the decode cost of the
+    * stream. Same scale shape as [[decodeImageStats]]: size-binned
+    * partitions (blob skew can't create stragglers), one decoder loop
+    * per partition, exact integer channel sums. A row whose payload is
+    * not a GMJ1 container keeps its id with null stats. */
+  def sampleFrameStats(df: DataFrame, idCol: String, binCol: String,
+      everyN: Int, sizeBins: Int = 32): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val spark = df.sparkSession
+    val binned = df
+      .select(col(idCol).cast("long"), col(binCol))
+      .repartition(sizeBins, pmod(length(col(binCol)), lit(sizeBins)))
+    val rdd = binned.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val magic = new Array[Byte](4)
+        val ok = bytes.length >= 8 && { in.readFully(magic); true } &&
+          java.util.Arrays.equals(magic, "GMJ1".getBytes("US-ASCII"))
+        if (!ok) rows += Row(id, null, null, null, null, null, null, null)
+        else {
+          val n = in.readInt()
+          var f = 0
+          while (f < n) {
+            val len = in.readInt()
+            if (f % everyN == 0) {
+              val buf = new Array[Byte](len)
+              in.readFully(buf)
+              val img = readImage(buf)
+              if (img == null)
+                rows += Row(id, n, f, null, null, null, null, null)
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
+                    sb += p & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val np = w.toLong * h
+                rows += Row(id, n, f, w, h,
+                  sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+              }
+            } else in.skipBytes(len)
+            f += 1
+          }
+        }
+        rows.iterator
+      }
+    }
+    spark.createDataFrame(rdd, videoFrameStatsSchema)
+  }
+
   /** Decode metadata for every media row. Batch shape: one partition =
     * one codec instance iterating rows (exactly `mapInPandas`' contract).
     * Rows are first binned by payload size so large blobs spread evenly —

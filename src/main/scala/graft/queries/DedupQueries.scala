@@ -13,7 +13,7 @@ import graft.operators.Dedup
   */
 object DedupQueries {
 
-  private val Shift = 1000000L
+  private[queries] val Shift = 1000000L
 
   private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
@@ -50,6 +50,54 @@ object DedupQueries {
         list_transform(range(1, 16),
           j -> CAST(strpos('0123456789abcdef', substr($hexExpr, j, 1)) - 1 AS BIGINT))),
         (a, v) -> a * 16 + v)"""
+
+  /** Banded-minhash ingest oracle skeleton (shared by q215 and the
+    * streamed q218): the q31 sig/band pipeline over `corpusSql`, with
+    * candidate pairs filtered by `candWhere` (x = new side, y = old
+    * side) instead of the self-join's x.doc < y.doc, verified with
+    * exact Jaccard at 0.8. */
+  private[queries] def bandedIngestOracleSql(corpusSql: String,
+      candWhere: String): String = {
+    val P = Dedup.MinhashP
+    val numHashes = 16; val bands = 4; val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map(i =>
+      s"MIN((key * ${Dedup.mhA(i)} + ${Dedup.mhB(i)}) % $P) AS s$i")
+      .mkString(", ")
+    def bh(j: Int): String =
+      (0 until rows).foldLeft(s"CAST(${j + 1} AS BIGINT)")((acc, r) =>
+        s"(($acc * ${Dedup.BandM} + s${j * rows + r}) % $P)")
+    val bandSelects = (0 until bands).map(j =>
+      s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""WITH shingled AS (
+        SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $corpusSql),
+      keys AS (
+        SELECT doc, (${md5FoldSql("h")}) % $P AS key
+        FROM (SELECT doc, md5(sh) AS h FROM shingled)),
+      sigs AS (SELECT doc, $sigCols FROM keys GROUP BY doc),
+      banded AS ($bandSelects),
+      cand AS (
+        SELECT DISTINCT x.doc AS doc_new, y.doc AS doc_old
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bh = y.bh
+        WHERE $candWhere),
+      idx AS (
+        SELECT DISTINCT doc_id AS doc, sh FROM (
+          SELECT doc_id, unnest($ShinglesSql) AS sh FROM $corpusSql)),
+      sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+      inter AS (
+        SELECT c.doc_new, c.doc_old, COUNT(*) AS inter
+        FROM cand c
+        JOIN idx xa ON xa.doc = c.doc_new
+        JOIN idx xb ON xb.doc = c.doc_old AND xa.sh = xb.sh
+        GROUP BY 1, 2)
+      SELECT doc_new, doc_old,
+        CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) AS jaccard
+      FROM inter
+      JOIN sizes a ON a.doc = doc_new
+      JOIN sizes b ON b.doc = doc_old
+      WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""
+  }
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -280,47 +328,8 @@ object DedupQueries {
         Dedup.minhashLshIngest(d, incoming, "doc_id", "text",
           numHashes = 16, bands = 4, k = 3, threshold = 0.8)
       },
-      Some {
-        val P = Dedup.MinhashP
-        val numHashes = 16; val bands = 4; val rows = numHashes / bands
-        val sigCols = (0 until numHashes).map(i =>
-          s"MIN((key * ${Dedup.mhA(i)} + ${Dedup.mhB(i)}) % $P) AS s$i")
-          .mkString(", ")
-        def bh(j: Int): String =
-          (0 until rows).foldLeft(s"CAST(${j + 1} AS BIGINT)")((acc, r) =>
-            s"(($acc * ${Dedup.BandM} + s${j * rows + r}) % $P)")
-        val bandSelects = (0 until bands).map(j =>
-          s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
-          .mkString(" UNION ALL ")
-        s"""WITH shingled AS (
-            SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $CorpusSql),
-          keys AS (
-            SELECT doc, (${md5FoldSql("h")}) % $P AS key
-            FROM (SELECT doc, md5(sh) AS h FROM shingled)),
-          sigs AS (SELECT doc, $sigCols FROM keys GROUP BY doc),
-          banded AS ($bandSelects),
-          cand AS (
-            SELECT DISTINCT x.doc AS doc_new, y.doc AS doc_old
-            FROM banded x JOIN banded y
-              ON x.band = y.band AND x.bh = y.bh
-            WHERE x.doc >= $Shift AND y.doc < $Shift),
-          idx AS (
-            SELECT DISTINCT doc_id AS doc, sh FROM (
-              SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
-          sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
-          inter AS (
-            SELECT c.doc_new, c.doc_old, COUNT(*) AS inter
-            FROM cand c
-            JOIN idx xa ON xa.doc = c.doc_new
-            JOIN idx xb ON xb.doc = c.doc_old AND xa.sh = xb.sh
-            GROUP BY 1, 2)
-          SELECT doc_new, doc_old,
-            CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) AS jaccard
-          FROM inter
-          JOIN sizes a ON a.doc = doc_new
-          JOIN sizes b ON b.doc = doc_old
-          WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""
-      }),
+      Some(bandedIngestOracleSql(CorpusSql,
+        s"x.doc >= $Shift AND y.doc < $Shift"))),
 
     GraftQuery(
       "q32_simhash",

@@ -877,6 +877,68 @@ object StreamQueries {
           FROM (${VectorQueries.lshTopKOracle})""")),
 
     GraftQuery(
+      "q218_stream_minhash_ingest",
+      (s, dir) => {
+        // the day-2 near-dup ingest (q215) run AS A STREAM — the
+        // standing-pipeline shape end-to-end: the corpus is seeded into
+        // a partitioned "seen" store (batch=-1), and each arrival wave
+        // (1) pairs its docs against everything that arrived BEFORE it
+        // (partition-pruned read of batch < id — the probe never
+        // re-pairs the standing corpus against itself), writing its
+        // verified pairs idempotently under batch=<id>, then (2) appends
+        // its own docs to the store under batch=<id>. Batch 1 is run
+        // twice to exercise replay: the batch<id filter keeps the retry
+        // from seeing its own first attempt, so it rewrites exactly the
+        // same files. The union of per-wave pairs must equal the
+        // one-shot oracle — every (a, b) with wave(a) > wave(b) and
+        // jaccard ≥ 0.8, waves encoded in id ranges.
+        val W = 1000000L
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val k = col("doc_id")
+        def wave(w: Int, p: Column) = docs.filter(p)
+          .select(to_json(struct((col("doc_id") + w * W).as("doc_id"),
+            col("text"))).as("value"))
+        val frames = Seq(wave(1, k % 3 === 0), wave(2, k % 3 === 1),
+          wave(3, k % 3 === 2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING")
+        runStaged(s, frames, "pairs") { (raw, out, ckpt) =>
+          val seen = s"$out/seen"
+          docs.write.mode("overwrite").parquet(s"$seen/batch=-1")
+          raw.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              val batch = b
+                .select(from_json(col("value"), schema).as("j"))
+                .select(col("j.*"))
+                .localCheckpoint()
+              def run(): Unit = {
+                val standing = batch.sparkSession.read.parquet(seen)
+                  .filter(col("batch") < id)
+                graft.operators.Dedup.minhashLshIngest(standing, batch,
+                    "doc_id", "text", numHashes = 16, bands = 4, k = 3,
+                    threshold = 0.8)
+                  .write.mode("overwrite").parquet(s"$out/pairs/batch=$id")
+                batch.write.mode("overwrite").parquet(s"$seen/batch=$id")
+              }
+              run()
+              if (id == 1) run() // replayed batch: idempotent rewrite
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.select("doc_new", "doc_old", "jaccard")
+      },
+      Some(DedupQueries.bandedIngestOracleSql(
+        """(SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 3 = 0
+            UNION ALL SELECT doc_id + 2000000 AS doc_id, text
+              FROM documents WHERE doc_id % 3 = 1
+            UNION ALL SELECT doc_id + 3000000 AS doc_id, text
+              FROM documents WHERE doc_id % 3 = 2)""",
+        "(x.doc // 1000000) > (y.doc // 1000000)"))),
+
+    GraftQuery(
       "q91_stream_sketch",
       (s, dir) => {
         // corpus statistics maintained AS A STREAM: three waves of

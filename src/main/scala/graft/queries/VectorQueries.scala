@@ -456,6 +456,36 @@ object VectorQueries {
         FROM a""")),
 
     GraftQuery(
+      "q219_video_frame_sample",
+      (s, dir) => {
+        // REAL video frame sampling, distributed — the video leg of the
+        // image/audio/video column family: one GMJ1 container per
+        // document (id%6+2 genuine PNG frames, encoded on the
+        // executors), every 2nd frame decoded into (dims, per-channel
+        // means) — one row per SAMPLED frame, unsampled frames skipped
+        // at the container level via the length prefix (never decoded).
+        // The oracle can't parse the container — it predicts each
+        // sampled frame's stats arithmetically from the same (id, f)
+        // derivation, so a frame-indexing slip, off-by-one in the
+        // sampling stride, or decode fault breaks the hash.
+        val d = Tables.load(s, dir, "documents").select("doc_id")
+        Multimodal.sampleFrameStats(
+          Multimodal.attachSyntheticVideo(d, "doc_id"),
+          "media_id", "media_bytes", everyN = 2)
+      },
+      Some("""WITH v AS (SELECT doc_id,
+            CAST(doc_id % 6 + 2 AS INTEGER) AS n FROM documents),
+          f AS (SELECT doc_id, n,
+              CAST(unnest(range(0, n)) AS INTEGER) AS fi FROM v)
+        SELECT doc_id AS media_id, n AS n_frames, fi AS frame_idx,
+          CAST(doc_id % 8 + 2 AS INTEGER) AS width,
+          CAST(doc_id % 4 + 2 AS INTEGER) AS height,
+          CAST((doc_id * 7 + fi * 11) % 256 AS DOUBLE) AS mean_r,
+          CAST((doc_id * 13 + fi * 3) % 256 AS DOUBLE) AS mean_g,
+          CAST((doc_id * 29 + fi * 5) % 256 AS DOUBLE) AS mean_b
+        FROM f WHERE fi % 2 = 0""")),
+
+    GraftQuery(
       "q207_image_resize_stats",
       (s, dir) => {
         // REAL resize through the codec seam: gradient PNGs (per-pixel

@@ -947,6 +947,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(applied === Set(("A", "x", 0, 5L), ("*", "*", 2, 3L)))
   }
 
+  test("sampleFrameStats: stride sampling, container skip, bad-magic null row") {
+    val docs = Seq(7L).toDF("doc_id") // n = 7%6+2 = 3 frames → sample 0, 2
+    val vids = graft.operators.Multimodal.attachSyntheticVideo(docs, "doc_id")
+    val got = graft.operators.Multimodal
+      .sampleFrameStats(vids, "media_id", "media_bytes", everyN = 2)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0, 2), "stride must sample frames 0,2")
+    assert(got.forall { case (_, w, h, _) => w == 9 && h == 5 }) // 7%8+2, 7%4+2
+    assert(got.map(_._4).toSeq === Seq((7 * 7) % 256, (7 * 7 + 22) % 256)
+      .map(_.toDouble))
+    // a non-GMJ1 payload keeps its id with null stats, never throws
+    val bad = Seq((9L, "not a container".getBytes("UTF-8")))
+      .toDF("media_id", "media_bytes")
+    val nulls = graft.operators.Multimodal
+      .sampleFrameStats(bad, "media_id", "media_bytes", everyN = 2).collect()
+    assert(nulls.length === 1 && nulls(0).getLong(0) === 9L &&
+      nulls(0).isNullAt(1))
+  }
+
   test("lastTouchAttribution: lookback bound, direct fallback, tie order") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(sec * 1000L)
