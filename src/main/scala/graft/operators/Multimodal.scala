@@ -140,16 +140,22 @@ object Multimodal {
     * Dims w=id%12+4, h=id%6+3; r=(31x+7y+id)%256, g=(13x+3id)%256,
     * b=(11y+5id)%256. */
   def attachSyntheticGradientPng(df: DataFrame, idCol: String,
-      out: String = "media_bytes"): DataFrame = {
+      out: String = "media_bytes", seedCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField(out, BinaryType)))
-    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    // seedCol (default: the id itself) drives the pixel formulas — two
+    // rows sharing a seed carry byte-identical images, the exact-copy
+    // planting a dedup gate needs
+    val rdd = df.select(col(idCol).cast("long"),
+        col(seedCol.getOrElse(idCol)).cast("long"))
+      .rdd.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(0)
+        val mediaId = r.getLong(0)
+        val id = r.getLong(1)
         val (w, h) = ((id % 12 + 4).toInt, (id % 6 + 3).toInt)
-        Row(id, pngBytes(w, h, (x, y) => {
+        Row(mediaId, pngBytes(w, h, (x, y) => {
           val rr = ((x * 31 + y * 7 + id) % 256).toInt
           val gg = ((x * 13 + id * 3) % 256).toInt
           val bb = ((y * 11 + id * 5) % 256).toInt
@@ -383,6 +389,105 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, videoFrameStatsSchema)
+  }
+
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("b0", IntegerType),
+    StructField("b1", IntegerType),
+    StructField("b2", IntegerType),
+    StructField("b3", IntegerType)))
+
+  /** Perceptual difference-hash (dHash) of every image, emitted as four
+    * 16-bit band keys — the visual near-dup key of an image-curation
+    * pipeline. REAL decode (`javax.imageio`), then a 9×8 grayscale grid
+    * by nearest-neighbor sampling (sx = ⌊x·w/9⌋ — integer arithmetic, so
+    * an oracle replays it exactly; gray = (299r+587g+114b)/1000, the
+    * ITU-R 601 luma weights in integer form), then bit y·8+x = 1 iff
+    * grid[x+1][y] > grid[x][y] (64 horizontal-gradient signs — invariant
+    * to global brightness and to any resize that preserves the sampled
+    * gradient signs). The 64 bits ship as four 16-bit bands b0..b3
+    * little-endian so [[imageNearDupPairs]] can bucket-join without
+    * reassembling a 64-bit value. Same scale shape as
+    * [[decodeImageStats]]: size-binned partitions, one decode loop per
+    * partition, work per row bounded by the 9×8 grid (not source
+    * pixels). Undecodable rows keep their id with null bands. */
+  def dHashBands(df: DataFrame, idCol: String, binCol: String,
+      sizeBins: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df
+      .select(col(idCol).cast("long"), col(binCol))
+      .repartition(sizeBins, pmod(length(col(binCol)), lit(sizeBins)))
+    val rdd = binned.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = readImage(r.getAs[Array[Byte]](1))
+        if (img == null) Row(id, null, null, null, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val grid = Array.ofDim[Int](9, 8)
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            while (x < 9) {
+              val p = img.getRGB(x * w / 9, sy)
+              grid(x)(y) = (((p >> 16) & 0xff) * 299 +
+                ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          val bands = Array.fill(4)(0)
+          var i = 0
+          while (i < 64) {
+            if (grid(i % 8 + 1)(i / 8) > grid(i % 8)(i / 8))
+              bands(i / 16) |= 1 << (i % 16)
+            i += 1
+          }
+          Row(id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, dHashSchema)
+  }
+
+  /** Visual near-duplicate pairs over [[dHashBands]] output: pairs of
+    * images whose dHashes differ in at most `maxHamming` of 64 bits.
+    * EXACT, not approximate: with 4 bands and maxHamming ≤ 3, any
+    * qualifying pair agrees on at least one whole band (pigeonhole), so
+    * the band bucket join misses nothing — LSH recall mechanics with a
+    * guarantee. Scale shape: byte-identical images collapse FIRST to one
+    * representative per distinct hash (min id — one map-side-combined
+    * aggregation), which is also the hot-bucket fix: a million copies of
+    * one boilerplate banner become ONE row in the band join, so bucket
+    * volume is bounded by distinct VISUAL content, not corpus rows; full
+    * pair closure = these rep-level pairs ∘ the exact-hash groups. Then
+    * 4 band-keyed join buckets (one shuffle each side), popcount-verified
+    * hamming, multi-band matches deduped by a keyed aggregate.
+    * Output: (id_a, id_b, hamming), id_a < id_b, reps of distinct
+    * hashes. Null-band (undecodable) rows are excluded. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-band pigeonhole exactness needs maxHamming in [0,3], got $maxHamming")
+    val bandCols = (0 until 4).map(j => col(s"b$j"))
+    val reps = hashes.filter(col("b0").isNotNull)
+      .groupBy(bandCols: _*)
+      .agg(min(col("media_id")).as("rep"))
+    val banded = reps.select(col("rep") +: bandCols :+
+      posexplode(array(bandCols: _*)).as(Seq("j", "bv")): _*)
+    val ham = (0 until 4).map(j =>
+        bit_count(col(s"x.b$j").bitwiseXOR(col(s"y.b$j"))))
+      .reduce(_ + _)
+    banded.as("x").join(banded.as("y"),
+        col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("id_a"), col("y.rep").as("id_b"),
+        ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // a pair matching in several bands appears once per matching band;
+      // hamming is identical on every copy — one keyed aggregate dedups
+      .groupBy("id_a", "id_b").agg(min(col("hamming")).as("hamming"))
   }
 
   /** Decode metadata for every media row. Batch shape: one partition =

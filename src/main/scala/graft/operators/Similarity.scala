@@ -618,4 +618,122 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Product-quantization codebooks — the compressed-index training step
+    * for a 100 TB embedding store: the vector space is split into `m`
+    * contiguous subspaces and each learns its own `ks`-entry codebook
+    * with the SAME deterministic Lloyd machinery as [[kmeans]]
+    * (init = subvectors of the first `ks` vectors by id, assignment =
+    * flat `-dot/|c|` distance array + first-min argmin, recompute =
+    * decimal-summed per-position mean, empty cells carry forward) — so
+    * an unrolled-CTE oracle reproduces every codebook bit-for-bit.
+    * All `m` subspaces train in ONE scan per round: each row computes
+    * its m codes in a single projection (slices bound as their own
+    * columns first — a slice referenced ks times otherwise re-copies per
+    * dot), then positions explode ONCE and aggregate keyed by
+    * (subspace, code, pos) with full map-side combine; only
+    * m·ks·subDim doubles ever reach the driver. Returns
+    * books(j)(code) = centroid of subspace j. */
+  def pqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ks: Int = 8, iters: Int = 2, scale: Int = 10)
+      : IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = embeddings
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .cache()
+    val init = e.orderBy(col(idCol)).limit(ks)
+      .select(col("__v")).collect().toIndexedSeq
+      .map(_.getSeq[Double](0).toSeq)
+    require(init.size == ks, s"need at least $ks vectors, got ${init.size}")
+    val dim = init.head.size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    var books: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until m).map(j => init.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 until iters) {
+      val got = e
+        .select(col("__v") +: (0 until m).map(j =>
+          slice(col("__v"), j * sub + 1, sub).as(s"__s$j")): _*)
+        .select(col("__v") +: (0 until m).map(j =>
+          pqNearest(books(j))(col(s"__s$j")).as(s"__c$j")): _*)
+        // codes are plain attributes by now, so the generator leaves
+        // cheap references (not recomputed argmins) in the upper Project
+        .select((0 until m).map(j => col(s"__c$j"))
+          :+ posexplode(col("__v")).as(Seq("pos", "v")): _*)
+        .select((col("pos") / lit(sub)).cast("int").as("j"),
+          element_at(array((0 until m).map(j => col(s"__c$j")): _*),
+            (col("pos") / lit(sub)).cast("int") + 1).as("code"),
+          col("pos"), col("v"))
+        .groupBy("j", "code", "pos")
+        .agg((sum(graft.functions.SafeMath.roundHalfUp(col("v"), scale)
+            .cast(DecimalType(28, scale))).cast("double") / count(lit(1)))
+          .as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (jc, rs) =>
+          jc -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = (0 until m).map(j =>
+        (0 until ks).map(c => got.getOrElse((j, c), books(j)(c))))
+    }
+    e.unpersist(blocking = false)
+    books
+  }
+
+  /** First-min argmin over one subspace's codebook — [[kmeans]]'s
+    * `nearest` on a subvector column (ties to the lowest code, matching
+    * `array_position` and the oracle's `row_number` order). */
+  private def pqNearest(cents: IndexedSeq[Seq[Double]])(sl: Column): Column = {
+    val dists = array(cents.map(c => -dotLit(sl, c) / lit(normLit(c))): _*)
+    graft.functions.TextFunctions.bindOnce(dists) { d =>
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+  }
+
+  /** PQ encode: every vector compressed to its m codebook codes
+    * (`code_0..code_{m-1}` int columns) — m bytes of index payload per
+    * vector vs 4·dim for the raw floats (64× at dim=64, m=4). One
+    * codegen'd projection, zero shuffle: the codebooks travel as
+    * literals, vectors never leave their partition — the write side of a
+    * compressed ANN index build at any corpus size. */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    embeddings
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .select(col(idCol) +: (0 until m).map(j =>
+        slice(col("__v"), j * sub + 1, sub).as(s"__s$j")): _*)
+      .select(col(idCol) +: (0 until m).map(j =>
+        pqNearest(books(j))(col(s"__s$j")).as(s"code_$j")): _*)
+  }
+
+  /** ADC (asymmetric-distance) top-k over the PQ codes: the query is
+    * decomposed once on the driver into m lookup tables
+    * (lut_j(c) = q_j · books_j(c), the subspace inner products), and each
+    * encoded vector is scored as the left-fold sum of its m table
+    * lookups — approximating dot(q, x) without ever touching the raw
+    * vectors. At scale this is the point of PQ: the scan reads m small
+    * int codes per row (the 64×-compressed index), does m array lookups
+    * (codegen'd literals, no join, no shuffle), and `TakeOrderedAndProject`
+    * keeps the top-k — the raw embedding column is never read after the
+    * one-time encode. */
+  def pqAdcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], topK: Int, m: Int = 4, ks: Int = 8,
+      iters: Int = 2, scale: Int = 6): DataFrame = {
+    val books = pqCodebooks(embeddings, idCol, vecCol, m, ks, iters)
+    val sub = query.size / m
+    val luts = (0 until m).map { j =>
+      val qj = query.slice(j * sub, (j + 1) * sub)
+      books(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum)
+    }
+    val score = (0 until m).map(j =>
+        element_at(array(luts(j).map(lit): _*), col(s"code_$j") + 1))
+      .reduce(_ + _)
+    pqEncode(embeddings, idCol, vecCol, books)
+      .select(col(idCol),
+        graft.functions.SafeMath.roundHalfUp(score, scale).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

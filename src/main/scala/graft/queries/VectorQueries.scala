@@ -630,7 +630,111 @@ object VectorQueries {
           drops AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.95E0)
         SELECT eb.vec_id, eb.bucket AS cluster, (d.id_b IS NULL) AS is_kept
         FROM eb LEFT JOIN drops d ON d.id_b = eb.vec_id"""
-      })
+      }),
+
+    GraftQuery(
+      "q220_pq_encode",
+      (s, dir) => {
+        // product-quantization index build: 4 subspaces × 8-entry
+        // codebooks (one-round Lloyd per subspace, all trained in one
+        // scan), every vector compressed to 4 int codes — the 64×
+        // compression write of a PQ ANN index. The oracle re-trains the
+        // same codebooks via unrolled CTEs, so a drifted centroid, a
+        // wrong slice boundary, or a tie-broken-differently assignment
+        // all flip the hash.
+        val e = Tables.load(s, dir, "embeddings")
+        val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+          m = 4, ks = 8, iters = 2)
+        Similarity.pqEncode(e, "vec_id", "embedding", books)
+      },
+      Some(s"""WITH ${pqCte("embeddings")}
+        SELECT vec_id, code_0, code_1, code_2, code_3 FROM enc""")),
+
+    GraftQuery(
+      "q221_pq_adc_topk",
+      (s, dir) => {
+        // the PQ read path: asymmetric-distance top-10 — the query
+        // decomposes into 4 lookup tables on the driver and every
+        // encoded vector is scored by 4 literal-array lookups; the raw
+        // embedding column is never read after the encode. Approximate
+        // by construction (codebook granularity), exact to gate: the
+        // oracle rebuilds codebooks+codes+luts and must land the same
+        // ranked 10.
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.pqAdcTopK(e, "vec_id", "embedding",
+          queryVec(s, dir), topK = 10, m = 4, ks = 8, iters = 2)
+      },
+      Some {
+        val sub = Dim / 4
+        val luts = (0 until 4).map { j =>
+          val lo = j * sub + 1
+          s"""lut_$j AS (SELECT c1_$j.cell AS cell,
+              ${dotSubSql(s"c1_$j.v", "q.v", sub)} AS lv
+            FROM c1_$j, (SELECT list_transform(range($lo, ${lo + sub}),
+                i -> CAST(embedding[i] AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id = 0) q)"""
+        }.mkString(",\n")
+        s"""WITH ${pqCte("embeddings")},
+          $luts,
+          sc AS (SELECT enc.vec_id,
+              (((l0.lv + l1.lv) + l2.lv) + l3.lv) AS s
+            FROM enc
+            JOIN lut_0 l0 ON l0.cell = enc.code_0
+            JOIN lut_1 l1 ON l1.cell = enc.code_1
+            JOIN lut_2 l2 ON l2.cell = enc.code_2
+            JOIN lut_3 l3 ON l3.cell = enc.code_3)
+          SELECT vec_id,
+            ${graft.functions.SafeMath.roundHalfUpSql("s", 6)} AS score
+          FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10"""
+      },
+      bench = true),
+
+    GraftQuery(
+      "q222_image_dhash_near_dup",
+      (s, dir) => {
+        // visual near-dup over REAL decoded images: every document's
+        // gradient PNG plus a byte-identical copy at id+1M. The copies
+        // MUST collapse into their base's distinct-hash group (so no
+        // hamming-0 pair may appear), and the released pairs are the
+        // rep-level dHashes within hamming ≤ 3 — which the 4-band
+        // pigeonhole join finds EXACTLY. The oracle never decodes a
+        // pixel: it replays the 9×8 nearest-neighbor grid, the integer
+        // luma, and all 64 gradient-sign bits arithmetically from the
+        // same (x, y, seed) formulas, so a resample off-by-one, a luma
+        // weight slip, or a band-packing bug flips the hash.
+        val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val ids = d.select(col("doc_id").as("id"))
+          .unionByName(d.select((col("doc_id") + 1000000L).as("id")))
+          .withColumn("seed", col("id") % 1000000L)
+        val imgs = Multimodal.attachSyntheticGradientPng(ids, "id",
+          seedCol = Some("seed"))
+        Multimodal.imageNearDupPairs(
+          Multimodal.dHashBands(imgs, "media_id", "media_bytes"),
+          maxHamming = 3)
+      },
+      Some(s"""WITH ids AS (SELECT doc_id AS id FROM documents
+          UNION ALL SELECT doc_id + 1000000 AS id FROM documents),
+        v AS (SELECT id, id % 1000000 AS sid,
+            (id % 1000000) % 12 + 4 AS w, (id % 1000000) % 6 + 3 AS h
+          FROM ids),
+        hs AS (SELECT id,
+            ${(0 until 4).map(j =>
+              s"CAST(${dHashBandSql(j)} AS INTEGER) AS b$j").mkString(", ")}
+          FROM v),
+        reps AS (SELECT b0, b1, b2, b3, MIN(id) AS rep FROM hs
+          GROUP BY 1, 2, 3, 4),
+        banded AS (SELECT rep, b0, b1, b2, b3, j.j AS j,
+            CASE j.j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+              ELSE b3 END AS bv
+          FROM reps, (SELECT unnest(range(0, 4)) AS j) j),
+        p AS (SELECT DISTINCT x.rep AS id_a, y.rep AS id_b,
+            (((bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)))
+              + bit_count(xor(x.b2, y.b2))) + bit_count(xor(x.b3, y.b3)))
+              AS hamming
+          FROM banded x JOIN banded y
+            ON x.j = y.j AND x.bv = y.bv AND x.rep < y.rep)
+        SELECT id_a, id_b, CAST(MIN(hamming) AS INTEGER) AS hamming
+        FROM p WHERE hamming <= 3 GROUP BY 1, 2"""))
   )
 
   /** Unrolled two-iteration Lloyd twin of Similarity.kmeans over any
@@ -666,5 +770,81 @@ object VectorQueries {
       c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM f1 GROUP BY cell),
       d2 AS (${dists("c1")}),
       a2 AS (${assign("d2")})"""
+  }
+
+  /** One 16-bit dHash band as DuckDB integer arithmetic over the
+    * synthetic-gradient pixel formulas — the oracle twin of
+    * Multimodal.dHashBands ∘ attachSyntheticGradientPng. Operates on a
+    * relation exposing (sid, w, h): gray(x, y) inlines the
+    * nearest-neighbor source coordinates (⌊x·w/9⌋, ⌊y·h/8⌋) into the
+    * per-channel formulas and the integer ITU-R 601 luma; band j packs
+    * sign bits j·16..j·16+15 little-endian. */
+  private def dHashBandSql(j: Int): String = {
+    def gray(x: Int, y: Int): String = {
+      val sx = s"(($x * w) // 9)"
+      val sy = s"(($y * h) // 8)"
+      s"""((((31 * $sx + 7 * $sy + sid) % 256) * 299
+          + ((13 * $sx + 3 * sid) % 256) * 587
+          + ((11 * $sy + 5 * sid) % 256) * 114) // 1000)"""
+    }
+    (0 until 16).map { t =>
+      val i = j * 16 + t
+      val (x, y) = (i % 8, i / 8)
+      s"(CASE WHEN ${gray(x + 1, y)} > ${gray(x, y)} THEN ${1 << t} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Left-fold dot over a `n`-element subvector (the [[dotSql]] fold on a
+    * subspace slice). */
+  private def dotSubSql(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_transform(range(1, ${n + 1}),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  /** Unrolled product-quantization twin of Similarity.pqCodebooks +
+    * pqEncode: per subspace j, slice [j·sub+1, (j+1)·sub] runs the exact
+    * kmeansCte ladder (first-ks init in vec_id order, `-dot/|c|`
+    * distances, first-min assignment via row_number, decimal-summed
+    * centroid recompute), and `enc` joins the m final assignments into
+    * (vec_id, code_0..code_{m-1}). Callers may also reference the
+    * per-subspace trained codebooks `c1_j`. */
+  private def pqCte(corpus: String, m: Int = 4, ks: Int = 8): String = {
+    val sub = Dim / m
+    val rounded = graft.functions.SafeMath.roundHalfUpSql("g.s.v", 10)
+    def assign(d: String) =
+      s"""SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number()
+            OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+          FROM $d) WHERE rn = 1"""
+    val per = (0 until m).map { j =>
+      val lo = j * sub + 1
+      def dists(c: String) =
+        s"""SELECT e$j.vec_id, $c.cell,
+            (-(${dotSubSql(s"e$j.v", s"$c.v", sub)})) /
+              sqrt(${dotSubSql(s"$c.v", s"$c.v", sub)}) AS dist
+          FROM e$j, $c"""
+      s"""e$j AS (SELECT vec_id, list_transform(range($lo, ${lo + sub}),
+            i -> CAST(embedding[i] AS DOUBLE)) AS v FROM $corpus),
+        c0_$j AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+              AS INTEGER) AS cell, v
+          FROM (SELECT vec_id, v FROM e$j ORDER BY vec_id LIMIT $ks)),
+        d1_$j AS (${dists(s"c0_$j")}),
+        a1_$j AS (${assign(s"d1_$j")}),
+        f1_$j AS (SELECT a1_$j.cell, g.s.pos AS pos,
+            (CAST(SUM(CAST($rounded AS DECIMAL(28,10))) AS DOUBLE)
+              / COUNT(*)) AS m
+          FROM (SELECT vec_id, unnest(list_transform(range(1, ${sub + 1}),
+              i -> struct_pack(pos := i - 1, v := v[i]))) AS s FROM e$j) g
+          JOIN a1_$j ON a1_$j.vec_id = g.vec_id GROUP BY 1, 2),
+        c1_$j AS (SELECT cell, list(m ORDER BY pos) AS v FROM f1_$j
+          GROUP BY cell),
+        d2_$j AS (${dists(s"c1_$j")}),
+        a2_$j AS (${assign(s"d2_$j")})"""
+    }.mkString(",\n")
+    val joins = (1 until m)
+      .map(j => s"JOIN a2_$j ON a2_$j.vec_id = a2_0.vec_id").mkString(" ")
+    s"""$per,
+      enc AS (SELECT a2_0.vec_id,
+          ${(0 until m).map(j => s"a2_$j.cell AS code_$j").mkString(", ")}
+        FROM a2_0 $joins)"""
   }
 }

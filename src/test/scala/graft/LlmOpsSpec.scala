@@ -132,6 +132,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(even.size === 1 && odd.size === 1 && even != odd)
   }
 
+  test("pq: hand-traced codebooks, encode, and ADC ranking") {
+    // dim 4, m=2 subspaces of 2, ks=2 codes; iters=1 keeps the codebook
+    // at its init (the first two vectors' subvectors) so every
+    // assignment and lut value is hand-checkable.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), // init code (0,0)
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)), // init code (1,1)
+      (2L, Seq(0.9f, 0.1f, 0.2f, 0.9f)), // nearest (0,0)
+      (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f))  // nearest (1,1)
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, ks = 2, iters = 1)
+    assert(books === IndexedSeq(
+      IndexedSeq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      IndexedSeq(Seq(0.0, 1.0), Seq(1.0, 0.0))))
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(codes === Map(0L -> (0, 0), 1L -> (1, 1),
+      2L -> (0, 0), 3L -> (1, 1)))
+    // query (1,0,0,1): luts = sub0 [1.0, 0.0], sub1 [1.0, 0.0] → score
+    // 2.0 for codes (0,0), 0.0 for (1,1); ties break by vec_id
+    val top = Similarity.pqAdcTopK(vecs, "vec_id", "embedding",
+        Seq(1.0, 0.0, 0.0, 1.0), topK = 4, m = 2, ks = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.toSeq === Seq((0L, 2.0), (2L, 2.0), (1L, 0.0), (3L, 0.0)))
+    // iters=2 retrains: each cell's centroid becomes the mean of its two
+    // members — codes must be unchanged (members stay nearest their mean)
+    val books2 = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 2, ks = 2, iters = 2)
+    assert(books2(0)(0).map(x => math.rint(x * 100) / 100) === Seq(0.95, 0.05))
+    val codes2 = Similarity.pqEncode(vecs, "vec_id", "embedding", books2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(codes2 === codes)
+  }
+
   test("kmeans releases its cached projection (no leak per invocation)") {
     val vecs = (0 until 20).map { i =>
       (i.toLong, Array.tabulate(4)(d => math.sin(i * 4 + d).toFloat).toSeq)
@@ -965,6 +1000,49 @@ class LlmOpsSpec extends AnyFunSuite {
       .sampleFrameStats(bad, "media_id", "media_bytes", everyN = 2).collect()
     assert(nulls.length === 1 && nulls(0).getLong(0) === 9L &&
       nulls(0).isNullAt(1))
+  }
+
+  test("dHashBands: gradient saturates all bits, flat image none, bad bytes null") {
+    // gray rises strictly in x (r=g=b=10x; 9-wide so sampling is the
+    // identity) → every gradient sign positive → all four bands 0xffff
+    val rising = Seq((1L,
+      graft.operators.Multimodal.pngBytes(9, 8, (x, _) =>
+        (x * 10 << 16) | (x * 10 << 8) | x * 10)))
+      .toDF("media_id", "media_bytes")
+    val r = graft.operators.Multimodal
+      .dHashBands(rising, "media_id", "media_bytes").collect()(0)
+    assert((1 to 4).map(r.getInt) === Seq(0xffff, 0xffff, 0xffff, 0xffff))
+    // solid fill → zero gradients everywhere → all bands 0
+    val flat = Seq((2L, graft.operators.Multimodal.pngBytes(5, 3,
+      (_, _) => 0x804020))).toDF("media_id", "media_bytes")
+    val f = graft.operators.Multimodal
+      .dHashBands(flat, "media_id", "media_bytes").collect()(0)
+    assert((1 to 4).map(f.getInt) === Seq(0, 0, 0, 0))
+    val bad = Seq((3L, "junk".getBytes("UTF-8"))).toDF("media_id", "media_bytes")
+    val b = graft.operators.Multimodal
+      .dHashBands(bad, "media_id", "media_bytes").collect()(0)
+    assert(b.getLong(0) === 3L && b.isNullAt(1))
+  }
+
+  test("imageNearDupPairs: copy collapse, pigeonhole boundary, null exclusion") {
+    val hashes = Seq(
+      (10L, 7, 0, 0, 0),   // base
+      (11L, 7, 0, 0, 0),   // exact copy → collapses into rep 10
+      (12L, 6, 0, 0, 0),   // 1 bit from base → pair (10,12) hamming 1
+      (13L, 7, 15, 0, 0),  // 4 bits, all in band 1 → over maxHamming
+      (14L, 6, 1, 1, 1)    // 1 bit per band vs base → hamming 4 → out
+    ).toDF("media_id", "b0", "b1", "b2", "b3")
+      .unionByName(Seq((15L, null, null, null, null))
+        .toDF("media_id", "b0", "b1", "b2", "b3")
+        .select(col("media_id").cast("long").as("media_id"),
+          col("b0").cast("int").as("b0"), col("b1").cast("int").as("b1"),
+          col("b2").cast("int").as("b2"), col("b3").cast("int").as("b3")))
+    val got = graft.operators.Multimodal.imageNearDupPairs(hashes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (10,13): bands 0/2/3 equal but hamming 4 → correctly dropped;
+    // (12,13): differs 5 bits → dropped; (12,14): b2/b3 differ → only
+    // shares band 0 value 6 → hamming 3 (b1 1 bit + b2 1 + b3 1) → kept
+    assert(got === Set((10L, 12L, 1), (12L, 14L, 3)))
   }
 
   test("lastTouchAttribution: lookback bound, direct fallback, tie order") {
