@@ -722,17 +722,73 @@ object Similarity {
       query: Seq[Double], topK: Int, m: Int = 4, ks: Int = 8,
       iters: Int = 2, scale: Int = 6): DataFrame = {
     val books = pqCodebooks(embeddings, idCol, vecCol, m, ks, iters)
+    pqEncode(embeddings, idCol, vecCol, books)
+      .select(col(idCol),
+        graft.functions.SafeMath.roundHalfUp(
+          adcScore(books, query), scale).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** The ADC scoring column over `code_0..code_{m-1}`: query decomposed
+    * into per-subspace inner-product lookup tables on the driver,
+    * left-fold summed — literal arrays, no join, stays in codegen. */
+  private def adcScore(books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      query: Seq[Double]): Column = {
+    val m = books.size
     val sub = query.size / m
     val luts = (0 until m).map { j =>
       val qj = query.slice(j * sub, (j + 1) * sub)
       books(j).map(c => c.zip(qj).map { case (a, b) => a * b }.sum)
     }
-    val score = (0 until m).map(j =>
+    (0 until m).map(j =>
         element_at(array(luts(j).map(lit): _*), col(s"code_$j") + 1))
       .reduce(_ + _)
-    pqEncode(embeddings, idCol, vecCol, books)
+  }
+
+  /** IVF-PQ — the layout a 100 TB vector store actually ships: a coarse
+    * inverted file ([[ivfTopK]]'s deterministic centroids) prunes the
+    * READ to the nProbe cells nearest the query, and within those cells
+    * the scan runs over [[pqEncode]]'s m-byte codes via [[adcScore]]'s
+    * lookup tables — I/O pruned by the cell list, bytes-per-row pruned
+    * 64× by the codes, no join, no shuffle beyond the top-k. (In
+    * production the (cell, codes) projection is the materialized,
+    * cell-partitioned index — the [[AnnIndex]] pattern — so a probe
+    * reads ONLY its cells' files; here it is computed inline from the
+    * same deterministic arithmetic.) Non-residual PQ variant: one shared
+    * codebook set across cells — one training pass, and the oracle can
+    * replay codes independently of cell assignment. */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], topK: Int, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 4, ks: Int = 8, iters: Int = 2, scale: Int = 6): DataFrame = {
+    val cents: Array[(Int, Seq[Double])] = embeddings
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).toSeq.map(_.toDouble) }
+    def nearestCell(vec: Column): Column = {
+      val dists = array(cents.map { case (_, c) =>
+        -dotLit(vec, c) / lit(normLit(c))
+      }: _*)
+      graft.functions.TextFunctions.bindOnce(dists) { d =>
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }
+    }
+    val qn = normLit(query)
+    val qCells = cents
+      .map { case (i, c) =>
+        val dot = query.zip(c).map { case (a, b) => a * b }.sum
+        i -> -dot / (normLit(c) * qn)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val books = pqCodebooks(embeddings, idCol, vecCol, m, ks, iters)
+    val probed = embeddings
+      .withColumn("__cell", nearestCell(col(vecCol)))
+      .filter(col("__cell").isin(qCells: _*))
+    pqEncode(probed, idCol, vecCol, books)
       .select(col(idCol),
-        graft.functions.SafeMath.roundHalfUp(score, scale).as("score"))
+        graft.functions.SafeMath.roundHalfUp(
+          adcScore(books, query), scale).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topK)
   }

@@ -664,30 +664,63 @@ object VectorQueries {
         Similarity.pqAdcTopK(e, "vec_id", "embedding",
           queryVec(s, dir), topK = 10, m = 4, ks = 8, iters = 2)
       },
-      Some {
-        val sub = Dim / 4
-        val luts = (0 until 4).map { j =>
-          val lo = j * sub + 1
-          s"""lut_$j AS (SELECT c1_$j.cell AS cell,
-              ${dotSubSql(s"c1_$j.v", "q.v", sub)} AS lv
-            FROM c1_$j, (SELECT list_transform(range($lo, ${lo + sub}),
-                i -> CAST(embedding[i] AS DOUBLE)) AS v
-              FROM embeddings WHERE vec_id = 0) q)"""
-        }.mkString(",\n")
-        s"""WITH ${pqCte("embeddings")},
-          $luts,
+      Some(s"""WITH ${pqCte("embeddings")},
+          ${pqLutsSql()},
+          sc AS (SELECT enc.vec_id,
+              (((l0.lv + l1.lv) + l2.lv) + l3.lv) AS s
+            FROM enc $pqLutJoins)
+          SELECT vec_id,
+            ${graft.functions.SafeMath.roundHalfUpSql("s", 6)} AS score
+          FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10"""),
+      bench = true),
+
+    GraftQuery(
+      "q223_ivf_pq_topk",
+      (s, dir) => {
+        // the production vector-store layout end-to-end: coarse IVF
+        // cells prune the read to 4 of 16 cells, PQ codes compress the
+        // in-cell scan to 4 bytes/vector, ADC luts score without
+        // touching a raw float. The oracle replays cells, probe list,
+        // codebooks, codes, and luts independently — so the composition
+        // (not just each part) is what's gated.
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.ivfPqTopK(e, "vec_id", "embedding", queryVec(s, dir),
+          topK = 10, nCells = 16, nProbe = 4, m = 4, ks = 8, iters = 2)
+      },
+      Some(s"""WITH ${pqCte("embeddings")},
+          ${pqLutsSql()},
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          cents AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                AS ci, embedding AS cv
+            FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT 16)),
+          cdists AS (
+            SELECT e.vec_id, c.ci,
+              -(${dotSql("e.embedding", "c.cv")}) /
+                sqrt(${dotSql("c.cv", "c.cv")}) AS dist
+            FROM embeddings e CROSS JOIN cents c),
+          cells AS (
+            SELECT vec_id,
+              CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
+            FROM (SELECT vec_id, list(dist ORDER BY ci) AS dl FROM cdists
+              GROUP BY vec_id)),
+          qcells AS (
+            SELECT c.ci AS cell
+            FROM cents c CROSS JOIN q
+            ORDER BY -(${dotSql("q.qv", "c.cv")}) /
+                (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("q.qv", "q.qv")})),
+              c.ci
+            LIMIT 4),
           sc AS (SELECT enc.vec_id,
               (((l0.lv + l1.lv) + l2.lv) + l3.lv) AS s
             FROM enc
-            JOIN lut_0 l0 ON l0.cell = enc.code_0
-            JOIN lut_1 l1 ON l1.cell = enc.code_1
-            JOIN lut_2 l2 ON l2.cell = enc.code_2
-            JOIN lut_3 l3 ON l3.cell = enc.code_3)
+            JOIN cells ON cells.vec_id = enc.vec_id
+            JOIN qcells ON cells.cell = qcells.cell
+            $pqLutJoins)
           SELECT vec_id,
             ${graft.functions.SafeMath.roundHalfUpSql("s", 6)} AS score
-          FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10"""
-      },
-      bench = true),
+          FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""")),
 
     GraftQuery(
       "q222_image_dhash_near_dup",
@@ -793,6 +826,26 @@ object VectorQueries {
       s"(CASE WHEN ${gray(x + 1, y)} > ${gray(x, y)} THEN ${1 << t} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
+
+  /** Per-subspace ADC lookup tables: lut_j(cell) = q_j · c1_j(cell),
+    * the query slice dotted with every trained centroid of subspace j —
+    * the SQL twin of the driver-side luts in Similarity.adcScore. */
+  private def pqLutsSql(m: Int = 4): String = {
+    val sub = Dim / m
+    (0 until m).map { j =>
+      val lo = j * sub + 1
+      s"""lut_$j AS (SELECT c1_$j.cell AS cell,
+          ${dotSubSql(s"c1_$j.v", "q.v", sub)} AS lv
+        FROM c1_$j, (SELECT list_transform(range($lo, ${lo + sub}),
+            i -> CAST(embedding[i] AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id = 0) q)"""
+    }.mkString(",\n")
+  }
+
+  /** The four lut equi-joins every ADC oracle shares. */
+  private def pqLutJoins: String =
+    (0 until 4).map(j =>
+      s"JOIN lut_$j l$j ON l$j.cell = enc.code_$j").mkString(" ")
 
   /** Left-fold dot over a `n`-element subvector (the [[dotSql]] fold on a
     * subspace slice). */

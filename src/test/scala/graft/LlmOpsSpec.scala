@@ -111,6 +111,13 @@ class LlmOpsSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, 5, nCells = 8, nProbe = 4)
       .collect().map(_.getLong(0))
     assert(ivf.contains(7L))
+    // IVF-PQ: coarse probe + compressed ADC scan still lands the target
+    // in its top-5 (codebook granularity coarsens scores, so membership,
+    // not rank-1, is the contract)
+    val ivfpq = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", q, 5,
+        nCells = 8, nProbe = 4, m = 4, ks = 8, iters = 2)
+      .collect().map(_.getLong(0))
+    assert(ivfpq.contains(7L))
   }
 
   test("kmeans separates two well-split directions and is deterministic") {

@@ -85,6 +85,25 @@ class PlanSpec extends AnyFunSuite {
       "q146 limit should plan as TakeOrderedAndProject")
   }
 
+  test("PQ encode is a pure projection; ADC top-k scans join-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // encode: codebooks travel as literals — no exchange anywhere (the
+    // property that makes the index build a single map pass at 100 TB)
+    val enc = Registry.byName("q220_pq_encode").run(spark, SfDir)
+    assert(!operators(enc.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "pqEncode must not shuffle — codebooks are literals")
+    // ADC read path: lookup tables are literal arrays, so the scored
+    // scan has NO join operator and the top-k is a TakeOrderedAndProject
+    val adc = Registry.byName("q221_pq_adc_topk").run(spark, SfDir)
+    val ops = operators(adc.queryExecution.executedPlan)
+    assert(!ops.exists(o => o.getClass.getSimpleName.contains("Join")),
+      "ADC scan must not join — luts are literal arrays")
+    assert(ops.exists(
+        _.getClass.getSimpleName == "TakeOrderedAndProjectExec"),
+      "ADC top-k should plan as TakeOrderedAndProject")
+  }
+
   test("global rank plans without a single-partition exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
