@@ -723,6 +723,38 @@ object VectorQueries {
           FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""")),
 
     GraftQuery(
+      "q224_pq_recall",
+      (s, dir) => {
+        // the compression-loss audit a PQ rollout ships with: recall@10
+        // of the ADC scan against the exact cosine top-10, as one
+        // metrics row — the operating-point number that decides m/ks
+        // before committing a 100 TB re-encode. Both legs are
+        // TakeOrderedAndProject top-10s; the join is 10×10.
+        val e = Tables.load(s, dir, "embeddings")
+        val q = queryVec(s, dir)
+        val exact = Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
+          .select("vec_id")
+        val adc = Similarity.pqAdcTopK(e, "vec_id", "embedding", q,
+          topK = 10, m = 4, ks = 8, iters = 2).select("vec_id")
+        exact.join(adc, "vec_id")
+          .agg((count(lit(1)).cast("double") / 10).as("recall_at_10"))
+      },
+      Some(s"""WITH ${pqCte("embeddings")},
+          ${pqLutsSql()},
+          qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+          sc AS (SELECT enc.vec_id,
+              (((l0.lv + l1.lv) + l2.lv) + l3.lv) AS s
+            FROM enc $pqLutJoins),
+          adc AS (SELECT vec_id FROM sc
+            ORDER BY ${graft.functions.SafeMath.roundHalfUpSql("s", 6)} DESC,
+              vec_id ASC LIMIT 10),
+          exact AS (SELECT e.vec_id FROM embeddings e, qv
+            ORDER BY ${cosSql("e.embedding", "qv.v")} DESC, e.vec_id ASC
+            LIMIT 10)
+        SELECT CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+        FROM exact JOIN adc ON exact.vec_id = adc.vec_id""")),
+
+    GraftQuery(
       "q222_image_dhash_near_dup",
       (s, dir) => {
         // visual near-dup over REAL decoded images: every document's
