@@ -638,12 +638,14 @@ object Similarity {
       m: Int = 4, ks: Int = 8, iters: Int = 2, scale: Int = 10)
       : IndexedSeq[IndexedSeq[Seq[Double]]] = {
     import org.apache.spark.sql.types.DecimalType
-    val e = embeddings
-      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
-      .cache()
+    // the RAW vector column, no double-cast projection: a `transform`
+    // cast is an interpreted lambda on every hot scan, and ArrayDot
+    // widens float elements itself (bit-exactly — float→double is exact)
+    val e = embeddings.select(col(idCol), col(vecCol).as("__v")).cache()
     val init = e.orderBy(col(idCol)).limit(ks)
       .select(col("__v")).collect().toIndexedSeq
-      .map(_.getSeq[Double](0).toSeq)
+      .map(_.getSeq[Any](0).toSeq
+        .map { case n: java.lang.Number => n.doubleValue })
     require(init.size == ks, s"need at least $ks vectors, got ${init.size}")
     val dim = init.head.size
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -665,7 +667,8 @@ object Similarity {
             (col("pos") / lit(sub)).cast("int") + 1).as("code"),
           col("pos"), col("v"))
         .groupBy("j", "code", "pos")
-        .agg((sum(graft.functions.SafeMath.roundHalfUp(col("v"), scale)
+        .agg((sum(graft.functions.SafeMath.roundHalfUp(
+              col("v").cast("double"), scale)
             .cast(DecimalType(28, scale))).cast("double") / count(lit(1)))
           .as("m"))
         .collect()
@@ -682,12 +685,15 @@ object Similarity {
 
   /** First-min argmin over one subspace's codebook — [[kmeans]]'s
     * `nearest` on a subvector column (ties to the lowest code, matching
-    * `array_position` and the oracle's `row_number` order). */
+    * `array_position` and the oracle's `row_number` order). The dists
+    * array is spelled twice INSTEAD of a `bindOnce` — a bound lambda
+    * would drop the whole scoring projection out of whole-stage codegen
+    * (HOFs have no doGenCode), the one property the ADC scan exists
+    * for; under WSCG the duplicated subtree is shared by subexpression
+    * elimination, so it still evaluates once per row. */
   private def pqNearest(cents: IndexedSeq[Seq[Double]])(sl: Column): Column = {
-    val dists = array(cents.map(c => -dotLit(sl, c) / lit(normLit(c))): _*)
-    graft.functions.TextFunctions.bindOnce(dists) { d =>
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
+    def dists = array(cents.map(c => -dotLit(sl, c) / lit(normLit(c))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** PQ encode: every vector compressed to its m codebook codes
@@ -701,9 +707,8 @@ object Similarity {
     val m = books.size
     val sub = books.head.head.size
     embeddings
-      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
       .select(col(idCol) +: (0 until m).map(j =>
-        slice(col("__v"), j * sub + 1, sub).as(s"__s$j")): _*)
+        slice(col(vecCol), j * sub + 1, sub).as(s"__s$j")): _*)
       .select(col(idCol) +: (0 until m).map(j =>
         pqNearest(books(j))(col(s"__s$j")).as(s"code_$j")): _*)
   }
@@ -767,12 +772,12 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](0).toSeq.map(_.toDouble) }
     def nearestCell(vec: Column): Column = {
-      val dists = array(cents.map { case (_, c) =>
+      // spelled-twice dists (not bindOnce) for the same WSCG reason as
+      // pqNearest — the probe filter must stay in codegen
+      def dists = array(cents.map { case (_, c) =>
         -dotLit(vec, c) / lit(normLit(c))
       }: _*)
-      graft.functions.TextFunctions.bindOnce(dists) { d =>
-        (array_position(d, array_min(d)) - 1).cast("int")
-      }
+      (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     val qn = normLit(query)
     val qCells = cents
