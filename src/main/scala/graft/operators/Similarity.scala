@@ -444,10 +444,13 @@ object Similarity {
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
       .cache()
     def nearest(cents: IndexedSeq[Seq[Double]])(vec: Column): Column = {
-      val dists = array(cents.map(c => -dotLit(vec, c) / lit(normLit(c))): _*)
-      graft.functions.TextFunctions.bindOnce(dists) { d =>
-        (array_position(d, array_min(d)) - 1).cast("int")
-      }
+      // spelled-twice dists, NOT bindOnce: the bound lambda dropped the
+      // whole assignment projection out of whole-stage codegen (HOFs
+      // have no doGenCode) — under WSCG the duplicate subtree is shared
+      // by subexpression elimination, so the k·dim distance scan still
+      // runs once per row AND at codegen speed (the pqNearest rule)
+      def dists = array(cents.map(c => -dotLit(vec, c) / lit(normLit(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     var cents: IndexedSeq[Seq[Double]] = e.orderBy(col(idCol)).limit(k)
       .select(col("__v")).collect().toIndexedSeq
