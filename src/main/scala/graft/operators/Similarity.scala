@@ -694,7 +694,7 @@ object Similarity {
     * (HOFs have no doGenCode), the one property the ADC scan exists
     * for; under WSCG the duplicated subtree is shared by subexpression
     * elimination, so it still evaluates once per row. */
-  private def pqNearest(cents: IndexedSeq[Seq[Double]])(sl: Column): Column = {
+  private[operators] def pqNearest(cents: IndexedSeq[Seq[Double]])(sl: Column): Column = {
     def dists = array(cents.map(c => -dotLit(sl, c) / lit(normLit(c))): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
@@ -741,7 +741,7 @@ object Similarity {
   /** The ADC scoring column over `code_0..code_{m-1}`: query decomposed
     * into per-subspace inner-product lookup tables on the driver,
     * left-fold summed — literal arrays, no join, stays in codegen. */
-  private def adcScore(books: IndexedSeq[IndexedSeq[Seq[Double]]],
+  private[operators] def adcScore(books: IndexedSeq[IndexedSeq[Seq[Double]]],
       query: Seq[Double]): Column = {
     val m = books.size
     val sub = query.size / m
@@ -766,32 +766,47 @@ object Similarity {
     * same deterministic arithmetic.) Non-residual PQ variant: one shared
     * codebook set across cells — one training pass, and the oracle can
     * replay codes independently of cell assignment. */
-  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], topK: Int, nCells: Int = 16, nProbe: Int = 4,
-      m: Int = 4, ks: Int = 8, iters: Int = 2, scale: Int = 6): DataFrame = {
-    val cents: Array[(Int, Seq[Double])] = embeddings
-      .orderBy(col(idCol)).limit(nCells)
-      .select(col(vecCol)).collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](0).toSeq.map(_.toDouble) }
-    def nearestCell(vec: Column): Column = {
-      // spelled-twice dists (not bindOnce) for the same WSCG reason as
-      // pqNearest — the probe filter must stay in codegen
-      def dists = array(cents.map { case (_, c) =>
-        -dotLit(vec, c) / lit(normLit(c))
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+  /** The IVF coarse centroids: the first `nCells` vectors by id
+    * (deterministic — kmeans init semantics; iterating Lloyd here would
+    * reuse the same machinery). */
+  private[operators] def coarseCentroids(embeddings: DataFrame,
+      idCol: String, vecCol: String, nCells: Int): IndexedSeq[Seq[Double]] =
+    embeddings.orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect().toIndexedSeq
+      .map(_.getSeq[Any](0).toSeq
+        .map { case n: java.lang.Number => n.doubleValue })
+
+  /** Coarse-cell assignment column (first-min argmin over the centroid
+    * list; spelled-twice dists — not bindOnce — so the probe filter and
+    * index build stay in whole-stage codegen). */
+  private[operators] def nearestCellExpr(cents: IndexedSeq[Seq[Double]])(
+      vec: Column): Column = {
+    def dists = array(cents.map(c => -dotLit(vec, c) / lit(normLit(c))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** The nProbe cells nearest a query — driver arithmetic with the exact
+    * FP fold of the cell-assignment expression (cosine distance to each
+    * centroid; ties to the lowest cell via stable sort). */
+  private[operators] def probeCells(cents: IndexedSeq[Seq[Double]],
+      query: Seq[Double], nProbe: Int): Seq[Int] = {
     val qn = normLit(query)
-    val qCells = cents
-      .map { case (i, c) =>
+    cents.zipWithIndex
+      .map { case (c, i) =>
         val dot = query.zip(c).map { case (a, b) => a * b }.sum
         i -> -dot / (normLit(c) * qn)
       }
       .sortBy(_._2).take(nProbe).map(_._1)
+  }
+
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], topK: Int, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 4, ks: Int = 8, iters: Int = 2, scale: Int = 6): DataFrame = {
+    val cents = coarseCentroids(embeddings, idCol, vecCol, nCells)
+    val qCells = probeCells(cents, query, nProbe)
     val books = pqCodebooks(embeddings, idCol, vecCol, m, ks, iters)
     val probed = embeddings
-      .withColumn("__cell", nearestCell(col(vecCol)))
+      .withColumn("__cell", nearestCellExpr(cents)(col(vecCol)))
       .filter(col("__cell").isin(qCells: _*))
     pqEncode(probed, idCol, vecCol, books)
       .select(col(idCol),

@@ -877,6 +877,64 @@ object StreamQueries {
           FROM (${VectorQueries.lshTopKOracle})""")),
 
     GraftQuery(
+      "q225_stream_pq_index",
+      (s, dir) => {
+        // the COMPRESSED index kept fresh from a stream: the IVF-PQ
+        // model (coarse cells + codebooks) is trained once on the
+        // standing corpus and FROZEN — the invariant that keeps codes
+        // written in different batches comparable — then three arrival
+        // waves encode themselves and append under __cell=c/__batch=id
+        // (dynamic partition overwrite; batch 1 is appended twice to
+        // exercise the idempotent replay). A probe over the
+        // stream-maintained index must equal the probe over a
+        // batch-built index of the full corpus, and both must equal the
+        // q223 oracle's independently re-derived ranking.
+        val emb = Tables.load(s, dir, "embeddings")
+          .select("vec_id", "embedding")
+        val qv = emb.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toSeq.map(_.toDouble)
+        val model = graft.operators.PqIndex.train(
+          emb, "vec_id", "embedding", nCells = 16, m = 4, ks = 8, iters = 2)
+        val k = col("vec_id")
+        def wave(p: Column) = emb.filter(p)
+          .select(to_json(struct(col("vec_id"), col("embedding"))).as("value"))
+        val frames = Seq(
+          wave(k % 3 === 0), wave(k % 3 === 1), wave(k % 3 === 2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id LONG, embedding ARRAY<FLOAT>")
+        val streamedIdx = runStaged(s, frames, "pq_idx") { (raw, out, ckpt) =>
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.*"))
+          parsed.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              graft.operators.PqIndex.appendBatch(
+                b, "vec_id", "embedding", s"$out/pq_idx", model, id)
+              if (id == 1) // retried batch: idempotent rewrite
+                graft.operators.PqIndex.appendBatch(
+                  b, "vec_id", "embedding", s"$out/pq_idx", model, id)
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.drop("__batch")
+        val bpath = Files.createTempDirectory("graft-pqbatch")
+          .resolve("idx").toString
+        graft.operators.PqIndex.build(emb, "vec_id", "embedding", bpath, model)
+        val batchProbe = graft.operators.PqIndex.topK(
+            graft.operators.PqIndex.load(s, bpath), "vec_id", qv,
+            k = 10, model, nProbe = 4)
+          .select(lit("batch").as("src"), col("vec_id"), col("score"))
+        val streamedProbe = graft.operators.PqIndex.topK(
+            streamedIdx, "vec_id", qv, k = 10, model, nProbe = 4)
+          .select(lit("streamed").as("src"), col("vec_id"), col("score"))
+        batchProbe.unionByName(streamedProbe)
+      },
+      Some(s"""SELECT 'batch' AS src, vec_id, score
+          FROM (${VectorQueries.ivfPqTopKOracle})
+        UNION ALL SELECT 'streamed' AS src, vec_id, score
+          FROM (${VectorQueries.ivfPqTopKOracle})""")),
+
+    GraftQuery(
       "q218_stream_minhash_ingest",
       (s, dir) => {
         // the day-2 near-dup ingest (q215) run AS A STREAM — the

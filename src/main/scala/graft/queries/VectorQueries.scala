@@ -687,40 +687,7 @@ object VectorQueries {
         Similarity.ivfPqTopK(e, "vec_id", "embedding", queryVec(s, dir),
           topK = 10, nCells = 16, nProbe = 4, m = 4, ks = 8, iters = 2)
       },
-      Some(s"""WITH ${pqCte("embeddings")},
-          ${pqLutsSql()},
-          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-          cents AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-                AS ci, embedding AS cv
-            FROM (SELECT vec_id, embedding FROM embeddings
-              ORDER BY vec_id LIMIT 16)),
-          cdists AS (
-            SELECT e.vec_id, c.ci,
-              -(${dotSql("e.embedding", "c.cv")}) /
-                sqrt(${dotSql("c.cv", "c.cv")}) AS dist
-            FROM embeddings e CROSS JOIN cents c),
-          cells AS (
-            SELECT vec_id,
-              CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
-            FROM (SELECT vec_id, list(dist ORDER BY ci) AS dl FROM cdists
-              GROUP BY vec_id)),
-          qcells AS (
-            SELECT c.ci AS cell
-            FROM cents c CROSS JOIN q
-            ORDER BY -(${dotSql("q.qv", "c.cv")}) /
-                (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("q.qv", "q.qv")})),
-              c.ci
-            LIMIT 4),
-          sc AS (SELECT enc.vec_id,
-              (((l0.lv + l1.lv) + l2.lv) + l3.lv) AS s
-            FROM enc
-            JOIN cells ON cells.vec_id = enc.vec_id
-            JOIN qcells ON cells.cell = qcells.cell
-            $pqLutJoins)
-          SELECT vec_id,
-            ${graft.functions.SafeMath.roundHalfUpSql("s", 6)} AS score
-          FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10""")),
+      Some(ivfPqTopKOracle)),
 
     GraftQuery(
       "q224_pq_recall",
@@ -858,6 +825,45 @@ object VectorQueries {
       s"(CASE WHEN ${gray(x + 1, y)} > ${gray(x, y)} THEN ${1 << t} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
+
+  /** The q223 oracle, shared with the streamed-index parity gate
+    * (q225): codebooks, codes, coarse cells, probe list, and luts all
+    * replayed in unrolled CTEs, top-10 by ADC score. */
+  private[queries] def ivfPqTopKOracle: String =
+    s"""WITH ${pqCte("embeddings")},
+        ${pqLutsSql()},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+              AS ci, embedding AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 16)),
+        cdists AS (
+          SELECT e.vec_id, c.ci,
+            -(${dotSql("e.embedding", "c.cv")}) /
+              sqrt(${dotSql("c.cv", "c.cv")}) AS dist
+          FROM embeddings e CROSS JOIN cents c),
+        cells AS (
+          SELECT vec_id,
+            CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
+          FROM (SELECT vec_id, list(dist ORDER BY ci) AS dl FROM cdists
+            GROUP BY vec_id)),
+        qcells AS (
+          SELECT c.ci AS cell
+          FROM cents c CROSS JOIN q
+          ORDER BY -(${dotSql("q.qv", "c.cv")}) /
+              (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("q.qv", "q.qv")})),
+            c.ci
+          LIMIT 4),
+        sc AS (SELECT enc.vec_id,
+            (((l0.lv + l1.lv) + l2.lv) + l3.lv) AS s
+          FROM enc
+          JOIN cells ON cells.vec_id = enc.vec_id
+          JOIN qcells ON cells.cell = qcells.cell
+          $pqLutJoins)
+        SELECT vec_id,
+          ${graft.functions.SafeMath.roundHalfUpSql("s", 6)} AS score
+        FROM sc ORDER BY score DESC, vec_id ASC LIMIT 10"""
 
   /** Per-subspace ADC lookup tables: lut_j(cell) = q_j · c1_j(cell),
     * the query slice dotted with every trained centroid of subspace j —
