@@ -467,16 +467,28 @@ object Multimodal {
     * hamming, multi-band matches deduped by a keyed aggregate.
     * Output: (id_a, id_b, hamming), id_a < id_b, reps of distinct
     * hashes. Null-band (undecodable) rows are excluded. */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"4-band pigeonhole exactness needs maxHamming in [0,3], got $maxHamming")
-    val bandCols = (0 until 4).map(j => col(s"b$j"))
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandNearDupPairs(hashes, 4, maxHamming)
+
+  /** Shared banded near-dup machinery over a (media_id, b0..b{n-1})
+    * hash frame — the image ([[dHashBands]]) and audio
+    * ([[audioEnvelopeBands]]) legs differ only in how the bands are
+    * computed. Distinct-hash collapse first (hot-bucket cap + exact-dup
+    * layer), then one band-keyed self-join per band via a single
+    * posexplode, popcount-verified hamming, keyed dedup. Exact for
+    * maxHamming < nBands (pigeonhole). */
+  private[operators] def bandNearDupPairs(hashes: DataFrame, nBands: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"$nBands-band pigeonhole exactness needs maxHamming in " +
+        s"[0,${nBands - 1}], got $maxHamming")
+    val bandCols = (0 until nBands).map(j => col(s"b$j"))
     val reps = hashes.filter(col("b0").isNotNull)
       .groupBy(bandCols: _*)
       .agg(min(col("media_id")).as("rep"))
     val banded = reps.select(col("rep") +: bandCols :+
       posexplode(array(bandCols: _*)).as(Seq("j", "bv")): _*)
-    val ham = (0 until 4).map(j =>
+    val ham = (0 until nBands).map(j =>
         bit_count(col(s"x.b$j").bitwiseXOR(col(s"y.b$j"))))
       .reduce(_ + _)
     banded.as("x").join(banded.as("y"),
@@ -533,22 +545,105 @@ object Multimodal {
     * sample[i] = (37i + 11·id) mod 2003 − 1001) — the [[attachSyntheticPng]]
     * recipe for the audio column. */
   def attachSyntheticWav(df: DataFrame, idCol: String,
-      out: String = "media_bytes"): DataFrame = {
+      out: String = "media_bytes", seedCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField(out, BinaryType)))
-    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    // seedCol (default: the id) drives the sample formula — shared seeds
+    // carry byte-identical audio, the exact-copy planting a dedup gate
+    // needs (the attachSyntheticGradientPng rule)
+    val rdd = df.select(col(idCol).cast("long"),
+        col(seedCol.getOrElse(idCol)).cast("long"))
+      .rdd.mapPartitions { it =>
       it.map { r =>
-        val id = r.getLong(0)
+        val mediaId = r.getLong(0)
+        val id = r.getLong(1)
         val n = (id % 32 + 16).toInt
         val samples = Array.tabulate(n)(i =>
           (((i * 37 + id * 11) % 2003) - 1001).toShort)
-        Row(id, wavBytes(8000f, samples))
+        Row(mediaId, wavBytes(8000f, samples))
       }
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  val audioBandsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("b0", IntegerType),
+    StructField("b1", IntegerType)))
+
+  /** Audio energy-envelope fingerprint — the audio leg of the visual
+    * [[dHashBands]]: REAL WAV decode, the sample stream split into 16
+    * equal frames (frame f covers samples [⌊f·n/16⌋, ⌊(f+1)·n/16⌋) —
+    * integer bounds an oracle replays), per-frame energy = Σ|sample|
+    * (exact integer), and 15 envelope-gradient sign bits
+    * (bit f = 1 iff energy_{f+1} > energy_f) — invariant to global gain,
+    * the property that makes it a fingerprint rather than a checksum.
+    * Ships as two band keys (bits 0–7, bits 8–14) so
+    * [[audioNearDupPairs]]'s 2-band join is EXACT for hamming ≤ 1.
+    * Same scale shape as [[decodeAudioStats]]; undecodable or
+    * non-16-bit-mono rows keep their id with null bands. */
+  def audioEnvelopeBands(df: DataFrame, idCol: String, binCol: String,
+      sizeBins: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val binned = df
+      .select(col(idCol).cast("long"), col(binCol))
+      .repartition(sizeBins, pmod(length(col(binCol)), lit(sizeBins)))
+    val rdd = binned.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+              f.isBigEndian) Row(id, null, null)
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            if (n < 16) Row(id, null, null)
+            else {
+              val energy = new Array[Long](16)
+              var fr = 0
+              while (fr < 16) {
+                var i = fr * n / 16
+                val hi = (fr + 1) * n / 16
+                var e = 0L
+                while (i < hi) {
+                  val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8))
+                    .toShort.toLong
+                  e += math.abs(s)
+                  i += 1
+                }
+                energy(fr) = e
+                fr += 1
+              }
+              var (b0, b1) = (0, 0)
+              var t = 0
+              while (t < 15) {
+                if (energy(t + 1) > energy(t)) {
+                  if (t < 8) b0 |= 1 << t else b1 |= 1 << (t - 8)
+                }
+                t += 1
+              }
+              Row(id, b0, b1)
+            }
+          }
+        } catch {
+          case _: Exception => Row(id, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioBandsSchema)
+  }
+
+  /** Audio near-duplicate pairs over [[audioEnvelopeBands]]: reps of
+    * distinct envelope hashes within `maxHamming` of 15 bits — exact
+    * via the 2-band pigeonhole for maxHamming ≤ 1; byte-identical
+    * audio collapses first ([[imageNearDupPairs]]'s contract). */
+  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 1): DataFrame =
+    bandNearDupPairs(hashes, 2, maxHamming)
 
   val audioStatsSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

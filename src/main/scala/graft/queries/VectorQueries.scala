@@ -766,7 +766,66 @@ object VectorQueries {
           FROM banded x JOIN banded y
             ON x.j = y.j AND x.bv = y.bv AND x.rep < y.rep)
         SELECT id_a, id_b, CAST(MIN(hamming) AS INTEGER) AS hamming
-        FROM p WHERE hamming <= 3 GROUP BY 1, 2"""))
+        FROM p WHERE hamming <= 3 GROUP BY 1, 2""")),
+
+    GraftQuery(
+      "q226_audio_envelope_near_dup",
+      (s, dir) => {
+        // audio near-dup over REAL decoded WAVs — the audio leg of the
+        // near-dup family (text minhash / embedding LSH / image dHash /
+        // THIS): every document's synthetic WAV plus a byte-identical
+        // copy at id+1M; copies MUST collapse into their base's
+        // distinct-envelope group, and released pairs are envelope reps
+        // within hamming ≤ 1, found exactly by the 2-band pigeonhole.
+        // The oracle replays the 16-frame integer energy envelope and
+        // all 15 gradient-sign bits from the same sample formula — a
+        // frame-boundary off-by-one, abs slip, or band-packing bug
+        // flips the hash.
+        val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val ids = d.select(col("doc_id").as("id"))
+          .unionByName(d.select((col("doc_id") + 1000000L).as("id")))
+          .withColumn("seed", col("id") % 1000000L)
+        val wavs = Multimodal.attachSyntheticWav(ids, "id",
+          seedCol = Some("seed"))
+        Multimodal.audioNearDupPairs(
+          Multimodal.audioEnvelopeBands(wavs, "media_id", "media_bytes"),
+          maxHamming = 1)
+      },
+      Some {
+        def bandSum(lo: Int, hi: Int, shift: Int) =
+          (lo until hi).map(t =>
+            s"(CASE WHEN es[${t + 2}] > es[${t + 1}] THEN ${1 << (t - shift)} ELSE 0 END)")
+            .mkString("(", " + ", ")")
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents
+            UNION ALL SELECT doc_id + 1000000 AS id FROM documents),
+          v AS (SELECT id, id % 1000000 AS sid,
+              CAST((id % 1000000) % 32 + 16 AS BIGINT) AS n FROM ids),
+          smp AS (SELECT id, n, i.i AS i,
+              ((i.i * 37 + sid * 11) % 2003) - 1001 AS sv
+            FROM v, range(0, 48) i(i) WHERE i.i < n),
+          fr AS (SELECT v.id, f.f AS f, v.n FROM v, range(0, 16) f(f)),
+          e AS (SELECT fr.id, fr.f, SUM(abs(smp.sv)) AS en
+            FROM fr JOIN smp ON smp.id = fr.id
+              AND smp.i >= (fr.f * fr.n) // 16
+              AND smp.i < ((fr.f + 1) * fr.n) // 16
+            GROUP BY 1, 2),
+          le AS (SELECT id, list(en ORDER BY f) AS es FROM e GROUP BY id),
+          hs AS (SELECT id,
+              CAST(${bandSum(0, 8, 0)} AS INTEGER) AS b0,
+              CAST(${bandSum(8, 15, 8)} AS INTEGER) AS b1
+            FROM le),
+          reps AS (SELECT b0, b1, MIN(id) AS rep FROM hs GROUP BY 1, 2),
+          banded AS (SELECT rep, b0, b1, j.j AS j,
+              CASE j.j WHEN 0 THEN b0 ELSE b1 END AS bv
+            FROM reps, (SELECT unnest(range(0, 2)) AS j) j),
+          p AS (SELECT DISTINCT x.rep AS id_a, y.rep AS id_b,
+              (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)))
+                AS hamming
+            FROM banded x JOIN banded y
+              ON x.j = y.j AND x.bv = y.bv AND x.rep < y.rep)
+        SELECT id_a, id_b, CAST(MIN(hamming) AS INTEGER) AS hamming
+        FROM p WHERE hamming <= 1 GROUP BY 1, 2"""
+      })
   )
 
   /** Unrolled two-iteration Lloyd twin of Similarity.kmeans over any

@@ -1052,6 +1052,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Set((10L, 12L, 1), (12L, 14L, 3)))
   }
 
+  test("audioEnvelopeBands: rising envelope saturates, flat is zero, bad null") {
+    def wav(samples: Array[Short]) =
+      graft.operators.Multimodal.wavBytes(8000f, samples)
+    // 32 samples → 16 frames of 2; |amp| rises per frame → all 15 bits
+    val rising = Seq((1L, wav(Array.tabulate(32)(i => (i * 100).toShort))))
+      .toDF("media_id", "media_bytes")
+    val r = graft.operators.Multimodal
+      .audioEnvelopeBands(rising, "media_id", "media_bytes").collect()(0)
+    assert((r.getInt(1), r.getInt(2)) === (0xff, 0x7f))
+    // constant amplitude → every envelope gradient flat → no bit set
+    val flat = Seq((2L, wav(Array.fill(32)(5.toShort))))
+      .toDF("media_id", "media_bytes")
+    val f = graft.operators.Multimodal
+      .audioEnvelopeBands(flat, "media_id", "media_bytes").collect()(0)
+    assert((f.getInt(1), f.getInt(2)) === (0, 0))
+    val bad = Seq((3L, "noise".getBytes("UTF-8"))).toDF("media_id", "media_bytes")
+    val b = graft.operators.Multimodal
+      .audioEnvelopeBands(bad, "media_id", "media_bytes").collect()(0)
+    assert(b.getLong(0) === 3L && b.isNullAt(1))
+  }
+
   test("lastTouchAttribution: lookback bound, direct fallback, tie order") {
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(sec * 1000L)
