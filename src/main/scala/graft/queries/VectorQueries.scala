@@ -825,7 +825,60 @@ object VectorQueries {
               ON x.j = y.j AND x.bv = y.bv AND x.rep < y.rep)
         SELECT id_a, id_b, CAST(MIN(hamming) AS INTEGER) AS hamming
         FROM p WHERE hamming <= 1 GROUP BY 1, 2"""
-      })
+      }),
+
+    GraftQuery(
+      "q227_multimodal_curation",
+      (s, dir) => {
+        // the image-text curation pipeline composed end-to-end — the
+        // multimodal q92: decode every document's image (REAL PNG
+        // decode) and filter on a decoded feature (mean red ≥ 64),
+        // visually dedup by dHash (keep each distinct hash's min-id
+        // representative), and keep only documents with ≥ 10 text
+        // tokens. The oracle replays decode stats, all 64 dHash bits,
+        // and the token rule arithmetically — any stage drifting (or
+        // the stages composing in the wrong order) breaks the hash.
+        val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val imgs = Multimodal.attachSyntheticGradientPng(d, "doc_id")
+        val stats = Multimodal.decodeImageStats(imgs, "media_id", "media_bytes")
+        val hashes = Multimodal.dHashBands(imgs, "media_id", "media_bytes")
+        val keep = hashes.filter(col("b0").isNotNull)
+          .groupBy("b0", "b1", "b2", "b3")
+          .agg(min(col("media_id")).as("media_id"))
+          .select("media_id")
+        val txt = d.select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .cast("long").as("n_tokens"))
+          .filter(col("n_tokens") >= 10)
+        stats.filter(col("mean_r") >= 64.0)
+          .join(keep, "media_id")
+          .join(txt, col("media_id") === col("doc_id"))
+          .select(col("doc_id"), col("n_tokens"), col("width"), col("height"))
+      },
+      Some(s"""WITH v AS (SELECT doc_id AS id, doc_id AS sid,
+            doc_id % 12 + 4 AS w, doc_id % 6 + 3 AS h FROM documents),
+        px AS (SELECT id, w, h, x.x AS x, y.y AS y
+          FROM v, range(0, 16) x(x), range(0, 9) y(y)
+          WHERE x.x < w AND y.y < h),
+        st AS (SELECT id, MAX(w) AS w, MAX(h) AS h,
+            CAST(SUM((31 * x + 7 * y + id) % 256) AS DOUBLE)
+              / (MAX(w) * MAX(h)) AS mean_r
+          FROM px GROUP BY id),
+        hs AS (SELECT id,
+            ${(0 until 4).map(j =>
+              s"CAST(${dHashBandSql(j)} AS INTEGER) AS b$j").mkString(", ")}
+          FROM v),
+        reps AS (SELECT MIN(id) AS id FROM hs GROUP BY b0, b1, b2, b3),
+        tok AS (SELECT doc_id, CAST(len(
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+            AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT st.id AS doc_id, tok.n_tokens,
+          CAST(st.w AS INTEGER) AS width, CAST(st.h AS INTEGER) AS height
+        FROM st
+        JOIN reps ON reps.id = st.id
+        JOIN tok ON tok.doc_id = st.id
+        WHERE st.mean_r >= 64.0E0 AND tok.n_tokens >= 10"""))
   )
 
   /** Unrolled two-iteration Lloyd twin of Similarity.kmeans over any
