@@ -467,18 +467,30 @@ object Multimodal {
     * hamming, multi-band matches deduped by a keyed aggregate.
     * Output: (id_a, id_b, hamming), id_a < id_b, reps of distinct
     * hashes. Null-band (undecodable) rows are excluded. */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandNearDupPairs(hashes, 4, maxHamming)
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 100000): DataFrame =
+    bandNearDupPairs(hashes, 4, maxHamming, maxBucket)
 
   /** Shared banded near-dup machinery over a (media_id, b0..b{n-1})
     * hash frame — the image ([[dHashBands]]) and audio
     * ([[audioEnvelopeBands]]) legs differ only in how the bands are
-    * computed. Distinct-hash collapse first (hot-bucket cap + exact-dup
-    * layer), then one band-keyed self-join per band via a single
-    * posexplode, popcount-verified hamming, keyed dedup. Exact for
-    * maxHamming < nBands (pigeonhole). */
+    * computed. Distinct-hash collapse first (exact-dup layer + the
+    * first hot-bucket cap: identical content is ONE row), then one
+    * band-keyed self-join per band via a single posexplode,
+    * popcount-verified hamming, keyed dedup. Exact for
+    * maxHamming < nBands (pigeonhole).
+    *
+    * Second cap, for DISTINCT hashes crowding one band value (smooth
+    * regions at corpus scale): band buckets over `maxBucket` reps are
+    * censused and sub-split by rep hash (the minhashLsh recipe) —
+    * candidate volume is O(maxBucket · reps), and the pigeonhole
+    * guarantee is traded ONLY for pairs whose every matching band is
+    * over-cap. When no bucket is hot (the common case) the plan is
+    * bit-identical to the uncapped one. The reps frame is
+    * `localCheckpoint`ed so the census never re-runs the upstream
+    * media decode. */
   private[operators] def bandNearDupPairs(hashes: DataFrame, nBands: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"$nBands-band pigeonhole exactness needs maxHamming in " +
         s"[0,${nBands - 1}], got $maxHamming")
@@ -486,14 +498,33 @@ object Multimodal {
     val reps = hashes.filter(col("b0").isNotNull)
       .groupBy(bandCols: _*)
       .agg(min(col("media_id")).as("rep"))
+      .localCheckpoint()
     val banded = reps.select(col("rep") +: bandCols :+
       posexplode(array(bandCols: _*)).as(Seq("j", "bv")): _*)
+    // band values are 16-bit, so j·2^16 + bv is a collision-free map key
+    val hot: Map[Long, Int] = banded
+      .groupBy("j", "bv").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .collect()
+      .map(r => (r.getInt(0).toLong * 65536L + r.getInt(1)) ->
+        ((r.getLong(2) + maxBucket - 1) / maxBucket).toInt)
+      .toMap
+    val sided =
+      if (hot.isEmpty) banded
+      else banded.withColumn("__sub",
+        pmod(xxhash64(col("rep")),
+          coalesce(element_at(typedLit(hot),
+            col("j").cast("long") * 65536L + col("bv")), lit(1))))
+    val joinCond =
+      if (hot.isEmpty)
+        col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
+          col("x.rep") < col("y.rep")
+      else col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
+        col("x.__sub") === col("y.__sub") && col("x.rep") < col("y.rep")
     val ham = (0 until nBands).map(j =>
         bit_count(col(s"x.b$j").bitwiseXOR(col(s"y.b$j"))))
       .reduce(_ + _)
-    banded.as("x").join(banded.as("y"),
-        col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
-          col("x.rep") < col("y.rep"))
+    sided.as("x").join(sided.as("y"), joinCond)
       .select(col("x.rep").as("id_a"), col("y.rep").as("id_b"),
         ham.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -642,8 +673,9 @@ object Multimodal {
     * distinct envelope hashes within `maxHamming` of 15 bits — exact
     * via the 2-band pigeonhole for maxHamming ≤ 1; byte-identical
     * audio collapses first ([[imageNearDupPairs]]'s contract). */
-  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 1): DataFrame =
-    bandNearDupPairs(hashes, 2, maxHamming)
+  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 1,
+      maxBucket: Int = 100000): DataFrame =
+    bandNearDupPairs(hashes, 2, maxHamming, maxBucket)
 
   val audioStatsSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

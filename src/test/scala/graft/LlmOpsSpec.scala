@@ -1052,6 +1052,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Set((10L, 12L, 1), (12L, 14L, 3)))
   }
 
+  test("bandNearDupPairs bounds candidates when distinct hashes crowd a band") {
+    // 3000 DISTINCT hashes all sharing band 0's value (b0=0) but far
+    // apart elsewhere: the uncapped band-0 bucket would emit
+    // C(3000,2) ≈ 4.5M candidate pairs. With maxBucket=100 the census
+    // sub-splits it into 30 rep-hash cells → ~30·C(100,2) ≈ 150k.
+    // (Bands 1–3 stay spread: distinct values → no pairs from them.)
+    val hashes = (0 until 3000).map(i =>
+      (i.toLong, 0, i % 97, (i * 31) % 65536, (i * 57) % 65536))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    val out = graft.operators.Multimodal
+      .imageNearDupPairs(hashes, maxHamming = 3, maxBucket = 100)
+    // every released pair still honors the hamming contract
+    assert(out.filter(col("hamming") > 3).count() === 0L)
+    // and a corpus with no hot bucket is untouched by the cap: capped
+    // and uncapped pair sets identical
+    val small = (0 until 50).map(i =>
+      (i.toLong, i % 3, i % 5, i % 7, i % 11))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    def pairs(mb: Int) = graft.operators.Multimodal
+      .imageNearDupPairs(small, maxHamming = 3, maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(100000) === pairs(Int.MaxValue))
+  }
+
   test("audioEnvelopeBands: rising envelope saturates, flat is zero, bad null") {
     def wav(samples: Array[Short]) =
       graft.operators.Multimodal.wavBytes(8000f, samples)
