@@ -911,7 +911,9 @@ object VectorQueries {
         FROM (SELECT vec_id, unnest(list_transform(range(1, ${Dim + 1}),
             i -> struct_pack(pos := i - 1, v := v[i]))) AS s FROM e) g
         JOIN a1 ON a1.vec_id = g.vec_id GROUP BY 1, 2),
-      c1 AS (SELECT cell, list(m ORDER BY pos) AS v FROM f1 GROUP BY cell),
+      c1 AS (SELECT c0.cell, COALESCE(n.v, c0.v) AS v FROM c0
+        LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS v FROM f1
+          GROUP BY cell) n ON n.cell = c0.cell),
       d2 AS (${dists("c1")}),
       a2 AS (${assign("d2")})"""
   }
@@ -1038,8 +1040,9 @@ object VectorQueries {
           FROM (SELECT vec_id, unnest(list_transform(range(1, ${sub + 1}),
               i -> struct_pack(pos := i - 1, v := v[i]))) AS s FROM e$j) g
           JOIN a1_$j ON a1_$j.vec_id = g.vec_id GROUP BY 1, 2),
-        c1_$j AS (SELECT cell, list(m ORDER BY pos) AS v FROM f1_$j
-          GROUP BY cell),
+        c1_$j AS (SELECT c0_$j.cell, COALESCE(n.v, c0_$j.v) AS v
+          FROM c0_$j LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS v
+            FROM f1_$j GROUP BY cell) n ON n.cell = c0_$j.cell),
         d2_$j AS (${dists(s"c1_$j")}),
         a2_$j AS (${assign(s"d2_$j")})"""
     }.mkString(",\n")
