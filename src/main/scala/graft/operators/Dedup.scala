@@ -74,6 +74,89 @@ object Dedup {
       .withColumnRenamed("doc", idCol)
   }
 
+  /** Cross-document duplicated-SPAN statistics — the per-document signal
+    * behind exact-substring dedup (the "ExactSubstr" pass of Lee et al.
+    * 2022, realized as a distributed window-fingerprint sweep instead of
+    * a monolithic suffix array): a run of `n` consecutive tokens whose
+    * n-gram occurs in at least `minDocs` DISTINCT documents is
+    * "duplicated", and a document's duplicated fraction is the share of
+    * its token positions covered by at least one duplicated run. The
+    * cross-doc complement of [[removeRepeatedSpans]] (intra-doc) and the
+    * positional refinement of [[duplicatePassages]] (which reports pairs,
+    * not per-doc coverage).
+    *
+    * Scale shape: per-position n-grams are hashed to 60-bit keys IN-ROW
+    * (md5Key60) so the shuffle ships (doc, pos, key), never gram text;
+    * the duplicated-key set is one partial-aggregated distinct-count per
+    * key, and membership flows back as a semi-join on the key over the
+    * persisted gram frame (tokenize + hash runs once). Coverage is
+    * merged per document with a gaps-and-islands window — partitioned by
+    * doc, bounded by document length — instead of exploding every
+    * duplicated window into its n positions and distinct-ing: shuffled
+    * rows stay O(dup windows), not O(n · dup windows). Output per doc:
+    * (n_tokens, dup_windows, dup_spans, dup_tokens) where dup_spans is
+    * the count of maximal merged runs and dup_tokens their total token
+    * coverage. */
+  def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val (out, grams) = crossDocSpanStatsPlan(docs, idCol, textCol, n, minDocs)
+    try out.localCheckpoint()
+    finally grams.unpersist()
+  }
+
+  /** Lazy [[crossDocSpanStats]] plan (pre-checkpoint) + its persisted
+    * gram frame — the plan-book seam. */
+  private[graft] def crossDocSpanStatsPlan(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDocs: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val base = docs
+      .select(col(idCol).as("doc"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size(col("toks")))
+    // gram list bound in its OWN select below the explode (the
+    // ExtractGenerator discipline), hashed before anything shuffles.
+    // Space-joined: tokens are whitespace-free by construction, so the
+    // join is unambiguous and the oracle hashes the identical string.
+    val grams = base
+      .withColumn("g", when(col("nt") < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), col("nt") - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .select(col("doc"), posexplode(col("g")).as(Seq("i", "gram")))
+      .select(col("doc"), col("i"),
+        TextFunctions.md5Key60(col("gram")).as("gk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupKeys = grams.groupBy("gk")
+        .agg(countDistinct(col("doc")).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select("gk")
+      val w = Window.partitionBy(col("doc")).orderBy(col("i"))
+      val islands = grams.join(dupKeys, Seq("gk"), "left_semi")
+        .withColumn("pmax", max(col("i") + n)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ns",
+          when(col("pmax").isNull || col("i") >= col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("ns")).over(w))
+      val perDoc = islands
+        .groupBy(col("doc"), col("isl"))
+        .agg(count(lit(1)).as("nw"),
+          (max(col("i")) + n - min(col("i"))).cast("long").as("cov"))
+        .groupBy(col("doc"))
+        .agg(sum(col("nw")).as("dup_windows"), count(lit(1)).as("dup_spans"),
+          sum(col("cov")).as("dup_tokens"))
+      val out = base
+        .select(col("doc"), col("nt").cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc"), "left")
+        .select(col("doc").as(idCol), col("n_tokens"),
+          coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      (out, grams)
+    } catch { case e: Throwable => grams.unpersist(); throw e }
+  }
+
   /** Exact duplicate groups: canonical id = min doc id per fingerprint.
     * Input needs (idCol, textCol); output one row per duplicated content. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -659,6 +659,65 @@ object DedupQueries {
             GROUP BY 1, 2)
         SELECT doc_a, doc_b, max_run, max_run + 4 AS shared_words
         FROM runs WHERE max_run >= 3"""
+      }),
+
+    GraftQuery(
+      "q228_cross_doc_spans",
+      (s, dir) => {
+        // ExactSubstr-style cross-doc span coverage: corpus = documents
+        // plus a half-truncated copy of each doc (id + Shift), so every
+        // original shares its first ~half with its copy — originals land
+        // near 50% coverage, copies near 100%, and natural cross-doc
+        // boilerplate surfaces on top.
+        val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val half = d.select((col("doc_id") + Shift).as("doc_id"),
+          expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))")
+            .as("text"))
+        Dedup.crossDocSpanStats(d.unionByName(half), "doc_id", "text",
+          n = 5, minDocs = 2)
+      },
+      Some {
+        val toks =
+          """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+        s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + $Shift AS doc_id,
+              substr(text, 1, CAST(floor(length(text) / 2) AS INT)) AS text
+            FROM documents),
+          t AS (SELECT doc_id, $toks AS t FROM corpus),
+          grams AS (SELECT doc_id AS doc,
+              unnest(range(0, greatest(len(t) - 4, 0))) AS i,
+              unnest(list_transform(range(0, greatest(len(t) - 4, 0)),
+                i -> ${md5FoldSql(
+                  "md5(array_to_string(list_slice(t, i + 1, i + 5), ' '))")}))
+                AS gk
+            FROM t),
+          dk AS (SELECT gk FROM grams GROUP BY gk
+            HAVING COUNT(DISTINCT doc) >= 2),
+          dup AS (SELECT doc, i FROM grams JOIN dk USING (gk)),
+          isl AS (SELECT doc, i,
+              CASE WHEN i >= coalesce(max(i + 5)
+                  OVER (PARTITION BY doc ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS ns
+            FROM dup),
+          isl2 AS (SELECT doc, i,
+              SUM(ns) OVER (PARTITION BY doc ORDER BY i) AS island
+            FROM isl),
+          per_isl AS (SELECT doc, island, COUNT(*) AS nw,
+              MAX(i) + 5 - MIN(i) AS cov
+            FROM isl2 GROUP BY 1, 2),
+          per_doc AS (SELECT doc,
+              CAST(SUM(nw) AS BIGINT) AS dup_windows,
+              CAST(COUNT(*) AS BIGINT) AS dup_spans,
+              CAST(SUM(cov) AS BIGINT) AS dup_tokens
+            FROM per_isl GROUP BY 1)
+          SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+            coalesce(pd.dup_windows, 0) AS dup_windows,
+            coalesce(pd.dup_spans, 0) AS dup_spans,
+            coalesce(pd.dup_tokens, 0) AS dup_tokens
+          FROM t tk LEFT JOIN per_doc pd ON pd.doc = tk.doc_id"""
       })
   )
 }

@@ -784,6 +784,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(3L) === ((9L, 5L, "p q r s t")))
   }
 
+  test("cross-doc span stats merge covered runs per document") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),          // shares "a b c d" with doc 2
+      (2L, "x y a b c d z w"),
+      (3L, "p q r s t u"),              // unique: all zeros
+      (4L, "a b c"),                    // exactly one window, shared
+      (5L, "a b c q q1 q2 b c d")       // TWO disjoint runs: islands split
+    ).toDF("doc_id", "text")
+    val r = Dedup.crossDocSpanStats(d, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("dup_windows"),
+          x.getAs[Long]("dup_spans"), x.getAs[Long]("dup_tokens")))).toMap
+    // hand-traced: d1 dup 3-grams "a b c"(0) "b c d"(1) merge to [0,4)
+    assert(r(1L) === ((8L, 2L, 1L, 4L)))
+    assert(r(2L) === ((8L, 2L, 1L, 4L)))  // starts 2,3 merge to [2,6)
+    assert(r(3L) === ((6L, 0L, 0L, 0L)))
+    assert(r(4L) === ((3L, 1L, 1L, 3L)))
+    // d5: "a b c"(0) and "b c d"(6) are separated by a gap → two spans
+    assert(r(5L) === ((9L, 2L, 2L, 6L)))
+  }
+
   test("rrf fusion is rank-based and deterministic under ties") {
     val a = Seq((1L, 10L), (2L, 5L), (3L, 5L)).toDF("id", "score")
     val b = Seq((1L, 1L), (2L, 9L), (3L, 2L)).toDF("id", "score")
