@@ -114,18 +114,7 @@ object Dedup {
       .select(col(idCol).as("doc"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("nt", size(col("toks")))
-    // gram list bound in its OWN select below the explode (the
-    // ExtractGenerator discipline), hashed before anything shuffles.
-    // Space-joined: tokens are whitespace-free by construction, so the
-    // join is unambiguous and the oracle hashes the identical string.
-    val grams = base
-      .withColumn("g", when(col("nt") < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), col("nt") - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
-      .select(col("doc"), posexplode(col("g")).as(Seq("i", "gram")))
-      .select(col("doc"), col("i"),
-        TextFunctions.md5Key60(col("gram")).as("gk"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = hashedGrams(base, n).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dupKeys = grams.groupBy("gk")
         .agg(countDistinct(col("doc")).as("nd"))
@@ -155,6 +144,77 @@ object Dedup {
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
       (out, grams)
     } catch { case e: Throwable => grams.unpersist(); throw e }
+  }
+
+  /** Hashed per-position n-gram frame (doc, i, gk) over a (doc, toks,
+    * nt) base. Gram list bound in its OWN select below the explode (the
+    * ExtractGenerator discipline), hashed before anything shuffles.
+    * Space-joined: tokens are whitespace-free by construction, so the
+    * join is unambiguous and the oracle hashes the identical string. */
+  private def hashedGrams(base: DataFrame, n: Int): DataFrame =
+    base
+      .withColumn("g", when(col("nt") < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), col("nt") - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .select(col("doc"), posexplode(col("g")).as(Seq("i", "gram")))
+      .select(col("doc"), col("i"),
+        TextFunctions.md5Key60(col("gram")).as("gk"))
+
+  /** Cross-document span REMOVAL — the apply side of
+    * [[crossDocSpanStats]], with Lee et al. 2022 keep-one semantics: for
+    * each n-gram duplicated across >= `minDocs` distinct documents the
+    * globally FIRST occurrence survives (min (doc, pos), compared as the
+    * single integer doc·2²⁰+pos, so election is one aggregate — callers
+    * need doc ids < 2⁴³ and positions < 2²⁰); every other occurrence
+    * marks its n token positions for removal, and documents are rebuilt
+    * from surviving tokens in position order. A verbatim copy shrinks
+    * toward empty while its canonical keeps the text — the corpus
+    * retains exactly one copy of every duplicated span (intra-doc
+    * repeats of a cross-doc-duplicated gram collapse too).
+    *
+    * Scale shape: the same hashed (doc, pos, key) gram frame as the
+    * stats pass (persisted — tokenize + hash once); first-occurrence
+    * election is one partial-aggregated min per key; only DUP
+    * occurrences explode to their n covered positions before the
+    * anti-join against the positional token frame, so the wide explode
+    * is O(n · dup windows), never O(n · all windows). Output per doc:
+    * (n_tokens, n_kept, cleaned) — empty-out documents kept with
+    * n_kept = 0. */
+  def removeCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val base = docs
+      .select(col(idCol).as("doc"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .localCheckpoint()
+    val grams = hashedGrams(base, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val firsts = grams.groupBy("gk")
+        .agg(countDistinct(col("doc")).as("nd"),
+          min(col("doc") * lit(1048576L) + col("i")).as("fk"))
+        .filter(col("nd") >= minDocs)
+        .select(col("gk"), col("fk"))
+      val dupOcc = grams.join(firsts, Seq("gk"))
+        .filter(col("doc") * lit(1048576L) + col("i") =!= col("fk"))
+      val covered = dupOcc.select(col("doc"),
+        explode(sequence(col("i"), col("i") + n - 1)).as("t")).distinct()
+      val kept = base
+        .select(col("doc"), posexplode(col("toks")).as(Seq("t", "tok")))
+        .join(covered, Seq("doc", "t"), "left_anti")
+      val agg = kept.groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("t"), col("tok")))),
+            p => p.getField("tok"))).as("cleaned"))
+      val out = base
+        .select(col("doc"), col("nt").cast("long").as("n_tokens"))
+        .join(agg, Seq("doc"), "left")
+        .select(col("doc").as(idCol), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+      out.localCheckpoint()
+    } finally grams.unpersist()
   }
 
   /** Exact duplicate groups: canonical id = min doc id per fingerprint.

@@ -718,6 +718,59 @@ object DedupQueries {
             coalesce(pd.dup_spans, 0) AS dup_spans,
             coalesce(pd.dup_tokens, 0) AS dup_tokens
           FROM t tk LEFT JOIN per_doc pd ON pd.doc = tk.doc_id"""
+      }),
+
+    GraftQuery(
+      "q229_remove_cross_doc_spans",
+      (s, dir) => {
+        // the APPLY side of q228 over the same half-copy corpus:
+        // originals are the global first occurrence of every shared gram
+        // (smaller id), so they keep their text minus natural cross-doc
+        // and intra-doc repeats; the truncated copies lose their whole
+        // shared prefix and shrink toward the cut-token tail.
+        val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val half = d.select((col("doc_id") + Shift).as("doc_id"),
+          expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))")
+            .as("text"))
+        Dedup.removeCrossDocSpans(d.unionByName(half), "doc_id", "text",
+          n = 5, minDocs = 2)
+      },
+      Some {
+        val toks =
+          """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+        s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + $Shift AS doc_id,
+              substr(text, 1, CAST(floor(length(text) / 2) AS INT)) AS text
+            FROM documents),
+          d AS (SELECT doc_id, $toks AS toks FROM corpus),
+          g AS (SELECT doc_id AS doc,
+              unnest(range(0, greatest(len(toks) - 4, 0))) AS i,
+              unnest(list_transform(range(0, greatest(len(toks) - 4, 0)),
+                i -> ${md5FoldSql(
+                  "md5(array_to_string(list_slice(toks, i + 1, i + 5), ' '))")}))
+                AS gk
+            FROM d),
+          f AS (SELECT gk, MIN(doc * 1048576 + i) AS fk FROM g
+            GROUP BY gk HAVING COUNT(DISTINCT doc) >= 2),
+          dup AS (SELECT doc, i FROM g JOIN f USING (gk)
+            WHERE doc * 1048576 + i <> fk),
+          cov AS (SELECT DISTINCT doc, t FROM (
+              SELECT doc, unnest(range(i, i + 5)) AS t FROM dup) u),
+          tp AS (SELECT doc_id AS doc,
+              unnest(range(0, len(toks))) AS t, unnest(toks) AS tok
+            FROM d),
+          kept AS (SELECT tp.doc, tp.t, tp.tok FROM tp
+            LEFT JOIN cov ON cov.doc = tp.doc AND cov.t = tp.t
+            WHERE cov.doc IS NULL),
+          ag AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              array_to_string(list(tok ORDER BY t), ' ') AS cleaned
+            FROM kept GROUP BY doc)
+          SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+            coalesce(ag.n_kept, 0) AS n_kept,
+            coalesce(ag.cleaned, '') AS cleaned
+          FROM d LEFT JOIN ag ON ag.doc = d.doc_id"""
       })
   )
 }

@@ -805,6 +805,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(5L) === ((9L, 2L, 2L, 6L)))
   }
 
+  test("cross-doc span removal keeps the globally-first occurrence") {
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c d w"),
+      (3L, "q r s"),
+      (4L, "a b c d e"),     // verbatim copy of doc 1
+      (5L, "a b c x a b c")  // cross-doc dup gram repeated INTRA-doc
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeCrossDocSpans(d, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("cleaned")))).toMap
+    // doc 1 is the global first for "a b c"/"b c d"/"c d e": untouched
+    assert(r(1L) === ((5L, 5L, "a b c d e")))
+    // doc 2 loses its copy of the run, keeps its unique frame tokens
+    assert(r(2L) === ((6L, 2L, "z w")))
+    assert(r(3L) === ((3L, 3L, "q r s")))
+    assert(r(4L) === ((5L, 0L, "")))   // verbatim copy empties out
+    assert(r(5L) === ((7L, 1L, "x")))  // both intra-doc occurrences drop
+  }
+
   test("rrf fusion is rank-based and deterministic under ties") {
     val a = Seq((1L, 10L), (2L, 5L), (3L, 5L)).toDF("id", "score")
     val b = Seq((1L, 1L), (2L, 9L), (3L, 2L)).toDF("id", "score")
