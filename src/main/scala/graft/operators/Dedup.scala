@@ -168,9 +168,14 @@ object Dedup {
     * need doc ids < 2⁴³ and positions < 2²⁰); every other occurrence
     * marks its n token positions for removal, and documents are rebuilt
     * from surviving tokens in position order. A verbatim copy shrinks
-    * toward empty while its canonical keeps the text — the corpus
-    * retains exactly one copy of every duplicated span (intra-doc
-    * repeats of a cross-doc-duplicated gram collapse too).
+    * toward empty while its canonical keeps the text; intra-doc repeats
+    * of a cross-doc-duplicated gram collapse too. Boundary caveat
+    * (inherent to positional span removal, not a bug): when two
+    * different duplicated grams overlap, a token inside a FIRST
+    * occurrence of one gram can still drop because a NON-first
+    * occurrence of the other gram covers the same position — so "keep
+    * one copy" holds per removed occurrence, not as a global guarantee
+    * that every duplicated span survives verbatim somewhere.
     *
     * Scale shape: the same hashed (doc, pos, key) gram frame as the
     * stats pass (persisted — tokenize + hash once); first-occurrence
