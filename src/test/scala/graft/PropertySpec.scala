@@ -257,4 +257,43 @@ class PropertySpec extends AnyFunSuite {
       assert(salted === plain, s"seed=$seed")
     }
   }
+
+  test("property: cross-doc span stats bound span removal") {
+    import graft.operators.Dedup
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (seed <- 1L to 3L) {
+      val texts = sample(Gen.listOfN(30, Gen.choose(0, 25).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))), seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val stats = Dedup
+        .crossDocSpanStats(df, "doc_id", "text", n = 3, minDocs = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_windows"),
+            r.getAs[Long]("dup_spans"), r.getAs[Long]("dup_tokens")))).toMap
+      val rem = Dedup
+        .removeCrossDocSpans(df, "doc_id", "text", n = 3, minDocs = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+            r.getAs[String]("cleaned")))).toMap
+      assert(stats.keySet === rem.keySet)
+      stats.foreach { case (id, (nt, dw, dsp, dtok)) =>
+        val ctx = s"seed=$seed doc=$id"
+        assert(dtok <= nt, ctx)
+        assert(dw >= dsp, ctx)                 // merged islands never grow
+        assert(dtok >= 3L * dsp, ctx)          // every island covers >= n
+        assert(dw <= math.max(nt - 2L, 0L), ctx) // <= window count
+        val (nt2, kept, cleaned) = rem(id)
+        assert(nt2 === nt, ctx)
+        // removal drops only non-first occurrences; stats cover all
+        // duplicated occurrences, so dropped <= dup_tokens
+        val dropped = nt - kept
+        assert(dropped >= 0L && dropped <= dtok, ctx)
+        if (dw == 0L) assert(kept === nt, ctx) // untouched docs pass through
+        val rebuilt =
+          if (cleaned.isEmpty) 0L else cleaned.split(" ").length.toLong
+        assert(rebuilt === kept, ctx)
+      }
+    }
+  }
 }
