@@ -71,6 +71,66 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    * 1998): greedy reranking that trades query relevance against
+    * redundancy with already-selected results — the retrieval/curation
+    * tool for k REPRESENTATIVE results instead of k near-copies.
+    * Selection i maximizes λ·rel(d) − (1−λ)·max over selected s of
+    * sim(d, s); the first pick is the pure-relevance argmax.
+    *
+    * Scale shape: relevance is the distributed cosine scan with a
+    * TakeOrderedAndProject top-`poolSize` — the only full-data pass; the
+    * greedy loop runs on the collected pool, bounded by construction
+    * (the percentile-cut rule — production rerankers work the same way:
+    * ANN retrieves M, MMR reranks the M). Every comparison uses integer
+    * micro-units (cos·10⁶ as BIGINT; the objective is scaled ×10 so λ
+    * stays integral: mmr = λ₁₀·rel_micro − (10−λ₁₀)·maxSim_micro) with
+    * ascending-id tie-breaks — engine-portable and hash-gateable.
+    * Pairwise pool similarities fold left in element order with double
+    * casts, matching the oracle's list_reduce exactly. Output:
+    * (rank, idCol, rel_micro, mmr_score). */
+  def mmrSelect(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, poolSize: Int = 32,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, "lambda in tenths")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pool: Array[(Long, Array[Float], Long)] = embeddings
+      .select(col(idCol).cast("long"), col(vecCol),
+        cosineLit(col(vecCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        math.floor(r.getDouble(2) * 1e6 + 0.5).toLong))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def simMicro(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) /
+        (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6 + 0.5).toLong
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    val selectedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < math.min(k, pool.length)) {
+      val scored = remaining.map { case (id, vec, reli) =>
+        val maxSim =
+          if (selectedVecs.isEmpty) 0L
+          else selectedVecs.map(sv => simMicro(vec, sv)).max
+        (id, vec, reli,
+          lambdaTenths * reli - (10L - lambdaTenths) * maxSim)
+      }
+      val best = scored.minBy { case (id, _, _, obj) => (-obj, id) }
+      selected += ((selected.length + 1, best._1, best._3, best._4))
+      selectedVecs += best._2
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    selected.toSeq.toDF("rank", idCol, "rel_micro", "mmr_score")
+  }
+
   /** Hyperplane `b` of the random-hyperplane LSH family: `dim` pseudo-random
     * coefficients in (-1, 1) derived deterministically from (seed, b, d).
     * Public so oracle SQL can embed the identical literals. */

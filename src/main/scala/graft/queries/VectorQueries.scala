@@ -878,7 +878,51 @@ object VectorQueries {
         FROM st
         JOIN reps ON reps.id = st.id
         JOIN tok ON tok.doc_id = st.id
-        WHERE st.mean_r >= 64.0E0 AND tok.n_tokens >= 10"""))
+        WHERE st.mean_r >= 64.0E0 AND tok.n_tokens >= 10""")),
+
+    GraftQuery(
+      "q230_mmr_select",
+      (s, dir) => Similarity.mmrSelect(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), k = 5, poolSize = 32, lambdaTenths = 7),
+      Some {
+        // the greedy selection unrolls to k CTE steps (the kmeans/PQ
+        // oracle discipline: deterministic iteration count, no recursive
+        // CTE); all scores are integer micro-units with id tie-breaks,
+        // so the argmax per step is engine-exact.
+        val L = 7; val k = 5; val M = 32
+        def microSql(a: String, b: String): String =
+          s"""CAST(FLOOR((${dotSql(a, b)} /
+            (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))
+            * 1000000.0E0 + 0.5E0) AS BIGINT)"""
+        val steps = (2 to k).map { i =>
+          s"""s$i AS (
+              SELECT p.id, p.reli,
+                $L * p.reli - ${10 - L} * (
+                  SELECT MAX(s.simi) FROM sims s
+                  JOIN sel${i - 1} t ON s.ib = t.id
+                  WHERE s.ia = p.id) AS mmr
+              FROM pool p WHERE p.id NOT IN (SELECT id FROM sel${i - 1})
+              ORDER BY mmr DESC, p.id ASC LIMIT 1),
+            sel$i AS (SELECT * FROM sel${i - 1}
+              UNION ALL SELECT $i AS rank, id, reli, mmr FROM s$i)"""
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          pool AS (
+            SELECT vec_id AS id, embedding AS v,
+              ${microSql("embedding", "qv")} AS reli
+            FROM embeddings, q
+            ORDER BY reli DESC, id ASC LIMIT $M),
+          sims AS (
+            SELECT a.id AS ia, b.id AS ib, ${microSql("a.v", "b.v")} AS simi
+            FROM pool a JOIN pool b ON a.id <> b.id),
+          s1 AS (SELECT id, reli, $L * reli AS mmr FROM pool
+            ORDER BY reli DESC, id ASC LIMIT 1),
+          sel1 AS (SELECT 1 AS rank, id, reli, mmr FROM s1),
+          $steps
+          SELECT rank, id AS vec_id, reli AS rel_micro, mmr AS mmr_score
+          FROM sel$k"""
+      })
   )
 
   /** Unrolled two-iteration Lloyd twin of Similarity.kmeans over any

@@ -826,6 +826,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(5L) === ((7L, 1L, "x")))  // both intra-doc occurrences drop
   }
 
+  test("mmr select prefers diverse candidates over near-duplicates") {
+    // hand-traced (micro-units): rel(2)≈951807 > rel(1)=rel(3)≈948683,
+    // so vec 2 is rank 1. Vec 1 is nearly parallel to vec 2
+    // (sim≈999946) while vec 3 diverges (sim≈902962): at λ=0.7 the
+    // objective 7·rel−3·maxSim puts 3 ahead of 1 despite equal rel.
+    val e = Seq(
+      (1L, Array(0.9f, 0.3f, 0.0f)),
+      (2L, Array(0.9f, 0.29f, 0.0f)),
+      (3L, Array(0.9f, 0.0f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity.mmrSelect(e, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), k = 3, poolSize = 3, lambdaTenths = 7)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 3L, 1L))
+    // rank 1 records the pure-relevance objective 7·rel
+    assert(rows(0).getAs[Long]("mmr_score") ===
+      7L * rows(0).getAs[Long]("rel_micro"))
+    // later picks pay a diversity penalty: mmr < 7·rel
+    assert(rows(1).getAs[Long]("mmr_score") <
+      7L * rows(1).getAs[Long]("rel_micro"))
+  }
+
   test("rrf fusion is rank-based and deterministic under ties") {
     val a = Seq((1L, 10L), (2L, 5L), (3L, 5L)).toDF("id", "score")
     val b = Seq((1L, 1L), (2L, 9L), (3L, 2L)).toDF("id", "score")
