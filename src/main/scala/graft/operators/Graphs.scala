@@ -128,6 +128,52 @@ object Graphs {
     * on node, frontier persisted per round with O(1) lineage. Unreached
     * nodes are simply absent (no infinity sentinel). Deterministic: a
     * node's level is the round that first reached it. */
+  /** Bounded-round k-core peel: repeatedly remove nodes whose UNDIRECTED
+    * distinct-neighbor degree is below `k` (self-loops dropped); after
+    * `rounds` synchronous rounds the survivors are a superset of the
+    * true k-core, equal to it once a round removes nothing — the classic
+    * degeneracy/quality filter (spam clusters and boilerplate link farms
+    * peel away; the dense core is what link-quality weighting should
+    * trust). Bounded rounds keep the operator deterministic and
+    * oracle-unrollable (the [[pageRank]] discipline).
+    *
+    * Per round: one map-side-combined degree aggregation, then two
+    * semi-joins of the edge frame against the localCheckpoint'd
+    * surviving-node set; the edge frame shrinks monotonically, lineage
+    * stays O(1) via per-round localCheckpoints, and the loop runs at
+    * the counted-graph width ([[graft.core.Adaptive.partsFor]]).
+    * Output: (node, degree) within the surviving subgraph after the
+    * last round. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym0 = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    val m = sym0.count()
+    val parts = graft.core.Adaptive.partsFor(spark, m)
+    graft.core.Adaptive.withShufflePartitions(spark, parts) {
+      var alive = sym0.coalesce(parts).localCheckpoint()
+      sym0.unpersist(blocking = false)
+      var prev: DataFrame = alive
+      (1 to rounds).foreach { _ =>
+        val keep = alive.groupBy("a").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("a")
+          .localCheckpoint()
+        val next = alive.join(keep, Seq("a"), "left_semi")
+          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint()
+        prev.unpersist(blocking = false)
+        keep.unpersist(blocking = false)
+        prev = next
+        alive = next
+      }
+      alive.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+    }
+  }
+
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
       source: String, maxDepth: Int = 3): DataFrame = {
     val s = edges.sparkSession

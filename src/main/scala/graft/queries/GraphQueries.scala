@@ -240,6 +240,42 @@ object LayoutQueries {
               AND min_y <= (my * 55) // 100
               AND max_y >= (my * 45) // 100 THEN cnt ELSE 0 END) AS BIGINT)
             AS rows_scanned
-        FROM stats GROUP BY layout ORDER BY layout"""))
+        FROM stats GROUP BY layout ORDER BY layout""")),
+
+    GraftQuery(
+      "q231_k_core",
+      (s, dir) => {
+        // bounded-round k-core over a 1000-node domain graph. k=22 sits
+        // just under the gate SF's mean degree, so the peel cascades
+        // across all four rounds without converging (1000 -> 923 -> 871
+        // -> 805 -> 718 surviving nodes at sf0.01) — each round's
+        // removals lower surviving neighbors' degrees, the exact
+        // dynamics the bounded-round semantics documents; at larger SFs
+        // the graph densifies and the core saturates. The oracle
+        // unrolls the identical rounds.
+        val o = Tables.load(s, dir, "orders")
+        val edges = o.select(
+          concat(lit("n"), col("o_custkey") % 1000).as("src"),
+          concat(lit("n"), col("o_orderkey") % 1000).as("dst"))
+        graft.operators.Graphs.kCore(edges, "src", "dst", k = 22, rounds = 4)
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""k$i AS (SELECT a FROM (
+                SELECT a, COUNT(*) AS deg FROM e${i - 1} GROUP BY a)
+              WHERE deg >= 22),
+            e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+              JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)"""
+        }.mkString(",\n")
+        s"""WITH dd AS (
+            SELECT 'n' || (o_custkey % 1000) AS a,
+              'n' || (o_orderkey % 1000) AS b
+            FROM orders WHERE 'n' || (o_custkey % 1000) <> 'n' || (o_orderkey % 1000)),
+          e0 AS (SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM dd UNION ALL SELECT b AS a, a AS b FROM dd)),
+          $rounds
+          SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM e4 GROUP BY a"""
+      })
   )
 }

@@ -848,6 +848,18 @@ class LlmOpsSpec extends AnyFunSuite {
       7L * rows(1).getAs[Long]("rel_micro"))
   }
 
+  test("k-core peel cascades: pendant drops, triangle survives at k=2") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+      .toDF("src", "dst")
+    val core2 = graft.operators.Graphs.kCore(e, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("degree")).toMap
+    // d (degree 1) peels in round 1; the triangle is the 2-core
+    assert(core2 === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k=3: a survives round 1 (degree 3) but the cascade empties the rest
+    val core3 = graft.operators.Graphs.kCore(e, "src", "dst", k = 3, rounds = 3)
+    assert(core3.count() === 0L)
+  }
+
   test("rrf fusion is rank-based and deterministic under ties") {
     val a = Seq((1L, 10L), (2L, 5L), (3L, 5L)).toDF("id", "score")
     val b = Seq((1L, 1L), (2L, 9L), (3L, 2L)).toDF("id", "score")
