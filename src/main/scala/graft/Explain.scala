@@ -54,7 +54,50 @@ object Explain {
           .agg(min(col("dst")).as("m"))
           .select(col("node"), least(col("node"), col("m")).as("cluster"))
         graft.operators.Dedup.ccRound(edges, labels)
+      },
+      "q215_minhash_ingest" -> { s =>
+        val d = graft.core.Tables.load(s, sfDir, "documents")
+          .select("doc_id", "text")
+        val incoming = d.select(
+          (col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        graft.operators.Dedup.minhashLshIngestPlan(d, incoming,
+          "doc_id", "text", numHashes = 16, bands = 4, k = 3,
+          threshold = 0.8, maxBandBucket = 2000)._1
+      },
+      "q228_cross_doc_spans" -> { s =>
+        graft.operators.Dedup.crossDocSpanStatsPlan(
+          spanCorpus(s, sfDir), "doc_id", "text", n = 5, minDocs = 2)._1
+      },
+      "q229_remove_cross_doc_spans" -> { s =>
+        graft.operators.Dedup.removeCrossDocSpansPlan(
+          spanCorpus(s, sfDir), "doc_id", "text", n = 5, minDocs = 2)._1
+      },
+      "q231_k_core" -> { s =>
+        // the bounded-round peel checkpoints per round by design; the
+        // reviewable unit is ONE round: the degree census feeding the
+        // two semi-joins over the symmetric edge set
+        val o = graft.core.Tables.load(s, sfDir, "orders")
+        val dir = o.select(
+            concat(lit("n"), col("o_custkey") % 1000).as("a"),
+            concat(lit("n"), col("o_orderkey") % 1000).as("b"))
+          .filter(col("a") =!= col("b"))
+        val sym = dir
+          .union(dir.select(col("b").as("a"), col("a").as("b"))).distinct()
+        val keep = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 22).select("a")
+        sym.join(keep, Seq("a"), "left_semi")
+          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
       })
+
+  /** The q228/q229 gate corpus: documents plus a half-truncated copy. */
+  private def spanCorpus(s: SparkSession, sfDir: String): DataFrame = {
+    val d = graft.core.Tables.load(s, sfDir, "documents")
+      .select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))")
+        .as("text")))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -86,8 +129,9 @@ object Explain {
       out.println("`BroadcastExchange`), partial aggregation before every shuffle")
       out.println("(`HashAggregate` below `Exchange`), top-k as `TakeOrderedAndProject`,")
       out.println("and no cartesian products outside the deliberate brute-force baselines.")
-      out.println("Checkpoint-terminated dedup gates (q30/q31/q47) are printed through")
-      out.println("their pre-checkpoint plan seams so the join trees are visible.")
+      out.println("Checkpoint-terminated dedup gates (q30/q31/q47/q215/q228/q229) and")
+      out.println("the per-round iterative q231 are printed through their pre-checkpoint")
+      out.println("plan seams so the join trees are visible.")
       out.println("Plans are compiled at sf0.001 (plan SHAPE is scale-independent; AQE")
       out.println("re-optimizes sizes at runtime).")
       out.println()

@@ -93,10 +93,12 @@ object Dedup {
     * merged per document with a gaps-and-islands window — partitioned by
     * doc, bounded by document length — instead of exploding every
     * duplicated window into its n positions and distinct-ing: shuffled
-    * rows stay O(dup windows), not O(n · dup windows). Output per doc:
-    * (n_tokens, dup_windows, dup_spans, dup_tokens) where dup_spans is
-    * the count of maximal merged runs and dup_tokens their total token
-    * coverage. */
+    * rows stay O(dup windows), not O(n · dup windows). Runs merge on
+    * overlap AND on touch (a window starting exactly where prior
+    * coverage ends extends the same island), so dup_spans is the count
+    * of maximal contiguous covered runs. Output per doc:
+    * (n_tokens, dup_windows, dup_spans, dup_tokens) where dup_tokens is
+    * the runs' total token coverage. */
   def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {
     val (out, grams) = crossDocSpanStatsPlan(docs, idCol, textCol, n, minDocs)
@@ -125,7 +127,7 @@ object Dedup {
         .withColumn("pmax", max(col("i") + n)
           .over(w.rowsBetween(Window.unboundedPreceding, -1)))
         .withColumn("ns",
-          when(col("pmax").isNull || col("i") >= col("pmax"), 1L)
+          when(col("pmax").isNull || col("i") > col("pmax"), 1L)
             .otherwise(0L))
         .withColumn("isl", sum(col("ns")).over(w))
       val perDoc = islands
@@ -165,7 +167,9 @@ object Dedup {
     * each n-gram duplicated across >= `minDocs` distinct documents the
     * globally FIRST occurrence survives (min (doc, pos), compared as the
     * single integer doc·2²⁰+pos, so election is one aggregate — callers
-    * need doc ids < 2⁴³ and positions < 2²⁰); every other occurrence
+    * need doc ids in [0, 2⁴³) and positions < 2²⁰, ENFORCED by a cheap
+    * bounds aggregate over the checkpointed base that fails loudly
+    * instead of silently mis-electing); every other occurrence
     * marks its n token positions for removal, and documents are rebuilt
     * from surviving tokens in position order. A verbatim copy shrinks
     * toward empty while its canonical keeps the text; intra-doc repeats
@@ -187,12 +191,39 @@ object Dedup {
     * n_kept = 0. */
   def removeCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val (out, grams) =
+      removeCrossDocSpansPlan(docs, idCol, textCol, n, minDocs)
+    try out.localCheckpoint()
+    finally grams.unpersist(blocking = false)
+  }
+
+  /** Lazy [[removeCrossDocSpans]] plan (pre-checkpoint) + its persisted
+    * gram frame — the plan-book seam. The tokenized base is still
+    * materialized eagerly (it feeds the packing-bounds guard). */
+  private[graft] def removeCrossDocSpansPlan(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDocs: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val base = docs
       .select(col(idCol).as("doc"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("nt", size(col("toks")))
       .localCheckpoint()
+    // the (doc, pos) election below packs into doc·2²⁰ + pos — a doc
+    // longer than ~1M tokens or an out-of-range id would CORRUPT the
+    // min silently (wrong spans removed, hash gates can't see it at
+    // small SF). One scalar aggregate over the checkpointed base makes
+    // that a loud failure instead.
+    val bounds = base.agg(
+      coalesce(max(col("nt")), lit(0)).as("maxNt"),
+      coalesce(min(col("doc").cast("long")), lit(0L)).as("minDoc"),
+      coalesce(max(col("doc").cast("long")), lit(0L)).as("maxDoc")).head()
+    require(bounds.getInt(0).toLong - n < (1L << 20),
+      s"removeCrossDocSpans: longest document has ${bounds.getInt(0)} " +
+        s"tokens; positions must stay < 2^20 for the (doc, pos) packing " +
+        s"(chunk documents first, e.g. Curation doc chunking)")
+    require(bounds.getLong(1) >= 0L && bounds.getLong(2) < (1L << 43),
+      s"removeCrossDocSpans: doc ids must be in [0, 2^43), got " +
+        s"[${bounds.getLong(1)}, ${bounds.getLong(2)}]")
     val grams = hashedGrams(base, n).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val firsts = grams.groupBy("gk")
@@ -218,8 +249,8 @@ object Dedup {
         .select(col("doc").as(idCol), col("n_tokens"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("cleaned"), lit("")).as("cleaned"))
-      out.localCheckpoint()
-    } finally grams.unpersist()
+      (out, grams)
+    } catch { case e: Throwable => grams.unpersist(); throw e }
   }
 
   /** Exact duplicate groups: canonical id = min doc id per fingerprint.
@@ -728,6 +759,25 @@ object Dedup {
         ((r.getLong(2) + maxBandBucket - 1) / maxBandBucket).toInt)
       .toMap
 
+  /** Size of the LARGEST (band, bh) bucket a corpus produces — the
+    * oracle-divergence guard's observable: the hot-bucket cap
+    * (`maxBandBucket`) is NOT modeled in the q31/q215/q218 oracle SQL,
+    * so a gate corpus whose largest bucket ever exceeds the cap would
+    * silently drop cross-cell candidate pairs the uncapped oracle
+    * keeps. Specs assert this stays under the cap at every gate SF so
+    * a future data/SF change fails LOUDLY instead of as an opaque hash
+    * mismatch. One banded scan, one map-side-combined max. */
+  private[graft] def maxBandBucketSize(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int, k: Int): Long = {
+    val side = lshSide(docs, idCol, textCol, numHashes, bands, k)
+    try {
+      val r = side.banded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("__n"))
+        .agg(coalesce(max(col("__n")), lit(0L)).as("mx")).head()
+      r.getLong(0)
+    } finally side.caches.foreach(_.unpersist(blocking = false))
+  }
+
   /** Attach the sub-cell id for over-cap buckets (1 cell → constant 0
     * for the rest); no-op plan when the census is empty. */
   private def subSplit(banded: DataFrame, hot: Map[Long, Int]): DataFrame =
@@ -809,6 +859,18 @@ object Dedup {
       idCol: String, textCol: String, numHashes: Int = 16, bands: Int = 4,
       k: Int = 3, threshold: Double = 0.8,
       maxBandBucket: Int = 2000): DataFrame = {
+    val (out, caches) = minhashLshIngestPlan(existing, incoming, idCol,
+      textCol, numHashes, bands, k, threshold, maxBandBucket)
+    try out.localCheckpoint()
+    finally caches.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Lazy [[minhashLshIngest]] plan (pre-checkpoint) + its persisted
+    * caches — the plan-book seam. */
+  private[graft] def minhashLshIngestPlan(existing: DataFrame,
+      incoming: DataFrame, idCol: String, textCol: String, numHashes: Int,
+      bands: Int, k: Int, threshold: Double,
+      maxBandBucket: Int): (DataFrame, Seq[DataFrame]) = {
     val oldSide = lshSide(existing, idCol, textCol, numHashes, bands, k)
     val newSide = lshSide(incoming, idCol, textCol, numHashes, bands, k)
     try {
@@ -823,12 +885,16 @@ object Dedup {
         .join(subSplit(oldSide.banded, hot).as("y"), joinCond)
         .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
         .distinct()
-      verifyJaccard(candidates, newSide.base, oldSide.base, threshold)
+      val out = verifyJaccard(candidates, newSide.base, oldSide.base,
+          threshold)
         .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"),
           col("jaccard"))
-        .localCheckpoint()
-    } finally (oldSide.caches ++ newSide.caches)
-      .foreach(_.unpersist(blocking = false))
+      (out, oldSide.caches ++ newSide.caches)
+    } catch { case e: Throwable =>
+      (oldSide.caches ++ newSide.caches)
+        .foreach(_.unpersist(blocking = false))
+      throw e
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs, brute force: every (a < b)

@@ -141,11 +141,24 @@ object Graphs {
     * semi-joins of the edge frame against the localCheckpoint'd
     * surviving-node set; the edge frame shrinks monotonically, lineage
     * stays O(1) via per-round localCheckpoints, and the loop runs at
-    * the counted-graph width ([[graft.core.Adaptive.partsFor]]).
+    * the counted-graph width ([[graft.core.Adaptive.partsFor]]). A
+    * round that removes no edge proves the peel converged — remaining
+    * rounds are no-ops and are skipped (the [[Dedup.clusterAssignments]]
+    * convergence-probe discipline; the edge count is free off the
+    * already-checkpointed frame), so `rounds` is a CAP, not a cost.
     * Output: (node, degree) within the surviving subgraph after the
-    * last round. */
+    * last effective round — materialized INSIDE the pinned-width scope
+    * so the tiny survivor aggregate never pays defaultParallelism
+    * near-empty tasks. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4): DataFrame =
+    kCoreWithRounds(edges, srcCol, dstCol, k, rounds)._1
+
+  /** [[kCore]] plus the number of peel rounds actually EXECUTED — the
+    * convergence probe's observable (specs assert a pre-converged graph
+    * pays one round, not the cap). */
+  private[graft] def kCoreWithRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, k: Int, rounds: Int): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
@@ -157,7 +170,11 @@ object Graphs {
       var alive = sym0.coalesce(parts).localCheckpoint()
       sym0.unpersist(blocking = false)
       var prev: DataFrame = alive
-      (1 to rounds).foreach { _ =>
+      var aliveEdges = m
+      var round = 1
+      var executed = 0
+      var converged = aliveEdges == 0L
+      while (round <= rounds && !converged) {
         val keep = alive.groupBy("a").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select("a")
           .localCheckpoint()
@@ -169,13 +186,29 @@ object Graphs {
         keep.unpersist(blocking = false)
         prev = next
         alive = next
+        val nextEdges = next.count()
+        converged = nextEdges == aliveEdges || nextEdges == 0L
+        aliveEdges = nextEdges
+        executed = round
+        round += 1
       }
-      alive.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+      val out = alive
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+        .localCheckpoint()
+      alive.unpersist(blocking = false)
+      (out, executed)
     }
   }
 
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
-      source: String, maxDepth: Int = 3): DataFrame = {
+      source: String, maxDepth: Int = 3): DataFrame =
+    bfsLevelsWithDepth(edges, srcCol, dstCol, source, maxDepth)._1
+
+  /** [[bfsLevels]] plus the number of expansion rounds actually EXECUTED
+    * (the round that discovered an empty frontier counts — it did the
+    * probing join; everything after it is skipped). */
+  private[graft] def bfsLevelsWithDepth(edges: DataFrame, srcCol: String,
+      dstCol: String, source: String, maxDepth: Int): (DataFrame, Int) = {
     val s = edges.sparkSession
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b")).distinct()
@@ -184,12 +217,17 @@ object Graphs {
     var visited = s.range(1)
       .select(lit(source).as("node"), lit(0).as("lvl")).localCheckpoint()
     var frontier = visited
-    (1 to maxDepth).foreach { i =>
+    var depth = 1
+    var exhausted = false
+    // an empty frontier proves every reachable node is visited —
+    // remaining rounds are no-op joins and are skipped (maxDepth is a
+    // CAP; the emptiness probe is free off the checkpointed frontier)
+    while (depth <= maxDepth && !exhausted) {
       val next = und
         .join(frontier.select(col("node").as("a")), "a")
         .select(col("b").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("lvl", lit(i))
+        .withColumn("lvl", lit(depth))
         .localCheckpoint()
       // release superseded per-round frames once the new union is
       // checkpointed — without this, cached blocks accrue linearly in
@@ -197,14 +235,18 @@ object Graphs {
       // unpersist pattern). Round 1's frontier IS visited; skip it.
       val prevVisited = visited
       val prevFrontier = frontier
-      visited = visited.unionByName(next).localCheckpoint()
-      prevVisited.unpersist(blocking = false)
+      exhausted = next.isEmpty
+      visited =
+        if (exhausted) visited else visited.unionByName(next).localCheckpoint()
+      if (exhausted) next.unpersist(blocking = false)
+      else prevVisited.unpersist(blocking = false)
       if (prevFrontier ne prevVisited) prevFrontier.unpersist(blocking = false)
       frontier = next
+      depth += 1
     }
     frontier.unpersist(blocking = false)
     und.unpersist()
-    visited
+    (visited, depth - 1)
   }
 
   /** Per-node triangle counts over the undirected simple graph induced by

@@ -333,7 +333,11 @@ object Multimodal {
     * stream. Same scale shape as [[decodeImageStats]]: size-binned
     * partitions (blob skew can't create stragglers), one decoder loop
     * per partition, exact integer channel sums. A row whose payload is
-    * not a GMJ1 container keeps its id with null stats. */
+    * not a GMJ1 container — wrong magic, truncated, or carrying a
+    * garbage frame length — keeps its id with null stats: every frame
+    * length is bounds-checked against the remaining bytes BEFORE any
+    * allocation, and the whole per-row parse is exception-guarded, so
+    * one poison-pill blob can never kill a corpus-scale pass. */
   def sampleFrameStats(df: DataFrame, idCol: String, binCol: String,
       everyN: Int, sizeBins: Int = 32): DataFrame = {
     require(everyN >= 1, "everyN must be >= 1")
@@ -346,44 +350,65 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
-        val in = new java.io.DataInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val magic = new Array[Byte](4)
-        val ok = bytes.length >= 8 && { in.readFully(magic); true } &&
-          java.util.Arrays.equals(magic, "GMJ1".getBytes("US-ASCII"))
-        if (!ok) rows += Row(id, null, null, null, null, null, null, null)
-        else {
-          val n = in.readInt()
-          var f = 0
-          while (f < n) {
-            val len = in.readInt()
-            if (f % everyN == 0) {
-              val buf = new Array[Byte](len)
-              in.readFully(buf)
-              val img = readImage(buf)
-              if (img == null)
-                rows += Row(id, n, f, null, null, null, null, null)
+        val nullRow = Row(id, null, null, null, null, null, null, null)
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val magic = new Array[Byte](4)
+          val ok = bytes != null && bytes.length >= 8 &&
+            { in.readFully(magic); true } &&
+            java.util.Arrays.equals(magic, "GMJ1".getBytes("US-ASCII"))
+          if (!ok) rows += nullRow
+          else {
+            val n = in.readInt()
+            var remaining = bytes.length - 8
+            var corrupt = n < 0
+            var f = 0
+            while (!corrupt && f < n) {
+              if (remaining < 4) corrupt = true
               else {
-                val (w, h) = (img.getWidth, img.getHeight)
-                var (sr, sg, sb) = (0L, 0L, 0L)
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val p = img.getRGB(x, y)
-                    sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
-                    sb += p & 0xff
-                    x += 1
-                  }
-                  y += 1
+                val len = in.readInt()
+                remaining -= 4
+                if (len < 0 || len > remaining) corrupt = true
+                else {
+                  if (f % everyN == 0) {
+                    val buf = new Array[Byte](len)
+                    in.readFully(buf)
+                    val img = readImage(buf)
+                    if (img == null)
+                      rows += Row(id, n, f, null, null, null, null, null)
+                    else {
+                      val (w, h) = (img.getWidth, img.getHeight)
+                      var (sr, sg, sb) = (0L, 0L, 0L)
+                      var y = 0
+                      while (y < h) {
+                        var x = 0
+                        while (x < w) {
+                          val p = img.getRGB(x, y)
+                          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
+                          sb += p & 0xff
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      val np = w.toLong * h
+                      rows += Row(id, n, f, w, h,
+                        sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
+                    }
+                  } else in.skipBytes(len)
+                  remaining -= len
+                  f += 1
                 }
-                val np = w.toLong * h
-                rows += Row(id, n, f, w, h,
-                  sr.toDouble / np, sg.toDouble / np, sb.toDouble / np)
               }
-            } else in.skipBytes(len)
-            f += 1
+            }
+            // a corrupt container yields ONE null-stats row; partially
+            // parsed frames are discarded (a frame count the container
+            // can't back is not trustworthy data)
+            if (corrupt) { rows.clear(); rows += nullRow }
           }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            rows.clear(); rows += nullRow
         }
         rows.iterator
       }

@@ -31,20 +31,25 @@ object PqIndex {
       books: IndexedSeq[IndexedSeq[Seq[Double]]])
 
   /** One deterministic training pass over the standing corpus (the
-    * [[Similarity.pqCodebooks]] Lloyd scan + first-nCells coarse
-    * centroids); only nCells·dim + m·ks·subDim doubles reach the
-    * driver. */
+    * [[Similarity.pqCodebooks]] Lloyd scan + Lloyd-TRAINED coarse
+    * centroids — `iters` rounds each, so cell routing survives corpus
+    * skew); only nCells·dim + m·ks·subDim doubles reach the driver. */
   def train(embeddings: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 4, ks: Int = 8, iters: Int = 2): Model =
     Model(
-      Similarity.coarseCentroids(embeddings, idCol, vecCol, nCells),
+      Similarity.coarseCentroids(embeddings, idCol, vecCol, nCells, iters),
       Similarity.pqCodebooks(embeddings, idCol, vecCol, m, ks, iters))
 
-  /** Build the index: one scan, written partitioned by cell. */
+  /** Build the index: one scan, written partitioned by cell. The base
+    * build lands under `__cell=c/__batch=-1/` — the SAME two-level
+    * layout [[appendBatch]] writes — so a batch-built index can be
+    * stream-maintained afterwards (mixed partition depths would make
+    * Spark's partition discovery reject the directory outright). */
   def build(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, model: Model): Unit =
     encodedRow(embeddings, idCol, vecCol, model)
-      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("__cell", "__batch").parquet(path)
 
   /** id + codes + cell in ONE projection (cell spelled alongside the
     * codes — no self-join; everything is literal arithmetic). */

@@ -499,19 +499,33 @@ object Similarity {
     * assignment rounds: iters=2 ⇒ assign → recompute → assign. */
   def kmeans(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2, scale: Int = 10): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val e = embeddings
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
       .cache()
-    def nearest(cents: IndexedSeq[Seq[Double]])(vec: Column): Column = {
-      // spelled-twice dists, NOT bindOnce: the bound lambda dropped the
-      // whole assignment projection out of whole-stage codegen (HOFs
-      // have no doGenCode) — under WSCG the duplicate subtree is shared
-      // by subexpression elimination, so the k·dim distance scan still
-      // runs once per row AND at codegen speed (the pqNearest rule)
-      def dists = array(cents.map(c => -dotLit(vec, c) / lit(normLit(c))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    val cents = lloydLoop(e, idCol, k, iters, scale)
+    // materialize the assignment, then release the cached projection —
+    // composed as a library call (semDedup, curriculum pipelines) a
+    // pinned corpus-sized cache would otherwise leak per invocation
+    // (the clusterAssignments checkpoint-then-unpersist discipline)
+    val out = e
+      .select(col(idCol), nearestCellExpr(cents)(col("__v")).as("cluster"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** The deterministic Lloyd training loop shared by [[kmeans]] and the
+    * IVF coarse quantizer ([[trainedCentroids]]): init = first `k`
+    * vectors by id, assignment = [[nearestCellExpr]]'s first-min argmin,
+    * recompute = decimal-summed per-position mean, an emptied cell
+    * carries its previous centroid forward. `e` must be a cached
+    * (idCol, __v: array<double>) projection; per round: one scan + one
+    * (cell, pos) keyed shuffle with full map-side combine — only k·dim
+    * doubles ever reach the driver (broadcast-Lloyd; vectors never
+    * shuffle). */
+  private def lloydLoop(e: DataFrame, idCol: String, k: Int, iters: Int,
+      scale: Int): IndexedSeq[Seq[Double]] = {
+    import org.apache.spark.sql.types.DecimalType
     var cents: IndexedSeq[Seq[Double]] = e.orderBy(col(idCol)).limit(k)
       .select(col("__v")).collect().toIndexedSeq
       .map(_.getSeq[Double](0).toSeq)
@@ -524,7 +538,7 @@ object Similarity {
       // cell in its own projection below the explode makes the outer
       // project a plain attribute reference.
       val byCell = e
-        .select(nearest(cents)(col("__v")).as("__cell"), col("__v"))
+        .select(nearestCellExpr(cents)(col("__v")).as("__cell"), col("__v"))
         .select(col("__cell"), posexplode(col("__v")).as(Seq("pos", "v")))
         .groupBy("__cell", "pos")
         .agg((sum(graft.functions.SafeMath.roundHalfUp(col("v"), scale)
@@ -537,14 +551,26 @@ object Similarity {
         }
       cents = (0 until k).map(i => byCell.getOrElse(i, cents(i)))
     }
-    // materialize the assignment, then release the cached projection —
-    // composed as a library call (semDedup, curriculum pipelines) a
-    // pinned corpus-sized cache would otherwise leak per invocation
-    // (the clusterAssignments checkpoint-then-unpersist discipline)
-    val out = e.select(col(idCol), nearest(cents)(col("__v")).as("cluster"))
-      .localCheckpoint()
-    e.unpersist(blocking = false)
-    out
+    cents
+  }
+
+  /** Lloyd-TRAINED centroids over an embedding column — the coarse
+    * quantizer trainer for [[ivfTopK]]/[[ivfPqTopK]]/[[PqIndex]]. A
+    * first-k-by-id quantizer is deterministic but untrained: on a
+    * skewed corpus most vectors land in a few cells, probe pruning
+    * degrades toward a full scan, and a materialized index's cell
+    * partitions skew on disk. Training runs the exact [[kmeans]]
+    * machinery (so the unrolled-CTE oracle replays every centroid
+    * bit-for-bit) and returns the centroid vectors instead of the
+    * assignment. */
+  private[operators] def trainedCentroids(embeddings: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int,
+      scale: Int = 10): IndexedSeq[Seq[Double]] = {
+    val e = embeddings
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .cache()
+    try lloydLoop(e, idCol, k, iters, scale)
+    finally e.unpersist(blocking = false)
   }
 
   /** SemDedup-style semantic near-duplicate pairs: coarse [[kmeans]]
@@ -644,42 +670,38 @@ object Similarity {
         coalesce(col("__d"), lit(false)).unary_!.as("is_kept"))
   }
 
-  /** IVF: assign every vector to its nearest of `nCells` centroids (picked
-    * deterministically as the first vectors by id — kmeans init would
-    * iterate the same machinery), then score only the `nProbe` cells
-    * nearest the query. Returns the top-k within probed cells. */
+  /** IVF: assign every vector to its nearest of `nCells` Lloyd-TRAINED
+    * centroids ([[trainedCentroids]] — `iters` assignment rounds of the
+    * deterministic kmeans machinery), then score only the `nProbe`
+    * cells nearest the query. Returns the top-k within probed cells.
+    * Training (vs the old first-k-by-id pick) is what keeps probe
+    * pruning real on a skewed corpus — untrained cells degenerate
+    * toward one hot cell and the probe re-scans the corpus. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
-    val centroids: Array[(Int, Seq[Double])] = embeddings
-      .orderBy(col(idCol)).limit(nCells)
-      .select(col(vecCol)).collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        i -> r.getSeq[Float](0).toSeq.map(_.toDouble)
-      }
-    // one flat distances array, then argmin — a pairwise when-chain would
-    // duplicate every dot-product subtree per comparison and blow up the
-    // expression tree exponentially.
-    def nearestCell(vec: Column): Column = {
-      val dists = array(centroids.map { case (_, c) =>
-        -dotLit(vec, c) / lit(normLit(c))
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    val qCells = centroids
-      .map { case (i, c) =>
-        val qn = normLit(query)
-        val dot = query.zip(c).map { case (a, b) => a * b }.sum
-        i -> -dot / (normLit(c) * qn)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1)
+      query: Seq[Double], k: Int, nCells: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val cents = trainedCentroids(embeddings, idCol, vecCol, nCells, iters)
+    val qCells = probeCells(cents, query, nProbe)
     embeddings
-      .withColumn("__cell", nearestCell(col(vecCol)))
+      .withColumn("__cell", nearestCellExpr(cents)(col(vecCol)))
       .filter(col("__cell").isin(qCells: _*))
       .select(col(idCol), cosineLit(col(vecCol), query).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Per-cell population census of the trained IVF coarse quantizer —
+    * the skew audit an IVF rollout ships with: cell sizes decide both
+    * probe-pruning quality (a hot cell degrades nProbe/nCells pruning
+    * toward a full scan) and on-disk partition balance of a
+    * materialized index ([[PqIndex]]). One scan, one map-side-combined
+    * aggregate of at most nCells rows. Output: (cell, n_vecs). */
+  def ivfCellCensus(embeddings: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 2): DataFrame = {
+    val cents = trainedCentroids(embeddings, idCol, vecCol, nCells, iters)
+    embeddings
+      .select(nearestCellExpr(cents)(col(vecCol)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
   }
 
   /** Product-quantization codebooks — the compressed-index training step
@@ -826,15 +848,12 @@ object Similarity {
     * same deterministic arithmetic.) Non-residual PQ variant: one shared
     * codebook set across cells — one training pass, and the oracle can
     * replay codes independently of cell assignment. */
-  /** The IVF coarse centroids: the first `nCells` vectors by id
-    * (deterministic — kmeans init semantics; iterating Lloyd here would
-    * reuse the same machinery). */
+  /** The IVF coarse centroids: Lloyd-trained via [[trainedCentroids]]
+    * (first-nCells-by-id init, `iters` deterministic rounds). */
   private[operators] def coarseCentroids(embeddings: DataFrame,
-      idCol: String, vecCol: String, nCells: Int): IndexedSeq[Seq[Double]] =
-    embeddings.orderBy(col(idCol)).limit(nCells)
-      .select(col(vecCol)).collect().toIndexedSeq
-      .map(_.getSeq[Any](0).toSeq
-        .map { case n: java.lang.Number => n.doubleValue })
+      idCol: String, vecCol: String, nCells: Int,
+      iters: Int = 2): IndexedSeq[Seq[Double]] =
+    trainedCentroids(embeddings, idCol, vecCol, nCells, iters)
 
   /** Coarse-cell assignment column (first-min argmin over the centroid
     * list; spelled-twice dists — not bindOnce — so the probe filter and
@@ -862,7 +881,9 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], topK: Int, nCells: Int = 16, nProbe: Int = 4,
       m: Int = 4, ks: Int = 8, iters: Int = 2, scale: Int = 6): DataFrame = {
-    val cents = coarseCentroids(embeddings, idCol, vecCol, nCells)
+    // `iters` trains BOTH quantizers: the coarse cells and the subspace
+    // codebooks run the same deterministic Lloyd round count
+    val cents = coarseCentroids(embeddings, idCol, vecCol, nCells, iters)
     val qCells = probeCells(cents, query, nProbe)
     val books = pqCodebooks(embeddings, idCol, vecCol, m, ks, iters)
     val probed = embeddings

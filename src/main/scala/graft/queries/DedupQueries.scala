@@ -329,7 +329,8 @@ object DedupQueries {
           numHashes = 16, bands = 4, k = 3, threshold = 0.8)
       },
       Some(bandedIngestOracleSql(CorpusSql,
-        s"x.doc >= $Shift AND y.doc < $Shift"))),
+        s"x.doc >= $Shift AND y.doc < $Shift")),
+      bench = true),
 
     GraftQuery(
       "q32_simhash",
@@ -697,7 +698,7 @@ object DedupQueries {
             HAVING COUNT(DISTINCT doc) >= 2),
           dup AS (SELECT doc, i FROM grams JOIN dk USING (gk)),
           isl AS (SELECT doc, i,
-              CASE WHEN i >= coalesce(max(i + 5)
+              CASE WHEN i > coalesce(max(i + 5)
                   OVER (PARTITION BY doc ORDER BY i
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
                 THEN 1 ELSE 0 END AS ns
@@ -718,7 +719,8 @@ object DedupQueries {
             coalesce(pd.dup_spans, 0) AS dup_spans,
             coalesce(pd.dup_tokens, 0) AS dup_tokens
           FROM t tk LEFT JOIN per_doc pd ON pd.doc = tk.doc_id"""
-      }),
+      },
+      bench = true),
 
     GraftQuery(
       "q229_remove_cross_doc_spans",
@@ -771,6 +773,7 @@ object DedupQueries {
             coalesce(ag.n_kept, 0) AS n_kept,
             coalesce(ag.cleaned, '') AS cleaned
           FROM d LEFT JOIN ag ON ag.doc = d.doc_id"""
-      })
+      },
+      bench = true)
   )
 }

@@ -276,6 +276,7 @@ object LayoutQueries {
           $rounds
           SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
           FROM e4 GROUP BY a"""
-      })
+      },
+      bench = true)
   )
 }

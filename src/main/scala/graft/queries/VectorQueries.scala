@@ -282,31 +282,26 @@ object VectorQueries {
       "q35_ivf_topk",
       (s, dir) => Similarity.ivfTopK(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        queryVec(s, dir), k = 10, nCells = 16, nProbe = 4),
-      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        cents AS (
-          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ci,
-                 embedding AS cv
-          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-        dists AS (
-          SELECT e.vec_id, c.ci,
-                 -(${dotSql("e.embedding", "c.cv")}) / sqrt(${dotSql("c.cv", "c.cv")}) AS dist
-          FROM embeddings e CROSS JOIN cents c),
-        cells AS (
-          SELECT vec_id, CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
-          FROM (SELECT vec_id, list(dist ORDER BY ci) AS dl FROM dists GROUP BY vec_id)),
+        queryVec(s, dir), k = 10, nCells = 16, nProbe = 4, iters = 2),
+      // the coarse quantizer is Lloyd-TRAINED (kmeansCte at k=16): the
+      // oracle replays init → assign → recompute → assign, reads the
+      // trained centroids from c1 for the probe list and the final
+      // assignment from a2 for the cell filter — a drifted centroid or
+      // differently-tied assignment flips the probed set and the hash.
+      Some(s"""WITH ${kmeansCte("embeddings", 16)},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         qcells AS (
-          SELECT c.ci AS cell
-          FROM cents c CROSS JOIN q
-          ORDER BY -(${dotSql("q.qv", "c.cv")}) /
-                   (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("q.qv", "q.qv")})),
-                   c.ci
+          SELECT c1.cell AS cell
+          FROM c1 CROSS JOIN q
+          ORDER BY -(${dotSql("q.qv", "c1.v")}) /
+                   (sqrt(${dotSql("c1.v", "c1.v")}) * sqrt(${dotSql("q.qv", "q.qv")})),
+                   c1.cell
           LIMIT 4)
         SELECT vec_id, cos FROM (
-          SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos
-          FROM embeddings e
-          JOIN cells ON e.vec_id = cells.vec_id
-          JOIN qcells ON cells.cell = qcells.cell
+          SELECT em.vec_id, ${cosSql("em.embedding", "q.qv")} AS cos
+          FROM embeddings em
+          JOIN a2 ON em.vec_id = a2.vec_id
+          JOIN qcells ON a2.cell = qcells.cell
           CROSS JOIN q)
         ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
 
@@ -692,21 +687,30 @@ object VectorQueries {
     GraftQuery(
       "q224_pq_recall",
       (s, dir) => {
-        // the compression-loss audit a PQ rollout ships with: recall@10
-        // of the ADC scan against the exact cosine top-10, as one
-        // metrics row — the operating-point number that decides m/ks
-        // before committing a 100 TB re-encode. Both legs are
-        // TakeOrderedAndProject top-10s; the join is 10×10.
+        // the compression-loss + cell-skew audit a vector-index rollout
+        // ships with: recall@10 of the ADC scan against the exact
+        // cosine top-10 (the operating-point number that decides m/ks
+        // before a 100 TB re-encode), stamped onto the trained IVF
+        // coarse quantizer's per-cell census — cell sizes are what
+        // decide whether nProbe/nCells pruning is real, so skew is a
+        // MEASURED, gated artifact, not an assumption. One row per
+        // cell; the scalar recall broadcasts into the census (a one-row
+        // build side — O(n), the q76/q180/q204 pattern).
         val e = Tables.load(s, dir, "embeddings")
         val q = queryVec(s, dir)
         val exact = Similarity.cosineTopK(e, "vec_id", "embedding", q, 10)
           .select("vec_id")
         val adc = Similarity.pqAdcTopK(e, "vec_id", "embedding", q,
           topK = 10, m = 4, ks = 8, iters = 2).select("vec_id")
-        exact.join(adc, "vec_id")
+        val recall = exact.join(adc, "vec_id")
           .agg((count(lit(1)).cast("double") / 10).as("recall_at_10"))
+        val census = Similarity.ivfCellCensus(e, "vec_id", "embedding",
+          nCells = 16, iters = 2)
+        census.crossJoin(broadcast(recall))
+          .select(col("cell"), col("n_vecs"), col("recall_at_10"))
       },
-      Some(s"""WITH ${pqCte("embeddings")},
+      Some(s"""WITH ${kmeansCte("embeddings", 16)},
+          ${pqCte("embeddings")},
           ${pqLutsSql()},
           qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
           sc AS (SELECT enc.vec_id,
@@ -717,9 +721,13 @@ object VectorQueries {
               vec_id ASC LIMIT 10),
           exact AS (SELECT e.vec_id FROM embeddings e, qv
             ORDER BY ${cosSql("e.embedding", "qv.v")} DESC, e.vec_id ASC
-            LIMIT 10)
-        SELECT CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
-        FROM exact JOIN adc ON exact.vec_id = adc.vec_id""")),
+            LIMIT 10),
+          r AS (SELECT CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+            FROM exact JOIN adc ON exact.vec_id = adc.vec_id),
+          census AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM a2 GROUP BY cell)
+        SELECT census.cell, census.n_vecs, r.recall_at_10
+        FROM census CROSS JOIN r""")),
 
     GraftQuery(
       "q222_image_dhash_near_dup",
@@ -929,9 +937,11 @@ object VectorQueries {
     * corpus relation: assignment = row_number over (dist, cell) — exactly
     * array_position's first-min — and the centroid recompute mirrors
     * q68's decimal-summed mean. Emits the CTE body (e, c0, d1, a1, f1,
-    * c1, d2, a2); callers select from `a2` (final assignment) and may
-    * join vectors back from `e`. */
-  private def kmeansCte(corpus: String): String = {
+    * c1, d2, a2); callers select from `a2` (final assignment), read the
+    * trained centroids from `c1` (the IVF coarse-quantizer twin), and
+    * may join vectors back from `e`. `k` parameterizes the cell count
+    * (8 = the kmeans/semDedup gates, 16 = the IVF coarse quantizer). */
+  private[queries] def kmeansCte(corpus: String, k: Int = 8): String = {
     val rounded = graft.functions.SafeMath.roundHalfUpSql("g.s.v", 10)
     def assign(d: String) =
       s"""SELECT vec_id, cell FROM (
@@ -947,7 +957,7 @@ object VectorQueries {
         FROM $corpus),
       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
             AS cell, v
-        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
       d1 AS (${dists("c0")}),
       a1 AS (${assign("d1")}),
       f1 AS (SELECT a1.cell, g.s.pos AS pos,
@@ -985,39 +995,27 @@ object VectorQueries {
   }
 
   /** The q223 oracle, shared with the streamed-index parity gate
-    * (q225): codebooks, codes, coarse cells, probe list, and luts all
-    * replayed in unrolled CTEs, top-10 by ADC score. */
+    * (q225): codebooks, codes, Lloyd-trained coarse cells (the k=16
+    * kmeansCte ladder — probe list from the trained `c1` centroids,
+    * cell filter from the final `a2` assignment), and luts all replayed
+    * in unrolled CTEs, top-10 by ADC score. */
   private[queries] def ivfPqTopKOracle: String =
-    s"""WITH ${pqCte("embeddings")},
+    s"""WITH ${kmeansCte("embeddings", 16)},
+        ${pqCte("embeddings")},
         ${pqLutsSql()},
         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        cents AS (
-          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-              AS ci, embedding AS cv
-          FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id LIMIT 16)),
-        cdists AS (
-          SELECT e.vec_id, c.ci,
-            -(${dotSql("e.embedding", "c.cv")}) /
-              sqrt(${dotSql("c.cv", "c.cv")}) AS dist
-          FROM embeddings e CROSS JOIN cents c),
-        cells AS (
-          SELECT vec_id,
-            CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
-          FROM (SELECT vec_id, list(dist ORDER BY ci) AS dl FROM cdists
-            GROUP BY vec_id)),
         qcells AS (
-          SELECT c.ci AS cell
-          FROM cents c CROSS JOIN q
-          ORDER BY -(${dotSql("q.qv", "c.cv")}) /
-              (sqrt(${dotSql("c.cv", "c.cv")}) * sqrt(${dotSql("q.qv", "q.qv")})),
-            c.ci
+          SELECT c1.cell AS cell
+          FROM c1 CROSS JOIN q
+          ORDER BY -(${dotSql("q.qv", "c1.v")}) /
+              (sqrt(${dotSql("c1.v", "c1.v")}) * sqrt(${dotSql("q.qv", "q.qv")})),
+            c1.cell
           LIMIT 4),
         sc AS (SELECT enc.vec_id,
             (((l0.lv + l1.lv) + l2.lv) + l3.lv) AS s
           FROM enc
-          JOIN cells ON cells.vec_id = enc.vec_id
-          JOIN qcells ON cells.cell = qcells.cell
+          JOIN a2 ON a2.vec_id = enc.vec_id
+          JOIN qcells ON a2.cell = qcells.cell
           $pqLutJoins)
         SELECT vec_id,
           ${graft.functions.SafeMath.roundHalfUpSql("s", 6)} AS score

@@ -132,36 +132,58 @@ object JdbcBatchSink {
     }
   }
 
-  /** One partition's writer loop: addBatch rows, flush on count OR time. */
+  /** One partition's writer loop: addBatch rows, flush on count OR time.
+    * The current flush's rows stay buffered until their commit succeeds
+    * — see [[flush]] for why the retry needs them. */
   private def writePartition(rows: Iterator[Row], url: String,
       insert: String, schema: StructType, batchRows: Int, flushMs: Long): Unit =
     withConnection(url) { conn =>
       conn.setAutoCommit(false)
       val ps = conn.prepareStatement(insert)
       try {
-        var buffered = 0
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Row]
         var lastFlush = System.nanoTime()
         while (rows.hasNext) {
-          bind(ps, rows.next(), schema)
+          val r = rows.next()
+          bind(ps, r, schema)
           ps.addBatch()
-          buffered += 1
+          pending += r
           val elapsedMs = (System.nanoTime() - lastFlush) / 1000000L
-          if (buffered >= batchRows || (buffered > 0 && elapsedMs >= flushMs)) {
-            flush(conn, ps)
-            buffered = 0
+          if (pending.size >= batchRows ||
+              (pending.nonEmpty && elapsedMs >= flushMs)) {
+            flush(conn, ps, pending, schema)
+            pending.clear()
             lastFlush = System.nanoTime()
           }
         }
-        if (buffered > 0) flush(conn, ps)
-      } finally ps.close()
+        if (pending.nonEmpty) flush(conn, ps, pending, schema)
+      } finally {
+        // a failed batch can invalidate the statement (DuckDB throws
+        // "Statement was closed" from close()) — never let the cleanup
+        // REPLACE the real flush error in the task failure
+        try ps.close() catch { case _: SQLException => () }
+      }
     }
 
-  /** executeBatch + commit, one rollback-and-retry on transient failure. */
-  private def flush(conn: Connection, ps: PreparedStatement): Unit =
+  /** executeBatch + commit, ONE rollback-and-retry on transient failure.
+    * JDBC drivers clear a statement's batch even when executeBatch
+    * FAILS (verified against the embedded DuckDB driver), so a naive
+    * re-executeBatch would commit an EMPTY batch — silently dropping
+    * the whole flush. The retry therefore re-BINDS the buffered rows
+    * first. A second failure propagates and fails the task: Spark's
+    * task retry re-runs the partition from the start, and flushes the
+    * first attempt already committed duplicate — the sink is
+    * AT-LEAST-ONCE under failure (the T8 model); readers that need
+    * exactness dedup on a row key (KeepLatest / DISTINCT), asserted by
+    * the chaos spec. */
+  private def flush(conn: Connection, ps: PreparedStatement,
+      pending: scala.collection.Seq[Row], schema: StructType): Unit =
     try { ps.executeBatch(); conn.commit() }
     catch {
       case _: SQLException =>
         conn.rollback()
+        ps.clearBatch() // defensive: some drivers keep the failed batch
+        pending.foreach { r => bind(ps, r, schema); ps.addBatch() }
         ps.executeBatch(); conn.commit()
     }
 

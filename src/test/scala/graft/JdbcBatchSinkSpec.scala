@@ -110,6 +110,101 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     assert(counts.map(_._2).sum === 4000L) // distinct per shard sums too
   }
 
+  test("chaos: mid-write shard failure is at-least-once; keyed dedup on read") {
+    // one shard rejects a row MID-write (after earlier flushes already
+    // committed): the documented semantics are AT-LEAST-ONCE — the job
+    // fails loudly, committed flushes stand, a full replay duplicates
+    // them, and a keyed dedup on read restores exactness (the T8
+    // checkpoint-replay model). The poison is a DECIMAL(4,0) target
+    // column receiving 99999 — binding succeeds, the DATABASE rejects
+    // the flush, exactly the shape of a node hard-failing a batch.
+    val dir = Files.createTempDirectory("jdbc_chaos_spec")
+    val urls = Seq(s"jdbc:duckdb:${dir.resolve("s0.db")}",
+      s"jdbc:duckdb:${dir.resolve("s1.db")}")
+    // pre-create with the NARROW column so the sink's CREATE IF NOT
+    // EXISTS (from the frame's wider decimal) is a no-op
+    urls.foreach { u =>
+      val conn = DriverManager.getConnection(u)
+      try conn.createStatement()
+        .execute("""CREATE TABLE "t" ("id" BIGINT, "d" DECIMAL(4,0))""")
+      finally conn.close()
+    }
+    val base = spark.range(0, 40)
+      .select(col("id"), (col("id") % 9).cast("decimal(5,0)").as("d"))
+    def withTail(tail: Long) = base.unionByName(
+        Seq(40L -> tail).toDF("id", "v")
+          .select(col("id"), col("v").cast("decimal(5,0)").as("d")))
+      .repartition(2, col("id"))
+      .sortWithinPartitions("id") // poison (max id) flushes LAST
+    val poisoned = withTail(99999L)
+    val good = withTail(9999L)
+    val thrown = intercept[Exception] {
+      JdbcBatchSink.writeSharded(poisoned, urls, "t",
+        batchRows = 2, flushMs = 600000L)
+    }
+    assert(thrown.getMessage != null)
+    def readAll() = urls.map { u =>
+      val conn = DriverManager.getConnection(u)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("""SELECT "id", "d" FROM "t"""")
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        while (rs.next()) buf += ((rs.getLong(1), rs.getBigDecimal(2).longValue()))
+        buf.toSeq
+      } finally conn.close()
+    }.reduce(_ ++ _)
+    val afterFailure = readAll()
+    // committed flushes stand: the healthy shard's partition (and the
+    // poisoned partition's pre-poison flushes) are visible
+    assert(afterFailure.nonEmpty, "no flush committed before the failure")
+    assert(afterFailure.size < 41, "failed write must not be complete")
+    // the replay (corrected batch, the T8 model) completes — and now
+    // the first attempt's committed flushes are DUPLICATED: at-least-once
+    JdbcBatchSink.writeSharded(good, urls, "t",
+      batchRows = 2, flushMs = 600000L)
+    val afterReplay = readAll()
+    assert(afterReplay.size === afterFailure.size + 41)
+    // keyed dedup on read restores exactness
+    val expected = good.collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).longValue())).toSet
+    assert(afterReplay.toSet === expected)
+    assert(afterReplay.distinct.size === 41)
+  }
+
+  test("transient flush failure retries with the rows intact (no silent drop)") {
+    // JDBC clears the batch even when executeBatch FAILS — a naive
+    // retry would commit an empty batch and silently drop the flush.
+    // Simulate a transient conflict with a CONCURRENT writer holding
+    // the duckdb write lock... not reachable deterministically from
+    // in-process JDBC, so assert the observable contract instead: a
+    // PERMANENT failure propagates (nothing silently succeeds) and the
+    // committed prefix is intact — no partial batch, no dropped rows.
+    val url = freshUrl()
+    val conn0 = DriverManager.getConnection(url)
+    try conn0.createStatement()
+      .execute("""CREATE TABLE "t" ("id" BIGINT, "d" DECIMAL(4,0))""")
+    finally conn0.close()
+    val df = spark.range(0, 9)
+      .select(col("id"),
+        when(col("id") === 8, lit(99999L)).otherwise(col("id"))
+          .cast("decimal(5,0)").as("d"))
+      .coalesce(1).sortWithinPartitions("id")
+    val e = intercept[Exception] {
+      JdbcBatchSink.write(df, url, "t", batchRows = 3, flushMs = 600000L)
+    }
+    assert(e.getMessage != null)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("""SELECT count(*), coalesce(max("id"), -1) FROM "t"""")
+      assert(rs.next())
+      // flushes 1 and 2 (ids 0..5) committed; the poisoned third flush
+      // rolled back WHOLE — ids 6,7 must not appear without 8
+      assert(rs.getLong(1) === 6L)
+      assert(rs.getLong(2) === 5L)
+    } finally conn.close()
+  }
+
   test("unsupported column types fail loudly at the sink boundary") {
     val url = freshUrl()
     val df = spark.range(0, 3).select(array(col("id")).as("a"))

@@ -120,6 +120,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ivfpq.contains(7L))
   }
 
+  test("trained IVF coarse quantizer bounds cell skew where first-k degenerates") {
+    val dim = 8
+    // the first-k-by-id trap corpus: ids 0..7 (the init picks) are all
+    // the IDENTICAL hot vector, so the OLD untrained quantizer had 8
+    // equal centroids and first-min argmin sent EVERY vector to cell 0
+    // (max cell share 1.0 — probe pruning a no-op, index partitions
+    // all in one directory). 100 more jittered hot copies + a 92-vector
+    // spread tail complete the skew.
+    val rows = (0 until 108).map { i =>
+      val v = Array.fill(dim)(0.0f); v(0) = 1.0f
+      if (i >= 8) v(1) = 0.001f * ((i % 7) + 1)
+      (i.toLong, v.toSeq)
+    } ++ (108 until 200).map { i =>
+      val v = Array.fill(dim)(0.0f); v(1 + i % 7) = 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val census = Similarity
+      .ivfCellCensus(vecs, "vec_id", "embedding", nCells = 8, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(census.values.sum === 200L) // every vector lands somewhere
+    // Lloyd training separates the hot blob from the tail: the global
+    // max cell share is bounded well below the degenerate 1.0
+    val maxShare = census.values.max.toDouble / 200.0
+    assert(maxShare <= 0.6, s"trained census still skewed: $census")
+    assert(census.size >= 2, s"trained census degenerate: $census")
+  }
+
   test("kmeans separates two well-split directions and is deterministic") {
     // two tight angular clusters around (1,0,...) and (0,1,...)
     val vecs = (0 until 40).map { i =>
@@ -790,7 +818,9 @@ class LlmOpsSpec extends AnyFunSuite {
       (2L, "x y a b c d z w"),
       (3L, "p q r s t u"),              // unique: all zeros
       (4L, "a b c"),                    // exactly one window, shared
-      (5L, "a b c q q1 q2 b c d")       // TWO disjoint runs: islands split
+      (5L, "a b c q q1 q2 b c d"),      // TWO disjoint runs: islands split
+      (6L, "a b c m1 m2 m3"),           // dup windows at 0 and 3: TOUCHING
+      (7L, "m1 m2 m3 zz z2")            // shares "m1 m2 m3" with doc 6
     ).toDF("doc_id", "text")
     val r = Dedup.crossDocSpanStats(d, "doc_id", "text", n = 3, minDocs = 2)
       .collect().map(x => x.getAs[Long]("doc_id") ->
@@ -803,6 +833,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(4L) === ((3L, 1L, 1L, 3L)))
     // d5: "a b c"(0) and "b c d"(6) are separated by a gap → two spans
     assert(r(5L) === ((9L, 2L, 2L, 6L)))
+    // d6: window 3 starts exactly where window 0's coverage ends (i ==
+    // pmax) — touching runs merge into ONE contiguous covered span [0,6)
+    assert(r(6L) === ((6L, 2L, 1L, 6L)))
+    assert(r(7L) === ((5L, 1L, 1L, 3L)))
+  }
+
+  test("cross-doc span removal enforces the (doc, pos) packing bounds") {
+    // a >2^20-token document would silently corrupt the doc·2²⁰+pos
+    // first-occurrence election — it must fail LOUDLY instead
+    val big = ("x " * ((1 << 20) + 4)).trim
+    val tooLong = Seq((1L, big), (2L, "x x x x")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.removeCrossDocSpans(tooLong, "doc_id", "text", n = 3, minDocs = 2)
+    }
+    assert(e1.getMessage.contains("2^20"))
+    // ids at/above 2^43 (or negative) overflow the packing the same way
+    val badId = Seq((1L << 43, "a b c d"), (7L, "a b c d"))
+      .toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.removeCrossDocSpans(badId, "doc_id", "text", n = 3, minDocs = 2)
+    }
+    assert(e2.getMessage.contains("2^43"))
+    // in-bounds corpora still work end-to-end after the guard
+    val ok = Seq((1L, "a b c d"), (2L, "a b c d z"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.removeCrossDocSpans(ok, "doc_id", "text",
+      n = 3, minDocs = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_kept")).toMap
+    assert(kept === Map(1L -> 4L, 2L -> 1L))
   }
 
   test("cross-doc span removal keeps the globally-first occurrence") {
@@ -858,6 +917,33 @@ class LlmOpsSpec extends AnyFunSuite {
     // k=3: a survives round 1 (degree 3) but the cascade empties the rest
     val core3 = graft.operators.Graphs.kCore(e, "src", "dst", k = 3, rounds = 3)
     assert(core3.count() === 0L)
+  }
+
+  test("iterative graph ops stop early once converged (rounds are a cap)") {
+    // a triangle IS its own 2-core: round 1 removes nothing → converged,
+    // the other 49 budgeted rounds never run
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val (core, kRounds) = graft.operators.Graphs
+      .kCoreWithRounds(tri, "src", "dst", k = 2, rounds = 50)
+    assert(kRounds === 1)
+    assert(core.collect().map(r =>
+      r.getString(0) -> r.getAs[Long]("degree")).toMap ===
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // the pendant graph needs one real peel round + one no-op probe
+    val pend = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+      .toDF("src", "dst")
+    val (_, kRounds2) = graft.operators.Graphs
+      .kCoreWithRounds(pend, "src", "dst", k = 2, rounds = 50)
+    assert(kRounds2 === 2)
+    // BFS on a 2-hop path exhausts its frontier at depth 3 — depths
+    // 4..50 are skipped, and the result equals the uncapped semantics
+    val path = Seq(("s", "m"), ("m", "t")).toDF("src", "dst")
+    val (lvls, depth) = graft.operators.Graphs
+      .bfsLevelsWithDepth(path, "src", "dst", "s", maxDepth = 50)
+    assert(depth === 3) // round 3 probed the empty frontier, then stopped
+    assert(lvls.collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap ===
+      Map("s" -> 0, "m" -> 1, "t" -> 2))
   }
 
   test("rrf fusion is rank-based and deterministic under ties") {
@@ -1083,6 +1169,27 @@ class LlmOpsSpec extends AnyFunSuite {
       .sampleFrameStats(bad, "media_id", "media_bytes", everyN = 2).collect()
     assert(nulls.length === 1 && nulls(0).getLong(0) === 9L &&
       nulls(0).isNullAt(1))
+    // poison pills past the magic check: a truncated container and a
+    // garbage frame length (would allocate ~2 GB) both yield the null
+    // row instead of killing the task
+    val full = vids.collect()(0).getAs[Array[Byte]](1)
+    val truncated = full.take(full.length / 2)
+    val garbageLen = {
+      val b = full.clone()
+      // first frame length prefix lives at offset 8: overwrite with a
+      // huge value that no remaining-bytes budget can back
+      b(8) = 0x7f.toByte; b(9) = 0xff.toByte
+      b(10) = 0xff.toByte; b(11) = 0xff.toByte
+      b
+    }
+    val poison = Seq((11L, truncated), (12L, garbageLen))
+      .toDF("media_id", "media_bytes")
+    val got2 = graft.operators.Multimodal
+      .sampleFrameStats(poison, "media_id", "media_bytes", everyN = 2)
+      .collect().sortBy(_.getLong(0))
+    assert(got2.length === 2)
+    assert(got2.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    assert(got2.map(_.getLong(0)).toSeq === Seq(11L, 12L))
   }
 
   test("dHashBands: gradient saturates all bits, flat image none, bad bytes null") {

@@ -51,4 +51,24 @@ class MinhashSigSpec extends AnyFunSuite {
       !array_contains(col("s"), Long.MaxValue))
     assert(nonTrivial.count() > 100, "signatures all degenerate")
   }
+
+  test("gate corpora keep every band bucket under the hot-bucket cap") {
+    // the hot-band-bucket cap (maxBandBucket=2000) is NOT modeled in the
+    // q31/q215/q218 oracle SQL: a gate bucket ever exceeding it would
+    // drop candidate pairs the uncapped oracle keeps — an opaque hash
+    // mismatch. Assert headroom at the smoke and correctness SFs so a
+    // data/parameter change fails HERE with a readable message instead.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val c = graft.queries.DedupQueries.corpus(spark, dir)
+        val mx = graft.operators.Dedup.maxBandBucketSize(
+          c, "doc_id", "text", numHashes = 16, bands = 4, k = 3)
+        assert(mx <= 2000L,
+          s"$sf: largest (band, bh) bucket holds $mx rows — over the " +
+            "q31/q215/q218 hot-bucket cap; the capped Spark plan now " +
+            "DIVERGES from the uncapped oracle SQL")
+      }
+    }
+  }
 }

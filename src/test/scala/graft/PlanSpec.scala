@@ -257,7 +257,8 @@ class PlanSpec extends AnyFunSuite {
       "q76_bm25",               // broadcasts (N, avgdl) corpus scalars
       "q180_ab_test",           // crossJoins two 1-row variant aggregates
       "q197_zorder_skipping",   // broadcasts (mx, my, mz) maxima
-      "q204_cms_join_size")     // crossJoins the 1-row estimate & exact
+      "q204_cms_join_size",     // crossJoins the 1-row estimate & exact
+      "q224_pq_recall")         // stamps the 1-row recall onto the census
     val offenders = batchGates
       .filterNot(q => bruteForceBaselines.contains(q.name))
       .flatMap { q =>

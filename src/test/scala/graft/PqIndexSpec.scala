@@ -58,4 +58,28 @@ class PqIndexSpec extends AnyFunSuite {
         _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
       s"probe scan must not read vector arrays: ${scan.schema.simpleString}")
   }
+
+  test("a batch-built index accepts streamed appends: one shared layout") {
+    // build() writes __cell=c/__batch=-1/, appendBatch __cell=c/__batch=b/
+    // — mixed partition DEPTHS would make Spark's partition discovery
+    // reject the directory ('conflicting directory structures')
+    val path = java.nio.file.Files.createTempDirectory("pqidx-mixed")
+      .resolve("idx").toString
+    val standing = vecs.filter(col("vec_id") < 150)
+    val arriving = vecs.filter(col("vec_id") >= 150)
+    val model = PqIndex.train(standing, "vec_id", "embedding",
+      nCells = 8, m = 2, ks = 4, iters = 2)
+    PqIndex.build(standing, "vec_id", "embedding", path, model)
+    PqIndex.appendBatch(arriving, "vec_id", "embedding", path, model,
+      batchId = 0L)
+    val loaded = PqIndex.load(spark, path)
+    assert(loaded.count() === 200L)
+    assert(!loaded.columns.contains("__batch")) // probe-layout-agnostic
+    // the appended rows are probe-visible alongside the base build
+    val q = vecs.filter(col("vec_id") === 160).select("embedding")
+      .collect()(0).getSeq[Float](0).toSeq.map(_.toDouble)
+    val ids = PqIndex.topK(loaded, "vec_id", q, k = 200, model, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(160L) && ids.contains(3L))
+  }
 }
