@@ -85,11 +85,12 @@ object Dedup {
     * positional refinement of [[duplicatePassages]] (which reports pairs,
     * not per-doc coverage).
     *
-    * Scale shape: per-position n-grams are hashed to 60-bit keys IN-ROW
+    * Scale shape: per-position n-grams come from the codegen'd
+    * WordShingles byte scan and are hashed to 60-bit keys IN-ROW
     * (md5Key60) so the shuffle ships (doc, pos, key), never gram text;
     * the duplicated-key set is one partial-aggregated distinct-count per
     * key, and membership flows back as a semi-join on the key over the
-    * persisted gram frame (tokenize + hash runs once). Coverage is
+    * persisted gram frame (shingle + hash runs once). Coverage is
     * merged per document with a gaps-and-islands window — partitioned by
     * doc, bounded by document length — instead of exploding every
     * duplicated window into its n positions and distinct-ing: shuffled
@@ -112,11 +113,11 @@ object Dedup {
       textCol: String, n: Int, minDocs: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    val base = docs
-      .select(col(idCol).as("doc"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
+    val src = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
+    val base = src
+      .select(col("doc"), TextFunctions.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
-    val grams = hashedGrams(base, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = hashedGrams(src, n).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dupKeys = grams.groupBy("gk")
         .agg(countDistinct(col("doc")).as("nd"))
@@ -148,17 +149,20 @@ object Dedup {
     } catch { case e: Throwable => grams.unpersist(); throw e }
   }
 
-  /** Hashed per-position n-gram frame (doc, i, gk) over a (doc, toks,
-    * nt) base. Gram list bound in its OWN select below the explode (the
-    * ExtractGenerator discipline), hashed before anything shuffles.
-    * Space-joined: tokens are whitespace-free by construction, so the
-    * join is unambiguous and the oracle hashes the identical string. */
-  private def hashedGrams(base: DataFrame, n: Int): DataFrame =
-    base
-      .withColumn("g", when(col("nt") < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), col("nt") - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
-      .select(col("doc"), posexplode(col("g")).as(Seq("i", "gram")))
+  /** Hashed per-position n-gram frame (doc, i, gk) over a (doc, text)
+    * source. Grams come from the codegen'd [[graft.expressions.WordShingles]]
+    * byte scan (bit-identical to the interpreted `transform` + `slice` +
+    * `concat_ws` chain it replaced — the chain walked an interpreted
+    * closure per position and dominated the q228 bench at ~9.5 s; the
+    * native scan runs inside whole-stage codegen), hashed before
+    * anything shuffles. Space-joined: tokens are whitespace-free by
+    * construction, so the join is unambiguous and the oracle hashes the
+    * identical string. */
+  private def hashedGrams(src: DataFrame, n: Int): DataFrame =
+    src
+      .select(col("doc"),
+        posexplode(TextFunctions.shingles(col("text"), n))
+          .as(Seq("i", "gram")))
       .select(col("doc"), col("i"),
         TextFunctions.md5Key60(col("gram")).as("gk"))
 
@@ -203,9 +207,9 @@ object Dedup {
   private[graft] def removeCrossDocSpansPlan(docs: DataFrame, idCol: String,
       textCol: String, n: Int, minDocs: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val base = docs
-      .select(col(idCol).as("doc"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
+    val src = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
+    val base = src
+      .select(col("doc"), TextFunctions.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
       .localCheckpoint()
     // the (doc, pos) election below packs into doc·2²⁰ + pos — a doc
@@ -224,7 +228,7 @@ object Dedup {
     require(bounds.getLong(1) >= 0L && bounds.getLong(2) < (1L << 43),
       s"removeCrossDocSpans: doc ids must be in [0, 2^43), got " +
         s"[${bounds.getLong(1)}, ${bounds.getLong(2)}]")
-    val grams = hashedGrams(base, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = hashedGrams(src, n).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val firsts = grams.groupBy("gk")
         .agg(countDistinct(col("doc")).as("nd"),
