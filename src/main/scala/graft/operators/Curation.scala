@@ -52,6 +52,35 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Balanced shard assignment for training-data export — the writer-side
+    * complement of [[packBins]]: where packBins lays a stream head-to-tail
+    * into fixed-token bins, this balances per-shard TOTALS when documents
+    * must stay whole and the shard count is fixed (N output files, N data
+    * loaders). Serpentine (boustrophedon) assignment over the global
+    * token-descending rank: block b of N ranked docs goes 0..N-1 on even
+    * blocks and N-1..0 on odd blocks — the classic greedy-equivalent
+    * deterministic schedule (snake draft): each shard's total is within
+    * one max-document of optimal, with no driver-side greedy loop and no
+    * sequential dependency. The global rank is
+    * [[GlobalSort.withGlobalRank]] (range-partitioned, never a
+    * single-partition window), so the whole operator is two parallel
+    * passes + one tiny driver prefix-sum at ANY corpus size. Output: the
+    * input plus (n_tokens, shard). */
+  def balancedShards(df: DataFrame, idCol: String, tokens: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val ranked = GlobalSort.withGlobalRank(
+      df.withColumn("n_tokens", tokens),
+      Seq(col("n_tokens").desc, col(idCol).asc), rankCol = "__rank")
+    ranked
+      .withColumn("__pos", col("__rank") - 1)
+      .withColumn("__idx", pmod(col("__pos"), lit(nShards.toLong)))
+      .withColumn("shard",
+        when(pmod(expr(s"__pos div ${nShards}L"), lit(2L)) === 0L,
+          col("__idx")).otherwise(lit(nShards.toLong - 1L) - col("__idx")))
+      .drop("__rank", "__pos", "__idx")
+  }
+
   /** C4-style line-level quality filtering: keep lines with at least
     * `minWords` words, terminal punctuation, and no boilerplate marker;
     * return the cleaned text plus kept/dropped counts. Pure per-row HOF

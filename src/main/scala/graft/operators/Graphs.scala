@@ -249,6 +249,69 @@ object Graphs {
     (visited, depth - 1)
   }
 
+  /** Common-neighbor link prediction over the undirected simple graph:
+    * for every NON-adjacent pair sharing at least `minCommon` neighbors,
+    * the shared-neighbor count plus two classic scores — Resource
+    * Allocation Σ 1/deg(via) (Zhou/Lü/Zhang 2009) and Adamic–Adar
+    * Σ 1/ln(deg(via)) — the "these two domains should probably be the
+    * same community / this citation is probably missing" primitive that
+    * link-curation and crawl-expansion pipelines run over web graphs.
+    *
+    * Determinism/FP: RA is micro-units by INTEGER division
+    * (`1000000 div deg` — bit-exact cross-engine); AA weights round
+    * ln(deg) at scale 8 first, then the per-via micro weight half-up to
+    * a LONG (the q82 rounded-ln discipline), so both scores are sums of
+    * longs — no double partial-sum order anywhere. Every shared
+    * neighbor of two distinct nodes has deg ≥ 2, so ln(deg) > 0 by
+    * construction.
+    *
+    * Scale shape: candidate pairs come from ONE wedge self-join of the
+    * symmetric edge list through the via node — Σ deg(via)² rows, never
+    * all-pairs — and via nodes with deg > `maxViaDegree` are EXCLUDED
+    * before the join (documented approximation, the df-capped
+    * posting-list discipline: a hub shared by everyone carries ~zero
+    * evidence — its RA/AA weight is 1/hub — but would alone contribute
+    * deg² wedges; the cap bounds the join at nodes·cap² regardless of
+    * skew). Existing edges leave via one anti-join on the canonical
+    * pair; the final cut is orderBy+limit → TakeOrderedAndProject on the
+    * (ra desc, pair) total order, never a global sort. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int = 2, maxViaDegree: Int = 64, topK: Int = 1000): DataFrame = {
+    import graft.functions.SafeMath
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = sym.union(sym.select(col("b"), col("a"))).distinct()
+      .localCheckpoint()
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // per-via micro weights, both computed ONCE on the degree frame
+    // (vocabulary-sized) before the wedge fan-out
+    // deg >= 2 is a no-op on the RESULT (a neighbor shared by two
+    // distinct endpoints has degree ≥ 2 by construction) but keeps the
+    // ln(deg)=0 division out of the weight expression for leaf nodes
+    val viaW = deg.filter(col("deg") <= maxViaDegree && col("deg") >= 2)
+      .select(col("node").as("via"),
+        expr("1000000L div deg").as("ra_w"),
+        SafeMath.roundHalfUp(
+          lit(1000000.0) / SafeMath.roundHalfUp(log(col("deg")), 8), 0)
+          .cast("long").as("aa_w"))
+      .localCheckpoint()
+    val left = und.join(viaW, und("b") === viaW("via"))
+      .select(col("a").as("u"), col("via"), col("ra_w"), col("aa_w"))
+    val right = und.select(col("b").as("via"), col("a").as("v"))
+    val cand = left.join(right, "via")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u").as("a"), col("v").as("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(col("ra_w")).as("ra_micro"),
+        sum(col("aa_w")).as("aa_micro"))
+      .filter(col("common") >= minCommon)
+    // canonical und edges with a < b are exactly the sym-canonicalized set
+    val existing = und.filter(col("a") < col("b"))
+    cand.join(existing, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_micro").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced by
     * `edges` (self-loops dropped, direction and multiplicity collapsed).
     * Compact-forward with DEGREE orientation: every edge points from its

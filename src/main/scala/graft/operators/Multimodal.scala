@@ -92,6 +92,31 @@ object Multimodal {
       out: String = "media_bytes"): DataFrame =
     df.withColumn(out, encode(col(textCol), "UTF-8"))
 
+  /** Header-only PNG dimension scan — the census pass a 100 TB image
+    * corpus runs BEFORE paying any decode: a PNG's IHDR chunk sits at a
+    * fixed offset (8-byte signature, 4-byte length, "IHDR", then
+    * big-endian u32 width and height — PNG spec §5.2/§11.2.2), so the
+    * dims are a 24-byte peek expressible entirely in codegen'd Catalyst
+    * functions (substring + hex + conv): no mapPartitions seam, no
+    * image library, no decode — the scan runs at parquet-read speed and
+    * whole-stage codegen fuses it into downstream aspect/size filters
+    * ("drop icons and banners" gates). Non-PNG or truncated payloads
+    * yield NULL dims (signature and chunk tag checked). Returns
+    * (idCol, width, height, aspect_milli = 1000·w div h). */
+  def pngHeaderDims(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val sigOk = b.isNotNull && length(b) >= 24 &&
+      hex(substring(b, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(b, 13, 4)) === "49484452"
+    def be32(off: Int) = conv(hex(substring(b, off, 4)), 16, 10).cast("long")
+    df.select(col(idCol),
+        when(sigOk, be32(17)).as("width"),
+        when(sigOk, be32(21)).as("height"))
+      .withColumn("aspect_milli",
+        expr("CASE WHEN height IS NULL OR height = 0 THEN NULL " +
+          "ELSE (1000 * width) div height END"))
+  }
+
   /** Encode one RGB image to PNG bytes, pixel value supplied per (x,y).
     * JDK-only; used by tests and the synthetic-media gate generator. */
   def pngBytes(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {

@@ -670,6 +670,100 @@ object Similarity {
         coalesce(col("__d"), lit(false)).unary_!.as("is_kept"))
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space complement
+    * of the n-gram overlap decontamination in
+    * [[Curation.decontaminate]]: a paraphrased eval item shares no
+    * 8-gram with its source but sits at cosine ~1 next to it. Flags
+    * every corpus vector whose cosine against ANY benchmark vector
+    * reaches `threshold`, reporting the best match (max cos, benchmark
+    * id as tie-break): (corpusId, benchId, cos).
+    *
+    * Scale shape: the benchmark side is SMALL by nature (an eval suite
+    * is thousands of items, the corpus is billions) — both sides take
+    * the same `bits`-plane LSH sign bucket and the benchmark frame
+    * broadcasts, so the corpus is ONE scan with a broadcast hash join
+    * on the bucket key: zero corpus shuffle, candidates only within
+    * matching buckets (identical vectors always collide; the recall
+    * trade for paraphrases is per-hyperplane, as in [[semDedupLsh]]).
+    * The per-corpus-id argmax window partitions on the corpus id —
+    * bounded by that id's candidate count, never corpus-wide.
+    * Requires `idCol` != `benchIdCol` (both appear in the output). */
+  def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      dim: Int, bits: Int, threshold: Double, scale: Int = 6,
+      seed: Int = 42): DataFrame = {
+    require(idCol != benchIdCol,
+      "corpus and benchmark id columns must have distinct names")
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("__v"),
+      lshBucket(col(vecCol), dim, bits, seed).as("__b"))
+    val b = bench.select(col(benchIdCol),
+      transform(col(benchVecCol), _.cast("double")).as("__bv"),
+      lshBucket(col(benchVecCol), dim, bits, seed).as("__b"))
+    val cand = c.join(broadcast(b), Seq("__b"))
+      .select(col(idCol), col(benchIdCol),
+        cosineCols(col("__v"), col("__bv"), scale).as("cos"))
+      .filter(col("cos") >= threshold)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col(benchIdCol).asc)
+    cand.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /** RAG context assembly — retrieval plus token-budgeted packing in one
+    * pass: for each query vector, rank same-LSH-bucket corpus candidates
+    * by cosine (id tie-break) and keep the top-ranked PREFIX whose
+    * cumulative token count fits `budgetTokens` (the standard
+    * truncate-at-budget context window; deterministic, no sequential
+    * skip-and-continue dependency). Output: (qid, id, cos, rk,
+    * n_tokens, cum_tokens) for every kept candidate.
+    *
+    * Scale shape: the query set is small (a batch of prompts) and
+    * BROADCASTS with its bucket key — the corpus is ONE scan + broadcast
+    * hash join, zero corpus shuffle (the [[semanticContamination]]
+    * layout). Ranking and the running token sum share one window
+    * partitioned by qid, bounded by that query's bucket population —
+    * never corpus-wide. `tokCol` is the corpus frame's per-doc token
+    * count column. Requires `idCol` != `qidCol`. */
+  def retrieveContext(corpus: DataFrame, idCol: String, vecCol: String,
+      tokCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      dim: Int, bits: Int, budgetTokens: Long, scale: Int = 6,
+      seed: Int = 42): DataFrame = {
+    require(idCol != qidCol,
+      "corpus and query id columns must have distinct names")
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol), col(tokCol).as("n_tokens"),
+      transform(col(vecCol), _.cast("double")).as("__v"),
+      lshBucket(col(vecCol), dim, bits, seed).as("__b"))
+    val q = queries.select(col(qidCol),
+      transform(col(qvecCol), _.cast("double")).as("__qv"),
+      lshBucket(col(qvecCol), dim, bits, seed).as("__b"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    c.join(broadcast(q), Seq("__b"))
+      .select(col(qidCol), col(idCol), col("n_tokens"),
+        cosineCols(col("__v"), col("__qv"), scale).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(qidCol), col(idCol), col("cos"), col("rk"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Apply [[semanticContamination]]: the corpus minus flagged rows
+    * (one broadcast-bucket probe + an anti-join on the id). */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      dim: Int, bits: Int, threshold: Double, scale: Int = 6,
+      seed: Int = 42): DataFrame = {
+    val flags = semanticContamination(corpus, idCol, vecCol,
+      bench, benchIdCol, benchVecCol, dim, bits, threshold, scale, seed)
+    corpus.join(flags.select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** IVF: assign every vector to its nearest of `nCells` Lloyd-TRAINED
     * centroids ([[trainedCentroids]] — `iters` assignment rounds of the
     * deterministic kmeans machinery), then score only the `nProbe`

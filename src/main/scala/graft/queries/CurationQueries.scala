@@ -898,6 +898,30 @@ object CurationQueries {
         FROM documents""")),
 
     GraftQuery(
+      "q234_balanced_shards",
+      (s, dir) => {
+        // snake-draft shard export: 8 fixed shards, whole documents,
+        // per-shard token totals within one max-document of equal. The
+        // oracle replays the serpentine arithmetic over the same global
+        // (tokens desc, id) rank.
+        val d = Tables.load(s, dir, "documents")
+        Curation.balancedShards(d.select("doc_id", "lang", "text"),
+            "doc_id",
+            graft.functions.TextFunctions.tokenCount(col("text")).cast("long"),
+            nShards = 8)
+          .select("doc_id", "lang", "n_tokens", "shard")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+            CAST(len($Toks5Sql) AS BIGINT) AS n_tokens FROM documents),
+          r AS (SELECT doc_id, lang, n_tokens,
+            row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS pos
+            FROM t)
+        SELECT doc_id, lang, n_tokens,
+          CAST(CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8
+               ELSE 7 - (pos % 8) END AS BIGINT) AS shard
+        FROM r""")),
+
+    GraftQuery(
       "q61_decontaminate",
       (s, dir) => {
         // benchmark decontamination: any shared word 5-gram with the

@@ -107,6 +107,48 @@ object GraphQueries {
       }),
 
     GraftQuery(
+      "q232_link_prediction",
+      (s, dir) => {
+        // missing-link scoring over a 2000-node domain graph: top-1000
+        // non-adjacent pairs by Resource-Allocation score (integer
+        // micro-units), with common-neighbor counts and rounded-ln
+        // Adamic–Adar. At the gate SF the mean degree (~15) sits under
+        // the 64 hub cap so the wedge join is fully populated; at 10×
+        // density every node crosses the cap and the score set empties —
+        // exactly the documented hub-evidence semantics.
+        val o = Tables.load(s, dir, "orders")
+        val edges = o.select(
+          concat(lit("n"), col("o_custkey") % 2000).as("src"),
+          concat(lit("n"), col("o_orderkey") % 2000).as("dst"))
+        graft.operators.Graphs.linkPrediction(edges, "src", "dst",
+          minCommon = 2, maxViaDegree = 64, topK = 1000)
+      },
+      Some {
+        val lnR = graft.functions.SafeMath.roundHalfUpSql("ln(deg)", 8)
+        s"""WITH d0 AS (SELECT DISTINCT 'n' || (o_custkey % 2000) AS a,
+              'n' || (o_orderkey % 2000) AS b FROM orders
+            WHERE 'n' || (o_custkey % 2000) <> 'n' || (o_orderkey % 2000)),
+          und AS (SELECT a, b FROM d0 UNION SELECT b, a FROM d0),
+          deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY a),
+          viaw AS (SELECT node AS via, 1000000 // deg AS ra_w,
+              CAST(FLOOR(1000000.0E0 / ($lnR) + 0.5E0) AS BIGINT) AS aa_w
+            FROM deg WHERE deg <= 64 AND deg >= 2),
+          wedge AS (SELECT l.a AS u, r.a AS v, w.ra_w, w.aa_w
+            FROM und l JOIN viaw w ON l.b = w.via
+            JOIN und r ON r.b = w.via
+            WHERE l.a < r.a),
+          agg AS (SELECT u AS a, v AS b, COUNT(*) AS common,
+              SUM(ra_w) AS ra_micro, SUM(aa_w) AS aa_micro
+            FROM wedge GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          cand AS (SELECT * FROM agg g WHERE NOT EXISTS (
+            SELECT 1 FROM und e WHERE e.a = g.a AND e.b = g.b))
+        SELECT a, b, CAST(common AS BIGINT) AS common,
+          CAST(ra_micro AS BIGINT) AS ra_micro,
+          CAST(aa_micro AS BIGINT) AS aa_micro
+        FROM cand ORDER BY ra_micro DESC, a ASC, b ASC LIMIT 1000"""
+      }),
+
+    GraftQuery(
       "q160_bfs_levels",
       (s, dir) => {
         // hop distance from a seed over the same domain graph — the

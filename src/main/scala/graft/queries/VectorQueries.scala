@@ -306,6 +306,83 @@ object VectorQueries {
         ORDER BY cos DESC, vec_id ASC LIMIT 10""")),
 
     GraftQuery(
+      "q233_semantic_decontam",
+      (s, dir) => {
+        // embedding-space benchmark decontamination: every 7th vector
+        // doubles as a "benchmark item" (distinct id space), so the
+        // planted contamination is exact (cos 1.0, same LSH bucket by
+        // construction — the broadcast bucket probe can't miss it) and
+        // the 0.25 threshold also surfaces genuine in-bucket near
+        // matches, exercising the per-corpus-id argmax.
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val bench = e.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 5000000L).as("bench_id"), col("embedding"))
+        graft.operators.Similarity.semanticContamination(
+          e, "vec_id", "embedding", bench, "bench_id", "embedding",
+          Dim, bits = 6, threshold = 0.25)
+      },
+      Some(s"""WITH bench AS (SELECT vec_id + 5000000 AS bench_id, embedding
+              FROM embeddings WHERE vec_id % 7 = 0),
+          cb AS (SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS b
+            FROM embeddings),
+          bb AS (SELECT bench_id, embedding, ${bucketSql("embedding", 6)} AS b
+            FROM bench),
+          cand AS (SELECT cb.vec_id, bb.bench_id,
+              ${cosSql("cb.embedding", "bb.embedding")} AS cos
+            FROM cb JOIN bb ON cb.b = bb.b),
+          r AS (SELECT vec_id, bench_id, cos,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, bench_id ASC) AS rk
+            FROM cand WHERE cos >= 0.25E0)
+        SELECT vec_id, bench_id, cos FROM r WHERE rk = 1""")),
+
+    GraftQuery(
+      "q235_rag_context",
+      (s, dir) => {
+        // retrieval-augmented context assembly: every 100th vector is a
+        // "prompt", candidates come from its LSH bucket (16 buckets →
+        // ~30 candidates each), and the cosine-ranked prefix that fits
+        // a 300-token budget is the assembled context. Token counts
+        // join in from the documents table on the shared id space.
+        import graft.functions.TextFunctions
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+        val corpus = e.join(d, e("vec_id") === d("doc_id"))
+          .select(col("vec_id"), col("embedding"), col("n_toks"))
+        val qs = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        graft.operators.Similarity.retrieveContext(
+          corpus, "vec_id", "embedding", "n_toks",
+          qs, "qid", "embedding", Dim, bits = 4, budgetTokens = 300L)
+      },
+      Some {
+        val toks =
+          """len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))"""
+        s"""WITH tk AS (SELECT doc_id, CAST($toks AS BIGINT) AS n_tokens
+              FROM documents),
+          cb AS (SELECT e.vec_id, e.embedding, tk.n_tokens,
+              ${bucketSql("e.embedding", 4)} AS b
+            FROM embeddings e JOIN tk ON e.vec_id = tk.doc_id),
+          qb AS (SELECT vec_id AS qid, embedding,
+              ${bucketSql("embedding", 4)} AS b
+            FROM embeddings WHERE vec_id % 100 = 0),
+          cand AS (SELECT qb.qid, cb.vec_id, cb.n_tokens,
+              ${cosSql("cb.embedding", "qb.embedding")} AS cos
+            FROM cb JOIN qb ON cb.b = qb.b),
+          r AS (SELECT qid, vec_id, cos, n_tokens,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk,
+              SUM(n_tokens) OVER (PARTITION BY qid
+                ORDER BY cos DESC, vec_id ASC
+                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM cand)
+        SELECT qid, vec_id, cos, rk, n_tokens,
+          CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM r WHERE cum_tokens <= 300"""
+      }),
+
+    GraftQuery(
       "q206_hard_negatives",
       (s, dir) => {
         // contrastive-training mining: per anchor, the 3 most-similar
@@ -421,6 +498,27 @@ object VectorQueries {
         CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_r,
         CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_g,
         CAST(doc_id * 29 % 256 AS DOUBLE) AS mean_b
+        FROM documents""")),
+
+    GraftQuery(
+      "q236_png_header_dims",
+      (s, dir) => {
+        // zero-decode dimension census over REAL PNG payloads: the dims
+        // come from a 24-byte codegen'd header peek, never a decode —
+        // the oracle predicts them from the same id derivation, so an
+        // offset slip or endianness error breaks the hash. Same
+        // synthetic blobs as q194; the two gates together prove the
+        // header peek agrees with the full decode.
+        val d = Tables.load(s, dir, "documents").select("doc_id")
+        Multimodal.pngHeaderDims(
+          Multimodal.attachSyntheticPng(d, "doc_id"),
+          "media_id", "media_bytes")
+      },
+      Some("""SELECT doc_id AS media_id,
+        CAST(doc_id % 16 + 1 AS BIGINT) AS width,
+        CAST(doc_id % 8 + 1 AS BIGINT) AS height,
+        CAST((1000 * (doc_id % 16 + 1)) // (doc_id % 8 + 1) AS BIGINT)
+          AS aspect_milli
         FROM documents""")),
 
     GraftQuery(

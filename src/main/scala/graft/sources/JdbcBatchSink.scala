@@ -210,8 +210,24 @@ object JdbcBatchSink {
     }
   }
 
+  /** Open with a bounded retry: the embedded engine's per-path instance
+    * cache can transiently fail `getConnection` when an open races a
+    * just-finished close of the same file in one process (driver-side
+    * ensureTable → executor-side writer is exactly that interval; seen
+    * as a startup "Failed to deserialize" SQLException with the file
+    * itself intact). A real corruption fails all attempts and
+    * propagates — the retry only absorbs the open/close race. */
   private def withConnection[T](url: String)(body: Connection => T): T = {
-    val conn = DriverManager.getConnection(url)
+    var attempt = 0
+    var conn: Connection = null
+    while (conn == null) {
+      try conn = DriverManager.getConnection(url)
+      catch {
+        case _: SQLException if attempt < 4 =>
+          attempt += 1
+          Thread.sleep(50L << attempt)
+      }
+    }
     try body(conn) finally conn.close()
   }
 }

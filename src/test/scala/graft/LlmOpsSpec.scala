@@ -1391,6 +1391,112 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(anchor1.map(_.getLong(1)).toSeq === Seq(4L, 3L))
   }
 
+  test("linkPrediction scores the square's diagonals, exactly") {
+    // 4-cycle a-b-c-d-a: the only non-adjacent pairs are the diagonals,
+    // each sharing both its endpoints' neighbors (deg 2 everywhere)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val r = graft.operators.Graphs.linkPrediction(e, "src", "dst",
+        minCommon = 2, maxViaDegree = 64, topK = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Long]("common"), x.getAs[Long]("ra_micro"),
+          x.getAs[Long]("aa_micro"))).toMap
+    // ra: 2 × (1000000 div 2); aa: 2 × round(1e6 / round8(ln 2))
+    assert(r === Map(
+      ("a", "c") -> ((2L, 1000000L, 2885390L)),
+      ("b", "d") -> ((2L, 1000000L, 2885390L))))
+  }
+
+  test("linkPrediction hub cap drops evidence through hot via nodes") {
+    // star: every leaf pair's ONLY shared neighbor is the hub (deg 5) —
+    // capping via degree at 4 removes all candidates, uncapped keeps them
+    val e = (1 to 5).map(i => ("h", s"x$i")).toDF("src", "dst")
+    assert(graft.operators.Graphs.linkPrediction(e, "src", "dst",
+      minCommon = 1, maxViaDegree = 4).count() === 0L)
+    val open = graft.operators.Graphs.linkPrediction(e, "src", "dst",
+      minCommon = 1, maxViaDegree = 5)
+    assert(open.count() === 10L) // C(5,2) leaf pairs
+    // existing edges never appear: no (h, x_i) row
+    assert(!open.collect().exists(r =>
+      r.getString(0) == "h" || r.getString(1) == "h"))
+  }
+
+  test("balancedShards snake draft equalizes per-shard token totals") {
+    val docs = Seq(80L, 70L, 60L, 50L, 40L, 30L, 20L, 10L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val r = graft.operators.Curation
+      .balancedShards(docs, "doc_id", col("t"), nShards = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("shard"))).toMap
+    // rank order = token desc; blocks of 2 serpentine: 0,1 | 1,0 | 0,1 | 1,0
+    assert(r(0L) === ((80L, 0L)) && r(1L) === ((70L, 1L)))
+    assert(r(2L) === ((60L, 1L)) && r(3L) === ((50L, 0L)))
+    assert(r(4L) === ((40L, 0L)) && r(5L) === ((30L, 1L)))
+    assert(r(6L) === ((20L, 1L)) && r(7L) === ((10L, 0L)))
+    val totals = r.values.groupMapReduce(_._2)(_._1)(_ + _)
+    assert(totals === Map(0L -> 180L, 1L -> 180L))
+  }
+
+  test("pngHeaderDims: header peek matches real PNGs, rejects garbage") {
+    val png = Multimodal.pngBytes(19, 7, (_, _) => 0x336699)
+    val rows = Seq(
+      (1L, png),
+      (2L, "definitely not a png".getBytes("UTF-8")),
+      (3L, png.take(20)), // truncated before the dims
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "media_bytes")
+    val r = Multimodal.pngHeaderDims(rows, "id", "media_bytes")
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(1)), Option(x.get(2)), Option(x.get(3)))).toMap
+    assert(r(1L) === ((Some(19L), Some(7L), Some(2714L)))) // 19000 div 7
+    assert(r(2L) === ((None, None, None)))
+    assert(r(3L) === ((None, None, None)))
+    assert(r(4L) === ((None, None, None)))
+  }
+
+  test("semanticContamination flags planted dups with min-id best match") {
+    val base = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0.9f, 0.1f, 0f, 0f))
+    val corpus = base.toDF("vec_id", "embedding")
+    // two identical benchmark copies of vector 1 → best match = min id
+    val bench = Seq(100L -> Array(1f, 0f, 0f, 0f),
+      101L -> Array(1f, 0f, 0f, 0f)).toDF("bench_id", "embedding")
+    val r = graft.operators.Similarity.semanticContamination(
+        corpus, "vec_id", "embedding", bench, "bench_id", "embedding",
+        dim = 4, bits = 2, threshold = 0.995)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Long]("bench_id"), x.getAs[Double]("cos"))).toMap
+    assert(r.contains(1L) && r(1L) === ((100L, 1.0)))
+    assert(!r.contains(2L)) // orthogonal — never near the benchmark
+    val cleaned = graft.operators.Similarity.semanticDecontaminate(
+      corpus, "vec_id", "embedding", bench, "bench_id", "embedding",
+      dim = 4, bits = 2, threshold = 0.995)
+    assert(cleaned.select("vec_id").collect().map(_.getLong(0)).toSet
+      === base.map(_._1).toSet - 1L)
+  }
+
+  test("retrieveContext keeps the cosine-ranked prefix within budget") {
+    // one query; three same-direction candidates (all share the LSH
+    // bucket of the query) with descending cosine and 5 tokens each
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f), 5L),
+      (11L, Array(0.9f, 0.1f, 0f, 0f), 5L),
+      (12L, Array(0.8f, 0.2f, 0f, 0f), 5L)
+    ).toDF("id", "embedding", "n_toks")
+    val qs = Seq(1L -> Array(1f, 0f, 0f, 0f)).toDF("qid", "embedding")
+    val r = graft.operators.Similarity.retrieveContext(
+        corpus, "id", "embedding", "n_toks", qs, "qid", "embedding",
+        dim = 4, bits = 1, budgetTokens = 12L)
+      .orderBy("rk").collect()
+    // budget 12 fits ranks 1-2 (cum 5, 10); rank 3 would hit 15
+    assert(r.map(_.getAs[Long]("id")).toSeq === Seq(10L, 11L))
+    assert(r.map(_.getAs[Int]("rk")).toSeq === Seq(1, 2))
+    assert(r.map(_.getAs[Long]("cum_tokens")).toSeq === Seq(5L, 10L))
+    assert(r(0).getAs[Double]("cos") === 1.0)
+  }
+
   test("hllOverlap of identical groups: union equals each side") {
     val rows = ((1L to 400L).map(k => ("a", k)) ++
       (1L to 400L).map(k => ("b", k))).toDF("g", "k")
