@@ -1128,4 +1128,181 @@ object Curation {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Zipf-law fit audit over the corpus token-frequency distribution —
+    * the classic "is this corpus natural text?" check: natural language
+    * follows freq ∝ rank^slope with slope ≈ −1; machine-generated spam,
+    * template farms, and truncated crawls bend the curve. One output row:
+    * (n_types, slope, intercept, r2) from an ordinary least-squares fit
+    * of ln(freq) against ln(rank).
+    *
+    * Scale shape: the frequency table is a vocab-sized aggregate with
+    * map-side combine; the global rank comes from
+    * [[GlobalSort.withGlobalRank]] (range-partitioned, never a
+    * single-partition window); the fit is ONE scalar aggregate over the
+    * vocab. Cross-engine FP: each ln is snapped to integer milli-units
+    * (scale 3) so the Σx, Σy, Σxy, Σx², Σy² sums are exact BIGINTs whose
+    * double casts are exact (bounds: |Σxy| < 2⁵³ up to ~10⁹ types), and
+    * the closed-form slope/intercept/r² arithmetic is then bit-identical
+    * IEEE on both engines — the only cross-engine surface is ln itself,
+    * handled by the scale-3 snap (the q82 recipe). */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val freq = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = GlobalSort.withGlobalRank(freq,
+      Seq(col("cnt").desc, col("tok").asc), rankCol = "rank")
+    val pts = ranked.select(
+      floor(log(col("rank").cast("double")) * lit(1000.0) + lit(0.5))
+        .cast("long").as("x3"),
+      floor(log(col("cnt").cast("double")) * lit(1000.0) + lit(0.5))
+        .cast("long").as("y3"))
+    val s = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x3")).as("sx"), sum(col("y3")).as("sy"),
+      sum(col("x3") * col("y3")).as("sxy"),
+      sum(col("x3") * col("x3")).as("sxx"),
+      sum(col("y3") * col("y3")).as("syy"))
+    // real-unit sums as exact doubles (micro-unit BIGINT / exact power
+    // of ten — single correctly-rounded op on both engines)
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double") / lit(1000.0)
+    val syd = col("sy").cast("double") / lit(1000.0)
+    val sxyd = col("sxy").cast("double") / lit(1000000.0)
+    val sxxd = col("sxx").cast("double") / lit(1000000.0)
+    val syyd = col("syy").cast("double") / lit(1000000.0)
+    val num = (nd * sxyd) - (sxd * syd)
+    val denX = (nd * sxxd) - (sxd * sxd)
+    val denY = (nd * syyd) - (syd * syd)
+    val slope = when(denX === 0.0, lit(0.0)).otherwise(num / denX)
+    import graft.functions.SafeMath.roundHalfUp
+    s.select(col("n").as("n_types"),
+      roundHalfUp(slope, 6).as("slope"),
+      roundHalfUp(when(col("n") === 0, lit(0.0))
+        .otherwise((syd - (slope * sxd)) / nd), 6).as("intercept"),
+      roundHalfUp(when((denX * denY) === 0.0, lit(0.0))
+        .otherwise((num * num) / (denX * denY)), 6).as("r2"))
+  }
+
+  /** Interpolated Kneser–Ney bigram LM scoring — the CCNet/KenLM-style
+    * perplexity filter with the smoothing real LM toolkits use, vs the
+    * add-one baseline of [[bigramLogProb]]: P(c|p) = (c(p,c) − D)/c(p·)
+    * + (D·N1+(p·)/c(p·)) · N1+(·c)/N1+(··) with absolute discount D.
+    * Scoring the training corpus itself means every scored bigram was
+    * observed, so the max(·,0) clamp of the general formula is vacuous
+    * (c(p,c) ≥ 1 > D) and every prefix has c(p·) ≥ 1 — no zero guards
+    * needed. Output per doc: (id, n_bigrams, kn_nll) where kn_nll is the
+    * mean per-bigram negative log-likelihood.
+    *
+    * Scale shape: bigrams come from the codegen'd WordShingles scan
+    * (k=2, split on the single inner space — tokens are whitespace-free
+    * by construction); ALL model stats (c(p,c), c(p·), N1+(p·), N1+(·c),
+    * N1+(··)) derive from the ONE bigram-vocab-sized count table, which
+    * is localCheckpoint'd so corpus text is scanned exactly once for
+    * counting and once for scoring; the scoring join touches stats
+    * tables bounded by vocab, never corpus × corpus. Cross-engine FP:
+    * the probability is pure IEEE arithmetic on exact integer counts
+    * with mirrored parenthesization, ln is rounded at scale 8 and summed
+    * as DECIMAL (the q82/q166 recipe). */
+  def knBigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val big = docs
+      .select(col(idCol).as("__doc"),
+        explode(TextFunctions.shingles(col(textCol), 2)).as("g"))
+      .select(col("__doc"),
+        substring_index(col("g"), " ", 1).as("p"),
+        substring_index(col("g"), " ", -1).as("c"))
+    val bc = big.groupBy("p", "c").agg(count(lit(1)).as("bc"))
+      .localCheckpoint() // bigram-vocab-sized; feeds 3 aggs + the join
+    val pstats = bc.groupBy("p")
+      .agg(sum(col("bc")).as("pc"), count(lit(1)).as("n1p"))
+    val cstats = bc.groupBy("c").agg(count(lit(1)).as("ncp"))
+    val b = bc.count() // N1+(··): total distinct bigrams, driver scalar
+    val d = lit(discount)
+    val prob =
+      ((col("bc").cast("double") - d) / col("pc").cast("double")) +
+        (((d * col("n1p").cast("double")) / col("pc").cast("double")) *
+          (col("ncp").cast("double") / lit(b.toDouble)))
+    val per = big
+      .join(bc, Seq("p", "c"))
+      .join(pstats, Seq("p"))
+      .join(cstats, Seq("c"))
+      .select(col("__doc"),
+        SafeMath.roundHalfUp(-log(prob), 8)
+          .cast(DecimalType(28, 8)).as("nll8"))
+    val agg = per.groupBy("__doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        SafeMath.roundHalfUp(
+          sum(col("nll8")).cast("double") / count(lit(1)), scale)
+          .as("kn_nll"))
+    docs.select(col(idCol))
+      .join(agg.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_nll"), lit(0.0)).as("kn_nll"))
+  }
+
+  /** In-engine logistic-regression TRAINING by full-batch gradient
+    * descent — the fastText-style quality-classifier loop run as Spark
+    * aggregates instead of a driver-side ML library: each epoch is ONE
+    * map-side-combined scalar aggregate over the corpus (the gradient),
+    * and the weight vector (k+1 scalars) is the only driver state. The
+    * link is the rational "fast sigmoid" σ(z) = 0.5 + (z/2)/(1+|z|):
+    * same shape and gradient sign as the logistic link but built from
+    * IEEE add/mul/div/abs only, so both engines compute bit-identical
+    * probabilities — no exp(), no libm divergence surface at all.
+    *
+    * Everything lives in integer micro-units (the q230/q232 discipline):
+    * features snap to scale-4 BIGINTs, weights to scale-8, probabilities
+    * to scale-4; z = w·x is exact BIGINT arithmetic at scale 12 whose
+    * double cast is exact, and the gradient Σ(p−y)·x is an exact BIGINT
+    * sum (double-cast-exact up to ~10⁷ rows per the 2⁵³ bound — shard
+    * epochs beyond that). The update w ← w − round8(lr·g/n) is the same
+    * double expression on driver and oracle. Deterministic end-to-end:
+    * same data ⇒ same weights ⇒ same scores, hash-gateable.
+    *
+    * Output per row: (idCol, y, score8, pred) — final-epoch probability
+    * in scale-8 units and the 0.5-threshold prediction. */
+  def trainLogistic(df: DataFrame, idCol: String, label: Column,
+      features: Seq[Column], epochs: Int = 3, lr: Double = 0.5): DataFrame = {
+    require(features.nonEmpty && epochs >= 1)
+    val k = features.size
+    val fCols = features.zipWithIndex.map { case (f, j) =>
+      floor((f * lit(10000.0)) + lit(0.5)).cast("long").as(s"__f$j") }
+    val base = df.select(
+      Seq(col(idCol).as("__id"), label.cast("long").as("y")) ++ fCols: _*)
+      .localCheckpoint() // features computed once, reread per epoch
+    val n = base.count()
+    val nD = n.toDouble
+    require(n > 0, "trainLogistic: empty input")
+
+    def zMicro(w: Array[Long]): Column = // scale-12 BIGINT units
+      (1 to k).foldLeft(lit(w(0)) * lit(10000L)) { (acc, j) =>
+        acc + (lit(w(j)) * col(s"__f${j - 1}")) }
+    def sigOf(z: Column): Column = { // exact-cast z, rational sigmoid
+      val zd = z.cast("double") / lit(1.0e12)
+      lit(0.5) + ((zd / lit(2.0)) / (lit(1.0) + abs(zd)))
+    }
+
+    val w = Array.fill(k + 1)(0L) // scale-8 units; w(0) = bias
+    for (_ <- 1 to epochs) {
+      val r = floor((sigOf(zMicro(w)) * lit(10000.0)) + lit(0.5))
+        .cast("long") - (col("y") * lit(10000L))
+      val aggs = sum(r).as("g0") +:
+        (1 to k).map(j => sum(r * col(s"__f${j - 1}")).as(s"g$j"))
+      val row = base.agg(aggs.head, aggs.tail: _*).head()
+      val g0 = row.getLong(0)
+      w(0) -= math.floor((lr * (g0.toDouble / nD)) * 10000.0 + 0.5).toLong
+      for (j <- 1 to k) {
+        val gj = row.getLong(j)
+        w(j) -= math.floor(lr * (gj.toDouble / nD) + 0.5).toLong
+      }
+    }
+    val score8 = floor((sigOf(zMicro(w)) * lit(100000000.0)) + lit(0.5))
+      .cast("long")
+    base.select(col("__id").as(idCol), col("y"), score8.as("score8"),
+      (score8 >= lit(50000000L)).as("pred"))
+  }
 }

@@ -1157,6 +1157,166 @@ object CurationQueries {
               "COALESCE(o_orderpriority, chr(0))")} AS rk
           FROM orders)
         SELECT bucket, COUNT(*) AS n_rows, bit_xor(rk) AS xor_key
-        FROM r GROUP BY 1"""))
+        FROM r GROUP BY 1""")),
+
+    GraftQuery(
+      "q237_kn_bigram_nll",
+      (s, dir) => Curation.knBigramLogProb(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      // interpolated Kneser-Ney (D=0.75) sibling of q166's add-one LM:
+      // all stats derive from the distinct-bigram count table; the
+      // probability is pure IEEE arithmetic on integer counts with
+      // mirrored parenthesization, ln rounded at scale 8 (q82 recipe)
+      Some(s"""WITH d AS (SELECT doc_id AS doc, $Toks5Sql AS toks
+            FROM documents),
+          big AS (SELECT doc,
+              unnest(list_slice(toks, 1, len(toks) - 1)) AS p,
+              unnest(list_slice(toks, 2, len(toks))) AS c
+            FROM d WHERE len(toks) >= 2),
+          bc AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS bc FROM big
+            GROUP BY 1, 2),
+          ps AS (SELECT p, CAST(SUM(bc) AS BIGINT) AS pc,
+              CAST(COUNT(*) AS BIGINT) AS n1p FROM bc GROUP BY p),
+          cs AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS ncp FROM bc
+            GROUP BY c),
+          tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bc),
+          per AS (SELECT big.doc, ${graft.functions.SafeMath.roundHalfUpSql(
+            "-ln(((CAST(bc.bc AS DOUBLE) - 0.75E0) / CAST(ps.pc AS DOUBLE)) + " +
+              "(((0.75E0 * CAST(ps.n1p AS DOUBLE)) / CAST(ps.pc AS DOUBLE)) * " +
+              "(CAST(cs.ncp AS DOUBLE) / CAST(tb.b AS DOUBLE))))", 8)} AS nll8
+            FROM big JOIN bc ON bc.p = big.p AND bc.c = big.c
+            JOIN ps ON ps.p = big.p JOIN cs ON cs.c = big.c, tb),
+          agg AS (SELECT doc, COUNT(*) AS n_bigrams,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(SUM(CAST(nll8 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)",
+              6)} AS kn_nll
+            FROM per GROUP BY doc)
+        SELECT dd.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+          COALESCE(a.kn_nll, 0.0E0) AS kn_nll
+        FROM documents dd LEFT JOIN agg a ON a.doc = dd.doc_id""")),
+
+    GraftQuery(
+      "q238_train_logistic",
+      (s, dir) => {
+        val t = col("text")
+        Curation.trainLogistic(Tables.load(s, dir, "documents"), "doc_id",
+          when(col("lang") === "en", 1L).otherwise(0L),
+          Seq(
+            least(graft.functions.TextFunctions.tokenCount(t)
+              .cast("double") / lit(100.0), lit(1.0)),
+            graft.functions.TextFunctions.stopwordRatio(t),
+            graft.functions.TextFunctions.punctRatio(t),
+            graft.functions.TextFunctions.meanTokenLen(t) / lit(10.0)),
+          epochs = 3, lr = 0.5)
+      },
+      Some(logisticOracleSql(epochs = 3, lr = 0.5))),
+
+    GraftQuery(
+      "q239_zipf_fit",
+      (s, dir) => Curation.zipfFit(Tables.load(s, dir, "documents"), "text"),
+      Some {
+        // micro-unit sums are exact BIGINTs on both engines; the OLS
+        // closed form is then bit-identical IEEE (splice the shared
+        // num/den fragments so both engines fold identically)
+        val nd = "CAST(n AS DOUBLE)"
+        val sxd = "(CAST(sx AS DOUBLE) / 1000.0E0)"
+        val syd = "(CAST(sy AS DOUBLE) / 1000.0E0)"
+        val sxyd = "(CAST(sxy AS DOUBLE) / 1000000.0E0)"
+        val sxxd = "(CAST(sxx AS DOUBLE) / 1000000.0E0)"
+        val syyd = "(CAST(syy AS DOUBLE) / 1000000.0E0)"
+        val num = s"(($nd * $sxyd) - ($sxd * $syd))"
+        val denX = s"(($nd * $sxxd) - ($sxd * $sxd))"
+        val denY = s"(($nd * $syyd) - ($syd * $syd))"
+        val slope = s"(CASE WHEN $denX = 0.0E0 THEN 0.0E0 ELSE $num / $denX END)"
+        s"""WITH toks AS (SELECT unnest($Toks5Sql) AS tok FROM documents),
+          freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+            GROUP BY tok),
+          ranked AS (SELECT cnt,
+              ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+            FROM freq),
+          pts AS (SELECT
+              CAST(FLOOR((ln(CAST(rank AS DOUBLE)) * 1000.0E0) + 0.5E0)
+                AS BIGINT) AS x3,
+              CAST(FLOOR((ln(CAST(cnt AS DOUBLE)) * 1000.0E0) + 0.5E0)
+                AS BIGINT) AS y3
+            FROM ranked),
+          s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x3) AS BIGINT) AS sx, CAST(SUM(y3) AS BIGINT) AS sy,
+              CAST(SUM(x3 * y3) AS BIGINT) AS sxy,
+              CAST(SUM(x3 * x3) AS BIGINT) AS sxx,
+              CAST(SUM(y3 * y3) AS BIGINT) AS syy
+            FROM pts)
+        SELECT n AS n_types,
+          ${graft.functions.SafeMath.roundHalfUpSql(slope, 6)} AS slope,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            s"(CASE WHEN n = 0 THEN 0.0E0 ELSE ($syd - ($slope * $sxd)) / $nd END)",
+            6)} AS intercept,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            s"(CASE WHEN ($denX * $denY) = 0.0E0 THEN 0.0E0 ELSE ($num * $num) / ($denX * $denY) END)",
+            6)} AS r2
+        FROM s"""
+      })
   )
+
+  /** Generated oracle for q238: the full-batch GD epoch chain unrolled as
+    * CTEs — each epoch is one scored frame (zd, rational sigmoid, residual
+    * in scale-4 units), one gradient aggregate, one 1-row weight update,
+    * all in the same integer micro-units as [[Curation.trainLogistic]]. */
+  private def logisticOracleSql(epochs: Int, lr: Double): String = {
+    val cnt = s"len($Toks5Sql)"
+    val stopList =
+      graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
+    val featSql = Seq(
+      s"LEAST(CAST($cnt AS DOUBLE) / 100.0E0, 1.0E0)",
+      s"""(CASE WHEN $cnt = 0 THEN 0.0E0 ELSE
+        CAST(len(list_filter($Toks5Sql, x -> list_contains([$stopList], x))) AS DOUBLE) / $cnt END)""",
+      s"""(CASE WHEN length(text) = 0 THEN 0.0E0 ELSE
+        CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END)""",
+      s"""((CASE WHEN $cnt = 0 THEN 0.0E0 ELSE
+        CAST(list_sum(list_transform($Toks5Sql, x -> length(x))) AS DOUBLE) / $cnt END) / 10.0E0)""")
+    val k = featSql.size
+    val fDefs = featSql.zipWithIndex.map { case (f, j) =>
+      s"CAST(FLOOR(($f * 10000.0E0) + 0.5E0) AS BIGINT) AS f$j" }
+      .mkString(",\n            ")
+    val lrs = s"${lr}E0"
+    def zSql(w: String): String =
+      (0 until k).foldLeft(s"($w.b * 10000)") { (acc, j) =>
+        s"($acc + ($w.w$j * f$j))" }
+    def sigSql: String = "(0.5E0 + ((zd / 2.0E0) / (1.0E0 + ABS(zd))))"
+    val sb = new StringBuilder
+    sb.append(s"""WITH f AS (SELECT doc_id,
+            CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS y,
+            $fDefs
+          FROM documents),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+          w0 AS (SELECT CAST(0 AS BIGINT) AS b, ${(0 until k)
+            .map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),\n""")
+    for (e <- 1 to epochs) {
+      val pw = s"w${e - 1}"
+      sb.append(s"""          s$e AS (SELECT doc_id, y, ${(0 until k)
+          .map(j => s"f$j").mkString(", ")},
+            CAST(FLOOR(($sigSql * 10000.0E0) + 0.5E0) AS BIGINT)
+              - (y * 10000) AS r
+          FROM (SELECT f.*,
+              (CAST(${zSql("w")} AS DOUBLE) / 1.0E12) AS zd
+            FROM f, $pw w) f),
+          g$e AS (SELECT CAST(SUM(r) AS BIGINT) AS g0, ${(0 until k)
+          .map(j => s"CAST(SUM(r * f$j) AS BIGINT) AS g${j + 1}")
+          .mkString(", ")} FROM s$e),
+          w$e AS (SELECT
+            CAST(w.b - CAST(FLOOR((($lrs * (CAST(g.g0 AS DOUBLE) / CAST(nn.n AS DOUBLE))) * 10000.0E0) + 0.5E0) AS BIGINT) AS BIGINT) AS b,
+            ${(0 until k).map(j =>
+            s"CAST(w.w$j - CAST(FLOOR(($lrs * (CAST(g.g${j + 1} AS DOUBLE) / CAST(nn.n AS DOUBLE))) + 0.5E0) AS BIGINT) AS BIGINT) AS w$j")
+          .mkString(",\n            ")}
+          FROM w${e - 1} w, g$e g, nn),\n""")
+    }
+    sb.append(s"""          scored AS (SELECT doc_id, y,
+            CAST(FLOOR(($sigSql * 100000000.0E0) + 0.5E0) AS BIGINT) AS score8
+          FROM (SELECT f.*,
+              (CAST(${zSql("w")} AS DOUBLE) / 1.0E12) AS zd
+            FROM f, w$epochs w) f)
+        SELECT doc_id, y, score8, (score8 >= 50000000) AS pred FROM scored""")
+    sb.toString
+  }
 }

@@ -1507,4 +1507,54 @@ class LlmOpsSpec extends AnyFunSuite {
     // overlap = a + b − union = a exactly (same rounded doubles)
     assert(r.getDouble(5) === r.getDouble(2))
   }
+
+  test("trainLogistic learns a separable boundary and is deterministic") {
+    import graft.operators.Curation
+    // y=1 rows have feature ≈ 0.9, y=0 rows ≈ 0.1 — cleanly separable
+    val rows = (1L to 200L).map { i =>
+      val y = i % 2
+      val f = if (y == 1) 0.9 + (i % 5) * 0.01 else 0.1 + (i % 5) * 0.01
+      (i, y, f)
+    }.toDF("id", "y", "f")
+    val out = Curation.trainLogistic(rows, "id", col("y"), Seq(col("f")),
+      epochs = 20, lr = 5.0).collect()
+    val acc = out.count(r => (r.getAs[Long]("y") == 1L) ==
+      r.getAs[Boolean]("pred")).toDouble / out.length
+    assert(acc === 1.0, s"separable data must reach accuracy 1.0, got $acc")
+    // replay-determinism: identical run, identical scores
+    val out2 = Curation.trainLogistic(rows, "id", col("y"), Seq(col("f")),
+      epochs = 20, lr = 5.0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq ===
+      out2.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq)
+  }
+
+  test("knBigramLogProb: repeated bigrams score cheaper than rare ones") {
+    import graft.operators.Curation
+    val d = Seq(
+      (1L, "a b a b a b a b"),  // only (a,b)/(b,a) — high-count bigrams
+      (2L, "a b c d e f g h"), // mostly once-seen bigrams
+      (3L, "x")                // no bigrams at all
+    ).toDF("doc_id", "text")
+    val m = Curation.knBigramLogProb(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("kn_nll"))).toMap
+    assert(m(3L) === ((0L, 0.0)))
+    assert(m(1L)._1 === 7L && m(2L)._1 === 7L)
+    assert(m(1L)._2 < m(2L)._2, "frequent bigrams must have lower NLL")
+    assert(m.values.forall(_._2 >= 0.0))
+  }
+
+  test("zipfFit recovers the slope of an exact power-law corpus") {
+    import graft.operators.Curation
+    // token t_r appears round(1000 / r) times: freq = 1000·rank^(-1)
+    val words = (1 to 20).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"tok$r%02d") }
+    val d = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = Curation.zipfFit(d, "text").collect()(0)
+    assert(row.getAs[Long]("n_types") === 20L)
+    val slope = row.getAs[Double]("slope")
+    assert(slope < -0.95 && slope > -1.05,
+      s"pure 1/rank corpus must fit slope ≈ −1, got $slope")
+    assert(row.getAs[Double]("r2") > 0.99)
+  }
 }
