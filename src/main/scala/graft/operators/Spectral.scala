@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SafeMath
+
+/** Spectral statistics over an embedding column — the "what direction does
+  * this corpus point in" family: top principal direction of the uncentered
+  * second-moment matrix via fixed-round power iteration, and the per-vector
+  * projection onto it (the 1-D "semantic axis" used for corpus drift plots,
+  * anisotropy audits, and whitening decisions before ANN indexing).
+  *
+  * Everything is deterministic and hash-gateable by the same discipline as
+  * the Lloyd machinery ([[Similarity.kmeans]]): the corpus-sized work is ONE
+  * scan producing exact integer moment sums; the d×d iteration runs on the
+  * driver (d² doubles of state) with mirrored IEEE arithmetic so a DuckDB
+  * oracle replays every round bit-for-bit.
+  *
+  * Scale shape: the moment matrix is computed by exploding each row into its
+  * d·(d+1)/2 upper-triangle (i, j) products — the standard outer-product
+  * cost of covariance, O(d²/2) per row — snapped to scale-`snap` BIGINTs and
+  * summed with full map-side combine, so the shuffle carries at most
+  * `tasks · d²/2` partial rows and only d²/2 totals reach the driver. The
+  * power iteration and normalization touch no corpus data; the final
+  * projection is one codegen'd [[graft.expressions.ArrayDot]] scan.
+  */
+object Spectral {
+
+  /** Exact upper-triangle second-moment sums: (i, j, s) with i <= j,
+    * s = Σ_rows round(x_i·x_j·10^snap) as DECIMAL(38,0) — exact at any
+    * corpus size; callers convert to doubles under an explicit 2⁵³ bound.
+    */
+  private def momentSums(e: DataFrame, dim: Int, snap: Int): DataFrame = {
+    val p = math.pow(10, snap)
+    // stacked generators for the in-row (i, j) fan-out (the CLAUDE-book
+    // pair-generation recipe) — a literal 2080-struct array would codegen
+    // one giant CreateArray and blow the janino method limit
+    e.select(col("__v"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
+      .select(col("__v"), col("i"),
+        explode(sequence(col("i"), lit(dim - 1))).as("j"))
+      .select(col("i"), col("j"),
+        floor(element_at(col("__v"), col("i") + 1) *
+          element_at(col("__v"), col("j") + 1) * lit(p) + lit(0.5))
+          .cast("long").cast(DecimalType(38, 0)).as("p9"))
+      .groupBy("i", "j")
+      .agg(sum(col("p9")).as("s"))
+  }
+
+  /** Top principal direction of the uncentered second-moment matrix,
+    * `iters` rounds of power iteration from the all-ones vector with
+    * ∞-norm normalization (no sqrt — division by the max-|component| is
+    * a single IEEE op both engines reproduce; components are snapped to
+    * scale 6 per round so the iteration state is exactly replayable).
+    * Uncentered on purpose: for embedding corpora the mean is part of the
+    * signal (anisotropy audits measure it), and centering would make the
+    * moment sums inexact. Sign convention: whatever the iteration
+    * converges to from the all-ones start — deterministic, not canonical.
+    */
+  def pc1Component(embeddings: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 4, snap: Int = 9): IndexedSeq[Double] = {
+    require(dim >= 1 && iters >= 1)
+    val e = embeddings
+      .select(transform(col(vecCol), _.cast("double")).as("__v"))
+    val rows = momentSums(e, dim, snap).collect()
+    val lim = java.math.BigDecimal.valueOf(1L << 53)
+    val m = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val s = r.getDecimal(2)
+      require(s.abs.compareTo(lim) < 0,
+        s"pc1Component: moment sum ${s} exceeds 2^53 at snap=$snap — " +
+          "lower `snap` so per-row products stay exactly summable")
+      val v = s.longValueExact().toDouble / math.pow(10, snap)
+      m(r.getInt(0))(r.getInt(1)) = v
+      m(r.getInt(1))(r.getInt(0)) = v
+    }
+    iterate(m, dim, iters)
+  }
+
+  /** The driver-side iteration — mirrored 1:1 by the generated oracle SQL
+    * (left folds, (m·v) then max-abs then `floor(x·10⁶+0.5)/10⁶`). */
+  private def iterate(m: Array[Array[Double]], dim: Int,
+      iters: Int): IndexedSeq[Double] = {
+    var v = IndexedSeq.fill(dim)(1.0)
+    for (_ <- 1 to iters) {
+      val w = (0 until dim).map { i =>
+        (0 until dim).foldLeft(0.0)((acc, j) => acc + m(i)(j) * v(j))
+      }
+      val s = w.foldLeft(0.0)((a, x) => if (math.abs(x) > a) math.abs(x) else a)
+      if (s != 0.0) v = w.map(x => SafeMath.roundHalfUpD(x / s, 6))
+    }
+    v
+  }
+
+  /** Per-vector projection onto [[pc1Component]]: (idCol, pc1) rounded to
+    * `scale`. One moment scan + one codegen'd dot-product scan. */
+  def pc1Projection(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int = 4, snap: Int = 9, scale: Int = 6): DataFrame = {
+    val comp = pc1Component(embeddings, vecCol, dim, iters, snap)
+    embeddings.select(col(idCol),
+      SafeMath.roundHalfUp(
+        Similarity.dotLit(transform(col(vecCol), _.cast("double")), comp),
+        scale).as("pc1"))
+  }
+
+  /** Deterministic Johnson–Lindenstrauss random projection to `outDim`
+    * dimensions: projection matrix entries are ±1 from the same splitmix
+    * bit recipe as [[Similarity.plane]] (seeded, data-independent), scaled
+    * by 1/outDim at the end. The workhorse "shrink 4096-dim embeddings to
+    * 64 before LSH/IVF" step — one codegen'd dot per output component,
+    * no shuffle at all. Output: (idCol, proj: array<double> rounded). */
+  def randomProject(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, seed: Int = 7, scale: Int = 6): DataFrame = {
+    val vd = transform(col(vecCol), _.cast("double"))
+    val comps = (0 until outDim).map { b =>
+      val row = Similarity.plane(seed, b, dim)
+      SafeMath.roundHalfUp(
+        Similarity.dotLit(vd, row) / lit(outDim.toDouble), scale)
+    }
+    embeddings.select(col(idCol), array(comps: _*).as("proj"))
+  }
+}

@@ -1028,8 +1028,78 @@ object VectorQueries {
           $steps
           SELECT rank, id AS vec_id, reli AS rel_micro, mmr AS mmr_score
           FROM sel$k"""
+      }),
+
+    GraftQuery(
+      "q240_pc1_projection",
+      (s, dir) => graft.operators.Spectral.pc1Projection(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", Dim),
+      // the oracle replays the ENTIRE pipeline: exact nano-unit moment
+      // sums, the 4-round driver power iteration (left folds, max-abs
+      // normalization, scale-6 snap per round — all mirrored IEEE), and
+      // the final left-fold projection. Any divergence in the moment
+      // scan, the iteration arithmetic, or the dot fold flips the hash.
+      Some(pc1OracleSql(Dim, iters = 4, snap = 9, scale = 6))),
+
+    GraftQuery(
+      "q241_random_projection",
+      (s, dir) => graft.operators.Spectral.randomProject(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        Dim, outDim = 16),
+      // 16 seeded-hyperplane dots per vector, each rounded after the
+      // 1/outDim scaling — plane literals embedded E0-exact
+      Some {
+        val comps = (0 until 16).map { b =>
+          val d = dotPlaneSql("embedding", Similarity.plane(7, b, Dim))
+          graft.functions.SafeMath.roundHalfUpSql(s"($d) / 16.0E0", 6)
+        }.mkString("[", ",\n          ", "]")
+        s"SELECT vec_id, $comps AS proj FROM embeddings"
       })
   )
+
+  /** Generated oracle for q240: nano-unit upper-triangle moment sums →
+    * symmetric matrix as a list-of-lists → `iters` unrolled power-iteration
+    * CTEs (matrix-vector left folds, max-abs normalization with a 0.0
+    * fold seed, per-round scale-6 snap) → per-vector projection. Mirrors
+    * [[graft.operators.Spectral]] op for op. */
+  private def pc1OracleSql(dim: Int, iters: Int, snap: Int,
+      scale: Int): String = {
+    val d1 = dim + 1
+    val pS = graft.score.ScoreEngine.fmtD(math.pow(10, snap))
+    val rounds = (1 to iters).map { r =>
+      s"""w$r AS (SELECT v, list_transform(range(1, $d1), i ->
+            list_reduce(list_transform(range(1, $d1), j ->
+              mm[i][j] * v[j]), (a, b) -> a + b)) AS w
+          FROM mat, v${r - 1}),
+        s$r AS (SELECT v, w,
+            list_reduce(list_prepend(0.0E0, list_transform(w, x -> abs(x))),
+              (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS s
+          FROM w$r),
+        v$r AS (SELECT CASE WHEN s = 0.0E0 THEN v ELSE
+            list_transform(w, x ->
+              FLOOR(((x / s) * 1000000.0E0) + 0.5E0) / 1000000.0E0) END AS v
+          FROM s$r)"""
+    }.mkString(",\n        ")
+    s"""WITH pr AS (SELECT a.i AS i, b.j AS j
+            FROM range(0, $dim) a(i), range(0, $dim) b(j) WHERE b.j >= a.i),
+        ms AS (SELECT pr.i, pr.j,
+            CAST(SUM(CAST(FLOOR(((CAST(embedding[pr.i + 1] AS DOUBLE) *
+                CAST(embedding[pr.j + 1] AS DOUBLE)) * $pS) + 0.5E0)
+              AS BIGINT)) AS BIGINT) AS s
+          FROM embeddings, pr GROUP BY 1, 2),
+        f AS (SELECT i, j, CAST(s AS DOUBLE) / $pS AS m FROM ms
+          UNION ALL
+          SELECT j, i, CAST(s AS DOUBLE) / $pS FROM ms WHERE i <> j),
+        rws AS (SELECT i, list(m ORDER BY j) AS r FROM f GROUP BY i),
+        mat AS (SELECT list(r ORDER BY i) AS mm FROM rws),
+        v0 AS (SELECT list_transform(range(0, $dim), x -> 1.0E0) AS v),
+        $rounds
+        SELECT vec_id, ${graft.functions.SafeMath.roundHalfUpSql(
+          s"""list_reduce(list_transform(range(1, $d1), j ->
+            CAST(embedding[j] AS DOUBLE) * v[j]), (a, b) -> a + b)""",
+          scale)} AS pc1
+        FROM embeddings, v$iters"""
+  }
 
   /** Unrolled two-iteration Lloyd twin of Similarity.kmeans over any
     * corpus relation: assignment = row_number over (dist, cell) — exactly

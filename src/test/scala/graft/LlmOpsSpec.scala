@@ -1557,4 +1557,45 @@ class LlmOpsSpec extends AnyFunSuite {
       s"pure 1/rank corpus must fit slope ≈ −1, got $slope")
     assert(row.getAs[Double]("r2") > 0.99)
   }
+
+  test("pc1Component recovers the dominant axis of an anisotropic cloud") {
+    import graft.operators.Spectral
+    // variance 100x along a fixed diagonal direction in 8 dims; noise
+    // elsewhere — power iteration from all-ones must align with it
+    val dim = 8
+    val axis = (0 until dim).map(d => if (d % 2 == 0) 0.5 else -0.5)
+    val rows = (1L to 400L).map { i =>
+      val t = ((i * 2654435761L) % 2001L).toDouble / 100.0 - 10.0 // ±10
+      val noise = (0 until dim).map(d =>
+        (((i * 31 + d * 17) % 201).toDouble / 1000.0) - 0.1)      // ±0.1
+      (i, (0 until dim).map(d => (t * axis(d) + noise(d)).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val v = Spectral.pc1Component(rows, "embedding", dim)
+    val cos = {
+      val dot = v.zip(axis).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(v.map(x => x * x).sum)
+      val nb = math.sqrt(axis.map(x => x * x).sum)
+      math.abs(dot) / (na * nb)
+    }
+    assert(cos > 0.999, s"pc1 must align with the planted axis, |cos|=$cos")
+    // determinism: identical input, identical component
+    assert(Spectral.pc1Component(rows, "embedding", dim) === v)
+  }
+
+  test("randomProject preserves relative distances approximately") {
+    import graft.operators.Spectral
+    val dim = 32
+    def vec(seed: Long): Array[Float] = (0 until dim).map(d =>
+      ((((seed * 131 + d * 7919) % 2001) - 1000).toFloat / 1000.0f)).toArray
+    val base = vec(5)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = vec(99)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val m = Spectral.randomProject(df, "vec_id", "embedding", dim, outDim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(m(1L), m(2L)) < d2(m(1L), m(3L)),
+      "a tiny perturbation must stay closer than an unrelated vector")
+  }
 }
