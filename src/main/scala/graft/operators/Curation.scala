@@ -1305,4 +1305,36 @@ object Curation {
     base.select(col("__id").as(idCol), col("y"), score8.as("score8"),
       (score8 >= lit(50000000L)).as("pred"))
   }
+
+  /** Phrase-blocklist filter — the NSFW/boilerplate/spam phrase screen
+    * every crawl-curation pipeline runs before anything expensive: count
+    * occurrences of each category's phrases (case-insensitive substring
+    * matches, counted by the length-delta-of-replace identity — exact,
+    * non-overlapping, left-to-right on both engines) and keep documents
+    * with zero hits. Pure per-row expressions: no shuffle, no UDF, scans
+    * at parquet speed with the phrase constants folded into codegen.
+    * Output: (idCol, hits_<category>..., total_hits, keep). */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[(String, Seq[String])]): DataFrame = {
+    require(blocklist.nonEmpty && blocklist.forall(_._2.nonEmpty))
+    // bind lower(text) once in its own projection: each phrase count
+    // references it, and projection collapse would otherwise re-inline
+    // the lowercasing per phrase
+    val low = docs.select(col(idCol), lower(col(textCol)).as("__t"))
+    val catCols = blocklist.map { case (cat, phrases) =>
+      phrases.map { p =>
+        val pl = p.toLowerCase
+        ((length(col("__t")) -
+          length(replace(col("__t"), lit(pl), lit("")))) / lit(pl.length))
+          .cast("long")
+      }.reduce(_ + _).as(s"hits_$cat")
+    }
+    val withHits = low.select(col(idCol) +: catCols.map(c => c): _*)
+    val total = blocklist.map { case (cat, _) => col(s"hits_$cat") }
+      .reduce(_ + _)
+    withHits.select(col(idCol) +:
+      blocklist.map { case (cat, _) => col(s"hits_$cat") } :+
+      total.as("total_hits") :+
+      (total === 0L).as("keep"): _*)
+  }
 }

@@ -1137,4 +1137,91 @@ object Dedup {
     // bit-identical including the null-key quirk
     graft.expressions.SimhashVotes.simhash_votes(keys, SimhashBits)
   }
+
+  /** Winnowing fingerprint census (Schleimer et al. 2003, the MOSS local
+    * fingerprinting scheme): hash every k-gram, slide a window of `w`
+    * consecutive gram hashes, and select each window's minimum — the
+    * classic guarantee that any shared run of w+k−1 tokens yields at
+    * least one shared fingerprint, at a ~2/(w+1) sampling rate. Output
+    * per doc: (n_grams, n_fps, n_shared_fps) where n_shared_fps counts
+    * this doc's fingerprints whose HASH is also a fingerprint hash of
+    * some other document — the plagiarism/local-copy signal.
+    *
+    * Determinism: min ties inside a window break to the LEFTMOST
+    * position by packing (hash, pos) into `hash40·2²⁰ + pos` (hash
+    * reduced to 40 bits so the packing fits a BIGINT; positions are
+    * bounded < 2²⁰ by an enforced aggregate — the removeCrossDocSpans
+    * guard discipline). Scale shape: per-doc windows only (bounded
+    * frames, never a global window); the shared-hash table is
+    * fingerprint-universe-sized with full map-side combine. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val src = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
+    val base = src
+      .select(col("doc"),
+        greatest(size(TextFunctions.tokens(col("text"))) - (k - 1), lit(0))
+          .as("nsh"))
+      .localCheckpoint()
+    val mx = base.agg(coalesce(max(col("nsh")), lit(0))).head().getInt(0)
+    require(mx < (1 << 20),
+      s"winnowingFingerprints: longest document has $mx grams; positions " +
+        "must stay < 2^20 for the (hash, pos) packing — chunk documents first")
+    val grams = src
+      .select(col("doc"),
+        posexplode(TextFunctions.shingles(col("text"), k)).as(Seq("i", "g")))
+      .select(col("doc"), col("i"),
+        (pmod(TextFunctions.md5Key60(col("g")), lit(1L << 40)) *
+          lit(1048576L) + col("i")).as("pk"))
+    val win = Window.partitionBy(col("doc")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = grams
+      .withColumn("wmin", min(col("pk")).over(win))
+      .withColumn("wcnt", count(lit(1)).over(win))
+      .filter(col("wcnt") === w)
+      .select(col("doc"), col("wmin").as("fp"))
+      .distinct()
+      .withColumn("h", shiftright(col("fp"), 20))
+      .localCheckpoint() // feeds the shared-hash census AND the per-doc agg
+    val shared = fps.groupBy("h")
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val per = fps
+      .join(shared.withColumn("__sh", lit(1L)), Seq("h"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("__sh"), lit(0L))).as("n_shared_fps"))
+    val out = base
+      .join(per, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("nsh").cast("long").as("n_grams"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"))
+      .localCheckpoint()
+    fps.unpersist(blocking = false)
+    out
+  }
+
+  /** SoftDeDup-style duplication weights: instead of DROPPING near-dup
+    * cluster members, every document keeps a training weight 1/|cluster|
+    * (singletons weigh 1.0) — the soft-dedup recipe that preserves corpus
+    * coverage while removing duplication's gradient over-count. Composes
+    * [[clusterAssignments]] over any near-dup pair frame; one
+    * cluster-sized aggregate + two left joins on the corpus id.
+    * Output: (idCol, cluster, cluster_size, weight). */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+      pairs: DataFrame, scale: Int = 6): DataFrame = {
+    val cl = clusterAssignments(pairs)
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("__n"))
+    docs.select(col(idCol))
+      .join(cl.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .join(sizes, Seq("cluster"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"),
+        coalesce(col("__n"), lit(1L)).as("cluster_size"),
+        graft.functions.SafeMath.roundHalfUp(
+          lit(1.0) / coalesce(col("__n"), lit(1L)).cast("double"), scale)
+          .as("weight"))
+  }
 }

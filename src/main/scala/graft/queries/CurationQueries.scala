@@ -1255,6 +1255,27 @@ object CurationQueries {
             s"(CASE WHEN ($denX * $denY) = 0.0E0 THEN 0.0E0 ELSE ($num * $num) / ($denX * $denY) END)",
             6)} AS r2
         FROM s"""
+      }),
+
+    GraftQuery(
+      "q244_blocklist_filter",
+      (s, dir) => Curation.blocklistFilter(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("boilerplate" -> Seq("batch batch", "window window"),
+          "spam" -> Seq("slow key", "dup"))),
+      // occurrence counts via the length-delta-of-replace identity —
+      // exact non-overlapping left-to-right matches on both engines
+      Some {
+        def hits(phrases: Seq[String]): String = phrases.map { p =>
+          s"((length(t) - length(replace(t, '$p', ''))) // ${p.length})"
+        }.mkString("(", " + ", ")")
+        val b = hits(Seq("batch batch", "window window"))
+        val sp = hits(Seq("slow key", "dup"))
+        s"""SELECT doc_id, CAST($b AS BIGINT) AS hits_boilerplate,
+          CAST($sp AS BIGINT) AS hits_spam,
+          CAST($b + $sp AS BIGINT) AS total_hits,
+          ($b + $sp) = 0 AS keep
+        FROM (SELECT doc_id, lower(text) AS t FROM documents)"""
       })
   )
 

@@ -774,6 +774,77 @@ object DedupQueries {
             coalesce(ag.cleaned, '') AS cleaned
           FROM d LEFT JOIN ag ON ag.doc = d.doc_id"""
       },
-      bench = true)
+      bench = true),
+
+    GraftQuery(
+      "q242_winnowing_fps",
+      (s, dir) => Dedup.winnowingFingerprints(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 3, w = 4),
+      // MOSS winnowing: min-of-window over (hash40, pos)-packed gram
+      // hashes; the oracle replays the identical packing, window mins,
+      // per-doc distinct, and cross-doc shared-hash census
+      Some(s"""WITH t AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+          g AS (SELECT doc_id, len(sh) AS nsh,
+              list_transform(range(0, len(sh)), i ->
+                (${md5FoldSql("md5(sh[i + 1])")} % 1099511627776)
+                  * 1048576 + i) AS pk
+            FROM t),
+          f AS (SELECT doc_id, nsh,
+              list_distinct(list_transform(range(0, nsh - 3), i ->
+                list_reduce(list_slice(pk, i + 1, i + 4),
+                  (a, b) -> CASE WHEN b < a THEN b ELSE a END))) AS fps
+            FROM g),
+          u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+          hs AS (SELECT fp // 1048576 AS h, COUNT(DISTINCT doc_id) AS nd
+            FROM u GROUP BY 1),
+          per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+              CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_shared
+            FROM u JOIN hs ON hs.h = u.fp // 1048576 GROUP BY 1)
+        SELECT g.doc_id, CAST(g.nsh AS BIGINT) AS n_grams,
+          COALESCE(per.n_fps, 0) AS n_fps,
+          COALESCE(per.n_shared, 0) AS n_shared_fps
+        FROM g LEFT JOIN per ON per.doc_id = g.doc_id""")),
+
+    GraftQuery(
+      "q243_soft_dedup_weights",
+      (s, dir) => {
+        val c = corpus(s, dir)
+        val pairs = Dedup.jaccardPairs(c, "doc_id", "text",
+          k = 3, threshold = 0.8)
+        Dedup.softDedupWeights(c, "doc_id", pairs)
+      },
+      // SoftDeDup: q47's component census extended with 1/|cluster|
+      // training weights; singletons weigh 1.0
+      Some(s"""WITH RECURSIVE
+        edges AS (
+          SELECT doc_a, doc_b FROM (
+            WITH $CappedIdxSql,
+            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+            co AS (
+              SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
+              FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
+            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM edges
+          UNION SELECT doc_b, doc_a FROM edges),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        cl AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src),
+        sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+          FROM cl GROUP BY 1)
+        SELECT i.doc_id, COALESCE(cl.cluster, i.doc_id) AS cluster,
+          COALESCE(sz.n, 1) AS cluster_size,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "1.0E0 / CAST(COALESCE(sz.n, 1) AS DOUBLE)", 6)} AS weight
+        FROM (SELECT doc_id FROM $CorpusSql) i
+        LEFT JOIN cl ON cl.node = i.doc_id
+        LEFT JOIN sz ON sz.cluster = cl.cluster"""))
   )
 }

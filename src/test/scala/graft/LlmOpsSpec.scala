@@ -1582,6 +1582,60 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Spectral.pc1Component(rows, "embedding", dim) === v)
   }
 
+  test("winnowingFingerprints: shared runs yield shared fingerprints") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // doc 2 shares the long middle run with doc 1 (>= w+k-1 = 6 tokens)
+      (2L, "xx yy gamma delta epsilon zeta eta theta zz ww"),
+      (3L, "completely different words entirely unrelated content here now"),
+      (4L, "ab")  // fewer than k tokens: no grams, no fingerprints
+    ).toDF("doc_id", "text")
+    val m = Dedup.winnowingFingerprints(d, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_fps"),
+          r.getAs[Long]("n_shared_fps"))).toMap
+    assert(m(4L) === ((0L, 0L, 0L)))
+    assert(m(1L)._2 > 0 && m(2L)._2 > 0)
+    // winnowing guarantee: a shared token run of >= w+k-1 tokens shares
+    // at least one fingerprint hash
+    assert(m(1L)._3 > 0 && m(2L)._3 > 0,
+      s"docs sharing a 6-token run must share a fingerprint: $m")
+    assert(m(3L)._3 === 0L, "unrelated doc must share nothing")
+  }
+
+  test("softDedupWeights: cluster members weigh 1/size, singletons 1.0") {
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val m = Dedup.softDedupWeights(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size"),
+          r.getAs[Double]("weight"))).toMap
+    assert(m(1L) === ((1L, 3L, 0.333333)))
+    assert(m(2L) === ((1L, 3L, 0.333333)))
+    assert(m(5L) === ((1L, 3L, 0.333333)))
+    assert(m(3L) === ((3L, 1L, 1.0)))
+    assert(m(4L) === ((4L, 1L, 1.0)))
+  }
+
+  test("blocklistFilter counts phrase hits case-insensitively") {
+    import graft.operators.Curation
+    val d = Seq(
+      (1L, "clean text with nothing wrong at all"),
+      (2L, "Spam Phrase here and spam phrase again"),
+      (3L, "BAD WORD"),
+      (4L, "overlap test: ababab")  // "abab": non-overlapping => 1 hit
+    ).toDF("doc_id", "text")
+    val out = Curation.blocklistFilter(d, "doc_id", "text",
+      Seq("spam" -> Seq("spam phrase", "abab"), "adult" -> Seq("bad word")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("hits_spam"), r.getAs[Long]("hits_adult"),
+          r.getAs[Long]("total_hits"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, true)))
+    assert(out(2L) === ((2L, 0L, 2L, false)))
+    assert(out(3L) === ((0L, 1L, 1L, false)))
+    assert(out(4L) === ((1L, 0L, 1L, false)))
+  }
+
   test("randomProject preserves relative distances approximately") {
     import graft.operators.Spectral
     val dim = 32
