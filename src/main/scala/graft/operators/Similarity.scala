@@ -990,4 +990,65 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019) — the standard
+    * parallel-corpus miner: for each source vector its best cross-side
+    * neighbor, scored by cosine RELATIVE to both endpoints' k-NN
+    * neighborhoods, `margin = cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2)` —
+    * which suppresses hubs (vectors near everything) that absolute-cosine
+    * mining drowns in. Candidates and neighborhoods come from the same
+    * sign-LSH blocking as [[Dedup.embeddingNearDupsLsh]]: pairs form only
+    * inside a shared bucket (one shuffle keyed by bucket; the corpus
+    * never self-joins), so neighborhoods are LSH-local — the documented
+    * recall trade of every blocked miner; raise `bits` resolution or add
+    * multi-probe for denser corpora.
+    *
+    * Determinism/FP: cosines snap to integer micro-units before any
+    * aggregate; k-NN averages are exact integer sums divided once; the
+    * margin is mirrored IEEE division of those exact inputs, rounded at
+    * scale 6. Windows partition by endpoint id (bucket-bounded frames,
+    * never global). Output: (x_id, y_id, cos_micro, margin) with
+    * margin ≥ `threshold`. */
+  def bitextMarginMine(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int = 4, threshold: Double = 1.0,
+      bits: Int = 6, seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        lshBucket(col(vecCol), dim, bits, seed).as("bucket"))
+    val cand = side(xs, "x_id", "xv").join(side(ys, "y_id", "yv"), "bucket")
+      .select(col("x_id"), col("y_id"),
+        floor(cosineCols(col("xv"), col("yv")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("cos_micro"))
+      .localCheckpoint() // feeds both neighborhood windows + the best-pair cut
+    val wx = Window.partitionBy(col("x_id"))
+      .orderBy(col("cos_micro").desc, col("y_id").asc)
+    val wy = Window.partitionBy(col("y_id"))
+      .orderBy(col("cos_micro").desc, col("x_id").asc)
+    val xtop = cand.withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= k)
+      .localCheckpoint() // feeds the x-neighborhood aggregate AND the rn=1 cut
+    val xavg = xtop.groupBy("x_id")
+      .agg(sum(col("cos_micro")).as("sx"), count(lit(1)).as("nx"))
+    val yavg = cand.withColumn("rn", row_number().over(wy))
+      .filter(col("rn") <= k)
+      .groupBy("y_id")
+      .agg(sum(col("cos_micro")).as("sy"), count(lit(1)).as("ny"))
+    val denom = ((col("sx").cast("double") / col("nx").cast("double")) +
+      (col("sy").cast("double") / col("ny").cast("double"))) / lit(2.0)
+    val out = xtop.filter(col("rn") === 1)
+      .select(col("x_id"), col("y_id"), col("cos_micro"))
+      .join(xavg, Seq("x_id"))
+      .join(yavg, Seq("y_id"))
+      .select(col("x_id"), col("y_id"), col("cos_micro"),
+        graft.functions.SafeMath.roundHalfUp(
+          when(denom === 0.0, lit(0.0))
+            .otherwise(col("cos_micro").cast("double") / denom), 6)
+          .as("margin"))
+      .filter(col("margin") >= threshold)
+      .localCheckpoint()
+    cand.unpersist(blocking = false)
+    xtop.unpersist(blocking = false)
+    out
+  }
 }

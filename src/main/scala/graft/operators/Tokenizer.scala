@@ -117,10 +117,10 @@ object Tokenizer {
     * on both engines.
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], carry: Seq[String] = Nil): DataFrame = {
     val sep = "\u001f"
     val clean = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
-    docs.select(col(idCol),
+    docs.select(col(idCol) +: carry.map(col) :+
         TextFunctions.bindOnce(clean) { cl =>
           val s0 = regexp_replace(cl, "(.)", sep + "$1" + sep)
           val enc = merges.foldLeft(s0) { case (c, (l, r)) =>
@@ -136,9 +136,42 @@ object Tokenizer {
             when(lenC === 0L, 0L)
               .otherwise(nSyms - (lenC - nChars)).as("n_tokens"),
             nChars.as("n_chars"))
-        }.as("m"))
-      .select(col(idCol), col("m.n_words").as("n_words"),
-        col("m.n_tokens").as("n_tokens"), col("m.n_chars").as("n_chars"))
+        }.as("m"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("m.n_words").as("n_words") :+
+        col("m.n_tokens").as("n_tokens") :+
+        col("m.n_chars").as("n_chars"): _*)
+  }
+
+  /** Tokenizer fertility audit by group (typically language): encode the
+    * corpus with a frozen merge list and report, per group, document
+    * count, exact word/token/char totals, and the two ratios a tokenizer
+    * is judged by -- fertility (tokens per word; a tokenizer trained on
+    * the group's language scores lower) and chars per token
+    * (compression). The encode is [[bpeEncode]]'s zero-shuffle replace
+    * chain; the audit adds ONE map-side-combined aggregate keyed by the
+    * group column. Ratios are single IEEE divisions of exact integer
+    * totals, rounded half-up -- engine-portable by construction. */
+  def fertilityByGroup(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, merges: Seq[(String, String)],
+      scale: Int = 6): DataFrame = {
+    import graft.functions.SafeMath
+    bpeEncode(docs, idCol, textCol, merges, carry = Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(col(groupCol), col("n_docs"), col("words"), col("tokens"),
+        col("chars"),
+        when(col("words") === 0L, lit(0.0))
+          .otherwise(SafeMath.roundHalfUp(
+            col("tokens").cast("double") / col("words").cast("double"),
+            scale)).as("fertility"),
+        when(col("tokens") === 0L, lit(0.0))
+          .otherwise(SafeMath.roundHalfUp(
+            col("chars").cast("double") / col("tokens").cast("double"),
+            scale)).as("chars_per_token"))
   }
 
   /** The exact DuckDB twin of [[bpeEncode]] over a relation exposing the

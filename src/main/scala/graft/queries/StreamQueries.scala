@@ -1953,6 +1953,55 @@ object StreamQueries {
             CAST(tk * 5 AS DOUBLE) AS lost_rate,
             CAST(epoch(date_trunc('hour', make_timestamp(test_time * 1000000))) AS BIGINT) AS test_time_h,
             CAST($Now AS BIGINT) AS create_time
-          FROM runs"""))
+          FROM runs""")),
+
+    GraftQuery(
+      "q246_stream_reservoir",
+      (s, dir) => {
+        // exact-k weighted reservoir maintained ACROSS micro-batches:
+        // three overlapping arrival waves (waves 2/3 re-send earlier
+        // slices, exercising the id-dedup in the fold); because the
+        // Efraimidis-Spirakis priority is a deterministic function of
+        // the id, the standing k-row state after the last batch must
+        // equal the BATCH sample over everything that ever arrived —
+        // which is exactly what the oracle computes.
+        val k = col("doc_id")
+        def row: Column =
+          concat(lit("""{"doc_id":"""), k,
+            lit(""","w":"""), k % 7 + 1, lit("}"))
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        val frames = Seq(
+          docs.filter(k % 5 < 2).select(row.as("value")),
+          docs.filter(k % 5 < 4).select(row.as("value")),
+          docs.select(row.as("value")))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, w LONG")
+        runStaged(s, frames, "reservoir") { (raw, out, ckpt) =>
+          raw.writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              val parsed = b
+                .select(from_json(col("value"), schema).as("j"))
+                .select(col("j.*"))
+              graft.streaming.StreamSample.foldBatch(
+                graft.streaming.StreamSample.prioritized(
+                  parsed, "doc_id", col("w")),
+                s"$out/reservoir", "doc_id", k = 50)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.select("doc_id", "weight", "priority")
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+            CAST(doc_id % 7 + 1 AS DOUBLE) AS weight FROM documents),
+          p AS (SELECT doc_id, weight,
+              ${graft.functions.SafeMath.roundHalfUpSql(
+                s"-ln((CAST(${CurationQueries.md5Key60Sql(
+                  "'graft-psample' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)" +
+                  " + 0.5E0) / 1152921504606846976E0) / weight",
+                8)} AS priority
+            FROM w WHERE weight > 0)
+        SELECT doc_id, weight, priority FROM p
+        ORDER BY priority, doc_id LIMIT 50"""))
   )
 }

@@ -301,6 +301,36 @@ object TextQueries {
           CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS docs_kept,
           CAST(COALESCE(SUM(h.tk), 0) AS BIGINT) AS tokens_kept
         FROM t LEFT JOIN h ON h.bucket >= t.threshold_tenths
-        GROUP BY t.threshold_tenths"""))
+        GROUP BY t.threshold_tenths""")),
+
+    GraftQuery(
+      "q245_tokenizer_fertility",
+      (s, dir) => graft.operators.Tokenizer.fertilityByGroup(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang",
+        BpeApplyMerges),
+      // per-language fertility/compression audit of a frozen English
+      // merge list: the encode CTE is the exact q203 twin; the ratios
+      // are single divisions of exact integer totals
+      Some {
+        val enc = graft.operators.Tokenizer.bpeEncodeSql(
+          "documents", "doc_id", "text", BpeApplyMerges)
+        s"""WITH enc AS ($enc),
+          a AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(e.n_words) AS BIGINT) AS words,
+              CAST(SUM(e.n_tokens) AS BIGINT) AS tokens,
+              CAST(SUM(e.n_chars) AS BIGINT) AS chars
+            FROM enc e JOIN documents d ON d.doc_id = e.doc_id
+            GROUP BY d.lang)
+        SELECT lang, n_docs, words, tokens, chars,
+          CASE WHEN words = 0 THEN 0.0E0 ELSE ${
+            graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(tokens AS DOUBLE) / CAST(words AS DOUBLE)", 6)} END
+            AS fertility,
+          CASE WHEN tokens = 0 THEN 0.0E0 ELSE ${
+            graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE)", 6)} END
+            AS chars_per_token
+        FROM a"""
+      })
   )
 }

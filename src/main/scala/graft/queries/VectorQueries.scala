@@ -1054,6 +1054,54 @@ object VectorQueries {
           graft.functions.SafeMath.roundHalfUpSql(s"($d) / 16.0E0", 6)
         }.mkString("[", ",\n          ", "]")
         s"SELECT vec_id, $comps AS proj FROM embeddings"
+      }),
+
+    GraftQuery(
+      "q247_bitext_margin",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.bitextMarginMine(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", Dim, k = 4, threshold = 1.0)
+      },
+      // Artetxe-Schwenk margin mining between the two id-parity halves:
+      // the oracle replays the identical sign-LSH blocking, micro-unit
+      // cosines, per-endpoint top-k windows, and mirrored margin division
+      Some {
+        val den = """((((CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE)) +
+          (CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE)))) / 2.0E0)"""
+        s"""WITH x AS (SELECT vec_id AS x_id, embedding AS xv,
+              ${bucketSql("embedding", 6)} AS b
+            FROM embeddings WHERE vec_id % 2 = 0),
+          y AS (SELECT vec_id AS y_id, embedding AS yv,
+              ${bucketSql("embedding", 6)} AS b
+            FROM embeddings WHERE vec_id % 2 = 1),
+          cand AS (SELECT x_id, y_id,
+              CAST(FLOOR((${cosSql("xv", "yv")}) * 1000000.0E0 + 0.5E0)
+                AS BIGINT) AS cm
+            FROM x JOIN y USING (b)),
+          xt AS (SELECT x_id, y_id, cm, ROW_NUMBER() OVER
+              (PARTITION BY x_id ORDER BY cm DESC, y_id ASC) AS rn
+            FROM cand),
+          xa AS (SELECT x_id, CAST(SUM(cm) AS BIGINT) AS sx,
+              CAST(COUNT(*) AS BIGINT) AS nx
+            FROM xt WHERE rn <= 4 GROUP BY 1),
+          yt AS (SELECT y_id, x_id, cm, ROW_NUMBER() OVER
+              (PARTITION BY y_id ORDER BY cm DESC, x_id ASC) AS rn
+            FROM cand),
+          ya AS (SELECT y_id, CAST(SUM(cm) AS BIGINT) AS sy,
+              CAST(COUNT(*) AS BIGINT) AS ny
+            FROM yt WHERE rn <= 4 GROUP BY 1),
+          bst AS (SELECT x_id, y_id, cm FROM xt WHERE rn = 1),
+          m AS (SELECT bst.x_id, bst.y_id, bst.cm AS cos_micro,
+              ${graft.functions.SafeMath.roundHalfUpSql(
+                s"""CASE WHEN $den = 0.0E0 THEN 0.0E0
+                  ELSE CAST(bst.cm AS DOUBLE) / $den END""", 6)} AS margin
+            FROM bst JOIN xa ON xa.x_id = bst.x_id
+            JOIN ya ON ya.y_id = bst.y_id)
+        SELECT x_id, y_id, cos_micro, margin FROM m
+        WHERE margin >= 1.0E0"""
       })
   )
 

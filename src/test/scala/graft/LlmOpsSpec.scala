@@ -1636,6 +1636,73 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(4L) === ((1L, 0L, 1L, false)))
   }
 
+  test("fertilityByGroup: trained-language text has lower fertility") {
+    import graft.operators.Tokenizer
+    // merges cover "the"/"and" patterns: English-like text compresses,
+    // the letter-soup group stays near 1 token per char-word
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"))
+    val d = Seq(
+      (1L, "en", "the and the and the and the"),
+      (2L, "en", "and the and the the"),
+      (3L, "xx", "zq wv kp zq wv kp zq wv")
+    ).toDF("doc_id", "lang", "text")
+    val m = Tokenizer.fertilityByGroup(d, "doc_id", "text", "lang", merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("fertility"),
+          r.getAs[Double]("chars_per_token"))).toMap
+    assert(m("en")._1 === 2L && m("xx")._1 === 1L)
+    assert(m("en")._2 < m("xx")._2,
+      s"merge-covered language must have lower fertility: $m")
+    assert(m("en")._3 > m("xx")._3)
+  }
+
+  test("bitextMarginMine suppresses hub matches and finds true pairs") {
+    import graft.operators.Similarity
+    val dim = 8
+    // xs: 0,2,4 | ys: 1 (twin of 0), 3 (twin of 2), 5 (orthogonal-ish)
+    def v(base: Seq[Double], eps: Double): Array[Float] =
+      base.map(x => (x + eps).toFloat).toArray
+    val a = Seq(1.0, 0.0, 0.5, 0.0, 0.2, 0.0, 0.1, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.5, 0.0, 0.2, 0.0, 0.1)
+    val c = Seq(0.5, 0.5, -0.5, 0.5, 0.3, -0.3, 0.2, 0.2)
+    val df = Seq(
+      (0L, v(a, 0.0)), (1L, v(a, 0.01)),
+      (2L, v(b, 0.0)), (3L, v(b, 0.01)),
+      (4L, v(c, 0.0)), (5L, v(c, 0.01))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMarginMine(
+      df.filter(col("vec_id") % 2 === 0), df.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", dim, k = 2, threshold = 0.0, bits = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every x's best match must be its planted twin (when they share
+    // a bucket — twins always do: near-identical vectors agree on signs)
+    out.foreach { case (x, y) => assert(y === x + 1,
+      s"x=$x must mine its twin, got $y") }
+    assert(out.nonEmpty)
+  }
+
+  test("StreamSample.foldBatch is replay-idempotent and order-invariant") {
+    import graft.streaming.StreamSample
+    val dir = java.nio.file.Files.createTempDirectory("graft-res").toString
+    val state = s"$dir/state"
+    def batch(ids: Seq[Long]) = StreamSample.prioritized(
+      ids.toDF("id"), "id", col("id") % 3 + 1)
+    StreamSample.foldBatch(batch(1L to 40L), state, "id", k = 10)
+    StreamSample.foldBatch(batch(30L to 80L), state, "id", k = 10) // overlap
+    val s1 = StreamSample.current(spark, state, "id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // replaying the second batch must not change the state
+    StreamSample.foldBatch(batch(30L to 80L), state, "id", k = 10)
+    val s2 = StreamSample.current(spark, state, "id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 === s2)
+    // and the stream fold equals the batch sample over the union
+    val all = batch(1L to 80L)
+      .orderBy(col("priority").asc, col("id").asc).limit(10)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 === all)
+  }
+
   test("randomProject preserves relative distances approximately") {
     import graft.operators.Spectral
     val dim = 32
