@@ -1306,6 +1306,64 @@ object Curation {
       (score8 >= lit(50000000L)).as("pred"))
   }
 
+  /** DoReMi-lite domain reweighting: score every domain by its mean
+    * per-token unigram NLL against the corpus LM, measure each domain's
+    * EXCESS loss over the corpus baseline, and softmax the excesses into
+    * training mixture weights — the cheap, deterministic cousin of DoReMi
+    * (Xie et al. 2023): domains the corpus model finds hardest get
+    * upweighted, at zero proxy-model cost. One vocab aggregate, one
+    * token-keyed join, one domain-keyed aggregate; the softmax runs over
+    * the #domains-row frame with exp snapped to 10⁻⁸ units so the
+    * normalization sum is an exact BIGINT (the q104 exp-rounding
+    * discipline). Output: (domainCol, n_tokens, mean_nll, excess,
+    * weight). */
+  def doremiWeights(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, temperature: Double = 1.0,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val toks = docs.select(col(domainCol).as("__d"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .localCheckpoint()
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the corpus total AND the scoring join
+    val totRow = freq.agg(sum(col("cnt"))).head()
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    require(total > 0, "doremiWeights: empty corpus")
+    val scored = toks.join(freq, "tok")
+      .select(col("__d"),
+        SafeMath.roundHalfUp(
+            -log(col("cnt").cast("double") / lit(total.toDouble)), 8)
+          .cast(DecimalType(28, 8)).as("nll8"))
+      .localCheckpoint() // feeds the domain aggregate AND the baseline
+    freq.unpersist(blocking = false)
+    toks.unpersist(blocking = false)
+    val dom = scored.groupBy("__d")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll8")).as("__s8"))
+      .select(col("__d"), col("n_tokens"),
+        SafeMath.roundHalfUp(
+          col("__s8").cast("double") / col("n_tokens"), 8).as("mean_nll"))
+    val bRow = scored.agg(sum(col("nll8")), count(lit(1))).head()
+    require(!bRow.isNullAt(0) && bRow.getLong(1) > 0,
+      "doremiWeights: empty corpus")
+    val baseline = SafeMath.roundHalfUpD(
+      bRow.getDecimal(0).doubleValue() / bRow.getLong(1), 8)
+    val withX = dom
+      .withColumn("excess",
+        greatest(col("mean_nll") - lit(baseline), lit(0.0)))
+      .withColumn("__e8",
+        floor(exp(col("excess") / lit(temperature)) * lit(1.0e8) + lit(0.5))
+          .cast("long"))
+      .localCheckpoint() // domains-sized; feeds the sum and the output
+    scored.unpersist(blocking = false)
+    val se8 = withX.agg(sum(col("__e8"))).head().getLong(0)
+    require(se8 > 0, "doremiWeights: degenerate softmax sum")
+    withX.select(col("__d").as(domainCol), col("n_tokens"), col("mean_nll"),
+      col("excess"),
+      SafeMath.roundHalfUp(
+        col("__e8").cast("double") / lit(se8.toDouble), scale).as("weight"))
+  }
+
   /** Phrase-blocklist filter — the NSFW/boilerplate/spam phrase screen
     * every crawl-curation pipeline runs before anything expensive: count
     * occurrences of each category's phrases (case-insensitive substring

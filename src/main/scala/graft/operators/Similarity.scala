@@ -1009,6 +1009,35 @@ object Similarity {
     * scale 6. Windows partition by endpoint id (bucket-bounded frames,
     * never global). Output: (x_id, y_id, cos_micro, margin) with
     * margin ≥ `threshold`. */
+  /** Matryoshka truncation audit: how much retrieval quality survives
+    * cutting embeddings to their first `subDim` dimensions — recall@k of
+    * the truncated-cosine top-k against the full-dimension top-k for a
+    * probe vector, at several k. The decision artifact for "can we serve
+    * the 16-dim prefix" (matryoshka-style storage cuts memory 4×; this
+    * measures what it costs). Two TakeOrderedAndProject corpus scans
+    * (full + truncated), both distributed; the ≤max(k)-row lists are
+    * compared on the driver (bounded by construction, the MMR-pool
+    * discipline). Output: (k, n_common, recall). */
+  def truncationRecall(embeddings: DataFrame, idCol: String, vecCol: String,
+      subDim: Int, query: Seq[Double], ks: Seq[Int],
+      scale: Int = 6): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && subDim >= 1)
+    val spark = embeddings.sparkSession
+    val kMax = ks.max
+    def ids(df: DataFrame): IndexedSeq[Long] =
+      df.select(col(idCol)).collect().map(_.getLong(0)).toIndexedSeq
+    val full = ids(cosineTopK(embeddings, idCol, vecCol, query, kMax))
+    val trunc = ids(cosineTopK(
+      embeddings.select(col(idCol), slice(col(vecCol), 1, subDim).as("__t")),
+      idCol, "__t", query.take(subDim), kMax))
+    val rows = ks.sorted.map { k =>
+      val common = full.take(k).toSet.intersect(trunc.take(k).toSet).size
+      (k.toLong, common.toLong,
+        graft.functions.SafeMath.roundHalfUpD(common.toDouble / k, scale))
+    }
+    spark.createDataFrame(rows).toDF("k", "n_common", "recall")
+  }
+
   def bitextMarginMine(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int = 4, threshold: Double = 1.0,
       bits: Int = 6, seed: Int = 42): DataFrame = {

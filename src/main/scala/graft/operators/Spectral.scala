@@ -63,7 +63,14 @@ object Spectral {
     require(dim >= 1 && iters >= 1)
     val e = embeddings
       .select(transform(col(vecCol), _.cast("double")).as("__v"))
-    val rows = momentSums(e, dim, snap).collect()
+    componentFromMoments(momentSums(e, dim, snap).collect(), dim, iters, snap)
+  }
+
+  /** Driver-side conversion of exact moment rows (i, j, s) into the
+    * iterated component — shared by the batch and stream paths. */
+  private def componentFromMoments(
+      rows: Array[org.apache.spark.sql.Row], dim: Int, iters: Int,
+      snap: Int): IndexedSeq[Double] = {
     val lim = java.math.BigDecimal.valueOf(1L << 53)
     val m = Array.ofDim[Double](dim, dim)
     rows.foreach { r =>
@@ -76,6 +83,34 @@ object Spectral {
       m(r.getInt(1))(r.getInt(0)) = v
     }
     iterate(m, dim, iters)
+  }
+
+  /** Streamed maintenance of the moment state: one micro-batch's exact
+    * (i, j, s) sums written under `__batch=id` via dynamic partition
+    * overwrite — a REPLAYED batch rewrites exactly its own partition
+    * (the AnnIndex idempotency recipe; moment sums are additive, so
+    * anything less would double-count). */
+  def appendMomentsBatch(batch: DataFrame, statePath: String,
+      vecCol: String, dim: Int, batchId: Long, snap: Int = 9): Unit = {
+    val e = batch.select(transform(col(vecCol), _.cast("double")).as("__v"))
+    momentSums(e, dim, snap)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(statePath)
+  }
+
+  /** The component from a stream-maintained moment state: re-sum across
+    * batch partitions (exact DECIMAL adds), then the same driver
+    * iteration as the batch path — a stream that saw the whole corpus
+    * yields the identical component. */
+  def pc1FromMomentState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, dim: Int, iters: Int = 4,
+      snap: Int = 9): IndexedSeq[Double] = {
+    val rows = spark.read.parquet(statePath)
+      .groupBy("i", "j").agg(sum(col("s")).as("s"))
+      .collect()
+    componentFromMoments(rows, dim, iters, snap)
   }
 
   /** The driver-side iteration — mirrored 1:1 by the generated oracle SQL

@@ -1276,6 +1276,41 @@ object CurationQueries {
           CAST($b + $sp AS BIGINT) AS total_hits,
           ($b + $sp) = 0 AS keep
         FROM (SELECT doc_id, lower(text) AS t FROM documents)"""
+      }),
+
+    GraftQuery(
+      "q248_doremi_weights",
+      (s, dir) => Curation.doremiWeights(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source"),
+      // DoReMi-lite: per-domain mean unigram NLL → excess over the corpus
+      // baseline → softmax in exact 1e-8 units; every division and the
+      // exp-snap are mirrored, so the 20-domain weight vector hash-gates
+      Some {
+        val rh = graft.functions.SafeMath.roundHalfUpSql _
+        s"""WITH toks AS (SELECT source AS d, unnest($Toks5Sql) AS tok
+              FROM documents),
+          freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+            GROUP BY tok),
+          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+          sc AS (SELECT d, ${rh(
+            "-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))", 8)} AS nll8
+            FROM toks JOIN freq USING (tok), tot),
+          dom AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              ${rh("CAST(SUM(CAST(nll8 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)",
+                8)} AS mean_nll
+            FROM sc GROUP BY d),
+          base AS (SELECT ${rh(
+            "CAST(SUM(CAST(nll8 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)",
+            8)} AS b FROM sc),
+          x AS (SELECT d, n_tokens, mean_nll,
+              GREATEST(mean_nll - b, 0.0E0) AS excess FROM dom, base),
+          e AS (SELECT d, n_tokens, mean_nll, excess,
+              CAST(FLOOR((exp(excess / 1.0E0) * 100000000.0E0) + 0.5E0)
+                AS BIGINT) AS e8 FROM x),
+          se AS (SELECT CAST(SUM(e8) AS BIGINT) AS s FROM e)
+        SELECT d AS source, n_tokens, mean_nll, excess,
+          ${rh("CAST(e8 AS DOUBLE) / CAST(s AS DOUBLE)", 6)} AS weight
+        FROM e, se"""
       })
   )
 

@@ -2003,5 +2003,54 @@ object StreamQueries {
             FROM w WHERE weight > 0)
         SELECT doc_id, weight, priority FROM p
         ORDER BY priority, doc_id LIMIT 50"""))
-  )
+  ) :+ streamPc1Query
+
+  private def streamPc1Query: GraftQuery = GraftQuery(
+    "q250_stream_pc1",
+    (s, dir) => {
+      // moment sums maintained ACROSS micro-batches: three waves of
+      // vectors each write their exact (i, j, s) contribution under
+      // __batch=id (dynamic overwrite — batch 1 is appended twice to
+      // prove a replay rewrites, never double-counts), and the component
+      // iterated from the folded state must equal the BATCH pc1 over the
+      // whole corpus, which is what the oracle computes.
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val k = col("vec_id")
+      def wave(p: Column) = emb.filter(p)
+        .select(to_json(struct(col("vec_id"), col("embedding"))).as("value"))
+      val frames = Seq(
+        wave(k % 3 === 0), wave(k % 3 === 1), wave(k % 3 === 2))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft-pc1").resolve("moments").toString
+      runStaged(s, frames, "pc1_done") { (raw, out, ckpt) =>
+        raw.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val parsed = b
+              .select(from_json(col("value"), schema).as("j"))
+              .select(col("j.*"))
+            graft.operators.Spectral.appendMomentsBatch(
+              parsed, statePath, "embedding", dim = 64, batchId = id)
+            if (id == 1) // retried batch: idempotent partition rewrite
+              graft.operators.Spectral.appendMomentsBatch(
+                parsed, statePath, "embedding", dim = 64, batchId = id)
+            // marker sink so runStaged has a table to read back
+            b.sparkSession.range(1).select(lit(id).as("batch"))
+              .write.mode("append").parquet(s"$out/pc1_done")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      val v = graft.operators.Spectral.pc1FromMomentState(
+        s, statePath, dim = 64)
+      v.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("pos", "v")
+    },
+    Some(s"""WITH ${VectorQueries.pc1CtesSql(dim = 64, iters = 4, snap = 9)}
+      SELECT CAST(r.i AS BIGINT) - 1 AS pos, v[r.i] AS v
+      FROM v4, range(1, 65) r(i)"""))
 }

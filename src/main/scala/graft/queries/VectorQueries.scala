@@ -1102,6 +1102,47 @@ object VectorQueries {
             JOIN ya ON ya.y_id = bst.y_id)
         SELECT x_id, y_id, cos_micro, margin FROM m
         WHERE margin >= 1.0E0"""
+      }),
+
+    GraftQuery(
+      "q249_matryoshka_recall",
+      (s, dir) => {
+        val q = queryVec(s, dir)
+        Similarity.truncationRecall(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", subDim = 16, q, ks = Seq(5, 10, 20))
+      },
+      // recall@k of the 16-dim-prefix top-k vs the full 64-dim top-k for
+      // the probe: both rankings replayed with the exact rounded-cosine
+      // total order; ks with no common ids still emit a 0-recall row
+      Some {
+        def dotN(a: String, b: String, n: Int): String =
+          s"""list_reduce(list_transform(range(1, ${n + 1}),
+              i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+              (x, y) -> x + y)"""
+        def cosN(v: String, q: String, n: Int): String =
+          s"""(FLOOR((${dotN(v, q, n)} /
+              (sqrt(${dotN(v, v, n)}) * sqrt(${dotN(q, q, n)})))
+              * 1000000.0E0 + 0.5E0) / 1000000.0E0)"""
+        s"""WITH q AS (SELECT embedding AS qv,
+              list_slice(embedding, 1, 16) AS tq
+            FROM embeddings WHERE vec_id = 0),
+          fr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+              ${cosN("embedding", "qv", Dim)} DESC, vec_id ASC) AS r
+            FROM embeddings, q),
+          tr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+              ${cosN("list_slice(embedding, 1, 16)", "tq", 16)} DESC,
+              vec_id ASC) AS r
+            FROM embeddings, q),
+          ks(k) AS (VALUES (5), (10), (20)),
+          c AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM fr JOIN tr USING (vec_id), ks
+            WHERE fr.r <= ks.k AND tr.r <= ks.k GROUP BY ks.k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+          COALESCE(c.n, 0) AS n_common,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(ks.k AS DOUBLE)",
+            6)} AS recall
+        FROM ks LEFT JOIN c ON c.k = ks.k"""
       })
   )
 
@@ -1112,6 +1153,20 @@ object VectorQueries {
     * [[graft.operators.Spectral]] op for op. */
   private def pc1OracleSql(dim: Int, iters: Int, snap: Int,
       scale: Int): String = {
+    val d1 = dim + 1
+    s"""WITH ${pc1CtesSql(dim, iters, snap)}
+        SELECT vec_id, ${graft.functions.SafeMath.roundHalfUpSql(
+          s"""list_reduce(list_transform(range(1, $d1), j ->
+            CAST(embedding[j] AS DOUBLE) * v[j]), (a, b) -> a + b)""",
+          scale)} AS pc1
+        FROM embeddings, v$iters"""
+  }
+
+  /** The shared CTE body of the power-iteration oracles (q240 batch
+    * projection, q250 stream-maintained component): exact moment sums →
+    * matrix-of-lists → `iters` unrolled rounds; the caller appends its
+    * final SELECT over `v$iters`. */
+  private[queries] def pc1CtesSql(dim: Int, iters: Int, snap: Int): String = {
     val d1 = dim + 1
     val pS = graft.score.ScoreEngine.fmtD(math.pow(10, snap))
     val rounds = (1 to iters).map { r =>
@@ -1128,7 +1183,7 @@ object VectorQueries {
               FLOOR(((x / s) * 1000000.0E0) + 0.5E0) / 1000000.0E0) END AS v
           FROM s$r)"""
     }.mkString(",\n        ")
-    s"""WITH pr AS (SELECT a.i AS i, b.j AS j
+    s"""pr AS (SELECT a.i AS i, b.j AS j
             FROM range(0, $dim) a(i), range(0, $dim) b(j) WHERE b.j >= a.i),
         ms AS (SELECT pr.i, pr.j,
             CAST(SUM(CAST(FLOOR(((CAST(embedding[pr.i + 1] AS DOUBLE) *
@@ -1141,12 +1196,7 @@ object VectorQueries {
         rws AS (SELECT i, list(m ORDER BY j) AS r FROM f GROUP BY i),
         mat AS (SELECT list(r ORDER BY i) AS mm FROM rws),
         v0 AS (SELECT list_transform(range(0, $dim), x -> 1.0E0) AS v),
-        $rounds
-        SELECT vec_id, ${graft.functions.SafeMath.roundHalfUpSql(
-          s"""list_reduce(list_transform(range(1, $d1), j ->
-            CAST(embedding[j] AS DOUBLE) * v[j]), (a, b) -> a + b)""",
-          scale)} AS pc1
-        FROM embeddings, v$iters"""
+        $rounds"""
   }
 
   /** Unrolled two-iteration Lloyd twin of Similarity.kmeans over any

@@ -1703,6 +1703,63 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(s1 === all)
   }
 
+  test("doremiWeights upweights the highest-excess-loss domain") {
+    import graft.operators.Curation
+    // domain "rare" is all hapax tokens (max NLL); "common" repeats one
+    val d = Seq(
+      (1L, "common", "aa aa aa aa aa aa aa aa"),
+      (2L, "common", "aa aa aa aa aa aa aa aa"),
+      (3L, "rare", "q1 q2 q3 q4 q5 q6 q7 q8")
+    ).toDF("doc_id", "source", "text")
+    val m = Curation.doremiWeights(d, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("excess"), r.getAs[Double]("weight"))).toMap
+    assert(m("rare")._1 > 0.0 && m("common")._1 === 0.0)
+    assert(m("rare")._2 > m("common")._2)
+    val ws = m.values.map(_._2).sum
+    assert(math.abs(ws - 1.0) < 1e-4, s"weights must sum to ~1, got $ws")
+  }
+
+  test("truncationRecall is 1.0 when subDim = dim and degrades sanely") {
+    import graft.operators.Similarity
+    val dim = 8
+    val rows = (0L to 99L).map { i =>
+      (i, (0 until dim).map(d =>
+        (((i * 13 + d * 7) % 200).toFloat / 100.0f) - 1.0f).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = rows.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Float](1).map(_.toDouble)
+    val full = Similarity.truncationRecall(rows, "vec_id", "embedding",
+      subDim = dim, q, ks = Seq(5, 10)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full(5L) === 1.0 && full(10L) === 1.0)
+    val half = Similarity.truncationRecall(rows, "vec_id", "embedding",
+      subDim = 2, q.take(2), ks = Seq(5, 10)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(half.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("stream-folded moments reproduce the batch pc1 exactly") {
+    import graft.operators.Spectral
+    val dim = 8
+    val rows = (1L to 300L).map { i =>
+      (i, (0 until dim).map(d =>
+        (((i * 31 + d * 17) % 201).toFloat / 100.0f) - 1.0f).toArray)
+    }.toDF("vec_id", "embedding")
+    val state = java.nio.file.Files.createTempDirectory("graft-mom")
+      .resolve("m").toString
+    Spectral.appendMomentsBatch(
+      rows.filter(col("vec_id") % 2 === 0), state, "embedding", dim, 0L)
+    Spectral.appendMomentsBatch(
+      rows.filter(col("vec_id") % 2 === 1), state, "embedding", dim, 1L)
+    // replayed batch: same partition rewritten, no double count
+    Spectral.appendMomentsBatch(
+      rows.filter(col("vec_id") % 2 === 1), state, "embedding", dim, 1L)
+    val streamed = Spectral.pc1FromMomentState(spark, state, dim)
+    val batch = Spectral.pc1Component(rows, "embedding", dim)
+    assert(streamed === batch)
+  }
+
   test("randomProject preserves relative distances approximately") {
     import graft.operators.Spectral
     val dim = 32
