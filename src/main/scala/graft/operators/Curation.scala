@@ -1364,6 +1364,60 @@ object Curation {
         col("__e8").cast("double") / lit(se8.toDouble), scale).as("weight"))
   }
 
+  /** Template mining via positional token entropy: within each group
+    * (source, URL pattern, form id…), measure the Shannon entropy of the
+    * token distribution at each of the first `maxPos` token positions —
+    * boilerplate/template farms produce near-zero positional entropy
+    * (every doc starts "click here to …") while organic text scatters.
+    * The standard cheap detector for machine-generated spam clusters
+    * that survive near-dup (templates vary their slots, so MinHash
+    * misses them).
+    *
+    * Scale shape: one posexplode capped at `maxPos` positions per doc,
+    * two keyed aggregations ((group,pos,tok) → (group,pos) → group) with
+    * full map-side combine. FP discipline: p = cnt/tot is a single exact
+    * division; each term p·ln(p) uses the scale-8-rounded ln (the q125
+    * recipe) and is snapped to scale 12 before the DECIMAL sum, so the
+    * per-position entropy is partition-order independent; the per-group
+    * mean runs in exact micro-units. Output: (groupCol, n_docs, n_pos,
+    * mean_pos_entropy). */
+  def templateMining(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, maxPos: Int = 16, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val pos = docs
+      .select(col(groupCol).as("__g"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("pos") < maxPos)
+    val cnts = pos.groupBy("__g", "pos", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the per-position totals AND the terms
+    val tots = cnts.groupBy("__g", "pos").agg(sum(col("cnt")).as("tot"))
+    val p = col("cnt").cast("double") / col("tot").cast("double")
+    val ent = cnts.join(tots, Seq("__g", "pos"))
+      .select(col("__g"), col("pos"),
+        SafeMath.roundHalfUp(p * SafeMath.roundHalfUp(log(p), 8), 12)
+          .cast(DecimalType(28, 12)).as("t12"))
+      .groupBy("__g", "pos")
+      .agg(SafeMath.roundHalfUp(-sum(col("t12")).cast("double"), 6)
+        .as("ent"))
+    val nDocs = docs.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n_docs"))
+    val out = ent
+      .select(col("__g"),
+        floor(col("ent") * lit(1000000.0) + lit(0.5)).cast("long").as("e6"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_pos"),
+        SafeMath.roundHalfUp(
+          sum(col("e6")).cast("double") / (count(lit(1)) * lit(1000000.0)),
+          scale).as("mean_pos_entropy"))
+      .join(nDocs, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_pos"),
+        col("mean_pos_entropy"))
+      .localCheckpoint()
+    cnts.unpersist(blocking = false)
+    out
+  }
+
   /** Phrase-blocklist filter — the NSFW/boilerplate/spam phrase screen
     * every crawl-curation pipeline runs before anything expensive: count
     * occurrences of each category's phrases (case-insensitive substring

@@ -1311,6 +1311,42 @@ object CurationQueries {
         SELECT d AS source, n_tokens, mean_nll, excess,
           ${rh("CAST(e8 AS DOUBLE) / CAST(s AS DOUBLE)", 6)} AS weight
         FROM e, se"""
+      }),
+
+    GraftQuery(
+      "q252_template_mining",
+      (s, dir) => Curation.templateMining(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source"),
+      // positional-entropy template detector: the oracle replays the
+      // capped posexplode, the q125 rounded-ln entropy terms, the
+      // DECIMAL(28,12) sums, and the micro-unit positional mean
+      Some {
+        val rh = graft.functions.SafeMath.roundHalfUpSql _
+        val pSql = "(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))"
+        s"""WITH pos AS (SELECT g, i.i AS pos, toks[i.i + 1] AS tok
+            FROM (SELECT source AS g, $Toks5Sql AS toks FROM documents) t,
+              range(0, 16) i(i) WHERE i.i < len(toks)),
+          cnts AS (SELECT g, pos, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM pos GROUP BY 1, 2, 3),
+          tots AS (SELECT g, pos, CAST(SUM(cnt) AS BIGINT) AS tot
+            FROM cnts GROUP BY 1, 2),
+          terms AS (SELECT g, pos, ${rh(
+            s"$pSql * ${rh(s"ln($pSql)", 8)}", 12)} AS t12
+            FROM cnts JOIN tots USING (g, pos)),
+          ent AS (SELECT g, pos, ${rh(
+            "-(CAST(SUM(CAST(t12 AS DECIMAL(28,12))) AS DOUBLE))", 6)} AS ent
+            FROM terms GROUP BY 1, 2),
+          e6 AS (SELECT g,
+              CAST(FLOOR(ent * 1000000.0E0 + 0.5E0) AS BIGINT) AS e6
+            FROM ent),
+          per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pos,
+              ${rh("CAST(SUM(e6) AS DOUBLE) / (COUNT(*) * 1000000.0E0)",
+                6)} AS mean_pos_entropy
+            FROM e6 GROUP BY g),
+          nd AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1)
+        SELECT per.g AS source, nd.n_docs, per.n_pos, per.mean_pos_entropy
+        FROM per JOIN nd USING (g)"""
       })
   )
 

@@ -613,7 +613,44 @@ object PipelineQueries {
           .reduce(_.unionByName(_))
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_totalprice >= 200000"""))
+        FROM orders WHERE o_totalprice >= 200000""")),
+
+    GraftQuery(
+      "q251_jsonl_quarantine",
+      (s, dir) => {
+        // corrupt-record routing on a synthesized dirty JSONL feed:
+        // every 7th line is truncated mid-object, every 11th isn't JSON
+        // at all; both must land in quarantine with the raw line intact
+        // while every other row parses — the oracle predicts the split
+        // from the same id arithmetic, so a parser that drops or
+        // misroutes one line breaks rows or hash.
+        val k = col("c_custkey")
+        val good = concat(lit("""{"k":"""), k,
+          lit(""","name":""""), col("c_name"), lit(""""}"""))
+        val value = when(k % 7 === 0, substring(good, 1, 10))
+          .when(k % 11 === 0, concat(lit("garbage-"), k))
+          .otherwise(good)
+        val lines = Tables.load(s, dir, "customer")
+          .select(k.as("line_id"), value.as("value"))
+        graft.sources.Ingest.jsonlQuarantine(lines, "line_id", "value",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k LONG, name STRING"))
+      },
+      Some("""WITH src AS (SELECT c_custkey AS line_id,
+            (c_custkey % 7 = 0 OR c_custkey % 11 = 0) AS bad,
+            CASE WHEN c_custkey % 7 = 0 THEN
+                substr('{"k":' || CAST(c_custkey AS VARCHAR) || ',"name":"'
+                  || c_name || '"}', 1, 10)
+              WHEN c_custkey % 11 = 0 THEN
+                'garbage-' || CAST(c_custkey AS VARCHAR)
+              ELSE NULL END AS rawbad,
+            c_custkey AS kk, c_name AS nm
+          FROM customer)
+        SELECT line_id, NOT bad AS ok,
+          CASE WHEN bad THEN NULL ELSE kk END AS k,
+          CASE WHEN bad THEN NULL ELSE nm END AS name,
+          CASE WHEN bad THEN rawbad ELSE NULL END AS quarantine
+        FROM src"""))
   )
 }
 

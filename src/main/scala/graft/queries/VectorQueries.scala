@@ -1039,7 +1039,8 @@ object VectorQueries {
       // normalization, scale-6 snap per round — all mirrored IEEE), and
       // the final left-fold projection. Any divergence in the moment
       // scan, the iteration arithmetic, or the dot fold flips the hash.
-      Some(pc1OracleSql(Dim, iters = 4, snap = 9, scale = 6))),
+      Some(pc1OracleSql(Dim, iters = 4, snap = 9, scale = 6)),
+      bench = true),
 
     GraftQuery(
       "q241_random_projection",
@@ -1102,7 +1103,8 @@ object VectorQueries {
             JOIN ya ON ya.y_id = bst.y_id)
         SELECT x_id, y_id, cos_micro, margin FROM m
         WHERE margin >= 1.0E0"""
-      }),
+      },
+      bench = true),
 
     GraftQuery(
       "q249_matryoshka_recall",

@@ -1760,6 +1760,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("jsonlQuarantine routes garbage, keeps schema-drift rows ok") {
+    import graft.sources.Ingest
+    import org.apache.spark.sql.types.StructType
+    val lines = Seq(
+      (1L, """{"k":1,"name":"alice"}"""),        // clean
+      (2L, """{"k":2"""),                        // truncated → quarantine
+      (3L, "not json at all"),                   // garbage → quarantine
+      (4L, """{"k":4}""")                        // missing field → ok, null
+    ).toDF("line_id", "value")
+    val out = Ingest.jsonlQuarantine(lines, "line_id", "value",
+      StructType.fromDDL("k LONG, name STRING"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)))).toMap
+    assert(out(1L) === ((true, Some(1L), Some("alice"), None)))
+    assert(out(2L)._1 === false && out(2L)._4 === Some("""{"k":2"""))
+    assert(out(3L)._1 === false && out(3L)._4 === Some("not json at all"))
+    assert(out(4L) === ((true, Some(4L), None, None)))
+  }
+
+  test("templateMining: templated group scores near-zero entropy") {
+    import graft.operators.Curation
+    val tpl = (1L to 20L).map(i =>
+      (i, "tpl", s"click here to claim prize number $i now"))
+    val org = (21L to 40L).map(i =>
+      (i, "org", s"w${i * 7 % 13} w${i * 11 % 17} w${i * 3 % 19} unique text ${i}"))
+    val d = (tpl ++ org).toDF("doc_id", "source", "text")
+    val m = Curation.templateMining(d, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_pos_entropy"))).toMap
+    assert(m("tpl")._1 === 20L && m("org")._1 === 20L)
+    assert(m("tpl")._2 < 0.5, s"template group must be low entropy: $m")
+    assert(m("org")._2 > m("tpl")._2 * 2,
+      s"organic group must scatter: $m")
+  }
+
   test("randomProject preserves relative distances approximately") {
     import graft.operators.Spectral
     val dim = 32
