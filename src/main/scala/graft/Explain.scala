@@ -88,6 +88,23 @@ object Explain {
         sym.join(keep, Seq("a"), "left_semi")
           .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
           .select("a", "b")
+      },
+      "q240_pc1_projection" -> { s =>
+        // the gate's executed plan is just the final dot-product
+        // projection (the component is collected driver-side); the
+        // reviewable unit is the moment SCAN — stacked generators +
+        // map-side-combined (i, j) aggregate
+        graft.operators.Spectral.momentPlan(
+          graft.core.Tables.load(s, sfDir, "embeddings"),
+          "embedding", dim = 64)
+      },
+      "q247_bitext_margin" -> { s =>
+        val e = graft.core.Tables.load(s, sfDir, "embeddings")
+        graft.operators.Similarity.bitextMarginMinePlan(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", dim = 64, k = 4, threshold = 1.0,
+          bits = 6, seed = 42, pin = identity)
       })
 
   /** The q228/q229 gate corpus: documents plus a half-truncated copy. */

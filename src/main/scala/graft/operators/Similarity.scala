@@ -1041,22 +1041,38 @@ object Similarity {
   def bitextMarginMine(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int = 4, threshold: Double = 1.0,
       bits: Int = 6, seed: Int = 42): DataFrame = {
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = bitextMarginMinePlan(xs, ys, idCol, vecCol, dim, k,
+      threshold, bits, seed,
+      df => { val c = df.localCheckpoint(); pinned += c; c })
+      .localCheckpoint()
+    pinned.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The lazy plan behind [[bitextMarginMine]]: `pin` materializes the
+    * two multiply-consumed intermediates (the candidate frame feeds both
+    * neighborhood windows + the best-pair cut; the x-top frame feeds its
+    * aggregate AND the rn=1 cut) — localCheckpoint in production,
+    * identity for the plan book so the full join tree stays visible. */
+  private[graft] def bitextMarginMinePlan(xs: DataFrame, ys: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, threshold: Double,
+      bits: Int, seed: Int, pin: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def side(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
         lshBucket(col(vecCol), dim, bits, seed).as("bucket"))
-    val cand = side(xs, "x_id", "xv").join(side(ys, "y_id", "yv"), "bucket")
-      .select(col("x_id"), col("y_id"),
-        floor(cosineCols(col("xv"), col("yv")) * lit(1000000.0) + lit(0.5))
-          .cast("long").as("cos_micro"))
-      .localCheckpoint() // feeds both neighborhood windows + the best-pair cut
+    val cand = pin(
+      side(xs, "x_id", "xv").join(side(ys, "y_id", "yv"), "bucket")
+        .select(col("x_id"), col("y_id"),
+          floor(cosineCols(col("xv"), col("yv")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("cos_micro")))
     val wx = Window.partitionBy(col("x_id"))
       .orderBy(col("cos_micro").desc, col("y_id").asc)
     val wy = Window.partitionBy(col("y_id"))
       .orderBy(col("cos_micro").desc, col("x_id").asc)
-    val xtop = cand.withColumn("rn", row_number().over(wx))
-      .filter(col("rn") <= k)
-      .localCheckpoint() // feeds the x-neighborhood aggregate AND the rn=1 cut
+    val xtop = pin(cand.withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= k))
     val xavg = xtop.groupBy("x_id")
       .agg(sum(col("cos_micro")).as("sx"), count(lit(1)).as("nx"))
     val yavg = cand.withColumn("rn", row_number().over(wy))
@@ -1065,7 +1081,7 @@ object Similarity {
       .agg(sum(col("cos_micro")).as("sy"), count(lit(1)).as("ny"))
     val denom = ((col("sx").cast("double") / col("nx").cast("double")) +
       (col("sy").cast("double") / col("ny").cast("double"))) / lit(2.0)
-    val out = xtop.filter(col("rn") === 1)
+    xtop.filter(col("rn") === 1)
       .select(col("x_id"), col("y_id"), col("cos_micro"))
       .join(xavg, Seq("x_id"))
       .join(yavg, Seq("y_id"))
@@ -1075,9 +1091,5 @@ object Similarity {
             .otherwise(col("cos_micro").cast("double") / denom), 6)
           .as("margin"))
       .filter(col("margin") >= threshold)
-      .localCheckpoint()
-    cand.unpersist(blocking = false)
-    xtop.unpersist(blocking = false)
-    out
   }
 }

@@ -32,6 +32,15 @@ object Spectral {
     * s = Σ_rows round(x_i·x_j·10^snap) as DECIMAL(38,0) — exact at any
     * corpus size; callers convert to doubles under an explicit 2⁵³ bound.
     */
+  /** The moment-scan plan over a raw (vecCol) frame — exposed for the
+    * plan book (the driver-side collect in [[pc1Component]] hides it
+    * from a gate's final executed plan). */
+  private[graft] def momentPlan(embeddings: DataFrame, vecCol: String,
+      dim: Int, snap: Int = 9): DataFrame =
+    momentSums(
+      embeddings.select(transform(col(vecCol), _.cast("double")).as("__v")),
+      dim, snap)
+
   private def momentSums(e: DataFrame, dim: Int, snap: Int): DataFrame = {
     val p = math.pow(10, snap)
     // stacked generators for the in-row (i, j) fan-out (the CLAUDE-book
