@@ -1203,6 +1203,37 @@ object Dedup {
     out
   }
 
+  /** MinHash-LSH quality audit: precision/recall of [[minhashLsh]]'s
+    * banded candidate generation against the exact df-capped Jaccard
+    * pair set ([[jaccardPairs]] — the same truth q30 gates). The
+    * operating-point artifact a dedup rollout picks (numHashes, bands)
+    * with: banding trades recall for candidate volume, and this measures
+    * the trade on the real corpus instead of the textbook S-curve.
+    * Precision can dip below 1 against the CAPPED truth when banding
+    * surfaces a pair whose shingles were all df-capped away — that
+    * asymmetry is part of what the audit reports. Both pair frames are
+    * checkpointed by their operators; the audit adds two counts and one
+    * semi-join count, all driver-bounded scalars.
+    * Output: (n_truth, n_found, n_common, precision, recall). */
+  def minhashRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3,
+      threshold: Double = 0.8, scale: Int = 6): DataFrame = {
+    import graft.functions.SafeMath.roundHalfUpD
+    val spark = docs.sparkSession
+    val truth = jaccardPairs(docs, idCol, textCol, k, threshold)
+      .select("doc_a", "doc_b")
+    val found = minhashLsh(docs, idCol, textCol, numHashes, bands, k,
+      threshold).select("doc_a", "doc_b")
+    val nT = truth.count()
+    val nF = found.count()
+    val nC = truth.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
+    val prec = if (nF == 0) 0.0 else roundHalfUpD(nC.toDouble / nF, scale)
+    val rec = if (nT == 0) 0.0 else roundHalfUpD(nC.toDouble / nT, scale)
+    spark.createDataFrame(Seq((nT, nF, nC, prec, rec)))
+      .toDF("n_truth", "n_found", "n_common", "pair_precision",
+        "pair_recall")
+  }
+
   /** SoftDeDup-style duplication weights: instead of DROPPING near-dup
     * cluster members, every document keeps a training weight 1/|cluster|
     * (singletons weigh 1.0) — the soft-dedup recipe that preserves corpus

@@ -845,6 +845,73 @@ object DedupQueries {
             "1.0E0 / CAST(COALESCE(sz.n, 1) AS DOUBLE)", 6)} AS weight
         FROM (SELECT doc_id FROM $CorpusSql) i
         LEFT JOIN cl ON cl.node = i.doc_id
-        LEFT JOIN sz ON sz.cluster = cl.cluster"""))
+        LEFT JOIN sz ON sz.cluster = cl.cluster""")),
+
+    GraftQuery(
+      "q254_minhash_recall",
+      (s, dir) => Dedup.minhashRecallAudit(corpus(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 4, k = 3, threshold = 0.8),
+      // the banding operating point measured on the real corpus: truth =
+      // q30's capped exact pairs, found = q31's banded+verified pairs —
+      // the oracle replays BOTH chains and the same count arithmetic
+      Some {
+        val P = Dedup.MinhashP
+        val numHashes = 16; val bands = 4; val rows = numHashes / bands
+        val sigCols = (0 until numHashes).map(i =>
+          s"MIN((key * ${Dedup.mhA(i)} + ${Dedup.mhB(i)}) % $P) AS s$i")
+          .mkString(", ")
+        def bh(j: Int): String =
+          (0 until rows).foldLeft(s"CAST(${j + 1} AS BIGINT)")((acc, r) =>
+            s"(($acc * ${Dedup.BandM} + s${j * rows + r}) % $P)")
+        val bandSelects = (0 until bands).map(j =>
+          s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""WITH $CappedIdxSql,
+          tsz AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+          tco AS (SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
+            FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
+            GROUP BY 1, 2),
+          truth AS (SELECT doc_a, doc_b
+            FROM tco JOIN tsz a ON a.doc = doc_a JOIN tsz b ON b.doc = doc_b
+            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0),
+          shingled AS (
+            SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $CorpusSql),
+          keys AS (
+            SELECT doc, (${md5FoldSql("h")}) % $P AS key
+            FROM (SELECT doc, md5(sh) AS h FROM shingled)),
+          sigs AS (SELECT doc, $sigCols FROM keys GROUP BY doc),
+          banded AS ($bandSelects),
+          cand AS (
+            SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc),
+          uidx AS (SELECT DISTINCT doc, sh FROM shingled),
+          usz AS (SELECT doc, COUNT(*) AS n_sh FROM uidx GROUP BY doc),
+          uinter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN uidx xa ON xa.doc = c.doc_a
+            JOIN uidx xb ON xb.doc = c.doc_b AND xa.sh = xb.sh
+            GROUP BY 1, 2),
+          found AS (
+            SELECT doc_a, doc_b FROM uinter
+            JOIN usz a ON a.doc = doc_a JOIN usz b ON b.doc = doc_b
+            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0),
+          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+          nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM found),
+          nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM truth t JOIN found f
+              ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b)
+        SELECT n_truth, n_found, n_common,
+          CASE WHEN n_found = 0 THEN 0.0E0 ELSE ${
+            graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(n_common AS DOUBLE) / CAST(n_found AS DOUBLE)", 6)} END
+            AS pair_precision,
+          CASE WHEN n_truth = 0 THEN 0.0E0 ELSE ${
+            graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(n_common AS DOUBLE) / CAST(n_truth AS DOUBLE)", 6)} END
+            AS pair_recall
+        FROM nt, nf, nc"""
+      })
   )
 }

@@ -2003,7 +2003,87 @@ object StreamQueries {
             FROM w WHERE weight > 0)
         SELECT doc_id, weight, priority FROM p
         ORDER BY priority, doc_id LIMIT 50"""))
-  ) :+ streamPc1Query
+  ) :+ streamPc1Query :+ streamDriftQuery
+
+  private def streamDriftQuery: GraftQuery = GraftQuery(
+    "q253_stream_drift",
+    (s, dir) => {
+      // per-batch KL drift alarm against a FROZEN baseline: wave 0
+      // re-sends the baseline corpus (KL ≈ smoothing-only), wave 1
+      // appends a novel 4-token tail per doc (moderate drift), wave 2 is
+      // a pure template (total drift). Batch 1 is folded twice to prove
+      // replay rewrites its partition instead of duplicating the row.
+      import graft.streaming.StreamDrift
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val base = StreamDrift.baseline(docs, "text").localCheckpoint()
+      val bRow = base.agg(sum(col("cnt_b")), count(lit(1))).head()
+      val (bTot, bVoc) = (bRow.getLong(0), bRow.getLong(1))
+      def wave(text: Column) = docs.select(
+        to_json(struct(col("doc_id"), text.as("text"))).as("value"))
+      val frames = Seq(
+        wave(col("text")),
+        wave(concat(col("text"), lit(" zyq zyq zyq zyq"))),
+        wave(lit("zzz yyy xxx www zzz yyy xxx www")))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING")
+      val out = runStaged(s, frames, "drift") { (raw, outDir, ckpt) =>
+        raw.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val parsed = b
+              .select(from_json(col("value"), schema).as("j"))
+              .select(col("j.*"))
+            StreamDrift.foldBatch(parsed, "text", base, bTot, bVoc,
+              s"$outDir/drift", id, threshold = 0.05)
+            if (id == 1) // retried batch: idempotent partition rewrite
+              StreamDrift.foldBatch(parsed, "text", base, bTot, bVoc,
+                s"$outDir/drift", id, threshold = 0.05)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      // `batch` is a partition column (inferred int) — pin the gate type
+      out.select(col("batch").cast("long").as("batch"), col("n_tokens"),
+        col("kl"), col("alarm"))
+    },
+    Some {
+      val rh = graft.functions.SafeMath.roundHalfUpSql _
+      // one KL scalar CTE per wave, mirroring StreamDrift.foldBatch:
+      // pp = cnt/total (exact divisions), qq = add-one-smoothed baseline,
+      // per-token term with scale-8 lns, DECIMAL(28,8) sum, scale-6 KL
+      def klCte(name: String, wave: String, totalExpr: String): String =
+        s"""$name AS (SELECT ${rh(
+            "CAST(SUM(CAST(t8 AS DECIMAL(28,8))) AS DOUBLE)", 6)} AS kl
+          FROM (SELECT ${rh(
+            s"pp * (${rh("ln(pp)", 8)} - ${rh("ln(qq)", 8)})", 8)} AS t8
+            FROM (SELECT
+                CAST(w.cnt AS DOUBLE) / CAST($totalExpr AS DOUBLE) AS pp,
+                CAST(COALESCE(b.cnt_b, 0) + 1 AS DOUBLE) /
+                  CAST(bt.tot + bt.voc AS DOUBLE) AS qq
+              FROM $wave w LEFT JOIN base b ON b.tok = w.tok, bt)))"""
+      s"""WITH base AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_b
+            FROM (SELECT unnest(
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              AS tok FROM documents) GROUP BY tok),
+        bt AS (SELECT CAST(SUM(cnt_b) AS BIGINT) AS tot,
+            CAST(COUNT(*) AS BIGINT) AS voc FROM base),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        w0 AS (SELECT tok, cnt_b AS cnt FROM base),
+        w1 AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+            SELECT tok, cnt_b AS c FROM base
+            UNION ALL SELECT 'zyq' AS tok, 4 * n AS c FROM nd)
+          GROUP BY tok),
+        w2 AS (SELECT t.tok, CAST(2 * n AS BIGINT) AS cnt
+          FROM (VALUES ('zzz'), ('yyy'), ('xxx'), ('www')) t(tok), nd),
+        ${klCte("k0", "w0", "bt.tot")},
+        ${klCte("k1", "w1", "(bt.tot + 4 * (SELECT n FROM nd))")},
+        ${klCte("k2", "w2", "(8 * (SELECT n FROM nd))")}
+      SELECT CAST(0 AS BIGINT) AS batch, bt.tot AS n_tokens, k0.kl AS kl,
+        k0.kl >= 0.05E0 AS alarm FROM bt, k0
+      UNION ALL SELECT 1, bt.tot + 4 * nd.n, k1.kl, k1.kl >= 0.05E0
+        FROM bt, nd, k1
+      UNION ALL SELECT 2, 8 * nd.n, k2.kl, k2.kl >= 0.05E0 FROM nd, k2"""
+    })
 
   private def streamPc1Query: GraftQuery = GraftQuery(
     "q250_stream_pc1",

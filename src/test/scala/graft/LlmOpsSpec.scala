@@ -1796,6 +1796,40 @@ class LlmOpsSpec extends AnyFunSuite {
       s"organic group must scatter: $m")
   }
 
+  test("StreamDrift: clean batch stays calm, novel batch alarms, replay idempotent") {
+    import graft.streaming.StreamDrift
+    val corpus = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog ran in the park")).toDF("doc_id", "text")
+    val base = StreamDrift.baseline(corpus, "text").localCheckpoint()
+    val r = base.agg(sum(col("cnt_b")), count(lit(1))).head()
+    val (tot, voc) = (r.getLong(0), r.getLong(1))
+    val state = java.nio.file.Files.createTempDirectory("graft-drift")
+      .resolve("s").toString
+    StreamDrift.foldBatch(corpus, "text", base, tot, voc, state, 0L, 0.5)
+    val novel = Seq((3L, "zz qq ww zz qq ww zz qq")).toDF("doc_id", "text")
+    StreamDrift.foldBatch(novel, "text", base, tot, voc, state, 1L, 0.5)
+    StreamDrift.foldBatch(novel, "text", base, tot, voc, state, 1L, 0.5) // replay
+    val rows = spark.read.parquet(state)
+      .select(col("batch").cast("long"), col("kl"), col("alarm"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(rows.size === 2, s"replay must rewrite, not duplicate: $rows")
+    assert(rows(0L)._1 < 0.5 && !rows(0L)._2)
+    assert(rows(1L)._1 > 0.5 && rows(1L)._2,
+      s"all-novel batch must alarm: ${rows(1L)}")
+  }
+
+  test("minhashRecallAudit counts are internally consistent") {
+    val r = Dedup.minhashRecallAudit(docs, "doc_id", "text",
+      numHashes = 8, bands = 4, k = 2, threshold = 0.5).collect()(0)
+    val (nT, nF, nC) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nC <= nT && nC <= nF)
+    assert(nT > 0, "the fixture has exact near-dup pairs")
+    val rec = r.getAs[Double]("pair_recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(r.getAs[Double]("pair_precision") >= 0.0)
+  }
+
   test("randomProject preserves relative distances approximately") {
     import graft.operators.Spectral
     val dim = 32
