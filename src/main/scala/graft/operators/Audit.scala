@@ -49,6 +49,39 @@ object Audit {
     * counts are one aggregate per table. The kept frame is exactly
     * `table.join(requests, key, "left_anti")` — callers write that to
     * the purged location; this reports what it will do. */
+  /** FK-candidate DISCOVERY — the schema-inference complement of
+    * [[fkAudit]] (which checks DECLARED keys): for each candidate
+    * (child, parent) column pair, measure distinct-key containment
+    * |keys(child) ∩ keys(parent)| / |keys(child)| in exact integer ppm
+    * and whether the parent column is unique; the pair is an FK
+    * candidate iff containment is total AND the parent is a key — both
+    * halves matter (a contained pair with a non-unique parent is a join
+    * trap, not a key). Per pair: two distinct aggregates (shipping only
+    * the key column) and one semi-join; driver state is five scalars
+    * per pair (the [[deleteAudit]] report shape). */
+  def fkDiscovery(pairs: Seq[(String, DataFrame, String, String,
+      DataFrame, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    val spark = pairs.head._2.sparkSession
+    import spark.implicits._
+    pairs.map { case (childName, child, childCol,
+        parentName, parent, parentCol) =>
+      val ck = child.select(col(childCol).as("k"))
+        .filter(col("k").isNotNull).distinct().localCheckpoint()
+      val pk = parent.select(col(parentCol).as("k"))
+        .filter(col("k").isNotNull)
+      val pkd = pk.distinct().localCheckpoint()
+      val nChild = ck.count()
+      val nMatched = ck.join(pkd, Seq("k"), "left_semi").count()
+      val parentUnique = pk.count() == pkd.count()
+      val ppm = if (nChild == 0) 0L else nMatched * 1000000L / nChild
+      (s"$childName.$childCol", s"$parentName.$parentCol",
+        nChild, nMatched, ppm, parentUnique,
+        nChild > 0 && nMatched == nChild && parentUnique)
+    }.toDF("child", "parent", "n_child_keys", "n_matched",
+      "containment_ppm", "parent_unique", "is_fk_candidate")
+  }
+
   def deleteAudit(requests: DataFrame, reqKey: String,
       tables: Seq[(String, DataFrame, String)]): DataFrame = {
     val spark = requests.sparkSession

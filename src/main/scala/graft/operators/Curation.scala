@@ -665,6 +665,59 @@ object Curation {
         .as("chi2"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift per source — the CDF-distance
+    * complement of [[sourceKl]] (token distributions) and
+    * [[chiSquareShift]] (binned proportions): per source, compare the
+    * source's value distribution against the REST of the corpus and
+    * report D = max_bin |F_s − F_rest| — sensitive to location/shape
+    * shifts that leave individual bin counts looking sane. INTEGER until
+    * the final division: the CDF gap at support point b is
+    * |scum·(N−n_s) − (gcum−scum)·n_s| (cross-multiplied, no per-point
+    * division), maxed exactly, divided once per source. The products run
+    * in DECIMAL(38,0) (oracle: HUGEINT) so corpus sizes far beyond 2⁶³⁄²
+    * cannot wrap — only the one final value is cast to double.
+    *
+    * Scale shape: one (source, bin) count aggregation (map-side
+    * combined); the grid is sources × `bins` via explode(sequence) —
+    * never a cross join — and every cumulative window partitions by
+    * source. Nothing global, nothing corpus-sized past the first
+    * aggregate. */
+  def ksShift(df: DataFrame, sourceCol: String, valueCol: String,
+      binWidth: Long, bins: Int, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val binned = df.select(col(sourceCol).as("source"),
+      least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
+        lit(bins - 1L)).as("bin"))
+    val sb = binned.groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
+      .localCheckpoint()
+    val gb = sb.groupBy("bin").agg(sum("c_sb").as("c_b"))
+    val totals = sb.groupBy("source").agg(sum("c_sb").as("n_s"))
+    val nRow = sb.agg(sum("c_sb")).collect()(0)
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val grid = totals.select(col("source"), col("n_s"),
+      explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val w = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wide = DecimalType(38, 0)
+    val gap = grid.join(sb, Seq("source", "bin"), "left")
+      .join(gb, Seq("bin"), "left")
+      .withColumn("scum", sum(coalesce(col("c_sb"), lit(0L))).over(w))
+      .withColumn("gcum", sum(coalesce(col("c_b"), lit(0L))).over(w))
+      .select(col("source"), col("n_s"),
+        abs(col("scum").cast(wide) * (lit(n) - col("n_s")).cast(wide) -
+          (col("gcum") - col("scum")).cast(wide) * col("n_s").cast(wide))
+          .as("gap"))
+    gap.groupBy("source")
+      .agg(max(col("n_s")).as("n_rows"),
+        SafeMath.roundHalfUp(
+          when(lit(n) === max(col("n_s")), lit(0.0))
+            .otherwise(max(col("gap")).cast("double") /
+              (max(col("n_s")).cast(wide) *
+                (lit(n) - max(col("n_s"))).cast(wide)).cast("double")),
+          scale).as("ks"))
+  }
+
   /** Temperature-flattened domain sampling — the multilingual-pretraining
     * mix rule (sample domain d ∝ count_d^(1/T)): T=1 keeps natural
     * proportions, T→∞ approaches uniform, T<1 sharpens. The target
@@ -1184,6 +1237,88 @@ object Curation {
         .otherwise((num * num) / (denX * denY)), 6).as("r2"))
   }
 
+  /** Heaps-law vocabulary-growth audit — the companion of [[zipfFit]]:
+    * natural corpora grow vocabulary as V(n) ≈ K·n^β with β ≈ 0.4–0.6;
+    * template/boilerplate farms flatten the curve (the vocab saturates),
+    * OCR noise and random blobs push β toward 1. The growth curve is
+    * measured at `checkpoints` equal slices of the doc-id domain
+    * (ingestion order): n_j = |{docs: id ≤ q_j}| and
+    * v_j = |{types whose FIRST occurrence has id ≤ q_j}|, then the same
+    * micro-unit OLS of ln(v) on ln(n) as zipfFit.
+    *
+    * Scale shape: ONE token-keyed shuffle (min doc-id per type,
+    * map-side combined — the corpus text is read once), two J-row
+    * checkpoint censuses whose cumulative windows run over J rows
+    * (bounded by construction — the PlanSpec exemption class), one
+    * scalar fit. The max doc id is a bounded 1-row collect. Cross-engine
+    * FP: the scale-3 ln snap + exact BIGINT sums (the q82/q239 recipe).
+    * Output one row: (n_points, n_docs, n_types, beta, intercept, r2).
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 8): DataFrame = {
+    require(checkpoints >= 2)
+    val spark = docs.sparkSession
+    val j = checkpoints
+    val mxRow = docs.agg(max(col(idCol).cast("long"))).head
+    val mx = if (mxRow.isNullAt(0)) 1L else math.max(mxRow.getLong(0), 1L)
+    // id ≤ floor(mx·b/J) ⟺ b ≥ ceil(id·J/mx): each row's checkpoint
+    // bucket is exact integer arithmetic, no FP
+    def bucketOf(idExpr: String): Column =
+      greatest(expr(s"(($idExpr) * ${j}L + ${mx - 1}L) div ${mx}L"),
+        lit(1L))
+    val db = docs
+      .select(bucketOf(s"CAST($idCol AS BIGINT)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("dn"))
+    val firsts = docs
+      .select(col(idCol).cast("long").as("__id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(min(col("__id")).as("fid"))
+    val tb = firsts.select(bucketOf("fid").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("vn"))
+    val spine = spark.range(1, j + 1L).select(col("id").as("b"))
+    val wcum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = spine
+      .join(db, Seq("b"), "left").join(tb, Seq("b"), "left")
+      .select(col("b"), coalesce(col("dn"), lit(0L)).as("dn"),
+        coalesce(col("vn"), lit(0L)).as("vn"))
+      .withColumn("n_docs", sum("dn").over(wcum))
+      .withColumn("n_types", sum("vn").over(wcum))
+      .filter(col("n_docs") > 0L && col("n_types") > 0L)
+    val pts = curve.select(col("n_docs"), col("n_types"),
+      floor(log(col("n_docs").cast("double")) * lit(1000.0) + lit(0.5))
+        .cast("long").as("x3"),
+      floor(log(col("n_types").cast("double")) * lit(1000.0) + lit(0.5))
+        .cast("long").as("y3"))
+    val s = pts.agg(
+      count(lit(1)).as("n"),
+      coalesce(max(col("n_docs")), lit(0L)).as("total_docs"),
+      coalesce(max(col("n_types")), lit(0L)).as("total_types"),
+      sum(col("x3")).as("sx"), sum(col("y3")).as("sy"),
+      sum(col("x3") * col("y3")).as("sxy"),
+      sum(col("x3") * col("x3")).as("sxx"),
+      sum(col("y3") * col("y3")).as("syy"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double") / lit(1000.0)
+    val syd = col("sy").cast("double") / lit(1000.0)
+    val sxyd = col("sxy").cast("double") / lit(1000000.0)
+    val sxxd = col("sxx").cast("double") / lit(1000000.0)
+    val syyd = col("syy").cast("double") / lit(1000000.0)
+    val num = (nd * sxyd) - (sxd * syd)
+    val denX = (nd * sxxd) - (sxd * sxd)
+    val denY = (nd * syyd) - (syd * syd)
+    val beta = when(denX === 0.0, lit(0.0)).otherwise(num / denX)
+    import graft.functions.SafeMath.roundHalfUp
+    s.select(col("n").as("n_points"),
+      col("total_docs").as("n_docs"),
+      col("total_types").as("n_types"),
+      roundHalfUp(beta, 6).as("beta"),
+      roundHalfUp(when(col("n") === 0, lit(0.0))
+        .otherwise((syd - (beta * sxd)) / nd), 6).as("intercept"),
+      roundHalfUp(when((denX * denY) === 0.0, lit(0.0))
+        .otherwise((num * num) / (denX * denY)), 6).as("r2"))
+  }
+
   /** Interpolated Kneser–Ney bigram LM scoring — the CCNet/KenLM-style
     * perplexity filter with the smoothing real LM toolkits use, vs the
     * add-one baseline of [[bigramLogProb]]: P(c|p) = (c(p,c) − D)/c(p·)
@@ -1448,5 +1583,220 @@ object Curation {
       blocklist.map { case (cat, _) => col(s"hits_$cat") } :+
       total.as("total_hits") :+
       (total === 0L).as("keep"): _*)
+  }
+
+  /** UniMax epoch-capped budget allocation (Chung et al. 2023): split a
+    * token budget across domains so every domain gets an equal share,
+    * EXCEPT no domain repeats more than `maxEpochs` times — the
+    * waterfilling that replaces ad-hoc temperature mixes when equal
+    * sharing would over-epoch low-resource domains into memorization.
+    *
+    * Closed form instead of the paper's sequential greedy: with domains
+    * in ascending token-count order the capped set is provably a PREFIX
+    * of that order (if i is capped then any smaller j is too, since
+    * B − Σ_{t<j}E·c_t = (B − Σ_{t<i}E·c_t) + Σ_{t=j..i-1}E·c_t
+    * ≥ E·c_i(n−i+1) + (i−j)·E·c_j ≥ E·c_j(n−j+1)), so one ordered window
+    * computes each domain's cap flag (E·c_i·(n−i) + cum_i ≤ B), an
+    * unbounded window counts the capped prefix, and the uncapped tail
+    * splits the remaining budget by integer division with the leftover
+    * tokens assigned to the single largest domain. All-integer
+    * arithmetic end to end, so the allocation itself hash-gates.
+    *
+    * The windows run over the DOMAIN CENSUS — one row per domain, bounded
+    * by the domain vocabulary, never corpus rows — which is the
+    * PlanSpec bounded-by-construction global-window exemption class.
+    *
+    * Output: (domainCol, n_tokens, alloc_tokens, capped, epochs_milli).
+    */
+  def unimaxAllocation(docs: DataFrame, textCol: String, domainCol: String,
+      budgetTokens: Long, maxEpochs: Int): DataFrame = {
+    require(maxEpochs >= 1 && budgetTokens >= 0L)
+    val census = docs.groupBy(col(domainCol))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).cast("long")
+        .as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens"), col(domainCol))
+    val all = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    census
+      .withColumn("ec", col("n_tokens") * lit(maxEpochs.toLong))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("ec")).over(ord))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("capped",
+        col("ec") * (col("n") - col("i")) + col("cum") <= lit(budgetTokens))
+      .withColumn("k",
+        sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("s_k",
+        sum(when(col("capped"), col("ec")).otherwise(0L)).over(all))
+      .withColumn("share", when(col("k") < col("n"),
+        expr(s"(${budgetTokens}L - s_k) div (n - k)")).otherwise(lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("ec"))
+          .when(col("i") < col("n"), col("share"))
+          // last (largest) domain absorbs the integer-division remainder
+          .otherwise(col("share") +
+            (lit(budgetTokens) - col("s_k") -
+              col("share") * (col("n") - col("k")))))
+      .withColumn("epochs_milli", when(col("n_tokens") === 0L, 0L)
+        .otherwise(expr("(alloc_tokens * 1000) div n_tokens")))
+      .select(domainCol, "n_tokens", "alloc_tokens", "capped",
+        "epochs_milli")
+  }
+
+  /** Gopher-style composite quality rules (Rae et al. 2021, Table A1):
+    * the standard cheap pre-filter a crawl-curation pipeline runs before
+    * anything expensive. Per document — word count in [minWords,
+    * maxWords], mean word length in [3, 10] characters, '#'/'…' symbol-
+    * to-word ratio below 10%, ≥ 80% of words containing an alphabetic
+    * character, and at least two DISTINCT stopwords (the "natural
+    * English" tell). All ratios are integer milli-units (×1000, floor
+    * division) so every flag hash-gates bit-exactly cross-engine.
+    *
+    * One tokenization per row: the token-derived metrics are computed
+    * inside a single bindOnce struct routed through `explode(array(...))`
+    * — a one-element generator is the projection barrier that stops
+    * CollapseProject re-inlining the tokenizer once per metric.
+    *
+    * Output: (idCol, n_words, mean_len_milli, symbol_milli, alpha_milli,
+    * n_stop, ok_words, ok_mean_len, ok_symbol, ok_alpha, ok_stops, pass).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = GopherStopwords,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val tokenMetrics = TextFunctions.bindOnce(TextFunctions.tokens(t)) {
+      toks =>
+        struct(
+          size(toks).cast("long").as("n_words"),
+          coalesce(aggregate(toks, lit(0L), (a, x) => a + length(x)),
+            lit(0L)).as("sum_len"),
+          size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+            .as("n_alpha"),
+          size(array_distinct(filter(transform(toks, x => lower(x)),
+            x => x.isInCollection(stopwords)))).cast("long").as("n_stop"))
+    }
+    // symbol counts are plain length-delta-of-replace (exact,
+    // non-overlapping left-to-right on both engines — the blocklist rule)
+    val nHash = (length(t) - length(replace(t, lit("#"), lit(""))))
+      .cast("long")
+    val nEll = ((length(t) - length(replace(t, lit("..."), lit("")))) /
+      lit(3)).cast("long")
+    docs
+      .select(col(idCol), explode(array(tokenMetrics)).as("__m"),
+        (nHash + nEll).as("__sym"))
+      .select(col(idCol), col("__m.n_words").as("n_words"),
+        col("__m.sum_len").as("__sum_len"),
+        col("__m.n_alpha").as("__n_alpha"),
+        col("__m.n_stop").as("n_stop"), col("__sym"))
+      .withColumn("mean_len_milli", when(col("n_words") === 0L, 0L)
+        .otherwise(expr("(__sum_len * 1000) div n_words")))
+      .withColumn("symbol_milli", when(col("n_words") === 0L, 0L)
+        .otherwise(expr("(__sym * 1000) div n_words")))
+      .withColumn("alpha_milli", when(col("n_words") === 0L, 0L)
+        .otherwise(expr("(__n_alpha * 1000) div n_words")))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_len_milli") >= 3000L && col("mean_len_milli") <= 10000L)
+      .withColumn("ok_symbol", col("symbol_milli") < 100L)
+      .withColumn("ok_alpha", col("alpha_milli") >= 800L)
+      .withColumn("ok_stops", col("n_stop") >= 2L)
+      .withColumn("pass", col("ok_words") && col("ok_mean_len") &&
+        col("ok_symbol") && col("ok_alpha") && col("ok_stops"))
+      .select(idCol, "n_words", "mean_len_milli", "symbol_milli",
+        "alpha_milli", "n_stop", "ok_words", "ok_mean_len", "ok_symbol",
+        "ok_alpha", "ok_stops", "pass")
+  }
+
+  /** 2-D Pareto frontier (maximize BOTH integer dims) — the curation cut
+    * "no other document is at least as long AND strictly more diverse":
+    * a row survives iff nothing dominates it (≥ on both dims, > on at
+    * least one; exact duplicates both survive — neither dominates). The
+    * frontier is the skyline a budgeted selection walks when two quality
+    * axes genuinely trade off and no scalar mix is trusted.
+    *
+    * The textbook sweep sorts globally and keeps a running max — a
+    * SinglePartition funnel. This stays distributed with the
+    * [[GlobalSort]] trick: one groupBy(x) aggregate (max y per x), the
+    * per-x frame range-partitioned on x DESC, the running "best y at
+    * strictly greater x" split into (a) a per-PARTITION exclusive window
+    * max and (b) per-partition maxima (≤ numParts rows) prefix-combined
+    * on the driver and broadcast back. x is kept at per-x granularity so
+    * the within-partition `rowsBetween(-1)` frame IS "strictly greater
+    * x" (range partitioning never splits one x across partitions). Rows
+    * with a NULL dim are excluded (dominance is undefined on them).
+    * Inputs must be integer-valued (micro-units upstream) — exact, so
+    * the DuckDB oracle (one window over the per-x aggregate) matches
+    * bit-for-bit. */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String,
+      numParts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = base.groupBy(col(xCol).cast("long").as("__x"))
+      .agg(max(col(yCol).cast("long")).as("__ymax"))
+    val parted = perX.repartitionByRange(numParts, col("__x").desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // ≤ numParts rows to the driver — the only non-distributed step
+    val pmax = parted.groupBy(col("__pid")).agg(max(col("__ymax")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix max over ascending pid = descending x ranges
+    val pref = pmax.map(_._1)
+      .zip(pmax.scanLeft(Option.empty[Long]) { (acc, p) =>
+        Some(acc.fold(p._2)(math.max(_, p._2))) }.init)
+    val prefDf = pref.toSeq.map { case (p, m) => (p, m) }
+      .toDF("__pid", "__pref")
+    val wExcl = Window.partitionBy(col("__pid")).orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // greatest() skips nulls: M is null only for the global max x
+    val frontierX = parted
+      .withColumn("__local", max(col("__ymax")).over(wExcl))
+      .join(broadcast(prefDf), Seq("__pid"))
+      .withColumn("__m", greatest(col("__local"), col("__pref")))
+      .filter(col("__m").isNull || col("__ymax") > col("__m"))
+      .select(col("__x"), col("__ymax"))
+    base.join(frontierX,
+      base(xCol).cast("long") === col("__x") &&
+        base(yCol).cast("long") === col("__ymax"), "left_semi")
+  }
+
+  /** Gini concentration of the domain/source mix — the inequality audit
+    * companion of [[zipfFit]]/[[heapsFit]]: 0 = perfectly balanced
+    * corpus, →1 = one domain owns everything. Uses the exact discrete
+    * formula G = (2·Σᵢ i·cᵢ)/(n·Σc) − (n+1)/n over counts sorted
+    * ascending (i = 1-based rank; any stable order of equal counts gives
+    * the same Σ — the formula is tie-invariant). ALL-INTEGER until one
+    * final division: numerator and denominator are cross-multiplied into
+    * DECIMAL(38,0) (oracle: HUGEINT) so corpus sizes cannot wrap.
+    *
+    * Scale shape: one map-side-combined domain census (the ONLY
+    * corpus-sized pass); the rank window runs over one row per domain —
+    * bounded by the domain vocabulary, never by corpus rows (PlanSpec
+    * exemption class), and the final fold is a scalar aggregate. */
+  def giniConcentration(df: DataFrame, domainCol: String,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val wide = DecimalType(38, 0)
+    val census = df.groupBy(col(domainCol).as("__d"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = census.withColumn("i",
+      row_number().over(Window.orderBy(col("c"), col("__d"))))
+    ranked.agg(
+      count(lit(1)).as("n_domains"),
+      sum(col("c")).as("n_rows"),
+      SafeMath.roundHalfUp(
+        when(count(lit(1)) === 1L || sum(col("c")) === 0L, lit(0.0))
+          .otherwise(
+            ((lit(2L).cast(wide) * sum(col("i").cast(wide) * col("c").cast(wide)) -
+              (count(lit(1)) + 1L).cast(wide) * sum(col("c")).cast(wide))
+              .cast("double")) /
+              (count(lit(1)).cast(wide) * sum(col("c")).cast(wide))
+                .cast("double")),
+        scale).as("gini"))
   }
 }

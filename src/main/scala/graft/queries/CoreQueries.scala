@@ -530,6 +530,154 @@ object CoreQueries {
         FROM nk""")),
 
     GraftQuery(
+      "q261_delete_apply",
+      (s, dir) => {
+        // the EXECUTION half of q151: purge every 97th customer from a
+        // month-partitioned orders fact by rewriting ONLY the partitions
+        // they touch ([[graft.sources.FactWriter.deleteSubjects]]). The
+        // gate hashes the rewrite report JOINED with a re-read of the
+        // post-delete storage — rows_now comes from the files the
+        // overwrite actually left behind and subjects_left must be 0 in
+        // every partition, so a botched write (or a partition the
+        // dynamic overwrite missed) flips the hash, not just a spec.
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q261")
+          .toFile.getAbsolutePath
+        Tables.load(s, dir, "orders")
+          .withColumn("d", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("d").parquet(s"$tmp/fact")
+        val subjects = Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("subject"))
+        val report = graft.sources.FactWriter.deleteSubjects(
+          s, s"$tmp/fact", "d", "o_custkey", subjects, "subject")
+        val after = s.read.parquet(s"$tmp/fact")
+        val subj = broadcast(subjects.distinct())
+        val post = after
+          .join(subj, after("o_custkey") === col("subject"), "left")
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("rows_now"),
+            sum(when(col("subject").isNotNull, 1L).otherwise(0L))
+              .as("subjects_left"))
+        // left join + coalesce: a fully-emptied partition leaves no
+        // files to re-read, and must still report rows_now = 0
+        report.join(post, report("partition_value") === post("d"), "left")
+          .select(col("partition_value"), col("rows_before"),
+            col("rows_removed"), col("rows_after"),
+            coalesce(col("rows_now"), lit(0L)).as("rows_now"),
+            coalesce(col("subjects_left"), lit(0L)).as("subjects_left"))
+      },
+      Some("""WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS d,
+              o_custkey FROM orders),
+          req AS (SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_custkey % 97 = 0),
+          aff AS (SELECT DISTINCT d FROM f
+            JOIN req ON f.o_custkey = req.k)
+        SELECT d AS partition_value,
+          CAST(COUNT(*) AS BIGINT) AS rows_before,
+          CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS rows_removed,
+          CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS rows_after,
+          CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS rows_now,
+          CAST(0 AS BIGINT) AS subjects_left
+        FROM f JOIN aff USING (d) LEFT JOIN req ON f.o_custkey = req.k
+        GROUP BY d""")),
+
+    GraftQuery(
+      "q264_fk_discovery",
+      (s, dir) => {
+        // schema-inference: which column pairs LOOK like FKs? The four
+        // probes cover the quadrant — two true FKs (total containment +
+        // unique parent), one total-containment pair whose parent is
+        // NOT a key (the classic join-trap a naive containment check
+        // blesses), and one reversed pair with partial containment.
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        val lineitem = Tables.load(s, dir, "lineitem")
+        graft.operators.Audit.fkDiscovery(Seq(
+          ("orders", orders, "o_custkey", "customer", customer,
+            "c_custkey"),
+          ("lineitem", lineitem, "l_orderkey", "orders", orders,
+            "o_orderkey"),
+          ("orders", orders, "o_orderkey", "lineitem", lineitem,
+            "l_orderkey"),
+          ("customer", customer, "c_custkey", "orders", orders,
+            "o_custkey")))
+      },
+      Some {
+        def pair(cn: String, cc: String, pn: String, pc: String) =
+          s"""SELECT '$cn.$cc' AS child, '$pn.$pc' AS parent,
+            (SELECT CAST(COUNT(DISTINCT $cc) AS BIGINT) FROM $cn
+              WHERE $cc IS NOT NULL) AS n_child_keys,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT $cc AS k FROM $cn WHERE $cc IS NOT NULL)
+              WHERE k IN (SELECT $pc FROM $pn WHERE $pc IS NOT NULL))
+              AS n_matched,
+            (SELECT COUNT($pc) = COUNT(DISTINCT $pc) FROM $pn)
+              AS parent_unique"""
+        val rows = Seq(
+          pair("orders", "o_custkey", "customer", "c_custkey"),
+          pair("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          pair("orders", "o_orderkey", "lineitem", "l_orderkey"),
+          pair("customer", "c_custkey", "orders", "o_custkey"))
+          .mkString(" UNION ALL ")
+        s"""SELECT child, parent, n_child_keys, n_matched,
+          CAST(CASE WHEN n_child_keys = 0 THEN 0
+            ELSE (n_matched * 1000000) // n_child_keys END AS BIGINT)
+            AS containment_ppm,
+          parent_unique,
+          (n_child_keys > 0 AND n_matched = n_child_keys
+            AND parent_unique) AS is_fk_candidate
+        FROM ($rows)"""
+      }),
+
+    GraftQuery(
+      "q265_compaction",
+      (s, dir) => {
+        // ReplacingMergeTree compaction end-to-end: the fact gets a base
+        // append (ver=1) plus an update wave (ver=2 for every third
+        // key), so each month partition holds duplicates until
+        // compactPartitions resolves last-write-wins back into storage.
+        // The gate hashes the compaction report JOINED with a re-read of
+        // the compacted files: rows_now proves the rewrite, ver_sum
+        // proves the SURVIVORS are the ver=2 rows (a compactor that kept
+        // the stale version would match counts but flip ver_sum).
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q265")
+          .toFile.getAbsolutePath
+        val base = Tables.load(s, dir, "orders")
+          .withColumn("d", date_format(col("o_orderdate"), "yyyy-MM"))
+          .select(col("o_orderkey"), col("o_custkey"), col("d"),
+            lit(1L).as("ver"))
+        base.write.mode("overwrite").partitionBy("d")
+          .parquet(s"$tmp/fact")
+        base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("ver", lit(2L))
+          .write.mode("append").partitionBy("d").parquet(s"$tmp/fact")
+        val report = graft.sources.FactWriter.compactPartitions(
+          s, s"$tmp/fact", "d", Seq("o_orderkey"),
+          versionOrder = Seq(col("ver").desc),
+          clusterCols = Seq(col("o_custkey"), col("o_orderkey")))
+        val post = s.read.parquet(s"$tmp/fact").groupBy(col("d"))
+          .agg(count(lit(1)).as("rows_now"), sum(col("ver")).as("ver_sum"))
+        report.join(post, report("partition_value") === post("d"))
+          .select(col("partition_value"), col("rows_before"),
+            col("dups_removed"), col("rows_after"), col("rows_now"),
+            col("ver_sum"))
+      },
+      Some("""WITH f AS (SELECT o_orderkey,
+              strftime(o_orderdate, '%Y-%m') AS d FROM orders),
+          c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n3
+            FROM f GROUP BY d)
+        SELECT d AS partition_value,
+          CAST(n + n3 AS BIGINT) AS rows_before,
+          n3 AS dups_removed, n AS rows_after, n AS rows_now,
+          CAST(n + n3 AS BIGINT) AS ver_sum
+        FROM c""")),
+
+    GraftQuery(
       "q152_reconcile_totals",
       (s, dir) => {
         // cross-table reconciliation: does the order header total equal

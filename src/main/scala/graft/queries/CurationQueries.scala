@@ -1347,6 +1347,272 @@ object CurationQueries {
             FROM documents GROUP BY 1)
         SELECT per.g AS source, nd.n_docs, per.n_pos, per.mean_pos_entropy
         FROM per JOIN nd USING (g)"""
+      }),
+
+    GraftQuery(
+      "q257_unimax_alloc",
+      (s, dir) => {
+        // UniMax waterfilling over a deliberately SKEWED domain census:
+        // three sources are replicated 4x so the gate exercises both
+        // branches — small domains hit the maxEpochs cap, the oversized
+        // ones split the remaining budget equally. The budget is
+        // 3 total-epochs-worth of the corpus (one bounded scalar collect
+        // — in production the budget is a config knob, not data).
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val extra = d.filter(col("source").isin("src0", "src1", "src2"))
+        val corpus = d.unionAll(extra).unionAll(extra).unionAll(extra)
+        val total = corpus.agg(
+          sum(graft.functions.TextFunctions.tokenCount(col("text")))
+            .cast("long")).head.getLong(0)
+        Curation.unimaxAllocation(corpus, "text", "source",
+          budgetTokens = 3L * total, maxEpochs = 4)
+      },
+      // the oracle recomputes the same budget (3·Σtokens) and replays the
+      // prefix-capped waterfilling with the identical all-integer
+      // arithmetic: ROWS-framed cumulative cap test, unbounded-window
+      // capped census, // share split, remainder to the largest domain
+      Some {
+        val cnt = s"len($Toks5Sql)"
+        s"""WITH corpus AS (
+            SELECT text, source FROM documents
+            UNION ALL SELECT text, source FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+            UNION ALL SELECT text, source FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+            UNION ALL SELECT text, source FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')),
+          cen AS (SELECT source, CAST(SUM($cnt) AS BIGINT) AS n_tokens
+            FROM corpus GROUP BY source),
+          bb AS (SELECT CAST(3 * SUM(n_tokens) AS BIGINT) AS b FROM cen),
+          r AS (SELECT source, n_tokens, n_tokens * 4 AS ec,
+              CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source)
+                AS BIGINT) AS i,
+              CAST(COUNT(*) OVER () AS BIGINT) AS n,
+              CAST(SUM(n_tokens * 4) OVER (ORDER BY n_tokens, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM cen),
+          f AS (SELECT r.*, bb.b,
+              (ec * (n - i) + cum <= bb.b) AS capped FROM r, bb),
+          g AS (SELECT f.*,
+              CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+                AS BIGINT) AS k,
+              CAST(SUM(CASE WHEN capped THEN ec ELSE 0 END) OVER ()
+                AS BIGINT) AS s_k
+            FROM f),
+          h AS (SELECT *, CASE WHEN k < n THEN (b - s_k) // (n - k)
+              ELSE CAST(0 AS BIGINT) END AS share FROM g),
+          a AS (SELECT source, n_tokens, capped,
+              CASE WHEN capped THEN ec WHEN i < n THEN share
+                ELSE share + (b - s_k) - share * (n - k)
+              END AS alloc_tokens
+            FROM h)
+        SELECT source, n_tokens,
+          CAST(alloc_tokens AS BIGINT) AS alloc_tokens, capped,
+          CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (alloc_tokens * 1000) // n_tokens END AS BIGINT)
+            AS epochs_milli
+        FROM a"""
+      }),
+
+    GraftQuery(
+      "q259_heaps_fit",
+      (s, dir) => Curation.heapsFit(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        checkpoints = 8),
+      // the oracle recomputes the checkpoint buckets with the identical
+      // integer ceiling arithmetic, the J-row cumulative curves, the
+      // scale-3 ln snap, and the spliced OLS closed form (q239's recipe)
+      Some {
+        val nd = "CAST(n AS DOUBLE)"
+        val sxd = "(CAST(sx AS DOUBLE) / 1000.0E0)"
+        val syd = "(CAST(sy AS DOUBLE) / 1000.0E0)"
+        val sxyd = "(CAST(sxy AS DOUBLE) / 1000000.0E0)"
+        val sxxd = "(CAST(sxx AS DOUBLE) / 1000000.0E0)"
+        val syyd = "(CAST(syy AS DOUBLE) / 1000000.0E0)"
+        val num = s"(($nd * $sxyd) - ($sxd * $syd))"
+        val denX = s"(($nd * $sxxd) - ($sxd * $sxd))"
+        val denY = s"(($nd * $syyd) - ($syd * $syd))"
+        val beta = s"(CASE WHEN $denX = 0.0E0 THEN 0.0E0 ELSE $num / $denX END)"
+        s"""WITH mxx AS (SELECT greatest(CAST(MAX(doc_id) AS BIGINT),
+              CAST(1 AS BIGINT)) AS mx FROM documents),
+          db AS (SELECT greatest(
+                (CAST(doc_id AS BIGINT) * 8 + mx - 1) // mx,
+                CAST(1 AS BIGINT)) AS b,
+              CAST(COUNT(*) AS BIGINT) AS dn
+            FROM documents, mxx GROUP BY 1),
+          tk AS (SELECT doc_id, unnest($Toks5Sql) AS tok FROM documents),
+          fid AS (SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS fid FROM tk
+            GROUP BY tok),
+          tb AS (SELECT greatest((fid * 8 + mx - 1) // mx,
+                CAST(1 AS BIGINT)) AS b,
+              CAST(COUNT(*) AS BIGINT) AS vn
+            FROM fid, mxx GROUP BY 1),
+          spine AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS b),
+          curve AS (SELECT s.b,
+              CAST(SUM(COALESCE(dn, 0)) OVER (ORDER BY s.b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_docs,
+              CAST(SUM(COALESCE(vn, 0)) OVER (ORDER BY s.b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_types
+            FROM spine s LEFT JOIN db USING (b) LEFT JOIN tb USING (b)),
+          pts AS (SELECT n_docs, n_types,
+              CAST(FLOOR((ln(CAST(n_docs AS DOUBLE)) * 1000.0E0) + 0.5E0)
+                AS BIGINT) AS x3,
+              CAST(FLOOR((ln(CAST(n_types AS DOUBLE)) * 1000.0E0) + 0.5E0)
+                AS BIGINT) AS y3
+            FROM curve WHERE n_docs > 0 AND n_types > 0),
+          s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COALESCE(MAX(n_docs), 0) AS BIGINT) AS total_docs,
+              CAST(COALESCE(MAX(n_types), 0) AS BIGINT) AS total_types,
+              CAST(SUM(x3) AS BIGINT) AS sx, CAST(SUM(y3) AS BIGINT) AS sy,
+              CAST(SUM(x3 * y3) AS BIGINT) AS sxy,
+              CAST(SUM(x3 * x3) AS BIGINT) AS sxx,
+              CAST(SUM(y3 * y3) AS BIGINT) AS syy
+            FROM pts)
+        SELECT n AS n_points, total_docs AS n_docs, total_types AS n_types,
+          ${graft.functions.SafeMath.roundHalfUpSql(beta, 6)} AS beta,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            s"(CASE WHEN n = 0 THEN 0.0E0 ELSE ($syd - ($beta * $sxd)) / $nd END)",
+            6)} AS intercept,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            s"(CASE WHEN ($denX * $denY) = 0.0E0 THEN 0.0E0 ELSE ($num * $num) / ($denX * $denY) END)",
+            6)} AS r2
+        FROM s"""
+      }),
+
+    GraftQuery(
+      "q263_ks_shift",
+      (s, dir) => {
+        // per-source two-sample KS over doc-length distributions, with
+        // src0 deliberately TRUNCATED so its CDF visibly left-shifts —
+        // the drift the meter exists to catch fires under the gate, and
+        // every untouched source's D stays near the sampling floor
+        val d = Tables.load(s, dir, "documents")
+          .select(col("text"), col("source"))
+        val mutated = d.withColumn("text",
+          when(col("source") === "src0", substring(col("text"), 1, 80))
+            .otherwise(col("text")))
+        val lens = mutated.select(col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("len"))
+        Curation.ksShift(lens, "source", "len", binWidth = 8L, bins = 128)
+      },
+      // exact-integer CDF gaps in HUGEINT (Spark: DECIMAL(38,0)), one
+      // division per source, scale-6 snap
+      Some {
+        val cnt = s"len($Toks5Sql)"
+        s"""WITH m AS (SELECT source,
+              CASE WHEN source = 'src0' THEN substr(text, 1, 80)
+                ELSE text END AS text
+            FROM documents),
+          v AS (SELECT source,
+              CAST(least($cnt // 8, 127) AS BIGINT) AS bin FROM m),
+          sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c_sb
+            FROM v GROUP BY 1, 2),
+          gb AS (SELECT bin, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb
+            GROUP BY 1),
+          t AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM sb
+            GROUP BY 1),
+          nn AS (SELECT CAST(SUM(c_sb) AS BIGINT) AS n FROM sb),
+          grid AS (SELECT t.source, t.n_s, CAST(r.b AS BIGINT) AS bin
+            FROM t, range(0, 128) r(b)),
+          cum AS (SELECT g.source, g.n_s, g.bin,
+              SUM(COALESCE(sb.c_sb, 0)) OVER (PARTITION BY g.source
+                ORDER BY g.bin ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS scum,
+              SUM(COALESCE(gb.c_b, 0)) OVER (PARTITION BY g.source
+                ORDER BY g.bin ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS gcum
+            FROM grid g
+            LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+            LEFT JOIN gb ON gb.bin = g.bin),
+          gap AS (SELECT source, n_s,
+              abs(CAST(scum AS HUGEINT) * (n - n_s) -
+                CAST(gcum - scum AS HUGEINT) * n_s) AS gap
+            FROM cum, nn)
+        SELECT source, MAX(n_s) AS n_rows,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            """(CASE WHEN (SELECT n FROM nn) = MAX(n_s) THEN 0.0E0
+              ELSE CAST(MAX(gap) AS DOUBLE) /
+                CAST(CAST(MAX(n_s) AS HUGEINT) *
+                  ((SELECT n FROM nn) - MAX(n_s)) AS DOUBLE) END)""", 6)}
+            AS ks
+        FROM gap GROUP BY source"""
+      }),
+
+    GraftQuery(
+      "q266_pareto_frontier",
+      (s, dir) => {
+        // skyline curation cut: documents pareto-optimal on
+        // (token count, distinct-type count) — "nothing is at least as
+        // long AND strictly more lexically diverse". Both dims integer,
+        // so Spark and DuckDB agree bit-for-bit; the operator's
+        // distributed prefix-max replaces the single-partition sweep.
+        // tokens(text) feeds BOTH dims: bindOnce so the array is built
+        // once per row, not once per referencing expression
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.bindOnce(
+              graft.functions.TextFunctions.tokens(col("text"))) { t =>
+              struct(size(t).cast("long").as("n_tok"),
+                size(array_distinct(t)).cast("long").as("n_types"))
+            }.as("__dims"))
+          .select(col("doc_id"), col("__dims.n_tok").as("n_tok"),
+            col("__dims.n_types").as("n_types"))
+        Curation.paretoFrontier(d, "n_tok", "n_types")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              CAST(len($Toks5Sql) AS BIGINT) AS n_tok,
+              CAST(len(list_distinct($Toks5Sql)) AS BIGINT) AS n_types
+            FROM documents),
+          m AS (SELECT n_tok, MAX(n_types) AS ymax FROM d GROUP BY 1),
+          p AS (SELECT n_tok, ymax,
+              MAX(ymax) OVER (ORDER BY n_tok DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+            FROM m)
+        SELECT d.doc_id, d.n_tok, d.n_types
+        FROM d JOIN p ON d.n_tok = p.n_tok AND d.n_types = p.ymax
+        WHERE p.mp IS NULL OR d.n_types > p.mp""")),
+
+    GraftQuery(
+      "q267_gini_concentration",
+      (s, dir) => {
+        // corpus-balance inequality audit at two granularities: the
+        // SOURCE mix (near-balanced by construction → gini near 0) and
+        // the TOKEN frequency distribution (Zipf-shaped → gini high) —
+        // both branches of the meter fire under one gate. The rank
+        // window runs over one row per domain/type (vocabulary-bounded,
+        // PlanSpec-exempted), never corpus rows.
+        val d = Tables.load(s, dir, "documents")
+        val bySource = Curation.giniConcentration(d, "source")
+          .withColumn("dist", lit("source"))
+        val toks = d.select(explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        val byToken = Curation.giniConcentration(toks, "tok")
+          .withColumn("dist", lit("token"))
+        bySource.unionByName(byToken)
+          .select(col("dist"), col("n_domains"), col("n_rows"), col("gini"))
+      },
+      Some {
+        def gini(census: String, label: String) =
+          s"""SELECT '$label' AS dist, n AS n_domains, tot AS n_rows,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              """(CASE WHEN n = 1 OR tot = 0 THEN 0.0E0
+                ELSE CAST(2 * s1 - CAST(n + 1 AS HUGEINT) * tot AS DOUBLE) /
+                  CAST(CAST(n AS HUGEINT) * tot AS DOUBLE) END)""", 6)}
+              AS gini
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(c) AS BIGINT) AS tot,
+              SUM(CAST(i AS HUGEINT) * CAST(c AS HUGEINT)) AS s1
+            FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c, d) AS i
+              FROM ($census)))"""
+        gini("SELECT source AS d, CAST(COUNT(*) AS BIGINT) AS c " +
+          "FROM documents GROUP BY 1", "source") + " UNION ALL " +
+          gini("SELECT tok AS d, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+            s"(SELECT unnest($Toks5Sql) AS tok FROM documents) GROUP BY 1",
+            "token")
       })
   )
 

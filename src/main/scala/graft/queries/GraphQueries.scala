@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
@@ -319,6 +320,98 @@ object LayoutQueries {
           SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
           FROM e4 GROUP BY a"""
       },
-      bench = true)
+      bench = true),
+
+    GraftQuery(
+      "q255_bucketed_join",
+      (s, dir) => {
+        // Co-located storage join: both tables are WRITTEN bucketed on
+        // the join key ([[graft.sources.Bucketing]]), so the join AND
+        // the downstream rollup on that key run with ZERO shuffle
+        // exchanges (asserted mechanically in PlanSpec) — at 100 TB the
+        // fact⋈fact shuffle this elides IS the query's cost, and bucket
+        // layout is how a production warehouse amortizes it across every
+        // downstream run. hint("merge") pins the bucket-aligned
+        // SortMergeJoin at gate scale where the smaller side would
+        // otherwise broadcast (a broadcast would hide the property the
+        // gate exists to prove).
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q255")
+          .toFile.getAbsolutePath
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        val ord = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+        graft.sources.Bucketing.writeBucketed(li, "graft_q255_li",
+          s"$tmp/li", 8, Seq("l_orderkey"))
+        graft.sources.Bucketing.writeBucketed(ord, "graft_q255_ord",
+          s"$tmp/ord", 8, Seq("o_orderkey"))
+        s.table("graft_q255_li").hint("merge")
+          .join(s.table("graft_q255_ord"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT l_orderkey, o_orderpriority,
+          CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey, o_orderpriority"""),
+      bench = true),
+
+    GraftQuery(
+      "q256_dpp_join",
+      (s, dir) => {
+        // Dynamic partition pruning: the fact table is WRITTEN
+        // partitioned by month, the dim side is the month census
+        // filtered to hot months (count ≥ the exact integer ceiling-mean
+        // — a predicate on a NON-join column, so no static filter can
+        // reach the fact scan) and broadcast. Spark's PartitionPruning
+        // rule turns the broadcast build side into a runtime partition
+        // filter on the scan (asserted in PlanSpec): at 100 TB the fact
+        // read shrinks to the dim-selected partitions BEFORE any row is
+        // touched — the I/O elision static pruning can't express. The
+        // threshold is collected as a bounded 1-row scalar because
+        // PartitionPruning's isLikelySelective heuristic only fires on
+        // attribute-vs-LITERAL predicates — an attribute-vs-attribute
+        // mean test (n·nm ≥ tot) is semantically identical but
+        // invisible to the rule.
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q256")
+          .toFile.getAbsolutePath
+        Tables.load(s, dir, "orders")
+          .withColumn("od", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("od").parquet(s"$tmp/fact")
+        val fact = s.read.parquet(s"$tmp/fact")
+        val census = fact.groupBy("od").agg(count(lit(1)).as("n"))
+        val row = census.agg(sum("n"), count(lit(1))).head
+        // ceil(tot/nm): n ≥ ceil(tot/nm) ⟺ n·nm ≥ tot for integer n
+        val thresh = (row.getLong(0) + row.getLong(1) - 1L) / row.getLong(1)
+        val hot = census.filter(col("n") >= lit(thresh))
+          .select(col("od"), col("n").as("n_orders"))
+        fact.join(broadcast(hot), "od")
+          .groupBy("od")
+          .agg(max(col("n_orders")).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("revenue"))
+      },
+      Some("""WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS od,
+              o_totalprice FROM orders),
+          c AS (SELECT od, CAST(COUNT(*) AS BIGINT) AS n FROM f
+            GROUP BY od),
+          t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+              CAST(COUNT(*) AS BIGINT) AS nm FROM c),
+          hot AS (SELECT od, n AS n_orders FROM c, t
+            WHERE n * nm >= tot)
+        SELECT od, MAX(n_orders) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM f JOIN hot USING (od)
+        GROUP BY od"""))
   )
 }

@@ -997,6 +997,85 @@ object StreamQueries {
         "(x.doc // 1000000) > (y.doc // 1000000)"))),
 
     GraftQuery(
+      "q262_stream_vocab_novelty",
+      (s, dir) => {
+        // the vocabulary-growth curve (q259's signal) maintained ONLINE:
+        // each arrival wave counts the types it has never seen before by
+        // anti-joining its distinct tokens against a batch-partitioned
+        // "seen type" store (`batch < id` partition pruning — the q218
+        // ingest-store shape, so a replayed batch never sees its own
+        // first attempt), then appends exactly its NOVEL types under
+        // batch=<id> (the store holds each type once, ever — state is
+        // vocabulary-sized, not corpus-sized). Batch 1 runs twice to
+        // exercise replay idempotence. A collapsing novelty rate is the
+        // online "crawl is re-crawling itself" alarm.
+        val k = col("doc_id")
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        def wave(p: Column) = docs.filter(p)
+          .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+        val frames = Seq(wave(k % 3 === 0), wave(k % 3 === 1),
+          wave(k % 3 === 2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING")
+        runStaged(s, frames, "novel") { (raw, out, ckpt) =>
+          val store = s"$out/seen_types"
+          docs.limit(0)
+            .select(explode(graft.functions.TextFunctions.tokens(
+              col("text"))).as("tok"))
+            .write.mode("overwrite").parquet(s"$store/batch=-1")
+          raw.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              val batch = b
+                .select(from_json(col("value"), schema).as("j"))
+                .select(col("j.*"))
+                .localCheckpoint()
+              def run(): Unit = {
+                val ss = batch.sparkSession
+                val toks = batch
+                  .select(explode(graft.functions.TextFunctions.tokens(
+                    col("text"))).as("tok"))
+                  .distinct().localCheckpoint()
+                val standing = ss.read.parquet(store)
+                  .filter(col("batch") < id).select("tok")
+                val novel = toks.join(standing, Seq("tok"), "left_anti")
+                  .localCheckpoint()
+                val (nd, nt, nn) = (batch.count(), toks.count(), novel.count())
+                import ss.implicits._
+                Seq((nd, nt, nn)).toDF("n_docs", "n_types", "n_novel")
+                  .coalesce(1)
+                  .write.mode("overwrite").parquet(s"$out/novel/batch=$id")
+                novel.write.mode("overwrite").parquet(s"$store/batch=$id")
+              }
+              run()
+              if (id == 1) run() // replayed batch: idempotent rewrite
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.select(col("batch").cast("long").as("batch"), col("n_docs"),
+          col("n_types"), col("n_novel"))
+      },
+      // one-shot oracle: a type is novel in the wave where it FIRST
+      // appears (waves = doc_id % 3, staged in that order)
+      Some {
+        val toks =
+          """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+        s"""WITH w AS (SELECT doc_id % 3 AS b, unnest($toks) AS tok
+            FROM documents),
+          bt AS (SELECT b, tok FROM w GROUP BY b, tok),
+          fw AS (SELECT tok, MIN(b) AS b FROM bt GROUP BY tok),
+          d AS (SELECT doc_id % 3 AS b, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1),
+          ty AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_types FROM bt
+            GROUP BY b),
+          nov AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_novel FROM fw
+            GROUP BY b)
+        SELECT CAST(d.b AS BIGINT) AS batch, d.n_docs, ty.n_types,
+          COALESCE(nov.n_novel, 0) AS n_novel
+        FROM d JOIN ty USING (b) LEFT JOIN nov USING (b)"""
+      }),
+
+    GraftQuery(
       "q91_stream_sketch",
       (s, dir) => {
         // corpus statistics maintained AS A STREAM: three waves of

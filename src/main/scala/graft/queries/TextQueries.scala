@@ -331,6 +331,85 @@ object TextQueries {
               "CAST(chars AS DOUBLE) / CAST(tokens AS DOUBLE)", 6)} END
             AS chars_per_token
         FROM a"""
+      }),
+
+    GraftQuery(
+      "q258_gopher_rules",
+      (s, dir) => {
+        // Gopher composite quality rules over a deliberately degraded
+        // corpus: doc_id%10==3 gets a '#'-symbol tail (fails the symbol
+        // ratio), %10==7 is truncated to 30 chars (fails min words),
+        // %10==5 gets a numeric-token tail (fails the 80%-alphabetic
+        // rule) — so every rule's reject path is exercised, not just
+        // asserted. The stopword set is the Gopher list plus 'a' (the
+        // synthetic corpus's second function word) so the ≥2-distinct-
+        // stopwords pass path fires too.
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val mutated = base.withColumn("text",
+          when(col("doc_id") % 10 === 3,
+            concat(col("text"), lit(" # # # # # # # #")))
+            .when(col("doc_id") % 10 === 7, substring(col("text"), 1, 30))
+            .when(col("doc_id") % 10 === 5, concat(col("text"),
+              lit(" 11 22 33 44 55 66 77 88 99 00 11 22 33 44 55")))
+            .otherwise(col("text")))
+        graft.operators.Curation.gopherRules(mutated, "doc_id", "text",
+          stopwords = "a" +: graft.operators.Curation.GopherStopwords)
+      },
+      // oracle replays the degradation and every rule in the same
+      // integer milli-units: list ops mirror the tokenizer, symbol
+      // counts use the length-delta-of-replace identity, // floors
+      Some {
+        val stopList = ("a" +: graft.operators.Curation.GopherStopwords)
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH m AS (SELECT doc_id,
+            CASE WHEN doc_id % 10 = 3 THEN text || ' # # # # # # # #'
+                 WHEN doc_id % 10 = 7 THEN substr(text, 1, 30)
+                 WHEN doc_id % 10 = 5 THEN text ||
+                   ' 11 22 33 44 55 66 77 88 99 00 11 22 33 44 55'
+                 ELSE text END AS text
+            FROM documents),
+          base AS (SELECT doc_id, $ToksSql AS toks,
+              CAST(length(text) - length(replace(text, '#', ''))
+                AS BIGINT) +
+              CAST((length(text) - length(replace(text, '...', ''))) // 3
+                AS BIGINT) AS sym
+            FROM m),
+          met AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(COALESCE(list_sum(list_transform(toks,
+                x -> length(x))), 0) AS BIGINT) AS sum_len,
+              CAST(len(list_filter(toks,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+              CAST(len(list_distinct(list_filter(
+                list_transform(toks, x -> lower(x)),
+                x -> list_contains([$stopList], x)))) AS BIGINT) AS n_stop,
+              sym
+            FROM base),
+          r AS (SELECT doc_id, n_words, n_stop,
+              CAST(CASE WHEN n_words = 0 THEN 0
+                ELSE (sum_len * 1000) // n_words END AS BIGINT)
+                AS mean_len_milli,
+              CAST(CASE WHEN n_words = 0 THEN 0
+                ELSE (sym * 1000) // n_words END AS BIGINT)
+                AS symbol_milli,
+              CAST(CASE WHEN n_words = 0 THEN 0
+                ELSE (n_alpha * 1000) // n_words END AS BIGINT)
+                AS alpha_milli
+            FROM met),
+          fl AS (SELECT r.*,
+              (n_words >= 50 AND n_words <= 100000) AS ok_words,
+              (mean_len_milli >= 3000 AND mean_len_milli <= 10000)
+                AS ok_mean_len,
+              (symbol_milli < 100) AS ok_symbol,
+              (alpha_milli >= 800) AS ok_alpha,
+              (n_stop >= 2) AS ok_stops
+            FROM r)
+        SELECT doc_id, n_words, mean_len_milli, symbol_milli, alpha_milli,
+          n_stop, ok_words, ok_mean_len, ok_symbol, ok_alpha, ok_stops,
+          (ok_words AND ok_mean_len AND ok_symbol AND ok_alpha
+            AND ok_stops) AS pass
+        FROM fl"""
       })
   )
 }

@@ -1145,7 +1145,33 @@ object VectorQueries {
             "CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(ks.k AS DOUBLE)",
             6)} AS recall
         FROM ks LEFT JOIN c ON c.k = ks.k"""
-      })
+      }),
+
+    GraftQuery(
+      "q260_cluster_balanced_sample",
+      (s, dir) => {
+        // Diversity-preserving subset selection: k-means cells bound the
+        // semantic spread, exactly 25 vectors per cell chosen by
+        // salted-hash order — the "balanced across the embedding space"
+        // cut a uniform sample can't promise (it oversamples dense
+        // regions proportionally). Both stages are already-gated library
+        // calls (q78 kmeans, q176 exactKPerGroup); the composition is
+        // what a curation run actually ships. Scale: the Lloyd loop is
+        // broadcast-Lloyd (vectors never shuffle), the per-cell cut is
+        // one shuffle on the cell key.
+        val assigned = Similarity.kmeans(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        graft.operators.Curation.exactKPerGroup(
+          assigned, "cluster", "vec_id", k = 25, salt = "graft-bal")
+      },
+      Some(s"""WITH ${kmeansCte("embeddings")}
+        SELECT vec_id, cluster FROM (
+          SELECT vec_id, cell AS cluster, row_number() OVER (
+              PARTITION BY cell ORDER BY ${CurationQueries.md5Key60Sql(
+                "'graft-bal' || CAST(vec_id AS VARCHAR)")} ASC,
+              vec_id ASC) AS rn
+          FROM a2) WHERE rn <= 25"""))
   )
 
   /** Generated oracle for q240: nano-unit upper-triangle moment sums →

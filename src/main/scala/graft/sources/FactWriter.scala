@@ -38,6 +38,110 @@ object FactWriter {
   def readEvolved(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
 
+  /** ReplacingMergeTree-style COMPACTION — the read-side
+    * [[graft.operators.KeepLatest]] applied back to STORAGE: rewrite the
+    * fact's day partitions with last-write-wins resolved, each partition
+    * collapsed to one file re-clustered on the MergeTree order key (so
+    * zone maps prune again after a day of small appends). This is the
+    * maintenance job the reference delegates to ClickHouse's background
+    * merges; in Spark it is one keyed window + one day-clustered shuffle
+    * + a dynamic partition overwrite — run it per day partition on a
+    * schedule, not per query.
+    *
+    * The resolved rows are localCheckpoint'd before the overwrite (the
+    * [[deleteSubjects]] self-rewrite rule). `repartition(col(day))`
+    * gives every day to exactly one task, so each partition directory
+    * lands as ONE file (spec-asserted). Returns the per-partition
+    * report: (partition_value, rows_before, dups_removed, rows_after).
+    */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dayBucketCol: String, keyCols: Seq[String],
+      versionOrder: Seq[org.apache.spark.sql.Column],
+      clusterCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val fact = spark.read.parquet(dir)
+    val resolved = graft.operators.KeepLatest(fact, keyCols, versionOrder)
+      .localCheckpoint()
+    val report = fact.groupBy(col(dayBucketCol))
+      .agg(count(lit(1)).as("rows_before"))
+      .join(resolved.groupBy(col(dayBucketCol))
+        .agg(count(lit(1)).as("rows_after")), Seq(dayBucketCol))
+      .select(col(dayBucketCol).as("partition_value"), col("rows_before"),
+        (col("rows_before") - col("rows_after")).as("dups_removed"),
+        col("rows_after"))
+      .localCheckpoint()
+    resolved
+      .repartition(col(dayBucketCol))
+      .sortWithinPartitions(clusterCols: _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dayBucketCol).parquet(dir)
+    report
+  }
+
+  /** GDPR deletion APPLY with MINIMAL partition rewrite — the execution
+    * half of the q151 blast-radius audit. One broadcast semi-join census
+    * finds the partitions that contain any subject row (bounded by the
+    * calendar, collected); ONLY those partitions are rewritten with the
+    * subjects anti-joined out, via dynamic partition overwrite; every
+    * other partition's files stay byte-untouched (asserted in
+    * FactWriterSpec). At 100 TB the difference between "rewrite the 3
+    * partitions the subject touched" and "rewrite the table" is the
+    * entire compliance-job budget.
+    *
+    * The surviving rows and the report are localCheckpoint'd BEFORE the
+    * overwrite: Spark refuses a write whose plan still reads the output
+    * path, and pinning the row set first also makes a failed write
+    * re-runnable. A partition whose every row belonged to subjects has
+    * nothing left to overwrite it with — dynamic overwrite skips it —
+    * so those directories are dropped explicitly (the rows_after = 0
+    * branch, spec-covered).
+    *
+    * Returns the per-partition rewrite report:
+    * (partition_value, rows_before, rows_removed, rows_after).
+    */
+  def deleteSubjects(spark: org.apache.spark.sql.SparkSession, dir: String,
+      dayBucketCol: String, keyCol: String, subjects: DataFrame,
+      subjectCol: String): DataFrame = {
+    val fact = spark.read.parquet(dir)
+    val subj = broadcast(
+      subjects.select(col(subjectCol).as("__subject")).distinct())
+    val affected = fact
+      .join(subj, fact(keyCol) === col("__subject"), "left_semi")
+      .select(col(dayBucketCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (affected.isEmpty)
+      return fact.select(col(dayBucketCol).as("partition_value"),
+        lit(0L).as("rows_before"), lit(0L).as("rows_removed"),
+        lit(0L).as("rows_after")).limit(0)
+    val slice = fact.filter(col(dayBucketCol).isin(affected: _*))
+    val report = slice
+      .join(subj, slice(keyCol) === col("__subject"), "left")
+      .groupBy(col(dayBucketCol))
+      .agg(count(lit(1)).as("rows_before"),
+        sum(when(col("__subject").isNotNull, 1L).otherwise(0L))
+          .as("rows_removed"))
+      .select(col(dayBucketCol).as("partition_value"), col("rows_before"),
+        col("rows_removed"),
+        (col("rows_before") - col("rows_removed")).as("rows_after"))
+      .localCheckpoint()
+    val keep = slice
+      .join(subj, slice(keyCol) === col("__subject"), "left_anti")
+      .localCheckpoint()
+    keep.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dayBucketCol).parquet(dir)
+    // fully-emptied partitions produce no rows for dynamic overwrite to
+    // replace — drop their directories explicitly
+    report.filter(col("rows_after") === 0L)
+      .select(col("partition_value").cast("string")).collect()
+      .foreach { r =>
+        val d = new java.io.File(dir, s"$dayBucketCol=${r.getString(0)}")
+        Option(d.listFiles()).foreach(_.foreach(_.delete()))
+        d.delete()
+      }
+    report
+  }
+
   /** Retention: drop day partitions older than `cutoffEpochDay` — a
     * directory-level delete, no data rewrite (the TTL analog). */
   def expiredPartitions(outDir: String, dayBucketCol: String,

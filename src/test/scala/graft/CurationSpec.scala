@@ -403,4 +403,133 @@ class CurationSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).toSet ===
       out2.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  private def unimaxDocs(counts: (String, Int)*) =
+    counts.toSeq.map { case (d, c) => (d, ("t " * c).trim) }
+      .toDF("domain", "text")
+
+  test("unimaxAllocation matches the hand-traced waterfilling") {
+    // A=B=C=10 tokens, D=100; E=2, budget=100. Ascending order caps the
+    // three small domains at 2 epochs (20 each), D takes the remaining 40.
+    val out = Curation.unimaxAllocation(
+      unimaxDocs("A" -> 10, "B" -> 10, "C" -> 10, "D" -> 100),
+      "text", "domain", budgetTokens = 100L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(out("A") === ((10L, 20L, true, 2000L)))
+    assert(out("B") === ((10L, 20L, true, 2000L)))
+    assert(out("C") === ((10L, 20L, true, 2000L)))
+    assert(out("D") === ((100L, 40L, false, 400L)))
+    assert(out.values.map(_._2).sum === 100L, "allocation exhausts budget")
+  }
+
+  test("unimaxAllocation: all-capped leaves budget unused; remainder goes to the largest domain") {
+    // budget far above E·total: everything caps at maxEpochs
+    val all = Curation.unimaxAllocation(
+      unimaxDocs("A" -> 10, "B" -> 10, "D" -> 100),
+      "text", "domain", budgetTokens = 1000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(all === Map("A" -> 20L, "B" -> 20L, "D" -> 200L))
+    // two uncapped domains with an odd remainder: the last (largest)
+    // domain absorbs the leftover token
+    val rem = Curation.unimaxAllocation(
+      unimaxDocs("A" -> 10, "B" -> 60, "C" -> 61),
+      "text", "domain", budgetTokens = 101L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rem === Map("A" -> 20L, "B" -> 40L, "C" -> 41L))
+  }
+
+  test("heapsFit matches the hand-traced two-checkpoint OLS") {
+    // ids 1..4, J=2 → buckets (1,1,2,2): n=(2,4); vocab a|b|a|c → v=(2,3)
+    // slope through the two snapped ln-points = (1099−693)/(1386−693)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+      .toDF("doc_id", "text")
+    val r = Curation.heapsFit(df, "doc_id", "text", checkpoints = 2).head
+    assert(r.getAs[Long]("n_points") === 2L)
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_types") === 3L)
+    assert(math.abs(r.getAs[Double]("beta") - 406.0 / 693.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-5,
+      "two points fit exactly")
+    // empty corpus degrades to a zero row, not an exception
+    val empty = Curation.heapsFit(df.filter(col("doc_id") < 0L),
+      "doc_id", "text", checkpoints = 4).head
+    assert(empty.getAs[Long]("n_points") === 0L)
+  }
+
+  test("ksShift matches the hand-traced CDF gap") {
+    // A = {0,0,8} → bins (0,0,1); B = {8,8,24} → bins (1,1,3); the CDF
+    // gap peaks at bin 0: F_A = 2/3 vs F_rest = 0 → D = 2/3 for both
+    val df = Seq(("A", 0L), ("A", 0L), ("A", 8L),
+      ("B", 8L), ("B", 8L), ("B", 24L)).toDF("src", "v")
+    val out = Curation.ksShift(df, "src", "v", binWidth = 8L, bins = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("A") - 2.0 / 3.0) < 1e-5)
+    assert(math.abs(out("B") - 2.0 / 3.0) < 1e-5)
+    // identical distributions → D = 0
+    val same = Seq(("A", 1L), ("A", 9L), ("B", 1L), ("B", 9L))
+      .toDF("src", "v")
+    val out2 = Curation.ksShift(same, "src", "v", 8L, 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out2("A") === 0.0 && out2("B") === 0.0)
+  }
+
+  test("gopherRules: each rule rejects its crafted offender and passes clean text") {
+    val good = ("the of " + ("abcd " * 48)).trim            // 50 words
+    val short = "the of abcd"                                // 3 words
+    val hashy = ("the of " + ("abcd " * 48) + ("# " * 10)).trim // 60 words
+    val numeric = ("the of " + ("abcd " * 48) + ("12 " * 20)).trim // 70 words
+    val noStops = ("abcd " * 60).trim                        // 0 stopwords
+    val df = Seq((1L, good), (2L, short), (3L, hashy), (4L, numeric),
+      (5L, noStops)).toDF("doc_id", "text")
+    val out = Curation.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // good: mean len = (3+2+4*48)*1000 div 50 = 3940, alpha 1000, 2 stops
+    assert(out(1L).getAs[Long]("n_words") === 50L)
+    assert(out(1L).getAs[Long]("mean_len_milli") === 3940L)
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(!out(2L).getAs[Boolean]("ok_words") &&
+      !out(2L).getAs[Boolean]("pass"))
+    // hashy: 10 of 60 words are '#' → symbol ratio 166‰ ≥ 100‰
+    assert(out(3L).getAs[Long]("symbol_milli") === 166L)
+    assert(!out(3L).getAs[Boolean]("ok_symbol"))
+    // numeric: 50 alphabetic of 70 → 714‰ < 800‰
+    assert(out(4L).getAs[Long]("alpha_milli") === 714L)
+    assert(!out(4L).getAs[Boolean]("ok_alpha"))
+    assert(out(5L).getAs[Long]("n_stop") === 0L)
+    assert(!out(5L).getAs[Boolean]("ok_stops"))
+  }
+
+  test("paretoFrontier keeps exactly the non-dominated rows (hand-traced)") {
+    // frontier sweep by descending x: (5,1) global-max x; (4,3) beats
+    // M=1; (3,9) beats M=3; (2,9) TIED with (3,9)'s y → dominated;
+    // (1,10), (0,12) climb past. (4,0) and (3,3) lose to same-x rows.
+    // exact duplicates (5,1)×2: neither dominates, both survive.
+    val df = Seq((5L, 1L), (5L, 1L), (4L, 3L), (4L, 0L), (3L, 3L),
+      (3L, 9L), (2L, 9L), (1L, 10L), (0L, 12L)).toDF("x", "y")
+    val got = Curation.paretoFrontier(df, "x", "y", numParts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got === Seq((0L, 12L), (1L, 10L), (3L, 9L), (4L, 3L),
+      (5L, 1L), (5L, 1L)))
+    // every kept row must be undominated against the full input (brute)
+    val all = Seq((5L, 1L), (5L, 1L), (4L, 3L), (4L, 0L), (3L, 3L),
+      (3L, 9L), (2L, 9L), (1L, 10L), (0L, 12L))
+    for (k <- got)
+      assert(!all.exists(o => o._1 >= k._1 && o._2 >= k._2 &&
+        (o._1 > k._1 || o._2 > k._2)), s"$k is dominated")
+  }
+
+  test("giniConcentration: balanced → 0, hand-traced skew, single domain → 0") {
+    val even = Seq("a", "a", "b", "b", "c", "c").toDF("d")
+    val r1 = Curation.giniConcentration(even, "d").collect().head
+    assert(r1.getLong(0) === 3L && r1.getLong(1) === 6L)
+    assert(r1.getDouble(2) === 0.0)
+    // counts (1, 3): s1 = 1·1 + 2·3 = 7 → G = (14 − 3·4)/(2·4) = 0.25
+    val skew = Seq("a", "b", "b", "b").toDF("d")
+    val r2 = Curation.giniConcentration(skew, "d").collect().head
+    assert(r2.getDouble(2) === 0.25)
+    val one = Seq("a", "a").toDF("d")
+    assert(Curation.giniConcentration(one, "d").collect().head
+      .getDouble(2) === 0.0)
+  }
 }

@@ -224,7 +224,14 @@ class PlanSpec extends AnyFunSuite {
       "q163_cms_heavy_hitters",   // ranks two orderBy().limit(20) frames
       "q188_decile_report",       // share-of-total over the 10-row decile agg
       "q173_period_over_period",  // lag over one row per DAY (calendar-bounded)
-      "q193_new_vs_returning")    // running total over one row per DAY
+      "q193_new_vs_returning",    // running total over one row per DAY
+      "q257_unimax_alloc",        // waterfilling over the DOMAIN census
+                                  // (one row per domain, never corpus rows)
+      "q259_heaps_fit",           // cumulative curve over the J=8-row
+                                  // checkpoint census
+      "q267_gini_concentration")  // rank over the domain/type census —
+                                  // one row per domain, vocabulary-
+                                  // bounded, never corpus rows
     val offenders = batchGates
       .filterNot(q => boundedWindows.contains(q.name))
       .flatMap { q =>
@@ -236,6 +243,31 @@ class PlanSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty,
       s"global windows (empty partition spec) in: ${offenders.mkString(", ")}")
+  }
+
+  test("bucketed co-located join runs with zero shuffle exchanges") {
+    // q255's whole point: both tables written bucketed on the join key,
+    // so the join AND the rollup on that key elide every exchange — the
+    // property that makes bucket layout pay for itself at 100 TB.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = Registry.byName("q255_bucketed_join").run(spark, SfDir)
+    val shuffles = operators(df.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles.isEmpty,
+      s"bucketed join should be exchange-free, found: " +
+        shuffles.map(_.nodeName).mkString(", "))
+  }
+
+  test("partitioned fact join carries a dynamic partition pruning filter") {
+    // q256: the hot-month dim is broadcast and its census filter cannot
+    // be statically pushed to the fact side (it tests a non-join
+    // column), so PartitionPruning must inject a runtime subquery into
+    // the fact scan's partition filters — the at-scale I/O elision.
+    val df = Registry.byName("q256_dpp_join").run(spark, SfDir)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in the fact scan:\n" +
+        planStr.take(4000))
   }
 
   test("no gated batch plan nests a BroadcastNestedLoopJoin outside the brute-force baselines") {

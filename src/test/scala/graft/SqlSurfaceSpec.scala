@@ -166,4 +166,73 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val expired = FactWriter.expiredPartitions(s"$tmp/gw", "test_time_d", day0 + 1)
     assert(expired.length === 1 && expired.head.contains(s"test_time_d=$day0"))
   }
+
+  test("deleteSubjects rewrites only touched partitions; untouched files stay byte-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-del")
+      .toFile.getAbsolutePath
+    // d=a holds subjects+others, d=b holds none, d=c holds ONLY subjects
+    val facts = Seq(
+      (1L, "a", "x1"), (2L, "a", "x2"), (3L, "a", "x3"),
+      (4L, "b", "x4"), (5L, "b", "x5"),
+      (1L, "c", "x6"), (2L, "c", "x7"))
+      .toDF("k", "d", "payload")
+    facts.write.mode("overwrite").partitionBy("d").parquet(s"$tmp/fact")
+    def files(p: String) =
+      Option(new java.io.File(s"$tmp/fact/d=$p").listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap)
+    val bBefore = files("b")
+    val subjects = Seq(1L, 2L).toDF("subject")
+    val report = FactWriter.deleteSubjects(spark, s"$tmp/fact", "d", "k",
+      subjects, "subject")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // untouched partition b: absent from the report, files unmodified
+    assert(report === Map("a" -> ((3L, 2L, 1L)), "c" -> ((2L, 2L, 0L))))
+    assert(files("b") === bBefore, "partition b must not be rewritten")
+    // fully-emptied partition c is dropped from storage
+    assert(!new java.io.File(s"$tmp/fact/d=c").exists())
+    val after = spark.read.parquet(s"$tmp/fact")
+    assert(after.select("k", "d").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet ===
+      Set((3L, "a"), (4L, "b"), (5L, "b")))
+    // idempotent: a second run is a no-op with an empty report
+    val again = FactWriter.deleteSubjects(spark, s"$tmp/fact", "d", "k",
+      subjects, "subject")
+    assert(again.count() === 0L)
+    assert(after.count() === 3L)
+  }
+
+  test("compactPartitions resolves last-write-wins into ONE file per partition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toFile.getAbsolutePath
+    val v1 = Seq((1L, "a", 1L, "old1"), (2L, "a", 1L, "old2"),
+      (3L, "b", 1L, "old3")).toDF("k", "d", "ver", "payload")
+    val v2 = Seq((1L, "a", 2L, "new1"), (3L, "b", 2L, "new3"))
+      .toDF("k", "d", "ver", "payload")
+    v1.repartition(3).write.mode("overwrite").partitionBy("d")
+      .parquet(s"$tmp/fact")
+    v2.repartition(2).write.mode("append").partitionBy("d")
+      .parquet(s"$tmp/fact")
+    val report = FactWriter.compactPartitions(spark, s"$tmp/fact", "d",
+      Seq("k"), versionOrder = Seq(col("ver").desc),
+      clusterCols = Seq(col("k")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(report === Map("a" -> ((3L, 1L, 2L)), "b" -> ((2L, 1L, 1L))))
+    // storage state: latest versions survived, one file per partition
+    val after = spark.read.parquet(s"$tmp/fact")
+    assert(after.select("k", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "new1"), (2L, "old2"), (3L, "new3")))
+    Seq("a", "b").foreach { p =>
+      val files = new java.io.File(s"$tmp/fact/d=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"partition $p should compact to 1 file")
+    }
+    // idempotent: recompacting finds no duplicates
+    val again = FactWriter.compactPartitions(spark, s"$tmp/fact", "d",
+      Seq("k"), Seq(col("ver").desc), Seq(col("k")))
+    assert(again.collect().map(_.getLong(2)).sum === 0L)
+  }
 }
