@@ -134,6 +134,53 @@ object GeoQueries {
                              ELSE r_code END
                ELSE r_code END AS region_code
         FROM joined"""),
-      bench = true)
+      bench = true),
+
+    GraftQuery(
+      "q268_grid_nearest",
+      (s, dir) => {
+        // nearest-site assignment via the 3×3 grid-cell equi-join
+        // ([[graft.operators.Spatial.nearestWithin]]): deterministic
+        // integer micro-degree coordinates hashed from the driver keys
+        // (the q48 convention — no geo columns in the testdata), site
+        // density ~1/37 of suppliers so the no-site-in-radius branch
+        // fires alongside matches. All-integer squared distances: zero
+        // FP discipline needed, the oracle mirrors the same cells and
+        // must agree bit-for-bit.
+        val points = Tables.load(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          ((col("c_custkey") * 48271L) % 100000000L).as("px"),
+          ((col("c_custkey") * 16807L) % 100000000L).as("py"))
+        val sites = Tables.load(s, dir, "supplier")
+          .filter(col("s_suppkey") % 37 === 0)
+          .select(col("s_suppkey").as("st"),
+            ((col("s_suppkey") * 69621L) % 100000000L).as("sx"),
+            ((col("s_suppkey") * 40503L) % 100000000L).as("sy"))
+        graft.operators.Spatial.nearestWithin(points, "id", "px", "py",
+          sites, "st", "sx", "sy", radius = 20000000L)
+      },
+      Some("""WITH p AS (SELECT c_custkey AS id,
+              CAST((c_custkey * 48271) % 100000000 AS BIGINT) AS px,
+              CAST((c_custkey * 16807) % 100000000 AS BIGINT) AS py
+            FROM customer),
+          s AS (SELECT s_suppkey AS site,
+              CAST((s_suppkey * 69621) % 100000000 AS BIGINT) AS sx,
+              CAST((s_suppkey * 40503) % 100000000 AS BIGINT) AS sy
+            FROM supplier WHERE s_suppkey % 37 = 0),
+          se AS (SELECT site, sx, sy,
+              sx // 20000000 + ox.dx AS cx, sy // 20000000 + oy.dy AS cy
+            FROM s, range(-1, 2) ox(dx), range(-1, 2) oy(dy)),
+          cand AS (SELECT p.id, se.site,
+              (p.px - se.sx) * (p.px - se.sx)
+                + (p.py - se.sy) * (p.py - se.sy) AS d2
+            FROM p JOIN se ON p.px // 20000000 = se.cx
+              AND p.py // 20000000 = se.cy
+            WHERE (p.px - se.sx) * (p.px - se.sx)
+              + (p.py - se.sy) * (p.py - se.sy) <= 400000000000000),
+          best AS (SELECT id, site, d2, ROW_NUMBER() OVER (
+              PARTITION BY id ORDER BY d2, site) AS rn FROM cand)
+        SELECT p.id, b.site, b.d2
+        FROM p LEFT JOIN (SELECT id, site, d2 FROM best WHERE rn = 1) b
+          USING (id)"""))
   )
 }
