@@ -1764,6 +1764,55 @@ object Curation {
         base(yCol).cast("long") === col("__ymax"), "left_semi")
   }
 
+  /** Exact depth-1 decision-tree training (a stump) — the second
+    * in-engine trainer next to [[trainLogistic]]: over integer features,
+    * evaluate EVERY (feature, threshold ≤ v) split and return the one
+    * minimizing weighted Gini impurity. Minimizing impurity maximizes
+    * S = (posL²+negL²)/nL + (posR²+negR²)/nR; S is scored in integer
+    * micro-units with truncating division (`div` / oracle `//`), so the
+    * argmax is deterministic and bit-identical cross-engine — no FP in
+    * the comparison path. Ties break to (feature, threshold).
+    *
+    * Scale shape: one unpivoted (feature, value) census shuffle (the
+    * only corpus-sized pass, map-side combined); the cumulative windows
+    * run over one row per DISTINCT VALUE per feature (value-domain-
+    * bounded, partitioned by feature, never corpus rows); the winner is
+    * a TakeOrdered(1). Counts must stay under ~3e6 per side or the
+    * squared micro-unit products need the DECIMAL variant. */
+  def decisionStump(df: DataFrame, labelCol: String,
+      features: Seq[String]): DataFrame = {
+    require(features.nonEmpty)
+    val stackArgs = features
+      .map(f => s"'$f', CAST($f AS BIGINT)").mkString(", ")
+    val long = df.selectExpr(
+      s"CAST(CAST($labelCol AS BOOLEAN) AS BIGINT) AS __y",
+      s"stack(${features.size}, $stackArgs) AS (feat, v)")
+    val census = long.groupBy(col("feat"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val wCum = Window.partitionBy(col("feat")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("feat"))
+    val cum = census
+      .withColumn("n_left", sum(col("n")).over(wCum))
+      .withColumn("pos_left", sum(col("pos")).over(wCum))
+      .withColumn("n_right", sum(col("n")).over(wAll) - col("n_left"))
+      .withColumn("pos_right", sum(col("pos")).over(wAll) - col("pos_left"))
+      .filter(col("n_left") > 0 && col("n_right") > 0)
+      .withColumn("score_micro", expr(
+        """(pos_left * pos_left +
+             (n_left - pos_left) * (n_left - pos_left)) * 1000000L
+             div n_left
+           + (pos_right * pos_right +
+             (n_right - pos_right) * (n_right - pos_right)) * 1000000L
+             div n_right"""))
+    cum.orderBy(col("score_micro").desc, col("feat"), col("v")).limit(1)
+      .select(col("feat").as("feature"), col("v").as("threshold"),
+        col("score_micro"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"),
+        (col("pos_left") * 2 >= col("n_left")).as("pred_left"),
+        (col("pos_right") * 2 >= col("n_right")).as("pred_right"))
+  }
+
   /** Gini concentration of the domain/source mix — the inequality audit
     * companion of [[zipfFit]]/[[heapsFit]]: 0 = perfectly balanced
     * corpus, →1 = one domain owns everything. Uses the exact discrete

@@ -30,4 +30,27 @@ object IncrementalAgg {
       .select(keys.map(col) ++
         partials.map(p => col(s"sum($p)").as(p)): _*)
   }
+
+  /** Incremental INNER-join view maintenance for insert-only deltas —
+    * the join analog of [[merge]]: with the stored view V = A ⋈ B and
+    * new slices dA, dB, the refreshed view is exactly
+    *
+    *   V ∪ (dA ⋈ B) ∪ (A ⋈ dB) ∪ (dA ⋈ dB)
+    *
+    * (inner join distributes over the disjoint unions A∪dA and B∪dB).
+    * Every join has a DELTA on one side: with `broadcastDeltas` the
+    * day's slice broadcasts and neither 100 TB base table shuffles —
+    * three map-side joins + a union replace re-joining two full tables.
+    * A and B are the PRE-delta snapshots; non-key column names must be
+    * disjoint across the two sides (standard view schema). The q269
+    * gate proves maintained ≡ full recompute via the DuckDB oracle. */
+  def deltaJoin(view: DataFrame, a: DataFrame, da: DataFrame,
+      b: DataFrame, db: DataFrame, keys: Seq[String],
+      broadcastDeltas: Boolean = true): DataFrame = {
+    val (daj, dbj) =
+      if (broadcastDeltas) (broadcast(da), broadcast(db)) else (da, db)
+    view.unionByName(daj.join(b, keys))
+      .unionByName(a.join(dbj, keys))
+      .unionByName(daj.join(dbj, keys))
+  }
 }

@@ -678,6 +678,41 @@ object CoreQueries {
         FROM c""")),
 
     GraftQuery(
+      "q269_view_maintenance",
+      (s, dir) => {
+        // incremental join-view maintenance: the stored orders⋈customer
+        // view absorbs an order delta AND a customer delta via three
+        // delta-sided broadcast joins ([[graft.operators.IncrementalAgg
+        // .deltaJoin]]) — neither base table is re-shuffled. The oracle
+        // is the FULL recompute of the post-delta join, so any missed or
+        // double-counted delta combination (the dA⋈dB corner is the one
+        // naive implementations drop) flips the hash.
+        val orders = Tables.load(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        val cust = Tables.load(s, dir, "customer").select(
+          col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val dA = orders.filter(col("o_orderkey") % 7 === 0)
+        val a0 = orders.filter(col("o_orderkey") % 7 =!= 0)
+        val dB = cust.filter(col("custkey") % 11 === 0)
+        val b0 = cust.filter(col("custkey") % 11 =!= 0)
+        val view0 = a0.join(b0, Seq("custkey"))
+        graft.operators.IncrementalAgg
+          .deltaJoin(view0, a0, dA, b0, dB, Seq("custkey"))
+          .groupBy(col("c_mktsegment"), col("mon"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
+      },
+      Some("""SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS mon,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2""")),
+
+    GraftQuery(
       "q152_reconcile_totals",
       (s, dir) => {
         // cross-table reconciliation: does the order header total equal

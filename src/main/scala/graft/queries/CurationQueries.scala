@@ -1613,7 +1613,58 @@ object CurationQueries {
           gini("SELECT tok AS d, CAST(COUNT(*) AS BIGINT) AS c FROM " +
             s"(SELECT unnest($Toks5Sql) AS tok FROM documents) GROUP BY 1",
             "token")
-      })
+      }),
+
+    GraftQuery(
+      "q271_decision_stump",
+      (s, dir) => {
+        // the second in-engine trainer: exact depth-1 tree on
+        // (token count, char count) → is-English, every threshold
+        // evaluated, the winner picked by integer micro-unit Gini — the
+        // oracle replays the identical census+window+argmax, so a
+        // drifted cumulative, a dropped empty-side guard, or a different
+        // tie-break all flip the hash.
+        val d = Tables.load(s, dir, "documents").select(
+          (col("lang") === "en").as("is_en"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tok"),
+          col("n_chars"))
+        Curation.decisionStump(d, "is_en", Seq("n_tok", "n_chars"))
+      },
+      Some(s"""WITH f0 AS (
+            SELECT CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS y,
+              'n_tok' AS feat, CAST(len($Toks5Sql) AS BIGINT) AS v
+            FROM documents
+            UNION ALL
+            SELECT CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS y,
+              'n_chars' AS feat, CAST(n_chars AS BIGINT) AS v
+            FROM documents),
+          c AS (SELECT feat, v, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(y) AS BIGINT) AS pos
+            FROM f0 GROUP BY 1, 2),
+          w AS (SELECT feat, v,
+              SUM(n) OVER (PARTITION BY feat ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+              SUM(pos) OVER (PARTITION BY feat ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl,
+              SUM(n) OVER (PARTITION BY feat) AS nt,
+              SUM(pos) OVER (PARTITION BY feat) AS post
+            FROM c),
+          sc AS (SELECT feat, v, nl, posl,
+              nt - nl AS nr, post - posl AS posr,
+              CAST((posl * posl + (nl - posl) * (nl - posl)) * 1000000
+                  // nl
+                + ((post - posl) * (post - posl)
+                  + ((nt - nl) - (post - posl)) * ((nt - nl) - (post - posl)))
+                  * 1000000 // (nt - nl) AS BIGINT) AS score_micro
+            FROM w WHERE nl > 0 AND nt - nl > 0)
+        SELECT feat AS feature, v AS threshold, score_micro,
+          CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
+          CAST(nr AS BIGINT) AS n_right, CAST(posr AS BIGINT) AS pos_right,
+          (posl * 2 >= nl) AS pred_left, (posr * 2 >= nr) AS pred_right
+        FROM sc ORDER BY score_micro DESC, feat, v LIMIT 1"""))
   )
 
   /** Generated oracle for q238: the full-batch GD epoch chain unrolled as

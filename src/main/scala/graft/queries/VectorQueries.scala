@@ -1171,7 +1171,65 @@ object VectorQueries {
               PARTITION BY cell ORDER BY ${CurationQueries.md5Key60Sql(
                 "'graft-bal' || CAST(vec_id AS VARCHAR)")} ASC,
               vec_id ASC) AS rn
-          FROM a2) WHERE rn <= 25"""))
+          FROM a2) WHERE rn <= 25""")),
+
+    GraftQuery(
+      "q270_cluster_keywords",
+      (s, dir) => {
+        // topic labels for embedding clusters (the BERTopic c-TF-IDF
+        // read-out): sign-bucket cells over the embeddings, then each
+        // cell's top-5 tokens by tf × idf where idf discounts tokens
+        // present in many CELLS (not many docs) — corpus-ubiquitous
+        // words appear in all 2^bits cells and score near zero, so the
+        // survivors are what makes a cluster a topic. idf is the scale-3
+        // ln snap (the q82/q259 convention): tf·⌊ln((2^bits+1)/df)·10³⌉
+        // — all-integer, bit-exact cross-engine. Scale: bucket assignment
+        // is a projection, one (cell, token) count shuffle, the df frame
+        // is token-keyed, and the rank window partitions per cell.
+        val bits = 4
+        val cells = Tables.load(s, dir, "embeddings").select(
+          col("vec_id"),
+          Similarity.lshBucket(col("embedding"), Dim, bits).as("cluster"))
+        val toks = cells.join(
+          Tables.load(s, dir, "documents").select(col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("tok")),
+          cells("vec_id") === col("doc_id"))
+        val tf = toks.groupBy(col("cluster"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val scored = tf.join(df, Seq("tok"))
+          .withColumn("score3", col("tf") *
+            floor(log(lit(((1 << bits) + 1).toDouble) /
+              col("df").cast("double")) * 1000.0 + 0.5).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))
+          .orderBy(col("score3").desc, col("tok"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("cluster"), col("rank"), col("tok"), col("tf"),
+            col("df"), col("score3"))
+      },
+      Some {
+        val toks =
+          """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+        s"""WITH eb AS (SELECT vec_id,
+              ${bucketSql("embedding", 4)} AS cluster FROM embeddings),
+          tk AS (SELECT eb.cluster, unnest($toks) AS tok
+            FROM eb JOIN documents d ON eb.vec_id = d.doc_id),
+          tf AS (SELECT cluster, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tk GROUP BY 1, 2),
+          df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            GROUP BY 1),
+          sc AS (SELECT cluster, tok, tf, df,
+              tf * CAST(FLOOR(ln(17.0E0 / CAST(df AS DOUBLE)) * 1000.0E0
+                + 0.5E0) AS BIGINT) AS score3
+            FROM tf JOIN df USING (tok)),
+          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+              ORDER BY score3 DESC, tok) AS rank FROM sc)
+        SELECT cluster, rank, tok, tf, df, score3 FROM r
+        WHERE rank <= 5"""
+      })
   )
 
   /** Generated oracle for q240: nano-unit upper-triangle moment sums →

@@ -519,6 +519,40 @@ class CurationSpec extends AnyFunSuite {
         (o._1 > k._1 || o._2 > k._2)), s"$k is dominated")
   }
 
+  test("deltaJoin maintenance equals the full post-delta recompute") {
+    import graft.operators.IncrementalAgg
+    val a0 = Seq((1L, "a1"), (2L, "a2"), (2L, "a2b")).toDF("k", "av")
+    val da = Seq((2L, "da2"), (3L, "da3"), (9L, "da9")).toDF("k", "av")
+    val b0 = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
+    val db = Seq((2L, "db2"), (3L, "db3")).toDF("k", "bv")
+    val view0 = a0.join(b0, Seq("k"))
+    val maintained = IncrementalAgg.deltaJoin(view0, a0, da, b0, db, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted
+    val recompute = a0.unionByName(da).join(b0.unionByName(db), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted
+    assert(maintained === recompute)
+    // the dA⋈dB corner genuinely fires: (3, da3, db3) exists ONLY there
+    assert(maintained.contains((3L, "da3", "db3")))
+    // unmatched delta keys (9) contribute nothing, as in the recompute
+    assert(!maintained.exists(_._1 == 9L))
+  }
+
+  test("decisionStump finds the hand-traced perfect split and tie-breaks") {
+    // y = (x >= 3): split at v=2 is perfect — S = (0²+2²)·10⁶/2 +
+    // (2²+0²)·10⁶/2 = 4,000,000; the decoy feature z is constant →
+    // no valid split (its only threshold leaves an empty right side)
+    val df = Seq((1L, 7L, false), (2L, 7L, false), (3L, 7L, true),
+      (4L, 7L, true)).toDF("x", "z", "y")
+    val r = Curation.decisionStump(df, "y", Seq("x", "z")).collect().head
+    assert(r.getString(0) === "x" && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 4000000L)
+    assert(r.getLong(3) === 2L && r.getLong(4) === 0L)
+    assert(r.getLong(5) === 2L && r.getLong(6) === 2L)
+    assert(!r.getBoolean(7) && r.getBoolean(8))
+  }
+
   test("giniConcentration: balanced → 0, hand-traced skew, single domain → 0") {
     val even = Seq("a", "a", "b", "b", "c", "c").toDF("d")
     val r1 = Curation.giniConcentration(even, "d").collect().head
