@@ -137,4 +137,42 @@ object TimeSeries {
             (col("sy").cast("double") - slope * col("sx").cast("double")) /
               col("n").cast("double"), scale)).as("intercept"))
   }
+
+  /** Interval census — concurrent-activity count from an interval table
+    * (sessions, SCD2 validity windows, job runtimes): the classic
+    * +1/−1 sweep. Every interval emits (+1 at its start bucket, −1 at
+    * end bucket + 1); the running sum at each change point is the
+    * number of intervals active during that bucket (active in bucket h
+    * ⟺ start_h ≤ h ≤ end_h). Output one row per bucket where the count
+    * CHANGES: (bucket_start, net, active) — between change points the
+    * count is constant by construction, so the sparse form is complete.
+    *
+    * `startCol`/`endCol` are column NAMES holding non-negative epoch
+    * seconds — bucketing uses `div` (Spark `/` on longs is DOUBLE
+    * division; an FP quotient truncated back can land one bucket off).
+    * Scale shape: one corpus-sized delta projection (2 rows per
+    * interval, map-side combined into the bucket aggregate); the
+    * running sum is a window over one row per CHANGED BUCKET — bounded
+    * by the calendar span, never by interval count (the PlanSpec
+    * global-window exemption class). */
+  def intervalCensus(df: DataFrame, startCol: String, endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0)
+    val b = bucketSeconds
+    val deltas = df.select(explode(array(
+      struct(expr(s"CAST($startCol AS BIGINT) div ${b}L").as("b"),
+        lit(1L).as("d")),
+      struct((expr(s"CAST($endCol AS BIGINT) div ${b}L") + 1L).as("b"),
+        lit(-1L).as("d")))).as("e"))
+      .select(col("e.b").as("__b"), col("e.d").as("__d"))
+    val perBucket = deltas.groupBy(col("__b"))
+      .agg(sum(col("__d")).as("net"))
+      .filter(col("net") =!= 0L)
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("active", sum(col("net")).over(w))
+      .select((col("__b") * b).as("bucket_start"), col("net"),
+        col("active"))
+  }
 }

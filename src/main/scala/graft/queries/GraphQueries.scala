@@ -412,6 +412,47 @@ object LayoutQueries {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             AS revenue
         FROM f JOIN hot USING (od)
-        GROUP BY od"""))
+        GROUP BY od""")),
+
+    GraftQuery(
+      "q273_consistent_hash",
+      (s, dir) => {
+        // shard-topology change with consistent hashing
+        // ([[graft.sources.Sharding]]): customers assigned to 4 shards ×
+        // 32 vnodes, then a 5th shard joins — the (from, to) movement
+        // matrix is the gate. The consistent-hash guarantee (only keys
+        // whose ring arc the NEW shard split move; old shards never
+        // exchange keys) is what separates this from `key % S`, and
+        // ShardingSpec asserts it mechanically; the oracle recomputes
+        // the identical md5 ring in SQL. Assignment is a pure projection
+        // — zero shuffle until the small movement-matrix aggregate.
+        val before = graft.sources.Sharding.ring(
+          (0 until 4).map(i => s"s$i"), vnodes = 32)
+        val after = graft.sources.Sharding.ring(
+          (0 until 5).map(i => s"s$i"), vnodes = 32)
+        graft.sources.Sharding.rebalanceReport(
+          Tables.load(s, dir, "customer"), "c_custkey", before, after)
+      },
+      Some {
+        def shardSql(keyExpr: String, ring: Seq[(Long, String)]): String = {
+          val toks = ring.map(t => s"CAST(${t._1} AS BIGINT)")
+            .mkString("[", ", ", "]")
+          val names = ring.map(t => s"'${t._2}'").mkString("[", ", ", "]")
+          val kt = CurationQueries.md5Key60Sql(s"'key-' || ($keyExpr)")
+          s"""list_extract($names,
+            CASE WHEN len(list_filter($toks, t -> t >= $kt)) = 0 THEN 1
+            ELSE ${ring.size} - len(list_filter($toks, t -> t >= $kt)) + 1
+            END)"""
+        }
+        val before = graft.sources.Sharding.ring(
+          (0 until 4).map(i => s"s$i"), vnodes = 32)
+        val after = graft.sources.Sharding.ring(
+          (0 until 5).map(i => s"s$i"), vnodes = 32)
+        s"""SELECT ${shardSql("CAST(c_custkey AS VARCHAR)", before)}
+              AS from_shard,
+            ${shardSql("CAST(c_custkey AS VARCHAR)", after)} AS to_shard,
+            COUNT(*) AS n
+          FROM customer GROUP BY 1, 2"""
+      })
   )
 }

@@ -957,5 +957,42 @@ object HistoryQueries {
       SELECT channel, COUNT(*) AS n_purchases,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM p GROUP BY channel"""))
+  ,
+
+    GraftQuery(
+      "q272_interval_census",
+      (s, dir) => {
+        // concurrent-sessions-over-time from an interval table
+        // ([[graft.operators.TimeSeries.intervalCensus]]): each event
+        // opens a session whose deterministic duration hashes off the
+        // event id (5 min – 2 h), and the +1/−1 sweep reports the hourly
+        // concurrency at every change point — the SCD2-validity /
+        // job-overlap census. All bucket math is integer `div` on epoch
+        // seconds; the running sum is one row per changed hour,
+        // calendar-bounded (PlanSpec exemption class).
+        val ev = Tables.events(s, dir).select(
+          unix_timestamp(col("ts")).as("start_s"),
+          (unix_timestamp(col("ts")) +
+            (col("event_id") % 6900L + 300L)).as("end_s"))
+        graft.operators.TimeSeries.intervalCensus(
+          ev, "start_s", "end_s", bucketSeconds = 3600L)
+      },
+      Some("""WITH iv AS (SELECT
+              CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+              CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 6900) + 300
+                AS end_s
+            FROM events),
+          d AS (SELECT start_s // 3600 AS b, CAST(1 AS BIGINT) AS d
+              FROM iv
+            UNION ALL
+            SELECT end_s // 3600 + 1 AS b, CAST(-1 AS BIGINT) AS d
+              FROM iv),
+          n AS (SELECT b, CAST(SUM(d) AS BIGINT) AS net FROM d GROUP BY b
+            HAVING SUM(d) <> 0)
+        SELECT CAST(b * 3600 AS BIGINT) AS bucket_start, net,
+          CAST(SUM(net) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS active
+        FROM n"""))
   )
 }

@@ -1846,4 +1846,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d2(m(1L), m(2L)) < d2(m(1L), m(3L)),
       "a tiny perturbation must stay closer than an unrelated vector")
   }
+
+  test("intervalCensus matches the hand-traced +1/−1 sweep") {
+    import graft.operators.TimeSeries
+    // [0,50] and [30,100] overlap (active 2 in buckets 3–5); [200,210]
+    // is isolated; buckets of 10 s
+    val iv = Seq((0L, 50L), (30L, 100L), (200L, 210L)).toDF("s", "e")
+    val got = TimeSeries.intervalCensus(iv, "s", "e", bucketSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got === Seq((0L, 1L, 1L), (30L, 1L, 2L), (60L, -1L, 1L),
+      (110L, -1L, 0L), (200L, 1L, 1L), (220L, -1L, 0L)))
+  }
+
+  test("consistent hashing: adding a shard moves keys ONLY to the new shard") {
+    import graft.sources.Sharding
+    val before = Sharding.ring((0 until 4).map(i => s"s$i"), vnodes = 32)
+    val after = Sharding.ring((0 until 5).map(i => s"s$i"), vnodes = 32)
+    val keys = (1L to 2000L).toDF("k")
+    val rep = Sharding.rebalanceReport(keys, "k", before, after)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val moved = rep.filter(r => r._1 != r._2)
+    assert(moved.nonEmpty, "a 5th shard must attract some keys")
+    assert(moved.forall(_._2 == "s4"),
+      s"keys must only move TO the new shard, got: ${moved.mkString(",")}")
+    val movedN = moved.map(_._3).sum
+    assert(movedN < 2000L * 45 / 100,
+      s"moved $movedN of 2000 — far above the ~1/5 consistent-hash bound")
+    // assignment matches a driver-side brute force of the same ring
+    val brute = (1L to 50L).map { k =>
+      val kt = Sharding.token60(s"key-$k")
+      val owner = before.find(_._1 >= kt).getOrElse(before.head)._2
+      k -> owner
+    }.toMap
+    val got = keys.filter(col("k") <= 50L)
+      .select(col("k"), Sharding.shardOf(col("k"), before).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === brute)
+  }
 }

@@ -229,9 +229,11 @@ class PlanSpec extends AnyFunSuite {
                                   // (one row per domain, never corpus rows)
       "q259_heaps_fit",           // cumulative curve over the J=8-row
                                   // checkpoint census
-      "q267_gini_concentration")  // rank over the domain/type census —
+      "q267_gini_concentration",  // rank over the domain/type census —
                                   // one row per domain, vocabulary-
                                   // bounded, never corpus rows
+      "q272_interval_census")     // running sum over one row per CHANGED
+                                  // HOUR — calendar-bounded
     val offenders = batchGates
       .filterNot(q => boundedWindows.contains(q.name))
       .flatMap { q =>
