@@ -71,6 +71,28 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — combine N rankers'
+    * top lists without score calibration: each list contributes
+    * 10⁶ div (k + rank) micro-points per id (integer division — no FP
+    * in scoring or comparison, the DuckDB oracle lands the identical
+    * fused order). The standard RAG move for multi-query retrieval and
+    * for fusing lexical (BM25) with dense (cosine) rankers: rank-based
+    * scores make incomparable scales fusible. Inputs are TOP-K frames
+    * (already bounded); the fuse is a union + one tiny keyed aggregate
+    * + a TakeOrdered — nothing corpus-sized. Ties break to the smaller
+    * id. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      kConst: Long = 60L, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty && kConst >= 1)
+    val scored = rankings
+      .map(_.select(col(idCol), expr(
+        s"1000000L div (${kConst}L + CAST($rankCol AS BIGINT))").as("__s")))
+      .reduce(_ unionByName _)
+    scored.groupBy(col(idCol))
+      .agg(sum(col("__s")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_micro").desc, col(idCol)).limit(topK)
+  }
+
   /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
     * 1998): greedy reranking that trades query relevance against
     * redundancy with already-selected results — the retrieval/curation

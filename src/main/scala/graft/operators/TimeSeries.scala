@@ -175,4 +175,46 @@ object TimeSeries {
       .select((col("__b") * b).as("bucket_start"), col("net"),
         col("active"))
   }
+
+  /** Integer-exact EWMA smoothing per key — the trend-following smooth
+    * that downstream alerting thresholds against. α = num/2^shift and
+    * the recurrence runs entirely in integers:
+    *
+    *   s₁ = x₁;   sₜ = ((2^shift − num)·sₜ₋₁ + num·xₜ) >> shift
+    *
+    * (shift, not division: values are required non-negative, so the
+    * arithmetic right-shift IS the truncating divide, exact at any
+    * magnitude — no FP anywhere, the DuckDB oracle folds the identical
+    * recurrence). An EWMA with truncation is inherently SEQUENTIAL (not
+    * a windowable weighted sum), so each key's series is collected,
+    * sorted, and folded in one `aggregate` — driver-free, parallel
+    * across keys, memory bounded by the series length (calendar-bounded
+    * for the daily/hourly series this is for; a million-point series
+    * needs chunked carry instead). Emits one row per input point:
+    * (key, t, x, ewma). */
+  def ewmaMicro(df: DataFrame, keyCol: String, tCol: String, xCol: String,
+      num: Long = 1L, shift: Int = 3): DataFrame = {
+    require(shift >= 1 && num >= 1 && num < (1L << shift))
+    val rest = lit((1L << shift) - num)
+    val series = df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(
+        col(tCol).cast("long").as("t"),
+        col(xCol).cast("long").as("x")))).as("__xs"))
+    val folded = series.withColumn("__es",
+      aggregate(col("__xs"),
+        struct(array().cast("array<bigint>").as("out"), lit(0L).as("last")),
+        (acc, e) => {
+          val v = when(size(acc("out")) === 0, e("x"))
+            .otherwise(shiftright(
+              rest * acc("last") + lit(num) * e("x"), shift))
+          struct(concat(acc("out"), array(v)).as("out"), v.as("last"))
+        },
+        acc => acc("out")))
+    folded.select(col(keyCol),
+      explode(zip_with(col("__xs"), col("__es"),
+        (e, v) => struct(e("t").as("t"), e("x").as("x"), v.as("ewma"))))
+        .as("__r"))
+      .select(col(keyCol), col("__r.t").as(tCol), col("__r.x").as(xCol),
+        col("__r.ewma").as("ewma"))
+  }
 }

@@ -13,8 +13,12 @@ object VectorQueries {
   private val Dim = 64
 
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
+    queryVecAt(s, dir, 0L)
+
+  private def queryVecAt(s: org.apache.spark.sql.SparkSession, dir: String,
+      id: Long): Seq[Double] =
     Tables.load(s, dir, "embeddings")
-      .filter(col("vec_id") === 0)
+      .filter(col("vec_id") === id)
       .select("embedding").collect()(0)
       .getSeq[Float](0).toSeq.map(_.toDouble)
 
@@ -1229,6 +1233,43 @@ object VectorQueries {
               ORDER BY score3 DESC, tok) AS rank FROM sc)
         SELECT cluster, rank, tok, tf, df, score3 FROM r
         WHERE rank <= 5"""
+      }),
+
+    GraftQuery(
+      "q275_rrf_fusion",
+      (s, dir) => {
+        // multi-query retrieval fused by reciprocal rank: two query
+        // vectors each rank their cosine top-50, RRF merges the lists in
+        // integer micro-points ([[Similarity.rrfFuse]]) — ids near the
+        // top of BOTH lists beat a #1 that the other query never saw.
+        // The rank windows run over the two 50-row limit frames (the
+        // q163 bounded-window class); the fuse is a 100-row aggregate.
+        val e = Tables.load(s, dir, "embeddings")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))
+        def ranked(qid: Int) = Similarity.cosineTopK(
+          e, "vec_id", "embedding", queryVecAt(s, dir, qid), k = 50)
+          .withColumn("rank", row_number().over(w))
+        Similarity.rrfFuse(Seq(ranked(0), ranked(1)),
+          "vec_id", "rank", kConst = 60L, topK = 10)
+      },
+      Some {
+        def rankCte(qid: Int, name: String) =
+          s"""$name AS (SELECT vec_id, ROW_NUMBER() OVER (
+              ORDER BY cos DESC, vec_id) AS rank
+            FROM (SELECT e.vec_id,
+                ${cosSql("e.embedding", "q.qv")} AS cos
+              FROM embeddings e,
+                (SELECT embedding AS qv FROM embeddings
+                 WHERE vec_id = $qid) q)
+            ORDER BY cos DESC, vec_id LIMIT 50)"""
+        s"""WITH ${rankCte(0, "r0")}, ${rankCte(1, "r1")},
+          u AS (SELECT vec_id, 1000000 // (60 + rank) AS s FROM r0
+            UNION ALL SELECT vec_id, 1000000 // (60 + rank) AS s FROM r1)
+        SELECT vec_id, CAST(SUM(s) AS BIGINT) AS rrf_micro,
+          COUNT(*) AS n_lists
+        FROM u GROUP BY vec_id
+        ORDER BY rrf_micro DESC, vec_id LIMIT 10"""
       })
   )
 

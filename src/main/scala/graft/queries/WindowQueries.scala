@@ -993,6 +993,51 @@ object HistoryQueries {
           CAST(SUM(net) OVER (ORDER BY b
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS active
-        FROM n"""))
+        FROM n""")),
+
+    GraftQuery(
+      "q274_ewma",
+      (s, dir) => {
+        // α=1/8 EWMA over each event type's daily volume
+        // ([[graft.operators.TimeSeries.ewmaMicro]]) — the smoothed
+        // baseline a volume alert thresholds against. The recurrence is
+        // all-integer (shift, not divide), inherently sequential per
+        // key, folded inside one `aggregate` per calendar-bounded
+        // series; the oracle replays the identical fold with the q129
+        // string-accumulator trick (DuckDB's list_reduce loses list
+        // state in struct accumulators).
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 86400L").as("d"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.ewmaMicro(
+          daily, "event_type", "d", "n", num = 1L, shift = 3)
+      },
+      Some("""WITH daily AS (SELECT event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          ser AS (SELECT event_type,
+              list(d ORDER BY d) AS ts, list(n ORDER BY d) AS xs
+            FROM daily GROUP BY event_type),
+          fld AS (SELECT event_type, ts, xs,
+              string_split(list_reduce(
+                list_prepend({'s': CAST('' AS VARCHAR),
+                              'last': CAST(0 AS BIGINT)},
+                  list_transform(xs, x ->
+                    {'s': CAST('' AS VARCHAR), 'last': x})),
+                (acc, e) -> CASE WHEN acc.s = ''
+                  THEN {'s': CAST(e.last AS VARCHAR), 'last': e.last}
+                  ELSE {'s': acc.s || chr(31) || CAST(
+                          (7 * acc.last + e.last) // 8 AS VARCHAR),
+                        'last': (7 * acc.last + e.last) // 8} END).s,
+                chr(31)) AS es
+            FROM ser)
+        SELECT event_type, r.t AS d, r.x AS n, r.ewma AS ewma
+        FROM (SELECT event_type,
+            unnest(list_transform(range(1, len(xs) + 1), i ->
+              {'t': ts[i], 'x': xs[i],
+               'ewma': CAST(es[i] AS BIGINT)})) AS r
+          FROM fld)"""))
   )
 }

@@ -1859,6 +1859,28 @@ class LlmOpsSpec extends AnyFunSuite {
       (110L, -1L, 0L), (200L, 1L, 1L), (220L, -1L, 0L)))
   }
 
+  test("ewmaMicro matches the hand-traced integer recurrence") {
+    import graft.operators.TimeSeries
+    // α=1/8: s₁=8; s₂=(7·8+16)>>3=9; s₃=(7·9+0)>>3=7; key isolation
+    val df = Seq(("a", 1L, 8L), ("a", 2L, 16L), ("a", 3L, 0L),
+      ("b", 1L, 100L)).toDF("k", "t", "x")
+    val got = TimeSeries.ewmaMicro(df, "k", "t", "x", num = 1L, shift = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sorted
+    assert(got === Seq(("a", 1L, 8L), ("a", 2L, 9L), ("a", 3L, 7L),
+      ("b", 1L, 100L)))
+  }
+
+  test("rrfFuse: ids high on both lists beat a single #1") {
+    val r1 = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val r2 = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(r1, r2), "id", "rank", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 20 is rank 2+1 → 16129+16393 = 32522, beating both solo #1s
+    assert(got === Array((20L, 32522L, 2L), (10L, 16393L, 1L),
+      (30L, 16129L, 1L)))
+  }
+
   test("consistent hashing: adding a shard moves keys ONLY to the new shard") {
     import graft.sources.Sharding
     val before = Sharding.ring((0 until 4).map(i => s"s$i"), vnodes = 32)

@@ -232,8 +232,10 @@ class PlanSpec extends AnyFunSuite {
       "q267_gini_concentration",  // rank over the domain/type census —
                                   // one row per domain, vocabulary-
                                   // bounded, never corpus rows
-      "q272_interval_census")     // running sum over one row per CHANGED
+      "q272_interval_census",     // running sum over one row per CHANGED
                                   // HOUR — calendar-bounded
+      "q275_rrf_fusion")          // ranks two orderBy().limit(50) frames
+                                  // (the q163 class)
     val offenders = batchGates
       .filterNot(q => boundedWindows.contains(q.name))
       .flatMap { q =>
