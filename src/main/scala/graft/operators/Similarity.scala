@@ -153,6 +153,72 @@ object Similarity {
     selected.toSeq.toDF("rank", idCol, "rel_micro", "mmr_score")
   }
 
+  /** Farthest-first k-center selection (Gonzalez 1985) — the greedy
+    * 2-approximation for the k-center coreset: pick the lowest-id vector,
+    * then k−1 times the vector FARTHEST from every pick so far. The
+    * standard diversity-maximizing subset for curation (seed vectors for
+    * clustering, diverse eval panels, coverage probes) — where MMR
+    * balances relevance against redundancy, k-center maximizes pure
+    * spread.
+    *
+    * Scale shape: the running min-distance frame is updated
+    * INCREMENTALLY — each round folds in only the newest center
+    * (`least(dmin, d²(v, c))`) in one narrow corpus scan, then a global
+    * TakeOrdered(1) picks the argmax; no pairwise join, no k-way
+    * re-scan, state is localCheckpoint'd per round so lineage stays
+    * O(1). Distances are squared-L2 in integer micro-units
+    * (`floor(((v·v + c·c) − 2·v·c)·10⁶ + 0.5)`, every dot a left fold —
+    * engine-portable, hash-gateable), ties break to the smaller id.
+    * Output: (round, idCol, dist_micro) — the seed row carries 0, each
+    * later row the distance that made it the farthest point, a
+    * monotonically non-increasing sequence that doubles as the coreset
+    * radius curve. */
+  def kCenterSelect(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def distMicro(v: Column, c: Array[Float]): Column = {
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i).toDouble * c(i).toDouble; i += 1 }
+      floor((graft.expressions.ArrayDot.array_dot(v, v) + lit(cc) -
+        lit(2.0) * dotLit(v, c.map(_.toDouble).toSeq)) * lit(1e6) +
+        lit(0.5)).cast("long")
+    }
+    val base = embeddings
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+    val seed = base.orderBy(col("__id").asc).limit(1).collect().headOption
+    if (seed.isEmpty) return Seq.empty[(Int, Long, Long)]
+      .toDF("round", idCol, "dist_micro")
+    val selected = scala.collection.mutable.ArrayBuffer(
+      (1, seed.get.getLong(0), 0L))
+    var lastVec = seed.get.getSeq[Float](1).toArray
+    var state = base.withColumn("dmin", lit(Long.MaxValue))
+    var round = 2
+    var done = false
+    while (round <= k && !done) {
+      val next = state
+        .withColumn("dmin", least(col("dmin"), distMicro(col("__v"), lastVec)))
+        .localCheckpoint()
+      state.unpersist(blocking = false)
+      state = next
+      val ids = selected.map(_._2).toSeq
+      val best = state.filter(!col("__id").isin(ids: _*))
+        .orderBy(col("dmin").desc, col("__id").asc).limit(1)
+        .collect().headOption
+      best match {
+        case Some(r) =>
+          selected += ((round, r.getLong(0), r.getLong(2)))
+          lastVec = r.getSeq[Float](1).toArray
+          round += 1
+        case None => done = true
+      }
+    }
+    state.unpersist(blocking = false)
+    selected.toSeq.toDF("round", idCol, "dist_micro")
+  }
+
   /** Hyperplane `b` of the random-hyperplane LSH family: `dim` pseudo-random
     * coefficients in (-1, 1) derived deterministically from (seed, b, d).
     * Public so oracle SQL can embed the identical literals. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -216,5 +216,61 @@ object TimeSeries {
         .as("__r"))
       .select(col(keyCol), col("__r.t").as(tCol), col("__r.x").as(xCol),
         col("__r.ewma").as("ewma"))
+  }
+
+  /** Integer-exact Holt double-exponential smoothing per key — the
+    * level+TREND smooth (Holt 1957) that an EWMA can't give: an EWMA
+    * lags a ramping series forever, Holt tracks the ramp and yields a
+    * one-step forecast `level + trend`. α = num/2^shift, β = 1/2, and
+    * the recurrence runs entirely in integers with TRUNCATING division
+    * (Spark `div` ≡ DuckDB `//` on negatives — trends go negative, so
+    * shift-as-divide would floor where the oracle truncates):
+    *
+    *   l₁ = x₁,  b₁ = 0
+    *   lₜ = (num·xₜ + (2^shift − num)·(lₜ₋₁ + bₜ₋₁)) div 2^shift
+    *   bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁) div 2
+    *
+    * Same scale shape as [[ewmaMicro]]: the recurrence is inherently
+    * sequential per key, folded in one `aggregate` over the key's
+    * sorted series — driver-free, parallel across keys, memory bounded
+    * by series length (calendar-bounded for daily/hourly series).
+    * Emits one row per input point: (key, t, x, level, trend,
+    * forecast = level + trend). */
+  def holtMicro(df: DataFrame, keyCol: String, tCol: String, xCol: String,
+      num: Long = 1L, shift: Int = 2): DataFrame = {
+    require(shift >= 1 && num >= 1 && num < (1L << shift))
+    val rest = lit((1L << shift) - num)
+    // truncating division by 2^s (toward zero, matching DuckDB `//`):
+    // arithmetic shiftright alone FLOORS negatives one off.
+    def tdiv(a: Column, s: Int): Column =
+      when(a >= 0, shiftright(a, s)).otherwise(-shiftright(-a, s))
+    val series = df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(
+        col(tCol).cast("long").as("t"),
+        col(xCol).cast("long").as("x")))).as("__xs"))
+    val folded = series.withColumn("__lb",
+      aggregate(col("__xs"),
+        struct(array().cast("array<struct<l:bigint,b:bigint>>").as("out"),
+          lit(0L).as("l"), lit(0L).as("b")),
+        (acc, e) => {
+          val first = size(acc("out")) === 0
+          val lNext = when(first, e("x"))
+            .otherwise(tdiv(lit(num) * e("x") +
+              rest * (acc("l") + acc("b")), shift))
+          val bNext = when(first, lit(0L))
+            .otherwise(tdiv(lNext - acc("l") + acc("b"), 1))
+          struct(
+            concat(acc("out"),
+              array(struct(lNext.as("l"), bNext.as("b")))).as("out"),
+            lNext.as("l"), bNext.as("b"))
+        },
+        acc => acc("out")))
+    folded.select(col(keyCol),
+      explode(zip_with(col("__xs"), col("__lb"),
+        (e, v) => struct(e("t").as("t"), e("x").as("x"),
+          v("l").as("level"), v("b").as("trend")))).as("__r"))
+      .select(col(keyCol), col("__r.t").as(tCol), col("__r.x").as(xCol),
+        col("__r.level").as("level"), col("__r.trend").as("trend"),
+        (col("__r.level") + col("__r.trend")).as("forecast"))
   }
 }

@@ -1270,6 +1270,46 @@ object VectorQueries {
           COUNT(*) AS n_lists
         FROM u GROUP BY vec_id
         ORDER BY rrf_micro DESC, vec_id LIMIT 10"""
+      }),
+
+    GraftQuery(
+      "q276_k_center",
+      (s, dir) => Similarity.kCenterSelect(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 5),
+      // the oracle REPLAYS the greedy farthest-first selection, unrolled
+      // one CTE pair per round: c_r = argmax over d_{r-1}'s running min
+      // squared-L2 (ties to the smaller id, prior picks excluded), d_r
+      // folds center r into the running min. A drifted distance or tie
+      // order flips a pick and every later round with it.
+      Some {
+        def dM(v: String, c: String) =
+          s"""CAST(FLOOR(((${dotSql(v, v)} + ${dotSql(c, c)}) -
+              2.0E0 * ${dotSql(v, c)}) * 1000000.0E0 + 0.5E0) AS BIGINT)"""
+        val k = 5
+        val ctes = new StringBuilder(
+          "WITH e AS (SELECT vec_id, embedding FROM embeddings),\n")
+        ctes ++= "c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),\n"
+        ctes ++= s"""d1 AS (SELECT e.vec_id, e.embedding,
+            ${dM("e.embedding", "c1.embedding")} AS dmin FROM e, c1)"""
+        for (r <- 2 to k) {
+          val prior = (1 until r).map(i => s"SELECT vec_id FROM c$i")
+            .mkString(" UNION ALL ")
+          ctes ++= s""",\nc$r AS (SELECT vec_id, embedding, dmin
+              FROM d${r - 1} WHERE vec_id NOT IN ($prior)
+              ORDER BY dmin DESC, vec_id LIMIT 1)"""
+          if (r < k)
+            ctes ++= s""",\nd$r AS (SELECT d${r - 1}.vec_id,
+                d${r - 1}.embedding, LEAST(d${r - 1}.dmin,
+                ${dM(s"d${r - 1}.embedding", s"c$r.embedding")}) AS dmin
+              FROM d${r - 1}, c$r)"""
+        }
+        val unions = (2 to k).map(r =>
+          s"UNION ALL SELECT CAST($r AS INT), vec_id, dmin FROM c$r")
+          .mkString("\n")
+        s"""$ctes
+          SELECT CAST(1 AS INT) AS round, vec_id,
+            CAST(0 AS BIGINT) AS dist_micro FROM c1
+          $unions"""
       })
   )
 

@@ -1038,6 +1038,52 @@ object HistoryQueries {
             unnest(list_transform(range(1, len(xs) + 1), i ->
               {'t': ts[i], 'x': xs[i],
                'ewma': CAST(es[i] AS BIGINT)})) AS r
-          FROM fld)"""))
+          FROM fld)""")),
+
+    GraftQuery(
+      "q277_holt_trend",
+      (s, dir) => {
+        // Holt level+trend smoothing (α=1/4, β=1/2) over each event
+        // type's daily volume ([[graft.operators.TimeSeries.holtMicro]])
+        // — where q274's EWMA lags a ramping series forever, Holt tracks
+        // the ramp and emits a one-step forecast. The recurrence is
+        // all-integer with TRUNCATING division (Spark `div`-style ≡
+        // DuckDB `//` — trends go negative, so a floor-based shift would
+        // land one off); the oracle replays the identical fold as a
+        // RECURSIVE CTE stepping rn → rn+1 per key. NOT list_reduce:
+        // DuckDB 1.0 mis-evaluates a two-numeric-field struct
+        // accumulator (the level fold stayed right while the trend
+        // field silently read stale values — the q129 LIST-field bug's
+        // wider family; even the all-VARCHAR re-parse carry corrupted).
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 86400L").as("d"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.holtMicro(
+          daily, "event_type", "d", "n", num = 1L, shift = 2)
+      },
+      Some {
+        val lN = "(s.n + 3 * (r.level + r.trend)) // 4"
+        s"""WITH RECURSIVE daily AS (SELECT event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          ser AS (SELECT event_type, d, n, ROW_NUMBER() OVER (
+              PARTITION BY event_type ORDER BY d) AS rn
+            FROM daily),
+          rec AS (
+            SELECT event_type, d, n, rn, n AS level,
+              CAST(0 AS BIGINT) AS trend
+            FROM ser WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.d, s.n, s.rn,
+              $lN AS level,
+              (($lN) - r.level + r.trend) // 2 AS trend
+            FROM rec r JOIN ser s
+              ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+        SELECT event_type, d, n, level, trend,
+          level + trend AS forecast
+        FROM rec"""
+      })
   )
 }

@@ -1906,4 +1906,43 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === brute)
   }
+
+  test("holtMicro matches the hand-traced truncating recurrence") {
+    import graft.operators.TimeSeries
+    // α=1/4, β=1/2 on a collapsing series — the trend goes NEGATIVE and
+    // must TRUNCATE toward zero (floor would give b₂=-13, not -12):
+    // l₁=100,b₁=0; l₂=(0+3·100)//4=75, b₂=(75-100+0)//2=-25//2=-12;
+    // l₃=(0+3·(75-12))//4=189//4=47, b₃=(47-75-12)//2=-40//2=-20
+    val df = Seq(("a", 1L, 100L), ("a", 2L, 0L), ("a", 3L, 0L),
+      ("b", 1L, 7L)).toDF("k", "t", "x")
+    val got = TimeSeries.holtMicro(df, "k", "t", "x", num = 1L, shift = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+      .sorted
+    assert(got === Seq(
+      ("a", 1L, 100L, 0L, 100L), ("a", 2L, 75L, -12L, 63L),
+      ("a", 3L, 47L, -20L, 27L), ("b", 1L, 7L, 0L, 7L)))
+  }
+
+  test("kCenterSelect walks farthest-first with id tie-breaks") {
+    // collinear points: seed = min id (0,0); farthest = (10,0); then
+    // (5,0) at min(25,25)=25; then (1,0) at min(1,16)=1 — each pick's
+    // dist_micro is the squared L2 that made it the farthest point
+    val e = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(10f, 0f)), (4L, Array(5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(e, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got === Array((1, 1L, 0L), (2, 3L, 100000000L),
+      (3, 4L, 25000000L), (4, 2L, 1000000L)))
+  }
+
+  test("kCenterSelect stops early when k exceeds the corpus") {
+    val e = Seq((1L, Array(0f)), (2L, Array(3f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(e, "vec_id", "embedding", k = 5)
+    assert(got.count() === 2L)
+  }
 }
