@@ -1848,4 +1848,154 @@ object Curation {
                 .cast("double")),
         scale).as("gini"))
   }
+
+  /** Quantile normalization across groups — map each group's value
+    * distribution onto the POOLED distribution, so per-source scores
+    * from differently-calibrated scorers become comparable (the classic
+    * microarray move, here for mixing quality signals across corpus
+    * sources): a row at within-group rank r (of n_g) is assigned the
+    * pooled value at global rank `(r·N) div n_g`. All-integer rank
+    * arithmetic (exact while n_g·N < 2⁶³ — fine to ~10⁹ rows), total
+    * order everywhere ((value, id) ties), so the mapping is
+    * deterministic and hash-gateable.
+    *
+    * Scale shape: the pooled ranking is [[GlobalSort.withGlobalRank]]
+    * (range-partitioned, never a single-partition window); the
+    * within-group rank is a partitioned window; the value lookup is one
+    * shuffle join on the target rank. Output: (idCol, groupCol, valCol,
+    * norm) with `norm` the pooled-distribution value at the row's
+    * quantile. */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol),
+      col(valCol).cast("long").as("__v"))
+    val n = base.count()
+    val pooled = GlobalSort.withGlobalRank(
+      base.select(col("__v"), col(idCol)),
+      Seq(col("__v"), col(idCol)), rankCol = "__gr")
+      .select(col("__gr"), col("__v").as("__pv"))
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v"), col(idCol))
+    val ranked = base
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__ng",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__tr", expr(s"(__r * ${n}L) div __ng"))
+    ranked.join(pooled, col("__tr") === col("__gr"))
+      .select(col(idCol), col(groupCol), col("__v").as(valCol),
+        col("__pv").as("norm"))
+  }
+
+  /** Greedy set cover over document n-gram sets (the classic ln(n)
+    * approximation) — pick the k documents that together cover the most
+    * vocabulary: each round selects the document covering the most
+    * still-uncovered n-grams (ties to the smaller id, prior picks
+    * excluded), then removes its n-grams from the universe. The
+    * instruction-data selection move: a small panel with maximal
+    * lexical coverage. `n` = 1 covers unigrams; use 2+ when the corpus
+    * vocabulary is small enough for one document to exhaust it.
+    *
+    * Scale shape: the (doc, token) posting frame is built once
+    * (per-doc-distinct explode, persisted); each round is one
+    * semi-joined count aggregate + a global TakeOrdered(1) + one
+    * anti-join to shrink the universe (localCheckpoint'd so lineage
+    * stays O(1)) — k bounded rounds, no pairwise join anywhere.
+    * Output: (round, idCol, covered) where `covered` is the pick's
+    * marginal gain — a non-increasing curve that doubles as the
+    * coverage diminishing-returns audit. */
+  def setCoverSelect(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, n: Int = 1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1 && n >= 1, "k and n must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams =
+      if (n == 1) TextFunctions.tokens(col(textCol))
+      else TextFunctions.shingles(col(textCol), n)
+    val dt = docs.select(col(idCol).cast("long").as("__doc"),
+      explode(array_distinct(grams)).as("__tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var uncov = dt.select("__tk").distinct().localCheckpoint()
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      var round = 1
+      var done = false
+      while (round <= k && !done) {
+        val prior = picks.map(_._2).toSeq
+        val best = dt.join(uncov, Seq("__tk"))
+          .filter(if (prior.isEmpty) lit(true)
+            else !col("__doc").isin(prior: _*))
+          .groupBy(col("__doc")).agg(count(lit(1)).as("__c"))
+          .orderBy(col("__c").desc, col("__doc").asc).limit(1)
+          .collect().headOption
+        best match {
+          case Some(r) =>
+            picks += ((round, r.getLong(0), r.getLong(1)))
+            if (round < k) {
+              val next = uncov.join(
+                dt.filter(col("__doc") === r.getLong(0)).select("__tk"),
+                Seq("__tk"), "left_anti").localCheckpoint()
+              uncov.unpersist(blocking = false)
+              uncov = next
+            }
+            round += 1
+          case None => done = true
+        }
+      }
+      uncov.unpersist(blocking = false)
+      picks.toSeq.toDF("round", idCol, "covered")
+    } finally dt.unpersist(blocking = false)
+  }
+
+  /** Deterministic m-out-of-n bootstrap confidence interval for a
+    * per-group mean — error bars on corpus statistics without any RNG:
+    * replicate b's j-th draw takes the row at within-group index
+    * `md5₆₀(group:b:j) mod n_g`, so every engine (and every replay)
+    * draws the identical resamples. Replicate means are exact integer
+    * micro-units; the interval is the 2nd-smallest / 2nd-largest of the
+    * B=40 replicate means (the percentile-bootstrap 95% CI).
+    *
+    * Scale shape: draws are `groups × B × m` rows (CONSTANT per group —
+    * m-out-of-n keeps resample size bounded no matter the corpus), the
+    * value lookup is one shuffle join against the within-group-indexed
+    * rows (partitioned window, never global), replicate sums are
+    * map-side combined, and the final per-group fold sorts a bounded
+    * B-element array. */
+  def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, b: Int = 40, m: Int = 256): DataFrame = {
+    require(b >= 3 && m >= 1)
+    // (id, value) ordering: idCol need not be unique — rows tying on
+    // BOTH columns are interchangeable (same v at the tied indexes), so
+    // the index→value map is engine-deterministic even then
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(idCol), col("__v"))
+    val indexed = df
+      .select(col(groupCol), col(idCol), col(valCol).cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(wg).cast("long") - 1L)
+      .localCheckpoint()
+    val sizes = indexed.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"), sum(col("__v")).as("__sum"))
+      .localCheckpoint()
+    val draws = sizes
+      .select(col(groupCol), col("__ng"),
+        explode(sequence(lit(1), lit(b))).as("__b"))
+      .select(col(groupCol), col("__ng"), col("__b"),
+        explode(sequence(lit(1), lit(m))).as("__j"))
+      .withColumn("__rn", pmod(TextFunctions.md5Key60(
+        concat_ws(":", col(groupCol), col("__b"), col("__j"))),
+        col("__ng")))
+    val reps = draws.join(indexed, Seq(groupCol, "__rn"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(expr(s"(sum(__v) * 1000000L) div ${m}L").as("__mean_micro"))
+    reps.groupBy(col(groupCol))
+      .agg(
+        element_at(array_sort(collect_list(col("__mean_micro"))), 2)
+          .as("lo_micro"),
+        element_at(array_sort(collect_list(col("__mean_micro"))), b - 1)
+          .as("hi_micro"))
+      .join(sizes, Seq(groupCol))
+      .select(col(groupCol), col("__ng").as("n"),
+        expr("(__sum * 1000000L) div __ng").as("mean_micro"),
+        col("lo_micro"), col("hi_micro"))
+  }
 }

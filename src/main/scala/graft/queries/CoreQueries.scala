@@ -1358,6 +1358,56 @@ object CoreQueries {
         CASE WHEN lev < 1 THEN b.od ELSE '*' END AS overdrawn,
         CAST(lev AS INTEGER) AS suppression_level
       FROM base b JOIN levels v
-        ON v.seg = b.seg AND v.nat = b.nat AND v.od = b.od"""))
+        ON v.seg = b.seg AND v.nat = b.nat AND v.od = b.od""")),
+
+    GraftQuery(
+      "q280_bootstrap_ci",
+      (s, dir) => {
+        // deterministic percentile-bootstrap 95% CI on the mean quantity
+        // per return flag ([[graft.operators.Curation.bootstrapCi]]) —
+        // error bars on a corpus statistic with zero RNG: every draw is
+        // md5-indexed, so the resamples are identical on every engine
+        // and replay. B=40 replicates of m=256 draws each; the interval
+        // is the 2nd-smallest/2nd-largest replicate mean.
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            (col("l_orderkey") * 10L + col("l_linenumber")).as("rid"),
+            col("l_quantity"))
+        graft.operators.Curation.bootstrapCi(
+          li, "l_returnflag", "rid", "l_quantity", b = 40, m = 256)
+      },
+      Some(s"""WITH b AS (SELECT l_returnflag AS g,
+              l_orderkey * 10 + l_linenumber AS rid,
+              CAST(l_quantity AS BIGINT) AS v
+            FROM lineitem),
+          idx AS (SELECT g, v, CAST(ROW_NUMBER() OVER (PARTITION BY g
+                ORDER BY rid, v) AS BIGINT) - 1 AS rn
+            FROM b),
+          sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+              CAST(SUM(v) AS BIGINT) AS s FROM b GROUP BY g),
+          draws AS (SELECT g, ng,
+              unnest(range(1, 41)) AS rb FROM sizes),
+          draws2 AS (SELECT g, ng, rb,
+              unnest(range(1, 257)) AS dj FROM draws),
+          -- dj, NOT j: md5Key60Sql's internal hex-fold lambda binds j,
+          -- which would SHADOW the draw index (every draw in a
+          -- replicate hashed identically; caught by the sf0.01 gate)
+          keyed AS (SELECT g, rb,
+              ${CurationQueries.md5Key60Sql(
+                "g || ':' || CAST(rb AS VARCHAR) || ':' || CAST(dj AS VARCHAR)")}
+                % ng AS rn
+            FROM draws2),
+          reps AS (SELECT k.g, k.rb,
+              (SUM(idx.v) * 1000000) // 256 AS mm
+            FROM keyed k JOIN idx ON idx.g = k.g AND idx.rn = k.rn
+            GROUP BY k.g, k.rb),
+          ci AS (SELECT g,
+              CAST(list_sort(list(mm))[2] AS BIGINT) AS lo_micro,
+              CAST(list_sort(list(mm))[39] AS BIGINT) AS hi_micro
+            FROM reps GROUP BY g)
+        SELECT ci.g AS l_returnflag, sizes.ng AS n,
+          CAST((sizes.s * 1000000) // sizes.ng AS BIGINT) AS mean_micro,
+          lo_micro, hi_micro
+        FROM ci JOIN sizes ON sizes.g = ci.g"""))
   )
 }

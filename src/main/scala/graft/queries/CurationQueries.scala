@@ -1664,7 +1664,86 @@ object CurationQueries {
           CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
           CAST(nr AS BIGINT) AS n_right, CAST(posr AS BIGINT) AS pos_right,
           (posl * 2 >= nl) AS pred_left, (posr * 2 >= nr) AS pred_right
-        FROM sc ORDER BY score_micro DESC, feat, v LIMIT 1"""))
+        FROM sc ORDER BY score_micro DESC, feat, v LIMIT 1""")),
+
+    GraftQuery(
+      "q278_quantile_normalize",
+      (s, dir) => {
+        // per-source token counts mapped onto the POOLED count
+        // distribution ([[graft.operators.Curation.quantileNormalize]])
+        // — the calibration move that makes differently-scaled
+        // per-source quality signals comparable before mixing. Pooled
+        // rank via GlobalSort (range-partitioned), within-source rank a
+        // partitioned window, lookup one rank-keyed join; all rank
+        // arithmetic integer.
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .as("n_tokens"))
+        graft.operators.Curation.quantileNormalize(
+          base, "doc_id", "source", "n_tokens")
+          .withColumnRenamed("norm", "norm_tokens")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              CAST(len($Toks5Sql) AS BIGINT) AS v
+            FROM documents),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+          p AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY v, doc_id)
+                AS BIGINT) AS gr, v AS pv
+            FROM b),
+          r AS (SELECT doc_id, source, v,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY v, doc_id) AS BIGINT) AS rr,
+              CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ng
+            FROM b)
+        SELECT r.doc_id, r.source, r.v AS n_tokens, p.pv AS norm_tokens
+        FROM r CROSS JOIN n JOIN p ON (r.rr * n.n) // r.ng = p.gr""")),
+
+    GraftQuery(
+      "q279_set_cover",
+      // bigrams, not tokens: the synthetic corpus has a 31-word
+      // vocabulary and one document exhausts it — the unigram cover
+      // converges after round 1 (916 bigrams spread the greedy walk
+      // over all 4 rounds)
+      (s, dir) => graft.operators.Curation.setCoverSelect(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 4, n = 2),
+      // the oracle replays the greedy cover, one CTE pair per round:
+      // p_r = the doc covering the most bigrams still in u_{r-1} (ties
+      // to the smaller id, prior picks excluded), u_r = u_{r-1} minus
+      // p_r's bigrams. A drifted count or tie order flips a pick and
+      // every later round with it. Every CTE is MATERIALIZED: DuckDB
+      // inlines plain CTEs per reference, and u_r is referenced twice
+      // (p_{r+1} and u_{r+1}) — the un-materialized chain re-evaluated
+      // the bigram explode ~2^k times and spilled >74 GB at sf1.
+      Some {
+        val k = 4
+        val sb = new StringBuilder(
+          s"""WITH dt AS MATERIALIZED (SELECT DISTINCT doc_id, t AS tk
+              FROM (SELECT doc_id, unnest($Bigrams) AS t
+                FROM documents)),
+            u0 AS MATERIALIZED (SELECT DISTINCT tk FROM dt)""")
+        for (r <- 1 to k) {
+          val notIn =
+            if (r == 1) ""
+            else "WHERE doc_id NOT IN (" + (1 until r)
+              .map(i => s"SELECT doc_id FROM p$i")
+              .mkString(" UNION ALL ") + ")"
+          sb ++= s""",\np$r AS MATERIALIZED (SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS c
+              FROM dt JOIN u${r - 1} USING (tk) $notIn
+              GROUP BY doc_id ORDER BY c DESC, doc_id LIMIT 1)"""
+          if (r < k)
+            sb ++= s""",\nu$r AS MATERIALIZED (SELECT tk FROM u${r - 1}
+                WHERE tk NOT IN (SELECT tk FROM dt
+                  WHERE doc_id IN (SELECT doc_id FROM p$r)))"""
+        }
+        val unions = (2 to k).map(r =>
+          s"UNION ALL SELECT CAST($r AS INT), doc_id, c FROM p$r")
+          .mkString("\n")
+        s"""$sb
+          SELECT CAST(1 AS INT) AS round, doc_id, c AS covered FROM p1
+          $unions"""
+      })
   )
 
   /** Generated oracle for q238: the full-batch GD epoch chain unrolled as

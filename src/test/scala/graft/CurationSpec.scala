@@ -566,4 +566,36 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.giniConcentration(one, "d").collect().head
       .getDouble(2) === 0.0)
   }
+
+  test("quantileNormalize maps group ranks onto the pooled distribution") {
+    // pooled sorted: 1,5,6,7,8,100 (N=6); A (ng=2): r=1→rank 3→6,
+    // r=2→rank 6→100; B (ng=4): ranks 1,3,4,6 → 1,6,7,100
+    val df = Seq((1L, "A", 1L), (2L, "A", 100L),
+      (3L, "B", 5L), (4L, "B", 6L), (5L, "B", 7L), (6L, "B", 8L))
+      .toDF("id", "g", "v")
+    val got = Curation.quantileNormalize(df, "id", "g", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted
+    assert(got === Seq((1L, 6L), (2L, 100L), (3L, 1L), (4L, 6L),
+      (5L, 7L), (6L, 100L)))
+  }
+
+  test("setCoverSelect walks greedy marginal gains and stops when covered") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "e f g"),
+      (4L, "c d e")).toDF("doc_id", "text")
+    val got = Curation.setCoverSelect(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // doc1 covers 4 of {a..g}; doc3 covers the remaining {e,f,g};
+    // round 3 has nothing left to gain — the loop stops at 2 picks
+    assert(got === Array((1, 1L, 4L), (2, 3L, 3L)))
+  }
+
+  test("bootstrapCi: constant values collapse the interval to the mean") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 10L),
+      ("g", 4L, 10L)).toDF("grp", "id", "v")
+    val r = Curation.bootstrapCi(df, "grp", "id", "v", b = 5, m = 16)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((4L, 10000000L, 10000000L, 10000000L)))
+  }
 }
