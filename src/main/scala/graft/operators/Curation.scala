@@ -1998,4 +1998,94 @@ object Curation {
         expr("(__sum * 1000000L) div __ng").as("mean_micro"),
         col("lo_micro"), col("hi_micro"))
   }
+
+  /** Split-conformal threshold per group (Vovk; Angelopoulos & Bates
+    * 2021) — the distribution-free (1−α) cutoff for selective
+    * classification / filtering: with n calibration scores, the
+    * threshold is the `ceil((n+1)·(1−α))`-th smallest score (clamped to
+    * n), guaranteeing ≥ 1−α coverage on exchangeable data. All-integer
+    * rank arithmetic (α in percent), total (score, id) order, one
+    * partitioned window — the per-group quantile that needs the EXACT
+    * order statistic, not an approximate sketch. Output:
+    * (groupCol, n, target_rank, threshold). */
+  def conformalThreshold(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, alphaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99, "alpha in whole percent")
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col("__s"), col(idCol))
+    df.select(col(groupCol), col(idCol), col(scoreCol).cast("long").as("__s"))
+      .withColumn("__rn", row_number().over(wg).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__tgt", least(col("__n"),
+        expr(s"((__n + 1L) * ${100 - alphaPct}L + 99L) div 100L")))
+      .filter(col("__rn") === col("__tgt"))
+      .select(col(groupCol), col("__n").as("n"),
+        col("__tgt").as("target_rank"), col("__s").as("threshold"))
+  }
+
+  /** Leave-one-source-out ablation of a per-row metric — "what happens
+    * to the corpus mean if source s is dropped": one grouped aggregate
+    * plus one 3-value driver scalar; the ablated mean is
+    * `(S − s_i)·10⁶ div (N − n_i)`, exact integers throughout. The
+    * cheapest source-attribution signal there is (the full-retrain
+    * Shapley ladder starts here), and the table a mix-rebalancing
+    * decision reads first. Sources covering the WHOLE corpus ablate to
+    * NULL. Output: (sourceCol, n_rows, mean_micro, ablated_mean_micro,
+    * delta_micro). */
+  def sourceAblation(df: DataFrame, sourceCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(sourceCol), col(valCol).cast("long").as("__v"))
+    val tot = base.agg(count(lit(1)), sum(col("__v"))).collect()(0)
+    val bigN = tot.getLong(0)
+    val bigS = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    base.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__si"))
+      .withColumn("mean_micro", expr(s"(${bigS}L * 1000000L) div ${bigN}L"))
+      .withColumn("ablated_mean_micro",
+        when(col("n_rows") === bigN, lit(null).cast("long"))
+          .otherwise(expr(
+            s"((${bigS}L - __si) * 1000000L) div (${bigN}L - n_rows)")))
+      .select(col(sourceCol), col("n_rows"), col("mean_micro"),
+        col("ablated_mean_micro"),
+        (col("ablated_mean_micro") - col("mean_micro")).as("delta_micro"))
+  }
+
+  /** Isotonic (monotone non-decreasing) fit of a binned rate curve via
+    * the minimax formula — iso(i) = max_{j≤i} min_{k≥i} mean(j..k) —
+    * the calibration step that turns a noisy per-bin positive-rate
+    * curve into the monotone one a threshold can be read off
+    * (PAV's closed form; block means compared in integer micro-units,
+    * so both engines land the identical fit). Everything downstream of
+    * the one corpus-sized bin aggregate runs on the ≤`maxBins` bin
+    * frame: prefix sums, the j≤k block-mean join (≤ bins² rows), and
+    * the max-of-min fold — all bounded by construction (the PlanSpec
+    * bounded-frame exemption class). Output per bin:
+    * (binCol, n, pos, rate_micro, iso_micro). */
+  def isotonicFitMicro(bins: DataFrame, binCol: String, posCol: String,
+      nCol: String, maxBins: Int = 64): DataFrame = {
+    val b = bins.select(col(binCol).cast("long").as("__b"),
+      col(posCol).cast("long").as("__p"), col(nCol).cast("long").as("__n"))
+      .localCheckpoint()
+    val nb = b.count()
+    require(nb <= maxBins, s"$nb bins exceed maxBins=$maxBins — " +
+      "isotonicFitMicro is for bounded calibration curves")
+    val j = b.select(col("__b").as("jb"))
+    val k = b.select(col("__b").as("kb"))
+    // block means over every j ≤ k span: join the bin rows BETWEEN
+    val spans = j.crossJoin(k).filter(col("jb") <= col("kb"))
+      .join(b, col("__b") >= col("jb") && col("__b") <= col("kb"))
+      .groupBy(col("jb"), col("kb"))
+      .agg(expr("(sum(__p) * 1000000L) div sum(__n)").as("__m"))
+    // iso(i) = max over j≤i of (min over k≥i of m(j,k))
+    val iso = b.select(col("__b").as("ib"))
+      .join(spans, col("jb") <= col("ib") && col("kb") >= col("ib"))
+      .groupBy(col("ib"), col("jb")).agg(min(col("__m")).as("__mn"))
+      .groupBy(col("ib")).agg(max(col("__mn")).as("iso_micro"))
+    b.join(iso, col("__b") === col("ib"))
+      .select(col("__b").as(binCol), col("__n").as("n"),
+        col("__p").as("pos"),
+        expr("(__p * 1000000L) div __n").as("rate_micro"),
+        col("iso_micro"))
+  }
 }

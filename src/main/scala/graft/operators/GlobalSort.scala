@@ -44,4 +44,53 @@ object GlobalSort {
       .drop("__pid", "__lr", "__off")
     out
   }
+
+  /** Exact k-th smallest of an integer column WITHOUT any global sort —
+    * the distributed selection algorithm: iteratively census the
+    * candidate value range into ≤256 equal-width buckets (one scalar
+    * aggregate per pass, map-side combined), walk the bounded census on
+    * the driver to find the bucket holding rank k, and narrow into it.
+    * The range shrinks ≥256× per pass, so a 64-bit domain resolves in
+    * ≤8 scans — each pass is a filtered scan + a ≤256-row census, no
+    * shuffle of data rows, no SinglePartition exchange, no
+    * TakeOrdered(k) materializing k rows (exact medians at corpus scale
+    * are where `orderBy().limit(n/2)` dies). Ties are value-ties —
+    * the k-th VALUE is order-free. Returns one row: (n, k, kth). */
+  def exactKth(df: DataFrame, valCol: String, k: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(valCol).cast("long").as("__v"))
+    val head = base.agg(count(lit(1)), min(col("__v")), max(col("__v")))
+      .collect()(0)
+    val n = head.getLong(0)
+    require(k <= n, s"k=$k exceeds row count $n")
+    var lo = head.getLong(1)
+    var hi = head.getLong(2)
+    var kk = k
+    while (lo < hi) {
+      // ceil-width buckets: bucket id = (v - lo) div step, ≤ 256 ids
+      val width = hi - lo + 1
+      val step = (width + 255L) / 256L
+      val census = base
+        .filter(col("__v") >= lo && col("__v") <= hi)
+        .groupBy(expr(s"(__v - ${lo}L) div ${step}L").as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var cum = 0L
+      var i = 0
+      var found = false
+      while (!found && i < census.length) {
+        val (b, c) = census(i)
+        if (cum + c >= kk) {
+          kk -= cum
+          hi = math.min(hi, lo + b * step + step - 1)
+          lo = lo + b * step
+          found = true
+        } else { cum += c; i += 1 }
+      }
+      assert(found, "rank walked off the census — concurrent mutation?")
+    }
+    Seq((n, k, lo)).toDF("n", "k", "kth")
+  }
 }

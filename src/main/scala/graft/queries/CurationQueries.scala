@@ -1743,7 +1743,81 @@ object CurationQueries {
         s"""$sb
           SELECT CAST(1 AS INT) AS round, doc_id, c AS covered FROM p1
           $unions"""
-      })
+      }),
+
+    GraftQuery(
+      "q281_conformal_threshold",
+      (s, dir) => {
+        // split-conformal 90% cutoff per event type
+        // ([[graft.operators.Curation.conformalThreshold]]): the
+        // ceil((n+1)·0.9)-th smallest micro-scaled value — the
+        // distribution-free filter threshold with coverage guarantees,
+        // needing the EXACT order statistic (one partitioned window),
+        // not a sketch quantile.
+        val ev = graft.core.Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+              .as("score_micro"))
+        graft.operators.Curation.conformalThreshold(
+          ev, "event_type", "event_id", "score_micro", alphaPct = 10)
+      },
+      Some("""WITH b AS (SELECT event_type, event_id,
+              CAST(FLOOR(value * 1000000.0E0 + 0.5E0) AS BIGINT) AS s
+            FROM events),
+          r AS (SELECT event_type, s,
+              CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY s, event_id) AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM b)
+        SELECT event_type, n,
+          LEAST(n, ((n + 1) * 90 + 99) // 100) AS target_rank,
+          s AS threshold
+        FROM r WHERE rn = LEAST(n, ((n + 1) * 90 + 99) // 100)""")),
+
+    GraftQuery(
+      "q282_source_ablation",
+      (s, dir) => graft.operators.Curation.sourceAblation(
+        Tables.load(s, dir, "documents")
+          .select(col("source"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .as("nt")),
+        "source", "nt"),
+      Some(s"""WITH b AS (SELECT source, CAST(len($Toks5Sql) AS BIGINT)
+              AS v FROM documents),
+          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS bn,
+              CAST(SUM(v) AS BIGINT) AS bs FROM b),
+          g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(v) AS BIGINT) AS si FROM b GROUP BY source)
+        SELECT g.source, g.n_rows,
+          (t.bs * 1000000) // t.bn AS mean_micro,
+          CASE WHEN g.n_rows = t.bn THEN NULL
+            ELSE ((t.bs - g.si) * 1000000) // (t.bn - g.n_rows) END
+            AS ablated_mean_micro,
+          CASE WHEN g.n_rows = t.bn THEN NULL
+            ELSE ((t.bs - g.si) * 1000000) // (t.bn - g.n_rows)
+              - (t.bs * 1000000) // t.bn END AS delta_micro
+        FROM g CROSS JOIN t""")),
+
+    GraftQuery(
+      "q283_exact_kth",
+      (s, dir) => {
+        // exact corpus median price in cents WITHOUT a global sort
+        // ([[graft.operators.GlobalSort.exactKth]]): iterative 256-way
+        // range census, ≤8 filtered scans, no SinglePartition exchange
+        // and no TakeOrdered materializing n/2 rows — the selection
+        // algorithm an exact median needs at 100 TB.
+        val li = Tables.load(s, dir, "lineitem").select(
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long").as("cents"))
+        val n = li.count()
+        graft.operators.GlobalSort.exactKth(li, "cents", (n + 1L) / 2L)
+      },
+      Some("""WITH t AS (SELECT CAST(FLOOR(l_extendedprice * 100.0E0
+              + 0.5E0) AS BIGINT) AS v FROM lineitem),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
+        SELECT n.n, (n.n + 1) // 2 AS k, r.v AS kth
+        FROM n, (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t) r
+        WHERE r.rn = (SELECT (n + 1) // 2 FROM n)"""))
   )
 
   /** Generated oracle for q238: the full-batch GD epoch chain unrolled as

@@ -304,6 +304,46 @@ object TextQueries {
         GROUP BY t.threshold_tenths""")),
 
     GraftQuery(
+      "q284_isotonic_fit",
+      (s, dir) => {
+        // isotonic calibration of the per-quality-decile English rate
+        // ([[graft.operators.Curation.isotonicFitMicro]]): the PAV
+        // closed form iso(i) = max_{j≤i} min_{k≥i} mean(j..k), block
+        // means in integer micro-units — the monotone curve a quality
+        // threshold is read off. One corpus-sized bin aggregate; every
+        // downstream join/window runs on the ≤11-row bin frame.
+        val d = Tables.load(s, dir, "documents")
+        val q = TextFunctions.qualityScore(col("text"))
+        val bins = d.select(
+            least(floor(q * 10).cast("int"), lit(10)).as("bucket"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .groupBy("bucket")
+          .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+        graft.operators.Curation.isotonicFitMicro(bins, "bucket", "pos", "n")
+      },
+      Some(s"""WITH q AS (SELECT LEAST(CAST(floor($qualitySqlTwin * 10)
+              AS INTEGER), 10) AS bucket,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        b AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+            CAST(SUM(y) AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS n
+          FROM q GROUP BY 1),
+        spans AS (SELECT j.bucket AS jb, k.bucket AS kb,
+            (SUM(x.p) * 1000000) // SUM(x.n) AS m
+          FROM b j, b k, b x
+          WHERE j.bucket <= k.bucket
+            AND x.bucket BETWEEN j.bucket AND k.bucket
+          GROUP BY 1, 2),
+        mn AS (SELECT i.bucket AS ib, s.jb, MIN(s.m) AS mn
+          FROM b i JOIN spans s ON s.jb <= i.bucket AND s.kb >= i.bucket
+          GROUP BY 1, 2),
+        iso AS (SELECT ib, CAST(MAX(mn) AS BIGINT) AS iso_micro
+          FROM mn GROUP BY ib)
+      SELECT b.bucket, b.n, b.p AS pos,
+        (b.p * 1000000) // b.n AS rate_micro, iso.iso_micro
+      FROM b JOIN iso ON iso.ib = b.bucket""")),
+
+    GraftQuery(
       "q245_tokenizer_fertility",
       (s, dir) => graft.operators.Tokenizer.fertilityByGroup(
         Tables.load(s, dir, "documents"), "doc_id", "text", "lang",

@@ -590,6 +590,49 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Array((1, 1L, 4L), (2, 3L, 3L)))
   }
 
+  test("conformalThreshold picks the ceil((n+1)(1-alpha)) order statistic") {
+    val df = (1L to 20L).map(i => ("g", i, i)).toDF("grp", "id", "s")
+    val r = Curation.conformalThreshold(df, "grp", "id", "s", alphaPct = 10)
+      .collect().head
+    // n=20 → target = ceil(21·0.9) = 19 → 19th smallest = 19
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((20L, 19L, 19L)))
+    // tiny n clamps to n
+    val t = Seq(("g", 1L, 5L)).toDF("grp", "id", "s")
+    val r2 = Curation.conformalThreshold(t, "grp", "id", "s", 10)
+      .collect().head
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) === ((1L, 1L, 5L)))
+  }
+
+  test("sourceAblation: leave-one-out means are exact integers") {
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L)).toDF("src", "v")
+    val got = Curation.sourceAblation(df, "src", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // N=3, S=6, mean=2e6; drop A → 3/1 = 3e6; drop B → 3/2 = 1.5e6
+    assert(got === Array(("A", 2L, 2000000L, 3000000L, 1000000L),
+      ("B", 1L, 2000000L, 1500000L, -500000L)))
+  }
+
+  test("exactKth finds order statistics via range narrowing") {
+    import graft.operators.GlobalSort
+    val small = Seq(5L, 1L, 9L, 3L, 7L).toDF("v")
+    val r = GlobalSort.exactKth(small, "v", 3L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 3L, 5L)))
+    // wide domain forces multiple census passes (width 10⁶ > 256)
+    val wide = (1L to 1000L).map(_ * 1000L).toDF("v")
+    val r2 = GlobalSort.exactKth(wide, "v", 500L).collect().head
+    assert(r2.getLong(2) === 500000L)
+  }
+
+  test("isotonicFitMicro pools adjacent violators (minimax form)") {
+    // rates [1/2, 0/2, 2/2] — PAV merges bins 1,2 to 1/4
+    val bins = Seq((1L, 1L, 2L), (2L, 0L, 2L), (3L, 2L, 2L))
+      .toDF("bin", "pos", "n")
+    val got = Curation.isotonicFitMicro(bins, "bin", "pos", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(4))).sorted
+    assert(got === Seq((1L, 250000L), (2L, 250000L), (3L, 1000000L)))
+  }
+
   test("bootstrapCi: constant values collapse the interval to the mean") {
     val df = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 10L),
       ("g", 4L, 10L)).toDF("grp", "id", "v")

@@ -294,7 +294,11 @@ class PlanSpec extends AnyFunSuite {
       "q180_ab_test",           // crossJoins two 1-row variant aggregates
       "q197_zorder_skipping",   // broadcasts (mx, my, mz) maxima
       "q204_cms_join_size",     // crossJoins the 1-row estimate & exact
-      "q224_pq_recall")         // stamps the 1-row recall onto the census
+      "q224_pq_recall",         // stamps the 1-row recall onto the census
+      // bounded-by-construction frames: every BNLJ operand is the ≤11-row
+      // quality-decile bin frame (isotonicFitMicro require-caps bins at
+      // 64), so the non-equi span joins are O(bins³), never corpus-sized:
+      "q284_isotonic_fit")
     val offenders = batchGates
       .filterNot(q => bruteForceBaselines.contains(q.name))
       .flatMap { q =>
