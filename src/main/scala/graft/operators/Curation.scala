@@ -2051,6 +2051,43 @@ object Curation {
         (col("ablated_mean_micro") - col("mean_micro")).as("delta_micro"))
   }
 
+  /** Inverse-propensity-weighted totals audit — "can the sampled corpus
+    * still answer aggregate questions": reruns [[stratifiedSample]]'s
+    * exact hash decision, Horvitz–Thompson-weights every kept row by
+    * `(v·10⁴) div rate_permyriad`, and reports the estimate against the
+    * true per-stratum total from the same scan pair. All-integer credit
+    * arithmetic; the per-row weighting is a projection, the rollups are
+    * map-side combined, and nothing corpus-sized shuffles beyond the
+    * two keyed aggregates. Output: (strataCol, n_all, n_sampled,
+    * true_sum, est_sum, err = est − true). */
+  def ipwTotals(df: DataFrame, keyCol: String, strataCol: String,
+      valCol: String, rates: Map[String, Double], defaultRate: Double,
+      salt: String = "graft"): DataFrame = {
+    val base = df.select(col(strataCol), col(keyCol),
+      col(valCol).cast("long").as("__v"))
+    // integer `div`, never FP divide-then-cast: a correctly-rounded FP
+    // quotient lands half-ulp ABOVE an integer often enough to flip the
+    // truncation against the oracle's `//`
+    val rateSql = "CASE " + rates.map { case (stratum, rate) =>
+      s"WHEN $strataCol = '$stratum' " +
+        s"THEN ${math.round(rate * 10000).min(10000L)}L"
+    }.mkString(" ") +
+      s" ELSE ${math.round(defaultRate * 10000).min(10000L)}L END"
+    val truth = base.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_all"), sum(col("__v")).as("true_sum"))
+    val est = stratifiedSample(base, keyCol, strataCol, rates,
+        defaultRate, salt)
+      .withColumn("__w", expr(s"(__v * 10000L) div ($rateSql)"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("__w")).as("est_sum"))
+    truth.join(est, Seq(strataCol), "left")
+      .select(col(strataCol), col("n_all"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        col("true_sum"),
+        coalesce(col("est_sum"), lit(0L)).as("est_sum"),
+        (coalesce(col("est_sum"), lit(0L)) - col("true_sum")).as("err"))
+  }
+
   /** Isotonic (monotone non-decreasing) fit of a binned rate curve via
     * the minimax formula — iso(i) = max_{j≤i} min_{k≥i} mean(j..k) —
     * the calibration step that turns a noisy per-bin positive-rate

@@ -99,4 +99,55 @@ object Funnel {
           .otherwise(lit("direct")))
       .drop("__tse", "__last_ch", "__last_ts")
   }
+
+  /** Linear multi-touch attribution — every touch inside the lookback
+    * window shares the conversion's value EQUALLY (vs [[
+    * lastTouchAttribution]]'s winner-take-all): per conversion, each of
+    * the n touches gets `cents div n` and the MOST RECENT touch absorbs
+    * the remainder, so credits are exact integers that sum to the
+    * conversion's cents — no FP splits, no lost pennies. Conversions
+    * with no in-window touch credit 'direct' in full.
+    *
+    * Scale shape: ONE user-partitioned window carries the running touch
+    * list (bounded by a user's touches — the same per-user bound every
+    * funnel op here rides), the in-window filter and per-touch split
+    * are array expressions, and the only corpus-sized shuffle is the
+    * window's. Emits one row per (conversion, credited touch):
+    * (userCol, conv id, channel, n_touches, credit_cents). */
+  def linearAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, touchType: String,
+      convType: String, channel: org.apache.spark.sql.Column,
+      valueCents: org.apache.spark.sql.Column,
+      lookbackSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val convs = events
+      .withColumn("__tse", unix_timestamp(col(tsCol)))
+      .withColumn("__touches",
+        collect_list(when(col(typeCol) === touchType,
+          struct(unix_timestamp(col(tsCol)).as("t"), channel.as("ch"))))
+          .over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("__cents", valueCents)
+      .withColumn("__in", filter(col("__touches"),
+        t => t("t") >= col("__tse") - lookbackSec && t("t") <= col("__tse")))
+      .withColumn("__n", size(col("__in")).cast("long"))
+    val credited = convs
+      .filter(col("__n") > 0)
+      .select(col(userCol), col(idCol), col("__cents"), col("__n"),
+        posexplode(col("__in")).as(Seq("__pos", "__t")))
+      .select(col(userCol), col(idCol), col("__t.ch").as("channel"),
+        col("__n").as("n_touches"),
+        (expr("__cents div __n") +
+          when(col("__pos") === col("__n") - 1L,
+            col("__cents") - expr("(__cents div __n)") * col("__n"))
+            .otherwise(lit(0L))).as("credit_cents"))
+    val direct = convs
+      .filter(col("__n") === 0)
+      .select(col(userCol), col(idCol), lit("direct").as("channel"),
+        lit(0L).as("n_touches"), col("__cents").as("credit_cents"))
+    credited.unionByName(direct)
+  }
 }

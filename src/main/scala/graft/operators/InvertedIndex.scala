@@ -73,4 +73,34 @@ object InvertedIndex {
     joined.withColumn("rrf",
       graft.functions.SafeMath.roundHalfUp(rrf, scale))
   }
+
+  /** Trigram-index substring search (the pg_trgm move): find every
+    * document containing an ARBITRARY substring — not token-aligned, so
+    * token postings can't answer it — by intersecting character-n-gram
+    * posting lists and exact-verifying only the candidates. A document
+    * can match only if it contains EVERY n-gram of the needle, so the
+    * scan emits just the needle's own gram keys per doc (an `isin`
+    * filter pushed below the shuffle; ≤ |needle| rows per doc survive),
+    * the intersection is one map-side-combined count, and the
+    * `contains` check — the only operation that must read full text —
+    * touches candidate docs alone, never the corpus. Gram keys are
+    * packed byte windows ([[graft.expressions.CharGramKeys]],
+    * collision-free, codegen'd). Returns the matched ids. */
+  def trigramSearch(docs: DataFrame, idCol: String, textCol: String,
+      needle: String, n: Int = 3): DataFrame = {
+    val keys = graft.expressions.CharGramKeys.keysOf(needle, n).distinct
+    require(keys.nonEmpty,
+      s"needle '$needle' is shorter than the gram width $n")
+    val candidates = docs
+      .select(col(idCol),
+        explode(array_distinct(graft.expressions.CharGramKeys
+          .char_gram_keys(col(textCol), n))).as("__gk"))
+      .filter(col("__gk").isin(keys: _*))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === keys.size)
+      .select(col(idCol))
+    docs.join(candidates, Seq(idCol), "left_semi")
+      .filter(col(textCol).contains(needle))
+      .select(col(idCol))
+  }
 }

@@ -1817,7 +1817,47 @@ object CurationQueries {
           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
         SELECT n.n, (n.n + 1) // 2 AS k, r.v AS kth
         FROM n, (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t) r
-        WHERE r.rn = (SELECT (n + 1) // 2 FROM n)"""))
+        WHERE r.rn = (SELECT (n + 1) // 2 FROM n)""")),
+
+    GraftQuery(
+      "q287_ipw_totals",
+      (s, dir) => {
+        // Horvitz–Thompson audit of the stratified sample
+        // ([[graft.operators.Curation.ipwTotals]]): rerun the exact
+        // q59-style hash decision on lineitem, weight kept rows by
+        // 10⁴ div rate_permyriad, and reconcile the estimated quantity
+        // totals against the true ones — the "is the sample still
+        // usable for aggregates" gate a curation pipeline ships with
+        // its sample.
+        val li = Tables.load(s, dir, "lineitem").select(
+          col("l_returnflag"),
+          (col("l_orderkey") * 10L + col("l_linenumber")).as("rid"),
+          col("l_quantity"))
+        graft.operators.Curation.ipwTotals(li, "rid", "l_returnflag",
+          "l_quantity", Map("A" -> 0.5, "N" -> 0.25, "R" -> 0.1),
+          defaultRate = 0.25, salt = "graft-ipw")
+      },
+      Some(s"""WITH b AS (SELECT l_returnflag AS g,
+              l_orderkey * 10 + l_linenumber AS rid,
+              CAST(l_quantity AS BIGINT) AS v
+            FROM lineitem),
+          t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_all,
+              CAST(SUM(v) AS BIGINT) AS true_sum FROM b GROUP BY g),
+          s AS (SELECT g, v,
+              CASE WHEN g = 'A' THEN 5000 WHEN g = 'N' THEN 2500
+                   WHEN g = 'R' THEN 1000 ELSE 2500 END AS rpm
+            FROM b
+            WHERE (${md5Key60Sql("'graft-ipw' || rid")}) % 10000 <
+              CASE WHEN g = 'A' THEN 5000 WHEN g = 'N' THEN 2500
+                   WHEN g = 'R' THEN 1000 ELSE 2500 END),
+          e AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+              CAST(SUM((v * 10000) // rpm) AS BIGINT) AS est_sum
+            FROM s GROUP BY g)
+        SELECT t.g AS l_returnflag, t.n_all,
+          COALESCE(e.n_sampled, 0) AS n_sampled, t.true_sum,
+          COALESCE(e.est_sum, 0) AS est_sum,
+          COALESCE(e.est_sum, 0) - t.true_sum AS err
+        FROM t LEFT JOIN e USING (g)"""))
   )
 
   /** Generated oracle for q238: the full-batch GD epoch chain unrolled as

@@ -304,6 +304,17 @@ object TextQueries {
         GROUP BY t.threshold_tenths""")),
 
     GraftQuery(
+      "q285_trigram_search",
+      (s, dir) => graft.operators.InvertedIndex.trigramSearch(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "spark a"),
+      // the oracle is the SEMANTICS, not the index: trigram posting
+      // intersection + candidate-only verify must return exactly the
+      // plain substring scan's ids — any index false-negative flips
+      // the hash
+      Some("""SELECT doc_id FROM documents
+        WHERE contains(text, 'spark a')""")),
+
+    GraftQuery(
       "q284_isotonic_fit",
       (s, dir) => {
         // isotonic calibration of the per-quality-decile English rate

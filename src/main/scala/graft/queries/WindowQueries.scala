@@ -960,6 +960,62 @@ object HistoryQueries {
   ,
 
     GraftQuery(
+      "q286_linear_attribution",
+      (s, dir) => {
+        // linear multi-touch attribution
+        // ([[graft.operators.Funnel.linearAttribution]]): every click in
+        // the 7-day window shares the purchase's cents equally, the most
+        // recent click absorbs the integer remainder — credits sum
+        // exactly to revenue (reconciled against q210's winner-take-all
+        // view). One user window carries the touch list; the split is
+        // an array projection.
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"), col("props"))
+        val channel = concat(lit("ch"),
+          (get_json_object(col("props"), "$.k").cast("long") % 5)
+            .cast("string"))
+        graft.operators.Funnel.linearAttribution(ev, "user_id", "ts",
+            "event_id", "event_type", touchType = "click",
+            convType = "purchase", channel = channel,
+            valueCents = floor(col("value") * lit(100.0) + lit(0.5))
+              .cast("long"),
+            lookbackSec = 604800L)
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_credits"),
+            sum(col("credit_cents")).as("credit_cents"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, value, ts,
+            CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+            'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+              % 5 AS VARCHAR) AS ch
+          FROM events),
+        c AS (SELECT event_id, event_type, value, tse,
+            list(CASE WHEN event_type = 'click'
+              THEN {'t': tse, 'ch': ch} END) OVER w AS touches
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        p AS (SELECT event_id,
+            CAST(FLOOR(value * 100.0E0 + 0.5E0) AS BIGINT) AS cents,
+            list_filter(touches, x -> x IS NOT NULL
+              AND x.t >= tse - 604800 AND x.t <= tse) AS tf
+          FROM c WHERE event_type = 'purchase'),
+        credited AS (SELECT r.ch AS channel, r.credit AS credit_cents
+          FROM (SELECT unnest(list_transform(range(1, len(tf) + 1), i ->
+              {'ch': tf[i].ch,
+               'credit': cents // len(tf) + CASE WHEN i = len(tf)
+                 THEN cents - (cents // len(tf)) * len(tf)
+                 ELSE 0 END})) AS r
+            FROM p WHERE len(tf) > 0)),
+        direct AS (SELECT 'direct' AS channel, cents AS credit_cents
+          FROM p WHERE len(tf) = 0),
+        u AS (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+      SELECT channel, COUNT(*) AS n_credits,
+        CAST(SUM(credit_cents) AS BIGINT) AS credit_cents
+      FROM u GROUP BY channel""")),
+
+    GraftQuery(
       "q272_interval_census",
       (s, dir) => {
         // concurrent-sessions-over-time from an interval table

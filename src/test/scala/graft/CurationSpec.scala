@@ -633,6 +633,17 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Seq((1L, 250000L), (2L, 250000L), (3L, 1000000L)))
   }
 
+  test("ipwTotals: rate 1.0 reproduces the true totals exactly") {
+    val df = Seq(("x", 1L, 5L), ("x", 2L, 7L), ("y", 3L, 11L))
+      .toDF("g", "k", "v")
+    val got = Curation.ipwTotals(df, "k", "g", "v",
+        Map("x" -> 1.0), defaultRate = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got === Array(("x", 2L, 2L, 12L, 12L, 0L),
+      ("y", 1L, 1L, 11L, 11L, 0L)))
+  }
+
   test("bootstrapCi: constant values collapse the interval to the mean") {
     val df = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 10L),
       ("g", 4L, 10L)).toDF("grp", "id", "v")

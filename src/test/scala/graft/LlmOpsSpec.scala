@@ -1945,4 +1945,52 @@ class LlmOpsSpec extends AnyFunSuite {
     val got = Similarity.kCenterSelect(e, "vec_id", "embedding", k = 5)
     assert(got.count() === 2L)
   }
+
+  test("char_gram_keys packs the same byte windows as the driver twin") {
+    import graft.expressions.CharGramKeys
+    val df = Seq(("a", "spark and flink"), ("b", "ab"), ("c", ""))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        CharGramKeys.char_gram_keys(col("text"), 3).as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("a") === CharGramKeys.keysOf("spark and flink", 3))
+    assert(got("b").isEmpty && got("c").isEmpty)
+    // the pack is injective on distinct windows: 's','p','a' big-endian
+    assert(got("a").head ===
+      (('s'.toLong << 16) | ('p'.toLong << 8) | 'a'.toLong))
+  }
+
+  test("trigramSearch verifies candidates — gram cover alone is not a match") {
+    import graft.operators.InvertedIndex
+    val docs = Seq(
+      (1L, "we run abc def daily"),     // true match
+      (2L, "abc bc c d de def"),        // every trigram, no substring
+      (3L, "nothing relevant"),
+      (4L, "abc def")                   // exact
+    ).toDF("doc_id", "text")
+    val got = InvertedIndex.trigramSearch(docs, "doc_id", "text", "abc def")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === Array(1L, 4L))
+  }
+
+  test("linearAttribution splits cents exactly, remainder to last touch") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", "click", 0.0, "a"),
+      (2L, 10L, "2024-01-01 01:00:00", "click", 0.0, "b"),
+      (3L, 10L, "2024-01-01 02:00:00", "click", 0.0, "a"),
+      (4L, 10L, "2024-01-01 03:00:00", "purchase", 0.10, ""),
+      (5L, 20L, "2024-01-01 00:00:00", "purchase", 0.07, "")
+    ).toDF("event_id", "user_id", "ts0", "event_type", "value", "ch0")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val got = Funnel.linearAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "click", "purchase", col("ch0"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long"), 604800L)
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(4))).sorted
+    // purchase 4: 10 cents over 3 touches → 3,3,4 (remainder to last);
+    // purchase 5: no touches → direct 7
+    assert(got === Array((4L, "a", 3L), (4L, "a", 4L), (4L, "b", 3L),
+      (5L, "direct", 7L)))
+  }
 }
