@@ -107,6 +107,32 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Vowel-run syllable estimate — the standard cheap proxy (each
+    * maximal [aeiouy]+ run ≈ one syllable). */
+  def syllableEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+
+  /** Sentence count: maximal [.!?]+ runs, floored at 1 so ratio math
+    * survives unpunctuated text. */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+
+  /** Flesch reading-ease score (206.835 − 1.015·W/S − 84.6·Syl/W) with
+    * vowel-run syllables — the curation-grade complexity signal (filter
+    * the unreadable tail, bin by difficulty for curricula). Pure
+    * per-row expressions; parenthesization and E0 constants mirrored in
+    * the oracle; roundHalfUp'd at `scale`. Empty text → 0. */
+  def fleschScore(text: Column, scale: Int = 6): Column = {
+    val w = tokenCount(text).cast("double")
+    when(tokenCount(text) === 0, lit(0.0)).otherwise(
+      graft.functions.SafeMath.roundHalfUp(
+        lit(206.835) - lit(1.015) * (w / sentenceCount(text).cast("double"))
+          - lit(84.6) * (syllableEstimate(text).cast("double") / w),
+        scale))
+  }
+
   /** Let-binding for Column expressions: evaluates `c` exactly ONCE and
     * makes it available as a lambda variable inside `f`. Encoded as a
     * single-element `transform` — higher-order-function lambdas don't

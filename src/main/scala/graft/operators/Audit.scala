@@ -304,4 +304,36 @@ object Audit {
         .otherwise("unchanged").as("change_type"))
       .groupBy("change_type").agg(count(lit(1)).as("n_rows"))
   }
+
+  /** Benford reference shares in micro-units — log₁₀(1 + 1/d) for the
+    * leading digit d, driver-computed ONCE so the Spark plan and the
+    * oracle SQL embed the identical integers (no cross-engine log). */
+  val benfordMicro: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+
+  /** Benford first-digit audit — the classic fabricated-numbers /
+    * synthetic-data detector: naturally-occurring multiplicative
+    * quantities lead with 1 ~30% of the time; uniform or hand-made data
+    * doesn't. One grouped count over the leading digit (string head of
+    * the integer value — no FP log10 anywhere), joined to the 9-row
+    * Benford reference; shares in exact integer micro-units. Output per
+    * digit: (digit, n, share_micro, benford_micro, delta_micro). */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(valCol).cast("long").as("__v"))
+      .filter(col("__v") >= 1L)
+    val n = base.count()
+    require(n > 0, "benfordAudit needs at least one positive value")
+    val obs = base
+      .groupBy(substring(col("__v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .agg(count(lit(1)).as("n"))
+    benfordMicro.toDF("digit", "benford_micro")
+      .join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr(s"(coalesce(n, 0L) * 1000000L) div ${n}L").as("share_micro"),
+        col("benford_micro"))
+      .withColumn("delta_micro", col("share_micro") - col("benford_micro"))
+  }
 }

@@ -273,4 +273,86 @@ object TimeSeries {
         col("__r.level").as("level"), col("__r.trend").as("trend"),
         (col("__r.level") + col("__r.trend")).as("forecast"))
   }
+
+  /** Kaplan–Meier survival curve in integer micro-units — retention /
+    * time-to-churn with CENSORING handled correctly (the thing a naive
+    * "avg lifetime of churned users" gets wrong: still-alive users
+    * carry information up to their observed duration). Per distinct
+    * duration t: d = events (churns), m = subjects leaving the risk
+    * set, n = suffix-sum of m (subjects with duration ≥ t); the curve
+    * folds ascending as
+    *
+    *   S₀ = 10⁶;   S(t) = (S_prev · (n_t − d_t)) div n_t
+    *
+    * — an all-integer sequential recurrence (the EWMA/Holt fold
+    * pattern; the oracle replays it as a recursive CTE). Scale shape:
+    * ONE corpus-sized aggregate to the per-duration risk table; the
+    * suffix-sum window, fold, and explode all run on the
+    * calendar-bounded duration frame (the PlanSpec bounded-frame
+    * exemption class). Output per duration:
+    * (t, n_at_risk, d_events, c_censored, surv_micro). */
+  def kaplanMeierMicro(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val risk = df
+      .select(col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__e"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__e")).as("__d"), count(lit(1)).as("__m"))
+    val wSuffix = Window.orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val table = risk.withColumn("__n", sum(col("__m")).over(wSuffix))
+    val series = table.agg(array_sort(collect_list(
+      struct(col("__t").as("t"), col("__d").as("d"),
+        col("__m").as("m"), col("__n").as("n")))).as("__xs"))
+    val folded = series.withColumn("__ss",
+      aggregate(col("__xs"),
+        struct(array().cast("array<bigint>").as("out"),
+          lit(1000000L).as("s")),
+        (acc, e) => {
+          // exact integer division: subtract pmod first so the FP
+          // divide sees an exactly-divisible numerator (a raw FP
+          // quotient can round half-ulp above an integer and flip the
+          // truncation against the oracle's //)
+          val num = acc("s") * (e("n") - e("d"))
+          val sNext = ((num - pmod(num, e("n"))) / e("n")).cast("long")
+          struct(concat(acc("out"), array(sNext)).as("out"),
+            sNext.as("s"))
+        },
+        acc => acc("out")))
+    folded.select(
+      explode(zip_with(col("__xs"), col("__ss"), (e, s) =>
+        struct(e("t").as("t"), e("n").as("n"), e("d").as("d"),
+          (e("m") - e("d")).as("c"), s.as("surv")))).as("__r"))
+      .select(col("__r.t").as("t"), col("__r.n").as("n_at_risk"),
+        col("__r.d").as("d_events"), col("__r.c").as("c_censored"),
+        col("__r.surv").as("surv_micro"))
+  }
+
+  /** Rate-spike detection with an INTEGER Poisson-style test — flag a
+    * bucket whose count exceeds its trailing-W mean by z standard
+    * deviations, without any sqrt: n > μ/W + z·√(μ/W) with n > μ/W is
+    * algebraically (W·n − μ)² > z²·W·μ ∧ W·n > μ, all in BIGINTs (μ =
+    * the trailing window SUM, never the FP mean — an engine-exact spike
+    * set where a float sqrt would flip at perfect squares). Buckets
+    * with fewer than W predecessors are unflaggable (no baseline).
+    * One partitioned window per key; assumes gap-free buckets per key
+    * (run [[gapFill]] first on sparse series). Output per point:
+    * (key, bucket, n, win_sum, n_prior, spike). */
+  def rateSpikes(df: DataFrame, keyCol: String, bucketCol: String,
+      countCol: String, w: Int = 7, z: Int = 4): DataFrame = {
+    require(w >= 1 && z >= 1)
+    val win = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(-w, -1)
+    df.select(col(keyCol), col(bucketCol),
+        col(countCol).cast("long").as("n"))
+      .withColumn("win_sum",
+        coalesce(sum(col("n")).over(win), lit(0L)))
+      .withColumn("n_prior", count(lit(1)).over(win))
+      .withColumn("spike",
+        col("n_prior") === w &&
+          (lit(w.toLong) * col("n") - col("win_sum")) *
+            (lit(w.toLong) * col("n") - col("win_sum")) >
+            lit(z.toLong * z) * lit(w.toLong) * col("win_sum") &&
+          lit(w.toLong) * col("n") > col("win_sum"))
+  }
 }

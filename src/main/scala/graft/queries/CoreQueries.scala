@@ -1408,6 +1408,38 @@ object CoreQueries {
         SELECT ci.g AS l_returnflag, sizes.ng AS n,
           CAST((sizes.s * 1000000) // sizes.ng AS BIGINT) AS mean_micro,
           lo_micro, hi_micro
-        FROM ci JOIN sizes ON sizes.g = ci.g"""))
+        FROM ci JOIN sizes ON sizes.g = ci.g""")),
+
+    GraftQuery(
+      "q289_benford_audit",
+      (s, dir) => graft.operators.Audit.benfordAudit(
+        Tables.load(s, dir, "lineitem").select(
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long").as("cents")),
+        "cents"),
+      // the Benford reference shares are ONE driver-computed literal set
+      // (Audit.benfordMicro) embedded in both plans — no cross-engine
+      // log10; the leading digit comes from the integer's string head
+      Some {
+        val refs = graft.operators.Audit.benfordMicro
+          .map { case (d, m) =>
+            s"(CAST($d AS INTEGER), CAST($m AS BIGINT))" }
+          .mkString(", ")
+        s"""WITH b AS (SELECT CAST(FLOOR(l_extendedprice * 100.0E0
+                + 0.5E0) AS BIGINT) AS v
+              FROM lineitem),
+            f AS (SELECT v FROM b WHERE v >= 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+            o AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1)
+                AS INTEGER) AS digit, CAST(COUNT(*) AS BIGINT) AS n
+              FROM f GROUP BY 1),
+            ref(digit, benford_micro) AS (VALUES $refs)
+          SELECT ref.digit, COALESCE(o.n, 0) AS n,
+            (COALESCE(o.n, 0) * 1000000) // nn.n AS share_micro,
+            ref.benford_micro,
+            (COALESCE(o.n, 0) * 1000000) // nn.n - ref.benford_micro
+              AS delta_micro
+          FROM ref LEFT JOIN o USING (digit) CROSS JOIN nn"""
+      })
   )
 }

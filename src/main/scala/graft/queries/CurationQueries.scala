@@ -1743,7 +1743,8 @@ object CurationQueries {
         s"""$sb
           SELECT CAST(1 AS INT) AS round, doc_id, c AS covered FROM p1
           $unions"""
-      }),
+      },
+      bench = true),
 
     GraftQuery(
       "q281_conformal_threshold",
@@ -1817,7 +1818,8 @@ object CurationQueries {
           n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t)
         SELECT n.n, (n.n + 1) // 2 AS k, r.v AS kth
         FROM n, (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM t) r
-        WHERE r.rn = (SELECT (n + 1) // 2 FROM n)""")),
+        WHERE r.rn = (SELECT (n + 1) // 2 FROM n)"""),
+      bench = true),
 
     GraftQuery(
       "q287_ipw_totals",

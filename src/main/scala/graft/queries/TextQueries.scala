@@ -304,6 +304,30 @@ object TextQueries {
         GROUP BY t.threshold_tenths""")),
 
     GraftQuery(
+      "q290_readability",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("words"),
+        TextFunctions.sentenceCount(col("text")).as("sentences"),
+        TextFunctions.syllableEstimate(col("text")).as("syllables"),
+        TextFunctions.fleschScore(col("text")).as("flesch")),
+      Some {
+        val w = s"CAST($TokCountSql AS BIGINT)"
+        val sn = s"""greatest(CAST(len(regexp_extract_all(text,
+            '[.!?]+')) AS BIGINT), 1)"""
+        val sy = s"""CAST(len(regexp_extract_all(lower(text),
+            '[aeiouy]+')) AS BIGINT)"""
+        s"""SELECT doc_id, $w AS words, $sn AS sentences,
+          $sy AS syllables,
+          CASE WHEN $w = 0 THEN 0.0E0 ELSE ${
+            graft.functions.SafeMath.roundHalfUpSql(
+              s"""206.835E0 - 1.015E0 * (CAST($w AS DOUBLE) /
+                CAST($sn AS DOUBLE)) - 84.6E0 * (CAST($sy AS DOUBLE) /
+                CAST($w AS DOUBLE))""", 6)} END AS flesch
+        FROM documents"""
+      }),
+
+    GraftQuery(
       "q285_trigram_search",
       (s, dir) => graft.operators.InvertedIndex.trigramSearch(
         Tables.load(s, dir, "documents"), "doc_id", "text", "spark a"),
@@ -312,7 +336,8 @@ object TextQueries {
       // plain substring scan's ids — any index false-negative flips
       // the hash
       Some("""SELECT doc_id FROM documents
-        WHERE contains(text, 'spark a')""")),
+        WHERE contains(text, 'spark a')"""),
+      bench = true),
 
     GraftQuery(
       "q284_isotonic_fit",

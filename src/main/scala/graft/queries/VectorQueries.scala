@@ -1310,7 +1310,8 @@ object VectorQueries {
           SELECT CAST(1 AS INT) AS round, vec_id,
             CAST(0 AS BIGINT) AS dist_micro FROM c1
           $unions"""
-      })
+      },
+      bench = true)
   )
 
   /** Generated oracle for q240: nano-unit upper-triangle moment sums →

@@ -1016,6 +1016,84 @@ object HistoryQueries {
       FROM u GROUP BY channel""")),
 
     GraftQuery(
+      "q288_kaplan_meier",
+      (s, dir) => {
+        // user time-to-churn survival curve
+        // ([[graft.operators.TimeSeries.kaplanMeierMicro]]): duration =
+        // days between a user's first and last event; users still active
+        // in the corpus' final week are CENSORED, not churned — the
+        // estimator a naive churned-only lifetime average silently
+        // biases. Risk table from one grouped aggregate; the product
+        // fold is all-integer micro-units, replayed by the oracle as a
+        // recursive CTE.
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          expr("unix_timestamp(ts) div 86400L").as("d"))
+        val users = ev.groupBy("user_id")
+          .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+        val horizon = ev.agg(max(col("d"))).collect()(0).getLong(0)
+        val subj = users.select(
+          (col("last_d") - col("first_d")).as("dur"),
+          when(col("last_d") < horizon - 7L, 1L).otherwise(0L)
+            .as("churned"))
+        graft.operators.TimeSeries.kaplanMeierMicro(subj, "dur", "churned")
+      },
+      Some("""WITH RECURSIVE ev AS (SELECT user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+          u AS (SELECT user_id, MIN(d) AS fd, MAX(d) AS ld
+            FROM ev GROUP BY user_id),
+          h AS (SELECT MAX(d) AS h FROM ev),
+          subj AS (SELECT ld - fd AS t,
+              CASE WHEN ld < h.h - 7 THEN 1 ELSE 0 END AS e
+            FROM u, h),
+          risk AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+              CAST(COUNT(*) AS BIGINT) AS m
+            FROM subj GROUP BY t),
+          tab AS (SELECT t, d, m,
+              CAST(SUM(m) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+              ROW_NUMBER() OVER (ORDER BY t) AS rn
+            FROM risk),
+          rec AS (
+            SELECT t, n, d, m, rn, (1000000 * (n - d)) // n AS s
+            FROM tab WHERE rn = 1
+            UNION ALL
+            SELECT x.t, x.n, x.d, x.m, x.rn, (r.s * (x.n - x.d)) // x.n
+            FROM rec r JOIN tab x ON x.rn = r.rn + 1)
+        SELECT t, n AS n_at_risk, d AS d_events, m - d AS c_censored,
+          CAST(s AS BIGINT) AS surv_micro
+        FROM rec""")),
+
+    GraftQuery(
+      "q291_rate_spikes",
+      (s, dir) => {
+        // volume-spike alerting over each event type's daily counts
+        // ([[graft.operators.TimeSeries.rateSpikes]]): a day fires when
+        // its count beats the trailing-7-day mean by 4σ under the
+        // Poisson test (W·n − μ)² > z²·W·μ — all-BIGINT algebra, no
+        // sqrt, so both engines flag the identical day set.
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 86400L").as("d"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.TimeSeries.rateSpikes(
+          daily, "event_type", "d", "n", w = 7, z = 4)
+      },
+      Some("""WITH daily AS (SELECT event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type, d, n,
+              COALESCE(CAST(SUM(n) OVER w AS BIGINT), 0) AS win_sum,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_prior
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, d, n, win_sum, n_prior,
+          (n_prior = 7 AND (7 * n - win_sum) * (7 * n - win_sum)
+            > 16 * 7 * win_sum AND 7 * n > win_sum) AS spike
+        FROM t""")),
+
+    GraftQuery(
       "q272_interval_census",
       (s, dir) => {
         // concurrent-sessions-over-time from an interval table

@@ -1973,6 +1973,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Array(1L, 4L))
   }
 
+  test("kaplanMeierMicro folds the exact product-limit curve") {
+    import graft.operators.TimeSeries
+    // durations: t=1 ×2 (1 churn), t=2 ×1 (churn), t=3 ×1 (censored)
+    // n at risk: 4, 2, 1 → S = 750000, 375000, 375000
+    val subj = Seq((1L, 1L), (1L, 0L), (2L, 1L), (3L, 0L))
+      .toDF("dur", "churned")
+    val got = TimeSeries.kaplanMeierMicro(subj, "dur", "churned")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(got === Array((1L, 4L, 1L, 1L, 750000L),
+      (2L, 2L, 1L, 0L, 375000L), (3L, 1L, 0L, 1L, 375000L)))
+  }
+
+  test("benfordAudit counts leading digits and keeps exact shares") {
+    import graft.operators.Audit
+    val df = ((1L to 9L) ++ Seq(0L, -5L, 100L)).toDF("v")
+    val got = Audit.benfordAudit(df, "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // 0 and -5 excluded; 10 positives; digit 1 appears twice (1, 100)
+    assert(got.map(_._2).sum === 10L)
+    assert(got.head === ((1, 2L, 200000L)))
+    assert(Audit.benfordMicro.head === (1 -> 301030L))
+  }
+
+  test("rateSpikes flags only 4-sigma days with a full 7-day baseline") {
+    import graft.operators.TimeSeries
+    val rows = (1L to 7L).map(d => ("a", d, 10L)) ++
+      Seq(("a", 8L, 100L), ("a", 9L, 11L), ("b", 1L, 500L))
+    val df = rows.toDF("k", "d", "n")
+    val got = TimeSeries.rateSpikes(df, "k", "d", "n", w = 7, z = 4)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getBoolean(5)))
+      .toMap
+    assert(got(("a", 8L)) === true)   // (700-70)² = 396900 > 16·7·70
+    assert(got(("a", 9L)) === false)  // within noise
+    assert(got(("a", 3L)) === false)  // no 7-day baseline yet
+    assert(got(("b", 1L)) === false)  // single point, no baseline
+  }
+
+  test("fleschScore: exact ratios on a punctuated toy doc") {
+    val df = Seq((1L, "the cat. the dog."), (2L, "")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.fleschScore(col("text")).as("f"),
+        TextFunctions.sentenceCount(col("text")).as("s"),
+        TextFunctions.syllableEstimate(col("text")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // W=4, S=2, Syl=4 → 206.835 − 1.015·2 − 84.6·1 = 120.205
+    assert(got(0) === ((1L, 120.205, 2L, 4L)))
+    assert(got(1)._2 === 0.0)
+  }
+
   test("linearAttribution splits cents exactly, remainder to last touch") {
     import graft.operators.Funnel
     val ev = Seq(

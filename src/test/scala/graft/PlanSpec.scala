@@ -234,8 +234,10 @@ class PlanSpec extends AnyFunSuite {
                                   // bounded, never corpus rows
       "q272_interval_census",     // running sum over one row per CHANGED
                                   // HOUR — calendar-bounded
-      "q275_rrf_fusion")          // ranks two orderBy().limit(50) frames
+      "q275_rrf_fusion",          // ranks two orderBy().limit(50) frames
                                   // (the q163 class)
+      "q288_kaplan_meier")        // suffix-sum over one row per DISTINCT
+                                  // DURATION (days) — calendar-bounded
     val offenders = batchGates
       .filterNot(q => boundedWindows.contains(q.name))
       .flatMap { q =>
