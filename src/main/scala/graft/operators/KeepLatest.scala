@@ -21,4 +21,28 @@ object KeepLatest {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Golden-record survivorship (the MDM merge step a plain keep-latest
+    * gets wrong): per entity, each FIELD independently takes its value
+    * from the latest row where that field is NON-NULL — a sparse update
+    * ("only the email changed") no longer wipes every other attribute
+    * back to null. One entity-partitioned window per field carrying
+    * `last(field, ignoreNulls)` forward in (orderCols) order, then the
+    * final row per entity — a single shuffle on the entity key, same
+    * scale shape as keep-latest. Output: one row per entity with the
+    * merged fields plus `n_versions`. */
+  def goldenRecord(df: DataFrame, entityCol: String,
+      orderCols: Seq[Column], fields: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = fields.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f, last(col(f), ignoreNulls = true).over(w))
+    }
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(entityCol)).orderBy(orderCols.map(_.desc): _*)))
+      .withColumn("n_versions", count(lit(1)).over(
+        Window.partitionBy(col(entityCol))))
+    filled.filter(col("__rn") === 1)
+      .select(col(entityCol) +: fields.map(col) :+ col("n_versions"): _*)
+  }
 }

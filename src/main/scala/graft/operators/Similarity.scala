@@ -219,6 +219,57 @@ object Similarity {
     selected.toSeq.toDF("round", idCol, "dist_micro")
   }
 
+  /** Truncated rank-biased overlap weights in micro-units: pw(d) =
+    * p^(d−1)·10⁶ folded as pw(d+1) = (pw(d)·pNum) div pDen — driver-
+    * computed ONCE so both engines embed identical integers (float
+    * powers would drift). Public for the oracle builder. */
+  def rboWeights(k: Int, pNum: Long, pDen: Long): Seq[(Int, Long)] = {
+    var pw = 1000000L
+    (1 to k).map { d =>
+      val cur = d -> pw
+      pw = pw * pNum / pDen
+      cur
+    }
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010), truncated at depth k —
+    * "do two rankers agree WHERE IT MATTERS": overlap at each depth d
+    * weighted by p^(d−1), so the top of the list dominates (Kendall/
+    * Jaccard treat rank 1 and rank 1000 alike; recall@k ignores order
+    * inside k). The ranker-comparison gate for swapping retrievers.
+    *
+    * rbo·10⁶ = (Σ_d (pw(d) · X_d) div d) div (pDen div (pDen − pNum))
+    * with X_d = |top-d(A) ∩ top-d(B)| and every step integer
+    * (per-term truncation mirrored by the oracle). Both inputs are
+    * bounded top-k frames; the depth join and cumulative overlap run on
+    * ≤k-row frames (bounded exemption class). Output one row:
+    * (depth, overlap_at_k, rbo_micro). */
+  def rboTruncated(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String, k: Int, pNum: Long = 9L, pDen: Long = 10L): DataFrame = {
+    require(k >= 1 && pNum >= 1 && pNum < pDen)
+    require(pDen % (pDen - pNum) == 0,
+      "1/(1-p) must be integral for the exact final division")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val m = a.select(col(idCol), col(rankCol).cast("long").as("__ra"))
+      .join(b.select(col(idCol), col(rankCol).cast("long").as("__rb")),
+        Seq(idCol))
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+      .filter(col("__m") <= k)
+      .groupBy(col("__m")).agg(count(lit(1)).as("__c"))
+    val weights = rboWeights(k, pNum, pDen).toDF("__d", "__pw")
+    val xd = weights
+      .join(m, col("__m") <= col("__d"), "left")
+      .groupBy(col("__d"), col("__pw"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__x"))
+    val oneMinusPInv = pDen / (pDen - pNum)
+    xd.agg(
+      max(when(col("__d") === k, col("__x"))).as("overlap_at_k"),
+      expr(s"(sum((__pw * __x) div __d)) div ${oneMinusPInv}L")
+        .as("rbo_micro"))
+      .select(lit(k).as("depth"), col("overlap_at_k"), col("rbo_micro"))
+  }
+
   /** Hyperplane `b` of the random-hyperplane LSH family: `dim` pseudo-random
     * coefficients in (-1, 1) derived deterministically from (seed, b, d).
     * Public so oracle SQL can embed the identical literals. */

@@ -1440,6 +1440,44 @@ object CoreQueries {
             (COALESCE(o.n, 0) * 1000000) // nn.n - ref.benford_micro
               AS delta_micro
           FROM ref LEFT JOIN o USING (digit) CROSS JOIN nn"""
-      })
+      }),
+
+    GraftQuery(
+      "q292_golden_record",
+      (s, dir) => {
+        // MDM survivorship merge ([[graft.operators.KeepLatest
+        // .goldenRecord]]): sparse order "updates" (status masked on
+        // every 3rd key, priority on every 2nd) fold into one golden row
+        // per customer — each field independently from its latest
+        // NON-NULL version, so a sparse update doesn't wipe the other
+        // attributes the way plain keep-latest does.
+        val u = Tables.load(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderdate").as("ts"),
+          col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 2 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("prio"))
+        graft.operators.KeepLatest.goldenRecord(u, "o_custkey",
+          Seq(col("ts"), col("k")), Seq("status", "prio"))
+      },
+      Some("""WITH u AS (SELECT o_custkey, o_orderdate AS ts,
+              o_orderkey AS k,
+              CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_orderstatus END AS status,
+              CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                ELSE o_orderpriority END AS prio
+            FROM orders),
+          f AS (SELECT o_custkey,
+              last_value(status IGNORE NULLS) OVER w AS status,
+              last_value(prio IGNORE NULLS) OVER w AS prio,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY ts DESC, k DESC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+                AS n_versions
+            FROM u
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT o_custkey, status, prio, n_versions FROM f WHERE rn = 1"""))
   )
 }

@@ -1273,6 +1273,52 @@ object VectorQueries {
       }),
 
     GraftQuery(
+      "q293_rbo",
+      (s, dir) => {
+        // rank-biased overlap between two query vectors' cosine top-20s
+        // ([[Similarity.rboTruncated]], p = 0.9): the top-weighted
+        // ranker-agreement score — integer micro arithmetic end to end,
+        // weights driver-folded once and shared with the oracle.
+        val e = Tables.load(s, dir, "embeddings")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("vec_id"))
+        def ranked(qid: Int) = Similarity.cosineTopK(
+          e, "vec_id", "embedding", queryVecAt(s, dir, qid), k = 20)
+          .withColumn("rank", row_number().over(w))
+        Similarity.rboTruncated(ranked(0), ranked(1), "vec_id", "rank",
+          k = 20)
+      },
+      Some {
+        def rankCte(qid: Int, name: String) =
+          s"""$name AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (
+              ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+            FROM (SELECT e.vec_id,
+                ${cosSql("e.embedding", "q.qv")} AS cos
+              FROM embeddings e,
+                (SELECT embedding AS qv FROM embeddings
+                 WHERE vec_id = $qid) q)
+            ORDER BY cos DESC, vec_id LIMIT 20)"""
+        val wts = Similarity.rboWeights(20, 9L, 10L)
+          .map { case (d, pw) =>
+            s"(CAST($d AS BIGINT), CAST($pw AS BIGINT))" }
+          .mkString(", ")
+        s"""WITH ${rankCte(0, "r0")}, ${rankCte(1, "r1")},
+          m AS (SELECT GREATEST(r0.rank, r1.rank) AS m
+            FROM r0 JOIN r1 USING (vec_id)
+            WHERE GREATEST(r0.rank, r1.rank) <= 20),
+          w(d, pw) AS (VALUES $wts),
+          xd AS (SELECT w.d, w.pw,
+              CAST(COALESCE(SUM(CASE WHEN m.m <= w.d THEN 1 END), 0)
+                AS BIGINT) AS x
+            FROM w LEFT JOIN m ON m.m <= w.d
+            GROUP BY w.d, w.pw)
+        SELECT CAST(20 AS INT) AS depth,
+          MAX(CASE WHEN d = 20 THEN x END) AS overlap_at_k,
+          CAST(SUM((pw * x) // d) // 10 AS BIGINT) AS rbo_micro
+        FROM xd"""
+      }),
+
+    GraftQuery(
       "q276_k_center",
       (s, dir) => Similarity.kCenterSelect(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", k = 5),

@@ -1973,6 +1973,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Array(1L, 4L))
   }
 
+  test("goldenRecord merges fields from their latest non-null versions") {
+    import graft.operators.KeepLatest
+    val u = Seq(
+      (1L, 1L, Some("a"), Some("x")),
+      (1L, 2L, None, Some("y")),     // sparse update: only field2
+      (1L, 3L, Some("c"), None),     // sparse update: only field1
+      (2L, 1L, None, None)
+    ).toDF("e", "ts", "f1", "f2")
+    val got = KeepLatest.goldenRecord(u, "e", Seq(col("ts")),
+        Seq("f1", "f2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    // keep-latest alone would give (c, null); survivorship gives (c, y)
+    assert(got === Array((1L, "c", "y", 3L), (2L, null, null, 1L)))
+  }
+
+  test("rboTruncated: identical lists score 1.0, disjoint lists 0") {
+    val a = (1L to 20L).map(i => (i, i)).toDF("id", "rank")
+    val b = (1L to 20L).map(i => (i + 100L, i)).toDF("id", "rank")
+    val same = Similarity.rboTruncated(a, a, "id", "rank", k = 20)
+      .collect().head
+    // truncated RBO of identical lists approaches 1 from below (the
+    // tail mass beyond depth 20 is never credited)
+    assert(same.getLong(1) === 20L)
+    assert(same.getLong(2) > 850000L && same.getLong(2) <= 1000000L)
+    val diff = Similarity.rboTruncated(a, b, "id", "rank", k = 20)
+      .collect().head
+    assert(diff.getLong(1) === 0L && diff.getLong(2) === 0L)
+    // weights fold: pw(1)=1e6, pw(2)=9e5, pw(3)=81e4
+    assert(Similarity.rboWeights(3, 9L, 10L) ===
+      Seq(1 -> 1000000L, 2 -> 900000L, 3 -> 810000L))
+  }
+
   test("kaplanMeierMicro folds the exact product-limit curve") {
     import graft.operators.TimeSeries
     // durations: t=1 ×2 (1 churn), t=2 ×1 (churn), t=3 ×1 (censored)

@@ -236,8 +236,10 @@ class PlanSpec extends AnyFunSuite {
                                   // HOUR — calendar-bounded
       "q275_rrf_fusion",          // ranks two orderBy().limit(50) frames
                                   // (the q163 class)
-      "q288_kaplan_meier")        // suffix-sum over one row per DISTINCT
+      "q288_kaplan_meier",        // suffix-sum over one row per DISTINCT
                                   // DURATION (days) — calendar-bounded
+      "q293_rbo")                 // ranks two orderBy().limit(20) frames
+                                  // (the q163/q275 class)
     val offenders = batchGates
       .filterNot(q => boundedWindows.contains(q.name))
       .flatMap { q =>
@@ -300,7 +302,10 @@ class PlanSpec extends AnyFunSuite {
       // bounded-by-construction frames: every BNLJ operand is the ≤11-row
       // quality-decile bin frame (isotonicFitMicro require-caps bins at
       // 64), so the non-equi span joins are O(bins³), never corpus-sized:
-      "q284_isotonic_fit")
+      "q284_isotonic_fit",
+      // the depth≤20 weight frame joined to the ≤20-row overlap census —
+      // both operands bounded by the top-k inputs:
+      "q293_rbo")
     val offenders = batchGates
       .filterNot(q => bruteForceBaselines.contains(q.name))
       .flatMap { q =>
