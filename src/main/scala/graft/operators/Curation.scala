@@ -718,6 +718,52 @@ object Curation {
           scale).as("ks"))
   }
 
+  /** Two-sample 1-D earth-mover (Wasserstein-1) drift per source — the
+    * INTEGRAL of the CDF gap where [[ksShift]] takes its MAX: EMD =
+    * Σ_bins |F_s − F_rest|, in bin-width units. KS fires on the single
+    * worst point; EMD measures how much probability mass must MOVE, so
+    * a broad small shift (every document 5% shorter) that never creates
+    * a large single-point gap still registers. Identical exact-integer
+    * discipline to ksShift: cross-multiplied gaps in DECIMAL(38,0)
+    * (oracle HUGEINT), ONE division per source at the end. Same scale
+    * shape too: one (source, bin) aggregate, a sources × bins grid via
+    * explode(sequence), source-partitioned cumulative windows. */
+  def emdShift(df: DataFrame, sourceCol: String, valueCol: String,
+      binWidth: Long, bins: Int, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val binned = df.select(col(sourceCol).as("source"),
+      least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
+        lit(bins - 1L)).as("bin"))
+    val sb = binned.groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
+      .localCheckpoint()
+    val gb = sb.groupBy("bin").agg(sum("c_sb").as("c_b"))
+    val totals = sb.groupBy("source").agg(sum("c_sb").as("n_s"))
+    val nRow = sb.agg(sum("c_sb")).collect()(0)
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val grid = totals.select(col("source"), col("n_s"),
+      explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val w = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wide = DecimalType(38, 0)
+    val gap = grid.join(sb, Seq("source", "bin"), "left")
+      .join(gb, Seq("bin"), "left")
+      .withColumn("scum", sum(coalesce(col("c_sb"), lit(0L))).over(w))
+      .withColumn("gcum", sum(coalesce(col("c_b"), lit(0L))).over(w))
+      .select(col("source"), col("n_s"),
+        abs(col("scum").cast(wide) * (lit(n) - col("n_s")).cast(wide) -
+          (col("gcum") - col("scum")).cast(wide) * col("n_s").cast(wide))
+          .as("gap"))
+    gap.groupBy("source")
+      .agg(max(col("n_s")).as("n_rows"),
+        SafeMath.roundHalfUp(
+          when(lit(n) === max(col("n_s")), lit(0.0))
+            .otherwise(sum(col("gap")).cast("double") /
+              (max(col("n_s")).cast(wide) *
+                (lit(n) - max(col("n_s"))).cast(wide)).cast("double")),
+          scale).as("emd_bins"))
+  }
+
   /** Temperature-flattened domain sampling — the multilingual-pretraining
     * mix rule (sample domain d ∝ count_d^(1/T)): T=1 keeps natural
     * proportions, T→∞ approaches uniform, T<1 sharpens. The target
@@ -1847,6 +1893,42 @@ object Curation {
               (count(lit(1)).cast(wide) * sum(col("c")).cast(wide))
                 .cast("double")),
         scale).as("gini"))
+  }
+
+  /** Vocabulary coverage curve — "how many distinct tokens cover X% of
+    * the corpus token mass": rank the vocabulary census by frequency
+    * (ties to the lexicographically smaller token) and report, per
+    * requested percentage, the smallest head size whose cumulative mass
+    * reaches it. The tokenizer-budget statistic (vocab-size choices,
+    * OOV planning) that Zipf fits approximate and this measures
+    * exactly. All-integer threshold test (cum·100 ≥ N·pct). One
+    * corpus-sized token aggregate; the rank window and threshold scan
+    * run on the VOCABULARY census (the q267 bounded-census exemption
+    * class). Output per pct: (pct, tokens_needed, vocab_size,
+    * total_tokens). */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val census = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = census.agg(count(lit(1)), sum(col("c"))).collect()(0)
+    val v = tot.getLong(0)
+    val n = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("rank", count(lit(1)).over(w))
+    ranked
+      .select(col("cum"), col("rank"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      .filter(col("cum") * 100L >= lit(n) * col("pct"))
+      .groupBy(col("pct"))
+      .agg(min(col("rank")).as("tokens_needed"))
+      .select(col("pct"), col("tokens_needed"),
+        lit(v).as("vocab_size"), lit(n).as("total_tokens"))
   }
 
   /** Quantile normalization across groups — map each group's value

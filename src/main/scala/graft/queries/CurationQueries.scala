@@ -1822,6 +1822,63 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q294_emd_shift",
+      (s, dir) => {
+        // per-source Wasserstein-1 drift over the SAME mutated corpus as
+        // q263's KS gate ([[Curation.emdShift]]): src0's truncation
+        // must dominate BOTH meters — KS sees the worst point, EMD the
+        // total moved mass (the broad-small-shift detector KS misses).
+        val d = Tables.load(s, dir, "documents")
+          .select(col("text"), col("source"))
+        val mutated = d.withColumn("text",
+          when(col("source") === "src0", substring(col("text"), 1, 80))
+            .otherwise(col("text")))
+        val lens = mutated.select(col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("len"))
+        Curation.emdShift(lens, "source", "len", binWidth = 8L, bins = 128)
+      },
+      Some {
+        val cnt = s"len($Toks5Sql)"
+        s"""WITH m AS (SELECT source,
+              CASE WHEN source = 'src0' THEN substr(text, 1, 80)
+                ELSE text END AS text
+            FROM documents),
+          v AS (SELECT source,
+              CAST(least($cnt // 8, 127) AS BIGINT) AS bin FROM m),
+          sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c_sb
+            FROM v GROUP BY 1, 2),
+          gb AS (SELECT bin, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb
+            GROUP BY 1),
+          t AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM sb
+            GROUP BY 1),
+          nn AS (SELECT CAST(SUM(c_sb) AS BIGINT) AS n FROM sb),
+          grid AS (SELECT t.source, t.n_s, CAST(r.b AS BIGINT) AS bin
+            FROM t, range(0, 128) r(b)),
+          cum AS (SELECT g.source, g.n_s, g.bin,
+              SUM(COALESCE(sb.c_sb, 0)) OVER (PARTITION BY g.source
+                ORDER BY g.bin ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS scum,
+              SUM(COALESCE(gb.c_b, 0)) OVER (PARTITION BY g.source
+                ORDER BY g.bin ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS gcum
+            FROM grid g
+            LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+            LEFT JOIN gb ON gb.bin = g.bin),
+          gap AS (SELECT source, n_s,
+              abs(CAST(scum AS HUGEINT) * (n - n_s) -
+                CAST(gcum - scum AS HUGEINT) * n_s) AS gap
+            FROM cum, nn)
+        SELECT source, MAX(n_s) AS n_rows,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            """(CASE WHEN (SELECT n FROM nn) = MAX(n_s) THEN 0.0E0
+              ELSE CAST(SUM(gap) AS DOUBLE) /
+                CAST(CAST(MAX(n_s) AS HUGEINT) *
+                  ((SELECT n FROM nn) - MAX(n_s)) AS DOUBLE) END)""", 6)}
+            AS emd_bins
+        FROM gap GROUP BY source"""
+      }),
+
+    GraftQuery(
       "q287_ipw_totals",
       (s, dir) => {
         // Horvitz–Thompson audit of the stratified sample

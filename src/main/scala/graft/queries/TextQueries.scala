@@ -304,6 +304,30 @@ object TextQueries {
         GROUP BY t.threshold_tenths""")),
 
     GraftQuery(
+      "q295_vocab_coverage",
+      (s, dir) => graft.operators.Curation.vocabCoverage(
+        Tables.load(s, dir, "documents"), "text", Seq(50, 90, 99)),
+      // head size whose cumulative mass reaches each pct — the exact
+      // statistic the Zipf fit (q239) approximates; all-integer
+      // threshold test, rank window over the VOCABULARY census
+      Some(s"""WITH c AS (SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest($ToksSql) AS t FROM documents)
+            GROUP BY 1),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+              CAST(SUM(c) AS BIGINT) AS n FROM c),
+          r AS (SELECT CAST(SUM(c) OVER w AS BIGINT) AS cum,
+              CAST(COUNT(*) OVER w AS BIGINT) AS rank
+            FROM c
+            WINDOW w AS (ORDER BY c DESC, tok ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          p(pct) AS (VALUES (50), (90), (99))
+        SELECT p.pct, MIN(r.rank) AS tokens_needed, tot.v AS vocab_size,
+          tot.n AS total_tokens
+        FROM p, r, tot
+        WHERE r.cum * 100 >= tot.n * p.pct
+        GROUP BY p.pct, tot.v, tot.n""")),
+
+    GraftQuery(
       "q290_readability",
       (s, dir) => Tables.load(s, dir, "documents").select(
         col("doc_id"),

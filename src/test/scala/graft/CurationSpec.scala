@@ -633,6 +633,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Seq((1L, 250000L), (2L, 250000L), (3L, 1000000L)))
   }
 
+  test("emdShift integrates the CDF gap — one full bin of moved mass = 1.0") {
+    val df = Seq(("A", 0L), ("A", 0L), ("B", 8L), ("B", 8L))
+      .toDF("src", "v")
+    val got = Curation.emdShift(df, "src", "v", binWidth = 8L, bins = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).sorted
+    assert(got === Seq(("A", 1.0), ("B", 1.0)))
+  }
+
+  test("vocabCoverage reports the exact head size per mass threshold") {
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val got = Curation.vocabCoverage(docs, "text", Seq(50, 100))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got === Array((50, 1L, 2L, 4L), (100, 2L, 2L, 4L)))
+  }
+
   test("ipwTotals: rate 1.0 reproduces the true totals exactly") {
     val df = Seq(("x", 1L, 5L), ("x", 2L, 7L), ("y", 3L, 11L))
       .toDF("g", "k", "v")

@@ -238,8 +238,10 @@ class PlanSpec extends AnyFunSuite {
                                   // (the q163 class)
       "q288_kaplan_meier",        // suffix-sum over one row per DISTINCT
                                   // DURATION (days) — calendar-bounded
-      "q293_rbo")                 // ranks two orderBy().limit(20) frames
+      "q293_rbo",                 // ranks two orderBy().limit(20) frames
                                   // (the q163/q275 class)
+      "q295_vocab_coverage")      // cumulative mass over the VOCABULARY
+                                  // census (the q267 bounded class)
     val offenders = batchGates
       .filterNot(q => boundedWindows.contains(q.name))
       .flatMap { q =>
