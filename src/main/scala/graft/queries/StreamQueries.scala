@@ -818,6 +818,56 @@ object StreamQueries {
         FROM documents""")),
 
     GraftQuery(
+      "q296_stream_golden_record",
+      (s, dir) => {
+        // MDM golden record as LIVE state ([[graft.streaming.StatefulOps
+        // .goldenUpsert]]): three sparse-update waves arrive as separate
+        // micro-batches — wave 1 sets f2 WITHOUT f1, wave 2 overwrites
+        // f1 — and the cross-batch state must merge fields independently
+        // (a keep-latest row would wipe f2 back to null on wave 2). The
+        // final golden per entity is the last emission (max n_versions).
+        val k = col("doc_id")
+        val docs = Tables.load(s, dir, "documents").select(k)
+        val frames = Seq(
+          docs.select(concat(lit("""{"key":"""), k,
+            lit(""","ord":1,"f1":"a"""), k, lit(""""}""")).as("value")),
+          docs.filter(k % 3 === 0).select(concat(lit("""{"key":"""), k,
+            lit(""","ord":2,"f2":"b"""), k, lit(""""}""")).as("value")),
+          docs.filter(k % 5 === 0).select(concat(lit("""{"key":"""), k,
+            lit(""","ord":3,"f1":"c"""), k, lit(""""}""")).as("value")))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "key LONG, ord LONG, f1 STRING, f2 STRING")
+        val emitted = runStaged(s, frames, "golden") { (raw, out, ckpt) =>
+          import s.implicits._
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.key").as("key"), col("j.ord").as("ordinal"),
+              col("j.f1").as("f1"), col("j.f2").as("f2"))
+            .as[graft.streaming.StatefulOps.GoldenUpdate]
+          graft.streaming.StatefulOps.goldenUpsert(parsed).toDF()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/golden")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+        graft.operators.KeepLatest(emitted, Seq("key"),
+          Seq(col("n_versions").desc))
+          .select("key", "f1", "f2", "n_versions", "last_ordinal")
+      },
+      Some("""SELECT doc_id AS key,
+          CASE WHEN doc_id % 5 = 0 THEN 'c' || CAST(doc_id AS VARCHAR)
+            ELSE 'a' || CAST(doc_id AS VARCHAR) END AS f1,
+          CASE WHEN doc_id % 3 = 0 THEN 'b' || CAST(doc_id AS VARCHAR)
+            ELSE NULL END AS f2,
+          CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_versions,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN 3
+            WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+            AS last_ordinal
+        FROM documents""")),
+
+    GraftQuery(
       "q155_stream_ann_index",
       (s, dir) => {
         // ANN index kept FRESH from a stream (no rebuilds): three waves

@@ -276,4 +276,39 @@ object StatefulOps {
             Some(st.t2).filter(_ >= 0L)))
       }
   }
+
+  final case class GoldenUpdate(key: Long, ordinal: Long,
+      f1: Option[String], f2: Option[String])
+  final case class GoldenState(ordinal: Long, f1: Option[String],
+      f2: Option[String], versions: Long)
+  final case class GoldenRow(key: Long, f1: Option[String],
+      f2: Option[String], n_versions: Long, last_ordinal: Long)
+
+  /** Streaming golden-record upsert — [[graft.operators.KeepLatest
+    * .goldenRecord]] as LIVE state: each field independently keeps its
+    * latest non-null value across micro-batches (a sparse update never
+    * wipes sibling attributes), and every batch that touches an entity
+    * emits its post-batch golden row. State is one small record per
+    * entity in the state store (checkpointed, RocksDB-backed on a
+    * cluster) — the MDM merge never re-reads the sink. Equivalent to
+    * the batch fold when each key's updates arrive ordinal-ordered
+    * across batches (in-order streams). */
+  def goldenUpsert(updates: Dataset[GoldenUpdate]): Dataset[GoldenRow] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.key)
+      .flatMapGroupsWithState[GoldenState, GoldenRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[GoldenUpdate],
+            state: GroupState[GoldenState]) =>
+          var st = state.getOption
+            .getOrElse(GoldenState(Long.MinValue, None, None, 0L))
+          rows.toSeq.sortBy(_.ordinal).foreach { u =>
+            st = GoldenState(u.ordinal,
+              u.f1.orElse(st.f1), u.f2.orElse(st.f2), st.versions + 1L)
+          }
+          state.update(st)
+          Iterator.single(GoldenRow(key, st.f1, st.f2, st.versions,
+            st.ordinal))
+      }
+  }
 }

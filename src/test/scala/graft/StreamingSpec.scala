@@ -310,4 +310,30 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("probe_id") -> r.getAs[String]("v")).toMap
     assert(latest === Map("p1" -> "new", "p2" -> "only"))
   }
+
+  test("goldenUpsert merges sparse fields across batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{GoldenRow, GoldenUpdate}
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GoldenUpdate]
+    input.addData(GoldenUpdate(1L, 1L, Some("a"), Some("x")))
+    val q = StatefulOps.goldenUpsert(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("golden_ups").start()
+    q.processAllAvailable()
+    // batch 2: sparse update sets ONLY f2 — f1 must survive from state
+    input.addData(GoldenUpdate(1L, 2L, None, Some("y")))
+    q.processAllAvailable()
+    // batch 3: sparse update sets ONLY f1 — f2 must survive
+    input.addData(GoldenUpdate(1L, 3L, Some("c"), None))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("golden_ups").as[GoldenRow].collect()
+      .map(g => g.n_versions -> g).toMap
+    assert(out(1L) === GoldenRow(1L, Some("a"), Some("x"), 1L, 1L))
+    assert(out(2L) === GoldenRow(1L, Some("a"), Some("y"), 2L, 2L))
+    assert(out(3L) === GoldenRow(1L, Some("c"), Some("y"), 3L, 3L))
+  }
 }
