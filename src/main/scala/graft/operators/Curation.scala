@@ -213,6 +213,31 @@ object Curation {
           .cast("long").as("n_tokens"))
   }
 
+  /** Inverse of [[chunkOverlap]] — reassemble overlap-chunked documents
+    * back into whitespace-normalized originals: chunk 0 contributes all
+    * its tokens, every later chunk drops its first `width − stride`
+    * tokens (exactly the overlap the chunker duplicated), and chunks
+    * concatenate in chunk_id order. The ROUND-TRIP property
+    * (reassemble ∘ chunk = tokens-normalize) is what makes an
+    * overlap-chunked RAG/pretraining store lossless — and the q297 gate
+    * asserts it against the original corpus, not against a replayed
+    * chunker. One keyed aggregate; per-doc arrays bounded by document
+    * length. */
+  def reassembleChunks(chunks: DataFrame, idCol: String,
+      chunkIdCol: String, textCol: String, width: Int,
+      stride: Int): DataFrame = {
+    require(stride > 0 && width >= stride, "need 0 < stride <= width")
+    val overlap = width - stride
+    val kept = chunks.select(col(idCol), col(chunkIdCol).as("__cid"),
+      when(col(chunkIdCol) === 0, TextFunctions.tokens(col(textCol)))
+        .otherwise(slice(TextFunctions.tokens(col(textCol)),
+          overlap + 1, width)).as("__keep"))
+    kept.groupBy(col(idCol))
+      .agg(array_join(flatten(transform(
+        array_sort(collect_list(struct(col("__cid"), col("__keep")))),
+        c => c.getField("__keep"))), " ").as("text_norm"))
+  }
+
   /** Deterministic train/val/test assignment: md5-derived bucket of the
     * (salted) id — replay-stable, engine-portable, zero shuffle. Same
     * contract as [[hashKeep]]: re-running the pipeline (or re-sharding

@@ -1822,6 +1822,24 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q297_chunk_roundtrip",
+      (s, dir) => {
+        // losslessness gate for the overlap chunker: chunk every doc
+        // (width 64, stride 48), REASSEMBLE ([[Curation
+        // .reassembleChunks]]), and the oracle is the ORIGINAL corpus
+        // (whitespace-normalized) — not a replayed chunker, so any
+        // duplicated/lost token in either direction flips the hash.
+        val chunks = Curation.chunkOverlap(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          width = 64, stride = 48)
+        Curation.reassembleChunks(chunks, "doc_id", "chunk_id",
+          "chunk_text", width = 64, stride = 48)
+      },
+      Some(s"""SELECT doc_id,
+          array_to_string($Toks5Sql, ' ') AS text_norm
+        FROM documents""")),
+
+    GraftQuery(
       "q294_emd_shift",
       (s, dir) => {
         // per-source Wasserstein-1 drift over the SAME mutated corpus as

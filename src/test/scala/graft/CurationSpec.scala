@@ -633,6 +633,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Seq((1L, 250000L), (2L, 250000L), (3L, 1000000L)))
   }
 
+  test("reassembleChunks inverts chunkOverlap including all-overlap tails") {
+    // 5 tokens, width 4, stride 2 → chunks [t1..t4], [t3,t4,t5], [t5]:
+    // the last chunk is ENTIRELY overlap and must contribute nothing
+    val docs = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkOverlap(docs, "doc_id", "text",
+      width = 4, stride = 2)
+    val got = Curation.reassembleChunks(chunks, "doc_id", "chunk_id",
+        "chunk_text", width = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got === Seq((1L, "t1 t2 t3 t4 t5"), (2L, "a"), (3L, "")))
+  }
+
   test("emdShift integrates the CDF gap — one full bin of moved mass = 1.0") {
     val df = Seq(("A", 0L), ("A", 0L), ("B", 8L), ("B", 8L))
       .toDF("src", "v")
