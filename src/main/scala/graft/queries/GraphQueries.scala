@@ -56,6 +56,44 @@ object GraphQueries {
       bench = true),
 
     GraftQuery(
+      "q298_trustrank",
+      (s, dir) => {
+        // seeded quality propagation over the q103 link graph
+        // ([[graft.operators.Graphs.trustRank]]): teleport mass confined
+        // to 5 trusted seeds, so rank = link-proximity to the whitelist
+        // — the web-curation cut a uniform PageRank can't express.
+        val o = Tables.load(s, dir, "orders")
+        val edges = o.select(
+          concat(lit("d"), col("o_custkey") % 100).as("src"),
+          concat(lit("d"), col("o_orderkey") % 100).as("dst"))
+        graft.operators.Graphs.trustRank(edges, "src", "dst",
+          seeds = (0 until 5).map(i => s"d$i"), iterations = 3)
+      },
+      Some {
+        val seedList = (0 until 5).map(i => s"'d$i'").mkString(", ")
+        val seedCase = s"CASE WHEN n.node IN ($seedList) " +
+          "THEN (1000000000000 * 15 // 100) // 5 ELSE 0 END"
+        val rounds = (1 to 3).map { r =>
+          s"""c$r AS (SELECT e.dst, CAST(SUM(p.tr // o.outdeg) AS BIGINT)
+              AS c
+            FROM e JOIN p${r - 1} p ON p.node = e.src
+            JOIN outd o ON o.src = e.src
+            GROUP BY e.dst),
+          p$r AS (SELECT n.node,
+              $seedCase + (85 * COALESCE(c$r.c, 0)) // 100 AS tr
+            FROM nodes n LEFT JOIN c$r ON c$r.dst = n.node)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT 'd' || (o_custkey % 100) AS src,
+              'd' || (o_orderkey % 100) AS dst FROM orders),
+          nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+          p0 AS (SELECT node, CASE WHEN node IN ($seedList)
+              THEN 1000000000000 // 5 ELSE 0 END AS tr FROM nodes),
+          $rounds
+        SELECT node, CAST(tr AS BIGINT) AS tr FROM p3"""
+      }),
+
+    GraftQuery(
       "q122_triangle_count",
       (s, dir) => {
         // per-node triangle counts over the synthetic domain graph —

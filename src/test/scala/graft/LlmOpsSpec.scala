@@ -1973,6 +1973,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Array(1L, 4L))
   }
 
+  test("trustRank: mass reaches only link-proximate nodes, never strays") {
+    import graft.operators.Graphs
+    val e = Seq(("s", "a"), ("a", "b"), ("c", "c"))
+      .toDF("src", "dst")
+    val got = Graphs.trustRank(e, "src", "dst", seeds = Seq("s"),
+        iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("s") === 150000000000L)            // teleport only
+    assert(got("a") === 127500000000L)            // 0.85 · tr₁(s)
+    assert(got("b") === 722500000000L)            // 0.85 · tr₁(a)
+    assert(got("c") === 0L)                       // unreachable: ZERO
+  }
+
   test("goldenRecord merges fields from their latest non-null versions") {
     import graft.operators.KeepLatest
     val u = Seq(
