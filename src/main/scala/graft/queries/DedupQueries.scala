@@ -913,5 +913,61 @@ object DedupQueries {
             AS pair_recall
         FROM nt, nf, nc"""
       })
+  ,
+
+    GraftQuery(
+      "q299_dedup_savings",
+      (s, dir) => {
+        // threshold-tuning artifact for the near-dup family: ONE pair
+        // scan at jaccard ≥ 0.5, then every candidate cutoff 50..95%
+        // reads its pair count and docs-removed (distinct higher-id
+        // partners) from the same frame — a per-pair array-filter
+        // explode, never 10 re-scans and never a threshold join. This
+        // curve is how a dedup run picks its threshold before paying
+        // for the full apply pass.
+        val pairs = Dedup.jaccardPairs(corpus(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.5)
+        val ths = (50 to 95 by 5).map(lit(_))
+        val hits = pairs
+          .select(col("doc_b"), explode(filter(array(ths: _*),
+            t => col("jaccard") >= t.cast("double") / lit(100.0)))
+            .as("threshold_pct"))
+          .groupBy("threshold_pct")
+          .agg(count(lit(1)).as("pairs_over"),
+            countDistinct(col("doc_b")).as("docs_removed"))
+        s.range(50, 96, 5)
+          .select(col("id").cast("int").as("threshold_pct"))
+          .join(hits, Seq("threshold_pct"), "left")
+          .select(col("threshold_pct"),
+            coalesce(col("pairs_over"), lit(0L)).as("pairs_over"),
+            coalesce(col("docs_removed"), lit(0L)).as("docs_removed"))
+      },
+      Some(s"""WITH $CappedIdxSql,
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+        co AS (
+          SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
+          FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
+          GROUP BY 1, 2),
+        pairs AS (SELECT doc_b,
+            CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) AS jac
+          FROM co
+          JOIN sizes a ON a.doc = doc_a
+          JOIN sizes b ON b.doc = doc_b
+          WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter)
+            >= 0.5E0),
+        hits AS (SELECT CAST(t AS INTEGER) AS threshold_pct,
+            CAST(COUNT(*) AS BIGINT) AS pairs_over,
+            CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS docs_removed
+          FROM (SELECT doc_b, unnest(list_filter(
+              [50, 55, 60, 65, 70, 75, 80, 85, 90, 95],
+              t -> jac >= CAST(t AS DOUBLE) / 100.0E0)) AS t
+            FROM pairs)
+          GROUP BY 1),
+        grid AS (SELECT CAST(unnest(range(50, 96, 5)) AS INTEGER)
+            AS threshold_pct)
+      SELECT g.threshold_pct,
+        COALESCE(h.pairs_over, 0) AS pairs_over,
+        COALESCE(h.docs_removed, 0) AS docs_removed
+      FROM grid g LEFT JOIN hits h USING (threshold_pct)"""))
   )
 }
