@@ -1822,6 +1822,69 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q300_selection_recipe",
+      (s, dir) => {
+        // composed selection recipe over this round's operators:
+        // token counts → POOLED quantile normalization across sources
+        // (q278) → per-source split-conformal 25th-percentile floor
+        // (q281, α=75) → keep-and-account. The cross-source calibration
+        // + distribution-free cutoff pipeline a mixed-corpus curation
+        // run ships; every stage exact-integer, end-to-end hash-gated.
+        val base = Tables.load(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+        val norm = Curation.quantileNormalize(base, "doc_id", "source", "nt")
+        val cut = Curation.conformalThreshold(norm, "source", "doc_id",
+          "norm", alphaPct = 75)
+        val kept = norm
+          .join(cut.select(col("source"), col("threshold")), "source")
+          .filter(col("norm") >= col("threshold"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("nt")).cast("long").as("kept_tokens"))
+        base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(cut.select(col("source"), col("threshold")), "source")
+          .join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("threshold"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              CAST(len($Toks5Sql) AS BIGINT) AS v
+            FROM documents),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+          p AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY v, doc_id)
+                AS BIGINT) AS gr, v AS pv
+            FROM b),
+          r AS (SELECT doc_id, source, v,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY v, doc_id) AS BIGINT) AS rr,
+              CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ng
+            FROM b),
+          norm AS (SELECT r.doc_id, r.source, r.v, p.pv AS norm
+            FROM r CROSS JOIN n JOIN p ON (r.rr * n.n) // r.ng = p.gr),
+          rk AS (SELECT source, doc_id, norm,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY norm, doc_id) AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+            FROM norm),
+          cut AS (SELECT source, norm AS threshold FROM rk
+            WHERE rn = LEAST(ns, ((ns + 1) * 25 + 99) // 100)),
+          kept AS (SELECT norm.source,
+              CAST(COUNT(*) AS BIGINT) AS n_kept,
+              CAST(SUM(norm.v) AS BIGINT) AS kept_tokens
+            FROM norm JOIN cut USING (source)
+            WHERE norm.norm >= cut.threshold
+            GROUP BY norm.source),
+          tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM b GROUP BY source)
+        SELECT t.source, t.n_docs, c.threshold,
+          COALESCE(k.n_kept, 0) AS n_kept,
+          COALESCE(k.kept_tokens, 0) AS kept_tokens
+        FROM tot t JOIN cut c USING (source)
+        LEFT JOIN kept k ON k.source = t.source""")),
+
+    GraftQuery(
       "q297_chunk_roundtrip",
       (s, dir) => {
         // losslessness gate for the overlap chunker: chunk every doc
