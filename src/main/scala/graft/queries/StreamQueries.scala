@@ -818,6 +818,62 @@ object StreamQueries {
         FROM documents""")),
 
     GraftQuery(
+      "q301_stream_rate_spikes",
+      (s, dir) => {
+        // q291's volume alert LIVE ([[graft.streaming.StatefulOps
+        // .rateSpikeStream]]): daily counts arrive in three
+        // chronological waves, and the trailing-7-day window rides
+        // per-key state across micro-batches — a day near a wave
+        // boundary still tests against the previous wave's baseline.
+        // Oracle = the batch meter's SQL over the union of all days.
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_timestamp(ts) div 86400L").as("d"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val r = daily.agg(min(col("d")), max(col("d"))).collect()(0)
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+        def wave(f: Column): DataFrame = daily.filter(f)
+          .select(concat(lit("""{"key":""""), col("event_type"),
+            lit("""","d":"""), col("d"), lit(""","n":"""), col("n"),
+            lit("}")).as("value"))
+        val frames = Seq(wave(col("d") <= c1),
+          wave(col("d") > c1 && col("d") <= c2), wave(col("d") > c2))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "key STRING, d LONG, n LONG")
+        runStaged(s, frames, "spikes") { (raw, out, ckpt) =>
+          import s.implicits._
+          val parsed = raw.select(from_json(col("value"), schema).as("j"))
+            .select(col("j.key").as("key"), col("j.d").as("ordinal"),
+              col("j.n").as("x"))
+            .as[graft.streaming.StatefulOps.SpikeEvent]
+          graft.streaming.StatefulOps.rateSpikeStream(parsed, w = 7, z = 4)
+            .toDF()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", s"$out/spikes")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.select(col("key"), col("ordinal").as("d"), col("x").as("n"),
+          col("win_sum"), col("n_prior"), col("spike"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type, d, n,
+              COALESCE(CAST(SUM(n) OVER w AS BIGINT), 0) AS win_sum,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_prior
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type AS key, d, n, win_sum, n_prior,
+          (n_prior = 7 AND (7 * n - win_sum) * (7 * n - win_sum)
+            > 16 * 7 * win_sum AND 7 * n > win_sum) AS spike
+        FROM t""")),
+
+    GraftQuery(
       "q296_stream_golden_record",
       (s, dir) => {
         // MDM golden record as LIVE state ([[graft.streaming.StatefulOps

@@ -277,6 +277,42 @@ object StatefulOps {
       }
   }
 
+  final case class SpikeEvent(key: String, ordinal: Long, x: Long)
+  final case class SpikeState(recent: List[Long])
+  final case class SpikeFlag(key: String, ordinal: Long, x: Long,
+      win_sum: Long, n_prior: Long, spike: Boolean)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.rateSpikes]]: the
+    * trailing-w counts ride per-key state (a ≤w-element ring, nothing
+    * corpus-sized), so a live volume alert fires the same integer
+    * Poisson test ((w·n − μ)² > z²·w·μ ∧ w·n > μ) the batch meter
+    * gates — equal to the batch result when each key's buckets arrive
+    * ordinal-ordered and gap-free across batches. */
+  def rateSpikeStream(events: Dataset[SpikeEvent], w: Int,
+      z: Int): Dataset[SpikeFlag] = {
+    require(w >= 1 && z >= 1)
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SpikeState, SpikeFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[SpikeEvent],
+            state: GroupState[SpikeState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.ordinal).map { e =>
+            val winSum = recent.sum
+            val nPrior = recent.size.toLong
+            val lhs = w.toLong * e.x - winSum
+            val spike = nPrior == w.toLong &&
+              lhs * lhs > z.toLong * z * w * winSum &&
+              w.toLong * e.x > winSum
+            recent = (recent :+ e.x).takeRight(w)
+            SpikeFlag(key, e.ordinal, e.x, winSum, nPrior, spike)
+          }
+          state.update(SpikeState(recent))
+          out.iterator
+      }
+  }
+
   final case class GoldenUpdate(key: Long, ordinal: Long,
       f1: Option[String], f2: Option[String])
   final case class GoldenState(ordinal: Long, f1: Option[String],

@@ -311,6 +311,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest === Map("p1" -> "new", "p2" -> "only"))
   }
 
+  test("rateSpikeStream carries the trailing window across batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{SpikeEvent, SpikeFlag}
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SpikeEvent]
+    // batch 1: days 1..7 at 10/day (fills the window, no baseline yet
+    // for days 1..7's first flaggable successor)
+    input.addData((1L to 7L).map(d => SpikeEvent("a", d, 10L)): _*)
+    val q = StatefulOps.rateSpikeStream(input.toDS(), w = 7, z = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spikes_live").start()
+    q.processAllAvailable()
+    // batch 2: the spike day — its 7-day baseline lives in STATE
+    input.addData(SpikeEvent("a", 8L, 100L), SpikeEvent("a", 9L, 11L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("spikes_live").as[SpikeFlag].collect()
+      .map(f => f.ordinal -> f).toMap
+    assert(out(8L).spike === true && out(8L).win_sum === 70L)
+    assert(out(9L).spike === false)   // baseline now includes the spike
+    assert(out(7L).spike === false)   // only 6 priors inside batch 1
+  }
+
   test("goldenUpsert merges sparse fields across batches") {
     import spark.implicits._
     import graft.streaming.StatefulOps
