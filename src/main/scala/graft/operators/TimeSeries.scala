@@ -328,6 +328,36 @@ object TimeSeries {
         col("__r.surv").as("surv_micro"))
   }
 
+  /** Per-key interval MERGE (union of validity windows) — collapse
+    * overlapping-or-touching [start, end) intervals into maximal
+    * covered spans, the gaps-and-islands normalization every
+    * SCD2-validity / session-stitch / maintenance-window union needs
+    * before durations can be summed without double-counting. An island
+    * starts where `start` exceeds the running max of all PRIOR ends
+    * (touching intervals — start == prior end — merge: half-open
+    * semantics). One key-partitioned window + one keyed aggregate.
+    * Output per span: (key, span_start, span_end, n_merged). */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s"), col("__e"))
+    val islands = df
+      .select(col(keyCol), col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .withColumn("__pmax", max(col("__e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ns",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__ns")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    islands.groupBy(col(keyCol), col("__isl"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("__isl")
+  }
+
   /** Rate-spike detection with an INTEGER Poisson-style test — flag a
     * bucket whose count exceeds its trailing-W mean by z standard
     * deviations, without any sqrt: n > μ/W + z·√(μ/W) with n > μ/W is

@@ -1064,6 +1064,44 @@ object HistoryQueries {
         FROM rec""")),
 
     GraftQuery(
+      "q302_merge_intervals",
+      (s, dir) => {
+        // per-user union of session validity windows ([[graft.operators
+        // .TimeSeries.mergeIntervals]]): each event opens a
+        // deterministic 5min–2h window (the q272 synthesis); merging
+        // collapses overlaps so per-user covered time can be summed
+        // without double-counting — the normalization q272's global
+        // census and any SCD2 validity union both stand on.
+        val ev = Tables.events(s, dir).select(
+          col("user_id"),
+          unix_timestamp(col("ts")).as("start_s"),
+          (unix_timestamp(col("ts")) +
+            (col("event_id") % 6900L + 300L)).as("end_s"))
+        graft.operators.TimeSeries.mergeIntervals(
+          ev, "user_id", "start_s", "end_s")
+      },
+      Some("""WITH iv AS (SELECT user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS s,
+              CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 6900) + 300
+                AS e
+            FROM events),
+          m AS (SELECT user_id, s, e,
+              MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS pmax
+            FROM iv),
+          isl AS (SELECT user_id, s, e,
+              SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS isl
+            FROM m)
+        SELECT user_id, CAST(MIN(s) AS BIGINT) AS span_start,
+          CAST(MAX(e) AS BIGINT) AS span_end,
+          CAST(COUNT(*) AS BIGINT) AS n_merged
+        FROM isl GROUP BY user_id, isl""")),
+
+    GraftQuery(
       "q291_rate_spikes",
       (s, dir) => {
         // volume-spike alerting over each event type's daily counts

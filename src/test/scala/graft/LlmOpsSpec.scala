@@ -2044,6 +2044,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Audit.benfordMicro.head === (1 -> 301030L))
   }
 
+  test("mergeIntervals unions overlaps AND touches, splits true gaps") {
+    import graft.operators.TimeSeries
+    val iv = Seq(("u", 1L, 5L), ("u", 5L, 8L), ("u", 3L, 4L),
+      ("u", 10L, 12L), ("v", 2L, 3L)).toDF("k", "s", "e")
+    val got = TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    // [1,5)+[3,4)+[5,8) merge (touch at 5, half-open); [10,12) is a gap
+    assert(got === Seq(("u", 1L, 8L, 3L), ("u", 10L, 12L, 1L),
+      ("v", 2L, 3L, 1L)))
+  }
+
   test("rateSpikes flags only 4-sigma days with a full 7-day baseline") {
     import graft.operators.TimeSeries
     val rows = (1L to 7L).map(d => ("a", d, 10L)) ++
