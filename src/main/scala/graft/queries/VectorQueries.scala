@@ -1273,6 +1273,46 @@ object VectorQueries {
       }),
 
     GraftQuery(
+      "q303_embedding_drift",
+      (s, dir) => {
+        // embedding-SPACE drift per class — the representation-shift
+        // meter beside the value-space family (KL/KS/χ²/EMD): exact
+        // decimal-summed centroids per (label, epoch half), then the
+        // cosine between a label's two epoch prototypes; a drifting
+        // class pulls its cosine below the stable ones. Centroid means
+        // via [[Similarity.centroids]]; the cosine is the ArrayDot left
+        // fold both engines share.
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("label", col("vec_id") % 8)
+        def cent(epoch: Int) = Similarity.centroids(
+          e.filter(expr("(vec_id div 8) % 2") === epoch), "label",
+          "embedding")
+          .select(col("label"), col("centroid").as(s"c$epoch"))
+        cent(0).join(cent(1), "label")
+          .select(col("label"),
+            Similarity.cosineCols(col("c0"), col("c1")).as("drift_cos"))
+      },
+      Some {
+        val rounded = graft.functions.SafeMath.roundHalfUpSql(
+          "CAST(g.s.v AS DOUBLE)", 10)
+        def meanCte(epoch: Int) =
+          s"""g$epoch AS (
+            SELECT vec_id % 8 AS label,
+              unnest(list_transform(range(1, ${Dim + 1}),
+                i -> struct_pack(pos := i - 1, v := embedding[i]))) AS s
+            FROM embeddings WHERE (vec_id // 8) % 2 = $epoch),
+          m$epoch AS (SELECT label, list(m ORDER BY pos) AS v
+            FROM (SELECT label, g.s.pos AS pos,
+                (CAST(SUM(CAST($rounded AS DECIMAL(28,10))) AS DOUBLE)
+                  / COUNT(*)) AS m
+              FROM g$epoch g GROUP BY 1, 2)
+            GROUP BY label)"""
+        s"""WITH ${meanCte(0)}, ${meanCte(1)}
+          SELECT m0.label, ${cosSql("m0.v", "m1.v")} AS drift_cos
+          FROM m0 JOIN m1 USING (label)"""
+      }),
+
+    GraftQuery(
       "q293_rbo",
       (s, dir) => {
         // rank-biased overlap between two query vectors' cosine top-20s
