@@ -1958,6 +1958,12 @@ class LlmOpsSpec extends AnyFunSuite {
     // the pack is injective on distinct windows: 's','p','a' big-endian
     assert(got("a").head ===
       (('s'.toLong << 16) | ('p'.toLong << 8) | 'a'.toLong))
+    // n=8 edge: full-width mask, one window per position
+    val wide = Seq(("w", "abcdefghi")).toDF("id", "text")
+      .select(CharGramKeys.char_gram_keys(col("text"), 8).as("g"))
+      .collect()(0).getSeq[Long](0)
+    assert(wide === CharGramKeys.keysOf("abcdefghi", 8) &&
+      wide.length === 2)
   }
 
   test("trigramSearch verifies candidates — gram cover alone is not a match") {
