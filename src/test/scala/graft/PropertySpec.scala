@@ -296,4 +296,67 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: holt and kaplan-meier folds are partitioning-invariant") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(11)
+    val series = (1 to 3).flatMap(k => (1 to 40).map(t =>
+      (s"k$k", t.toLong, rnd.nextInt(1000).toLong)))
+    val subj = (1 to 300).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(2).toLong))
+    for (parts <- Seq(1, 3, 7)) {
+      val df = series.toDF("k", "t", "x").repartition(parts)
+      val holt = TimeSeries.holtMicro(df, "k", "t", "x")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val holtRef = TimeSeries.holtMicro(series.toDF("k", "t", "x"), "k",
+        "t", "x").collect().map(_.toSeq).sortBy(_.toString)
+      assert(holt === holtRef, s"holt drifted at parts=$parts")
+      val km = TimeSeries.kaplanMeierMicro(
+        subj.toDF("dur", "ev").repartition(parts), "dur", "ev")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val kmRef = TimeSeries.kaplanMeierMicro(subj.toDF("dur", "ev"),
+        "dur", "ev").collect().map(_.toSeq).sortBy(_.toString)
+      assert(km === kmRef, s"km drifted at parts=$parts")
+    }
+  }
+
+  test("property: exactKth equals the sorted index, negatives included") {
+    import graft.operators.GlobalSort
+    val rnd = new scala.util.Random(17)
+    (1 to 4).foreach { trial =>
+      val vals = (1 to 500).map(_ =>
+        rnd.nextLong() % 1000000L - 200000L)
+      val sorted = vals.sorted
+      val df = vals.toDF("v").repartition(trial * 2)
+      Seq(1, 250, 500).foreach { k =>
+        val r = GlobalSort.exactKth(df, "v", k.toLong).collect().head
+        assert(r.getLong(2) === sorted(k - 1),
+          s"trial=$trial k=$k: got ${r.getLong(2)}, want ${sorted(k - 1)}")
+      }
+    }
+  }
+
+  test("property: mergeIntervals spans are disjoint and cover exactly the union") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(23)
+    val iv = (1 to 400).map { _ =>
+      val s = rnd.nextInt(500).toLong
+      (s"g${rnd.nextInt(4)}", s, s + 1 + rnd.nextInt(40))
+    }
+    val got = TimeSeries.mergeIntervals(iv.toDF("k", "s", "e"), "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    iv.groupBy(_._1).foreach { case (k, ivs) =>
+      val covered = ivs.flatMap(t => t._2 until t._3).toSet
+      val spans = got.filter(_._1 == k).sortBy(_._2)
+      // disjoint with true gaps between consecutive spans
+      spans.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2, s"$k: spans touch/overlap")
+        case _ =>
+      }
+      val spanCover = spans.flatMap(s => s._2 until s._3).toSet
+      assert(spanCover === covered, s"$k: coverage mismatch")
+      assert(spans.map(_._4).sum === ivs.size.toLong, s"$k: n_merged sum")
+    }
+  }
 }
