@@ -843,6 +843,29 @@ object Curation {
         max(col("__tot")).as("total_weight"))
   }
 
+  /** Exact per-group WEIGHTED quantile — generalizes [[weightedMedian]]
+    * to any q = qNum/qDen: the smallest value whose cumulative weight
+    * reaches q of the group total (`cum·qDen ≥ total·qNum`, all-integer,
+    * (value, id) total order). The statistic that answers "what length
+    * is the p90 of the token MASS" — by-mass percentiles differ wildly
+    * from by-count ones on heavy-tailed corpora, and the model trains
+    * on mass. One partitioned cumulative window + one keyed min. */
+  def weightedQuantile(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, weightCol: String, qNum: Long,
+      qDen: Long): DataFrame = {
+    require(qNum >= 1 && qNum <= qDen, "need 0 < q <= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("__tot",
+        sum(col(weightCol)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__cum") * qDen >= col("__tot") * qNum)
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("w_quantile"),
+        max(col("__tot")).as("total_weight"))
+  }
+
   /** Skip-gram co-occurrence PMI — the word2vec/GloVe preprocessing pass:
     * count unordered token pairs within a ±`window` token distance, then
     * score each pair by pointwise mutual information against the unigram

@@ -1822,6 +1822,39 @@ object CurationQueries {
       bench = true),
 
     GraftQuery(
+      "q304_weighted_quantile",
+      (s, dir) => {
+        // token-MASS p50/p90 document length per source ([[Curation
+        // .weightedQuantile]]): each doc weighted by its own token
+        // count, so the percentile describes the corpus the model
+        // actually trains on — on heavy-tailed sources this sits far
+        // above the by-count percentile.
+        val base = Tables.load(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("nt"))
+        def q(num: Long, den: Long, name: String) =
+          Curation.weightedQuantile(base, "source", "doc_id", "nt", "nt",
+            num, den).withColumnRenamed("w_quantile", name)
+            .drop("total_weight")
+        q(1, 2, "p50_mass").join(q(9, 10, "p90_mass"), "source")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              CAST(len($Toks5Sql) AS BIGINT) AS nt
+            FROM documents),
+          c AS (SELECT source, nt,
+              SUM(nt) OVER (PARTITION BY source ORDER BY nt, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(nt) OVER (PARTITION BY source) AS tot
+            FROM b)
+        SELECT source,
+          CAST(MIN(CASE WHEN cum * 2 >= tot THEN nt END) AS BIGINT)
+            AS p50_mass,
+          CAST(MIN(CASE WHEN cum * 10 >= tot * 9 THEN nt END) AS BIGINT)
+            AS p90_mass
+        FROM c GROUP BY source""")),
+
+    GraftQuery(
       "q300_selection_recipe",
       (s, dir) => {
         // composed selection recipe over this round's operators:
