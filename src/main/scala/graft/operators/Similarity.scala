@@ -1177,6 +1177,39 @@ object Similarity {
     spark.createDataFrame(rows).toDF("k", "n_common", "recall")
   }
 
+  /** Mutual nearest-neighbor pairs across two vector sets — the
+    * symmetric filter the margin miner rides on (Artetxe & Schwenk
+    * 2019): keep (x, y) only when y is x's best match AND x is y's —
+    * asymmetric hubs (one vector that everything points at) fall out,
+    * which is most of the precision gap between raw top-1 and usable
+    * bitext. Per-side argmax is ONE map-side-combined aggregate
+    * (max(struct(cos, −partner)) — cos micro-rounded, ties to the
+    * smaller partner id), never a window over the cross product. The
+    * pair scoring here is the brute baseline (spread() keeps it
+    * parallel; the q37 measurement class) — at corpus scale, LSH-prune
+    * candidates first (q38) and feed the survivors through the same
+    * mutual filter. Output: (x id, y id, cos). */
+  def mutualNearestPairs(xs: DataFrame, ys: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val a = spread(xs.select(col(idCol).cast("long").as("__xid"),
+      col(vecCol).as("__xv")))
+    val b = ys.select(col(idCol).cast("long").as("__yid"),
+      col(vecCol).as("__yv"))
+    val scored = a.join(b)
+      .select(col("__xid"), col("__yid"),
+        cosineCols(col("__xv"), col("__yv")).as("__c"))
+    val fwd = scored.groupBy(col("__xid"))
+      .agg(max(struct(col("__c"), (-col("__yid")).as("__ny"))).as("__m"))
+      .select(col("__xid"), (-col("__m.__ny")).as("__yid"),
+        col("__m.__c").as("__cf"))
+    val bwd = scored.groupBy(col("__yid"))
+      .agg(max(struct(col("__c"), (-col("__xid")).as("__nx"))).as("__m"))
+      .select(col("__yid"), (-col("__m.__nx")).as("__xid"))
+    fwd.join(bwd, Seq("__xid", "__yid"))
+      .select(col("__xid").as("x_id"), col("__yid").as("y_id"),
+        col("__cf").as("cos"))
+  }
+
   def bitextMarginMine(xs: DataFrame, ys: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int = 4, threshold: Double = 1.0,
       bits: Int = 6, seed: Int = 42): DataFrame = {

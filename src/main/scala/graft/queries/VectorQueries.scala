@@ -1273,6 +1273,40 @@ object VectorQueries {
       }),
 
     GraftQuery(
+      "q305_mutual_nn",
+      (s, dir) => {
+        // mutual top-1 pairs across the q303 epoch halves
+        // ([[Similarity.mutualNearestPairs]]): only vectors that pick
+        // EACH OTHER survive — the symmetric filter that drops hub
+        // vectors and is the precision step under margin-based bitext
+        // mining. Gate caps both sides at vec_id < 4000 (bounded by
+        // design, the q98 seed-cap class — at scale the candidates come
+        // LSH-pruned, q38).
+        val e = Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") < 4000)
+        val a = e.filter(expr("(vec_id div 8) % 2 = 0"))
+        val b = e.filter(expr("(vec_id div 8) % 2 = 1"))
+        Similarity.mutualNearestPairs(a, b, "vec_id", "embedding")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < 4000),
+          a AS (SELECT * FROM e WHERE (vec_id // 8) % 2 = 0),
+          b AS (SELECT * FROM e WHERE (vec_id // 8) % 2 = 1),
+          sc AS (SELECT a.vec_id AS xid, b.vec_id AS yid,
+              ${cosSql("a.embedding", "b.embedding")} AS c
+            FROM a, b),
+          fwd AS (SELECT xid, yid, c FROM (SELECT xid, yid, c,
+              ROW_NUMBER() OVER (PARTITION BY xid
+                ORDER BY c DESC, yid ASC) AS rn FROM sc)
+            WHERE rn = 1),
+          bwd AS (SELECT xid, yid FROM (SELECT xid, yid,
+              ROW_NUMBER() OVER (PARTITION BY yid
+                ORDER BY c DESC, xid ASC) AS rn FROM sc)
+            WHERE rn = 1)
+        SELECT f.xid AS x_id, f.yid AS y_id, f.c AS cos
+        FROM fwd f JOIN bwd USING (xid, yid)""")),
+
+    GraftQuery(
       "q303_embedding_drift",
       (s, dir) => {
         // embedding-SPACE drift per class — the representation-shift

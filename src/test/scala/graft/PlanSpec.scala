@@ -307,7 +307,9 @@ class PlanSpec extends AnyFunSuite {
       "q284_isotonic_fit",
       // the depth≤20 weight frame joined to the ≤20-row overlap census —
       // both operands bounded by the top-k inputs:
-      "q293_rbo")
+      "q293_rbo",
+      "q305_mutual_nn")         // brute cross-scoring baseline (spread();
+                                // at scale candidates come LSH-pruned)
     val offenders = batchGates
       .filterNot(q => bruteForceBaselines.contains(q.name))
       .flatMap { q =>
