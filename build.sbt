@@ -21,6 +21,18 @@ def duckdbJdbcJar: Seq[Attributed[File]] = {
 }
 Runtime / unmanagedJars ++= duckdbJdbcJar
 Test / unmanagedJars ++= duckdbJdbcJar
+// OPT-IN Kafka integration profile: `sbt -Dgraft.kafka=true ...` adds the
+// Structured Streaming Kafka connector (+ its kafka-clients transitive) so
+// KafkaIO.source/sink bind to a real broker. Deliberately NOT on by
+// default: this sandbox has zero egress, so the artifact cannot resolve
+// here — KafkaIO.messageSource transparently falls back to the file
+// source and every downstream stage is exercised on real wire bytes
+// (KafkaIOSpec). On a networked build the flag turns the one untested
+// seam (the socket itself) into a live integration target.
+libraryDependencies ++= (
+  if (sys.props.get("graft.kafka").exists(_.toBoolean))
+    Seq("org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2")
+  else Seq())
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -382,21 +382,30 @@ object Curation {
   def mixToTarget(df: DataFrame, idCol: String, domainCol: String,
       weights: Map[String, Double], defaultWeight: Double,
       salt: String = "graft-mix"): DataFrame = {
-    val counts = df.groupBy(col(domainCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    val c = counts.map { case (d, n) =>
-      n / weights.getOrElse(d, defaultWeight)
-    }.min
-    val thresholds = counts.map { case (d, n) =>
-      d -> math.floor(
-        weights.getOrElse(d, defaultWeight) * c / n * 10000.0 + 0.5).toLong
-    }
-    val thr = thresholds.toSeq.sortBy(_._1).foldLeft(
-      when(lit(false), lit(0L))) { case (acc, (d, t)) =>
-        acc.when(col(domainCol) === d, lit(t))
-      }.otherwise(lit(0L))
-    df.filter(
-      TextFunctions.md5Key60(concat(lit(salt), col(idCol))) % 10000L < thr)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the domain census stays DISTRIBUTED (advice r08: the old collect +
+    // per-domain CaseWhen fold was driver-unbounded AND the documented
+    // giant-CASE codegen trap). Only ONE scalar (the min count/weight
+    // ratio) crosses to the driver; per-domain thresholds ride a
+    // broadcast join keyed on the domain — fine to millions of domains.
+    val wdf = weights.toSeq.toDF("__dom", "__w")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .join(broadcast(wdf), Seq("__dom"), "left")
+      .withColumn("__w", coalesce(col("__w"), lit(defaultWeight)))
+      .localCheckpoint() // domain-sized; read twice (scalar + thresholds)
+    val cRow = counts.agg(min(col("__n") / col("__w"))).collect()(0)
+    require(!cRow.isNullAt(0), "mixToTarget: empty input")
+    val c = cRow.getDouble(0)
+    // identical fold order to the oracle: ((w*c)/n)*10000 + 0.5, floored
+    val thrDf = counts.select(col("__dom"),
+      floor(col("__w") * lit(c) / col("__n") * lit(10000.0) + lit(0.5))
+        .cast("long").as("__thr"))
+    df.join(broadcast(thrDf), col(domainCol) === col("__dom"), "left")
+      .filter(TextFunctions.md5Key60(concat(lit(salt), col(idCol))) %
+        10000L < coalesce(col("__thr"), lit(0L)))
+      .drop("__dom", "__thr")
   }
 
   /** Unigram language-model scoring: build the corpus unigram table in
@@ -711,9 +720,14 @@ object Curation {
       binWidth: Long, bins: Int, scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.SafeMath
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    // clamp BOTH ends: a negative value would land in a negative bin that
+    // is counted in n_s/n totals but never joins the 0..bins-1 grid,
+    // silently understating cumulative mass (advice r08)
     val binned = df.select(col(sourceCol).as("source"),
-      least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
-        lit(bins - 1L)).as("bin"))
+      greatest(least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
+        lit(bins - 1L)), lit(0L)).as("bin"))
     val sb = binned.groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
       .localCheckpoint()
     val gb = sb.groupBy("bin").agg(sum("c_sb").as("c_b"))
@@ -757,9 +771,12 @@ object Curation {
       binWidth: Long, bins: Int, scale: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.SafeMath
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    // same two-sided clamp as [[ksShift]] (advice r08)
     val binned = df.select(col(sourceCol).as("source"),
-      least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
-        lit(bins - 1L)).as("bin"))
+      greatest(least(expr(s"CAST($valueCol AS BIGINT) div $binWidth"),
+        lit(bins - 1L)), lit(0L)).as("bin"))
     val sb = binned.groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
       .localCheckpoint()
     val gb = sb.groupBy("bin").agg(sum("c_sb").as("c_b"))

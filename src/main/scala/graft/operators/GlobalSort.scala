@@ -60,21 +60,42 @@ object GlobalSort {
     require(k >= 1, "k must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // NULLs are excluded from the ranked universe entirely — they carry
+    // no order, and counting them (while the census skips them) would
+    // let k walk off the census and trip the invariant assert.
     val base = df.select(col(valCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
     val head = base.agg(count(lit(1)), min(col("__v")), max(col("__v")))
       .collect()(0)
     val n = head.getLong(0)
-    require(k <= n, s"k=$k exceeds row count $n")
+    require(k <= n, s"k=$k exceeds non-null row count $n")
     var lo = head.getLong(1)
     var hi = head.getLong(2)
     var kk = k
     while (lo < hi) {
-      // ceil-width buckets: bucket id = (v - lo) div step, ≤ 256 ids
-      val width = hi - lo + 1
-      val step = (width + 255L) / 256L
+      // power-of-two bucket widths, ≤ 256 ids per pass: bucket id =
+      // (v - lo) div 2^k, floored exactly. When the domain spans more
+      // than half the 64-bit range the Long subtraction itself overflows
+      // (ANSI mode throws), so that first pass runs the subtraction and
+      // the integral divide in DECIMAL(38,0) — exact, no boundary
+      // rounding (a scale-6 decimal DIVISION here mis-bucketed values
+      // near bucket edges). Bound updates run in BigInt; the results
+      // provably fit (newLo ≤ hi). ≤ 8 passes for a 64-bit domain.
+      val span = BigInt(hi) - BigInt(lo) // > 0 here
+      val k = math.max(0, span.bitLength - 8) // span >> k < 2^8
+      val step = BigInt(1) << k
+      // Long.MinValue can't be written as a SQL literal (unary-minus
+      // overflow in the parser) — splice bounds through string casts
+      val bucket =
+        if (span <= BigInt(Long.MaxValue))
+          expr(s"(__v - CAST('$lo' AS BIGINT)) div ${step.toLong}L")
+        else
+          expr(s"(CAST(__v AS DECIMAL(38,0)) - " +
+            s"CAST('$lo' AS DECIMAL(38,0))) div " +
+            s"CAST('$step' AS DECIMAL(38,0))")
       val census = base
         .filter(col("__v") >= lo && col("__v") <= hi)
-        .groupBy(expr(s"(__v - ${lo}L) div ${step}L").as("__b"))
+        .groupBy(bucket.as("__b"))
         .agg(count(lit(1)).as("__c"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       var cum = 0L
@@ -84,8 +105,10 @@ object GlobalSort {
         val (b, c) = census(i)
         if (cum + c >= kk) {
           kk -= cum
-          hi = math.min(hi, lo + b * step + step - 1)
-          lo = lo + b * step
+          val newLo = BigInt(lo) + BigInt(b) * step
+          val newHi = (newLo + step - 1).min(BigInt(hi))
+          lo = newLo.toLong
+          hi = newHi.toLong
           found = true
         } else { cum += c; i += 1 }
       }

@@ -102,8 +102,18 @@ object Graphs {
     val n = nodesAll.count()
     val m = e.count()
     val parts = graft.core.Adaptive.partsFor(spark, math.max(n, m))
-    val s = seeds.size.toLong
-    val isSeed = col("node").isin(seeds: _*)
+    // teleport mass renormalizes over seeds PRESENT in the node set:
+    // dividing Scale by the full seed count while absent seeds get no
+    // mass would silently shrink total trust (advice r08). Bounded
+    // collect: ≤ seeds.size rows.
+    val present = nodesAll
+      .filter(col("node").isin(seeds: _*))
+      .collect().map(_.getString(0)).toSet
+    val liveSeeds = seeds.filter(present)
+    require(liveSeeds.nonEmpty,
+      s"none of the ${seeds.size} trusted seeds appear in the graph")
+    val s = liveSeeds.size.toLong
+    val isSeed = col("node").isin(liveSeeds: _*)
     val base = Scale * 15 / 100 / s
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
       val nodes = nodesAll.coalesce(parts).localCheckpoint()

@@ -33,13 +33,22 @@ object KeepLatest {
     * merged fields plus `n_versions`. */
   def goldenRecord(df: DataFrame, entityCol: String,
       orderCols: Seq[Column], fields: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols: _*)
+    // deterministic tiebreaker: when orderCols do NOT totally order the
+    // rows within an entity, the last(ignoreNulls) fill and the
+    // row_number pick could otherwise disagree across partitionings
+    // (advice r08). A full-row content hash breaks ties identically in
+    // both windows, restoring the hash-gating discipline; with a total
+    // order it never fires.
+    val base = df.withColumn("__tie", xxhash64(df.columns.map(col): _*))
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols :+ col("__tie").asc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = fields.foldLeft(df) { (acc, f) =>
+    val filled = fields.foldLeft(base) { (acc, f) =>
       acc.withColumn(f, last(col(f), ignoreNulls = true).over(w))
     }
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(entityCol)).orderBy(orderCols.map(_.desc): _*)))
+        Window.partitionBy(col(entityCol))
+          .orderBy(orderCols.map(_.desc) :+ col("__tie").desc: _*)))
       .withColumn("n_versions", count(lit(1)).over(
         Window.partitionBy(col(entityCol))))
     filled.filter(col("__rn") === 1)

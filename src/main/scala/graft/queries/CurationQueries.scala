@@ -1508,7 +1508,7 @@ object CurationQueries {
                 ELSE text END AS text
             FROM documents),
           v AS (SELECT source,
-              CAST(least($cnt // 8, 127) AS BIGINT) AS bin FROM m),
+              CAST(greatest(least($cnt // 8, 127), 0) AS BIGINT) AS bin FROM m),
           sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c_sb
             FROM v GROUP BY 1, 2),
           gb AS (SELECT bin, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb
@@ -1958,7 +1958,7 @@ object CurationQueries {
                 ELSE text END AS text
             FROM documents),
           v AS (SELECT source,
-              CAST(least($cnt // 8, 127) AS BIGINT) AS bin FROM m),
+              CAST(greatest(least($cnt // 8, 127), 0) AS BIGINT) AS bin FROM m),
           sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c_sb
             FROM v GROUP BY 1, 2),
           gb AS (SELECT bin, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb

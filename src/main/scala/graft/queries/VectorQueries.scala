@@ -1048,17 +1048,29 @@ object VectorQueries {
 
     GraftQuery(
       "q241_random_projection",
+      // gate emits SCALAR rows (vec_id, component, value): the driver's
+      // checker sorts the RAW frame, and an array<double> cell is
+      // unsortable/unhashable there (r08's one red row). posexplode sees
+      // the already-built array, so the 16 dots evaluate once per input
+      // row, not once per exploded element.
       (s, dir) => graft.operators.Spectral.randomProject(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        Dim, outDim = 16),
+        Dim, outDim = 16)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("component", "value")))
+        .select(col("vec_id"), col("component").cast("long").as("component"),
+          col("value")),
       // 16 seeded-hyperplane dots per vector, each rounded after the
-      // 1/outDim scaling — plane literals embedded E0-exact
+      // 1/outDim scaling — plane literals embedded E0-exact; DuckDB's
+      // parallel unnests zip, so range(0,16) pairs positionally with proj
       Some {
         val comps = (0 until 16).map { b =>
           val d = dotPlaneSql("embedding", Similarity.plane(7, b, Dim))
           graft.functions.SafeMath.roundHalfUpSql(s"($d) / 16.0E0", 6)
         }.mkString("[", ",\n          ", "]")
-        s"SELECT vec_id, $comps AS proj FROM embeddings"
+        s"""WITH p AS (SELECT vec_id, $comps AS proj FROM embeddings)
+          SELECT vec_id, unnest(range(0, 16)) AS component,
+            unnest(proj) AS value FROM p"""
       }),
 
     GraftQuery(

@@ -218,16 +218,28 @@ object JdbcBatchSink {
     * itself intact). A real corruption fails all attempts and
     * propagates — the retry only absorbs the open/close race. */
   private def withConnection[T](url: String)(body: Connection => T): T = {
+    val conn = connect(url)
+    try body(conn) finally conn.close()
+  }
+
+  /** Bounded-retry open (public: recovery paths and tests reconnecting to
+    * a file a just-failed writer may still be closing need the identical
+    * policy — a raw `DriverManager.getConnection` there reintroduces the
+    * race). 8 attempts, exponential backoff to ~12 s total: a loaded
+    * full-suite JVM stretches the close/checkpoint window well past the
+    * ~1.5 s the old 4-attempt policy covered. A real corruption still
+    * fails every attempt and propagates. */
+  def connect(url: String): Connection = {
     var attempt = 0
     var conn: Connection = null
     while (conn == null) {
       try conn = DriverManager.getConnection(url)
       catch {
-        case _: SQLException if attempt < 4 =>
+        case _: SQLException if attempt < 8 =>
           attempt += 1
-          Thread.sleep(50L << attempt)
+          Thread.sleep(25L << attempt)
       }
     }
-    try body(conn) finally conn.close()
+    conn
   }
 }

@@ -278,7 +278,7 @@ object StatefulOps {
   }
 
   final case class SpikeEvent(key: String, ordinal: Long, x: Long)
-  final case class SpikeState(recent: List[Long])
+  final case class SpikeState(recent: List[Long], lastOrd: Long)
   final case class SpikeFlag(key: String, ordinal: Long, x: Long,
       win_sum: Long, n_prior: Long, spike: Boolean)
 
@@ -287,7 +287,12 @@ object StatefulOps {
     * corpus-sized), so a live volume alert fires the same integer
     * Poisson test ((w·n − μ)² > z²·w·μ ∧ w·n > μ) the batch meter
     * gates — equal to the batch result when each key's buckets arrive
-    * ordinal-ordered and gap-free across batches. */
+    * ordinal-ordered and gap-free across batches. A bucket whose ordinal
+    * regresses behind the key's last-seen ordinal (cross-batch reorder,
+    * or an at-least-once re-delivery) is DROPPED, not folded into the
+    * ring — a trailing window cannot be retro-patched with bounded
+    * state, and silently folding a stale bucket corrupts every later
+    * test in the window (advice r08). */
   def rateSpikeStream(events: Dataset[SpikeEvent], w: Int,
       z: Int): Dataset[SpikeFlag] = {
     require(w >= 1 && z >= 1)
@@ -297,18 +302,24 @@ object StatefulOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[SpikeEvent],
             state: GroupState[SpikeState]) =>
-          var recent = state.getOption.map(_.recent).getOrElse(Nil)
-          val out = rows.toSeq.sortBy(_.ordinal).map { e =>
-            val winSum = recent.sum
-            val nPrior = recent.size.toLong
-            val lhs = w.toLong * e.x - winSum
-            val spike = nPrior == w.toLong &&
-              lhs * lhs > z.toLong * z * w * winSum &&
-              w.toLong * e.x > winSum
-            recent = (recent :+ e.x).takeRight(w)
-            SpikeFlag(key, e.ordinal, e.x, winSum, nPrior, spike)
+          var st = state.getOption.getOrElse(SpikeState(Nil, Long.MinValue))
+          var recent = st.recent
+          var lastOrd = st.lastOrd
+          val out = rows.toSeq.sortBy(_.ordinal).flatMap { e =>
+            if (e.ordinal <= lastOrd) None // late/duplicate: never folded
+            else {
+              val winSum = recent.sum
+              val nPrior = recent.size.toLong
+              val lhs = w.toLong * e.x - winSum
+              val spike = nPrior == w.toLong &&
+                lhs * lhs > z.toLong * z * w * winSum &&
+                w.toLong * e.x > winSum
+              recent = (recent :+ e.x).takeRight(w)
+              lastOrd = e.ordinal
+              Some(SpikeFlag(key, e.ordinal, e.x, winSum, nPrior, spike))
+            }
           }
-          state.update(SpikeState(recent))
+          state.update(SpikeState(recent, lastOrd))
           out.iterator
       }
   }
@@ -316,7 +327,7 @@ object StatefulOps {
   final case class GoldenUpdate(key: Long, ordinal: Long,
       f1: Option[String], f2: Option[String])
   final case class GoldenState(ordinal: Long, f1: Option[String],
-      f2: Option[String], versions: Long)
+      f1Ord: Long, f2: Option[String], f2Ord: Long, versions: Long)
   final case class GoldenRow(key: Long, f1: Option[String],
       f2: Option[String], n_versions: Long, last_ordinal: Long)
 
@@ -327,8 +338,12 @@ object StatefulOps {
     * emits its post-batch golden row. State is one small record per
     * entity in the state store (checkpointed, RocksDB-backed on a
     * cluster) — the MDM merge never re-reads the sink. Equivalent to
-    * the batch fold when each key's updates arrive ordinal-ordered
-    * across batches (in-order streams). */
+    * the batch fold for ANY arrival order: the state carries each
+    * field's latest-non-null ORDINAL (not just its value), so an
+    * out-of-order update across micro-batches fills a field only when
+    * it is genuinely newer — a stale re-delivery can no longer wipe a
+    * newer value (advice r08), yet a late row still contributes fields
+    * no newer row has set. */
   def goldenUpsert(updates: Dataset[GoldenUpdate]): Dataset[GoldenRow] = {
     import updates.sparkSession.implicits._
     updates.groupByKey(_.key)
@@ -336,11 +351,18 @@ object StatefulOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[GoldenUpdate],
             state: GroupState[GoldenState]) =>
-          var st = state.getOption
-            .getOrElse(GoldenState(Long.MinValue, None, None, 0L))
+          var st = state.getOption.getOrElse(GoldenState(
+            Long.MinValue, None, Long.MinValue, None, Long.MinValue, 0L))
           rows.toSeq.sortBy(_.ordinal).foreach { u =>
-            st = GoldenState(u.ordinal,
-              u.f1.orElse(st.f1), u.f2.orElse(st.f2), st.versions + 1L)
+            val takeF1 = u.f1.isDefined && u.ordinal >= st.f1Ord
+            val takeF2 = u.f2.isDefined && u.ordinal >= st.f2Ord
+            st = GoldenState(
+              math.max(st.ordinal, u.ordinal),
+              if (takeF1) u.f1 else st.f1,
+              if (takeF1) u.ordinal else st.f1Ord,
+              if (takeF2) u.f2 else st.f2,
+              if (takeF2) u.ordinal else st.f2Ord,
+              st.versions + 1L)
           }
           state.update(st)
           Iterator.single(GoldenRow(key, st.f1, st.f2, st.versions,

@@ -681,4 +681,52 @@ class CurationSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
       ((4L, 10000000L, 10000000L, 10000000L)))
   }
+
+  test("exactKth ignores NULLs and survives full-64-bit-range domains") {
+    import graft.operators.GlobalSort
+    // NULLs excluded from the ranked universe (n counts non-null only)
+    val withNulls = Seq(Some(5L), None, Some(1L), None, Some(9L)).toDF("v")
+    val r = GlobalSort.exactKth(withNulls, "v", 2L).collect().head
+    assert((r.getLong(0), r.getLong(2)) === ((3L, 5L)))
+    // domain spanning the whole Long range: `hi - lo + 1` overflows —
+    // the BigInt step/bounds math must still converge to exact answers
+    val extreme = Seq(Long.MinValue, -1L, 0L, 7L, Long.MaxValue).toDF("v")
+    assert(GlobalSort.exactKth(extreme, "v", 1L).collect().head.getLong(2)
+      === Long.MinValue)
+    assert(GlobalSort.exactKth(extreme, "v", 4L).collect().head.getLong(2)
+      === 7L)
+    assert(GlobalSort.exactKth(extreme, "v", 5L).collect().head.getLong(2)
+      === Long.MaxValue)
+  }
+
+  test("mixToTarget stays distributed at 10^6 domains (no driver fold)") {
+    // one row per domain, uniform weights: c = 1, every threshold hits
+    // the full 10^4 keep band -> all rows survive. The point is the
+    // SHAPE: census + thresholds ride a broadcast join, never a
+    // collected Map or a 10^6-branch CaseWhen (advice r08).
+    val docs = spark.range(0, 1000000L).select(col("id").as("doc_id"),
+      concat(lit("d"), col("id")).as("dom"))
+    val kept = Curation.mixToTarget(docs, "doc_id", "dom",
+      Map("d0" -> 1.0), defaultWeight = 1.0)
+    assert(kept.count() === 1000000L)
+    assert(kept.columns.toSeq === Seq("doc_id", "dom"))
+  }
+
+  test("ksShift/emdShift clamp negative values into bin 0 — no lost mass") {
+    // -5 with binWidth=8 would land in ghost bin -1 (counted in totals,
+    // absent from the grid) without the clamp, deflating both meters
+    val df = Seq(("a", -5L), ("a", 1L), ("b", 9L), ("b", 17L))
+      .toDF("src", "v")
+    val emd = Curation.emdShift(df, "src", "v", binWidth = 8L, bins = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // hand-traced: a -> bins {0,0}, b -> {1,2}; gaps 4,2,0 -> EMD 6/4
+    assert(emd === Map("a" -> ((2L, 1.5)), "b" -> ((2L, 1.5))))
+    val ks = Curation.ksShift(df, "src", "v", binWidth = 8L, bins = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ks === Map("a" -> 1.0, "b" -> 1.0)) // max gap 4 / (2*2)
+    intercept[IllegalArgumentException] {
+      Curation.emdShift(df, "src", "v", binWidth = 0L, bins = 3)
+    }
+  }
 }

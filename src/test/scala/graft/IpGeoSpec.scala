@@ -80,4 +80,28 @@ class IpGeoSpec extends AnyFunSuite {
       .select("province_name").collect()(0).getString(0)
     assert(r === "省A")
   }
+
+  test("ipdb-converted dim fixture feeds withGeo (q48 schema end-to-end)") {
+    // src/test/resources/ip_region_fixture.parquet was emitted by
+    // tools/ipdb_to_parquet.py from the committed synthetic fixture.ipdb
+    // (the tool's --selftest builds and re-parses the same trie) — this
+    // closes the reference's binary-ipdb seam: .ipdb -> range dim ->
+    // broadcast range join, with CJK payloads surviving the round trip
+    val url = getClass.getResource("/ip_region_fixture.parquet")
+    assume(url != null, "fixture parquet missing")
+    val dim = spark.read.parquet(url.getPath)
+    assert(dim.columns.toSeq === Seq("range_start", "range_end",
+      "province_name", "city_name", "district_name", "operator", "code"))
+    val probes = Seq("1.0.0.7", "9.8.250.1", "222.20.3.4", "8.8.8.8")
+      .toDF("ip")
+    val got = IpGeo.withGeo(probes, "ip", dim)
+      .select("ip", "province_name", "city_name", "operator", "region_code")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(got("1.0.0.7") === (("北京", "北京", "电信", "110100")))
+    assert(got("9.8.250.1") === (("广东", "深圳", "联通", "440305")))
+    assert(got("222.20.3.4") === (("四川", "成都", "移动", "510100")))
+    assert(got("8.8.8.8")._1 === IpGeo.DefaultName) // gap range: defaults
+  }
 }

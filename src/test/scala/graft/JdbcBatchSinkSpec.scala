@@ -1,8 +1,6 @@
 package graft
 
 import java.nio.file.Files
-import java.sql.DriverManager
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -41,7 +39,7 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     // batchRows=300 → ~5 flush/commit cycles per partition writer
     JdbcBatchSink.write(df, url, "t", batchRows = 300)
 
-    val conn = DriverManager.getConnection(url)
+    val conn = JdbcBatchSink.connect(url)
     try {
       val rs = conn.createStatement().executeQuery(
         "SELECT count(*), count(DISTINCT id), sum(i), min(s), " +
@@ -63,7 +61,7 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     val df = spark.range(0, 10).select(col("id"), lit("a").as("tag"))
     JdbcBatchSink.write(df, url, "t")
     JdbcBatchSink.write(df, url, "t")
-    val conn = DriverManager.getConnection(url)
+    val conn = JdbcBatchSink.connect(url)
     try {
       val rs = conn.createStatement().executeQuery("SELECT count(*) FROM t")
       assert(rs.next() && rs.getLong(1) === 20L)
@@ -96,7 +94,7 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
       .repartition(4, col("k"))
     JdbcBatchSink.writeSharded(df, urls, "t", batchRows = 300)
     val counts = urls.map { u =>
-      val conn = DriverManager.getConnection(u)
+      val conn = JdbcBatchSink.connect(u)
       try {
         val rs = conn.createStatement()
           .executeQuery("SELECT count(*), count(DISTINCT id) FROM t")
@@ -124,7 +122,7 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     // pre-create with the NARROW column so the sink's CREATE IF NOT
     // EXISTS (from the frame's wider decimal) is a no-op
     urls.foreach { u =>
-      val conn = DriverManager.getConnection(u)
+      val conn = JdbcBatchSink.connect(u)
       try conn.createStatement()
         .execute("""CREATE TABLE "t" ("id" BIGINT, "d" DECIMAL(4,0))""")
       finally conn.close()
@@ -144,7 +142,7 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     }
     assert(thrown.getMessage != null)
     def readAll() = urls.map { u =>
-      val conn = DriverManager.getConnection(u)
+      val conn = JdbcBatchSink.connect(u)
       try {
         val rs = conn.createStatement()
           .executeQuery("""SELECT "id", "d" FROM "t"""")
@@ -180,7 +178,7 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     // PERMANENT failure propagates (nothing silently succeeds) and the
     // committed prefix is intact — no partial batch, no dropped rows.
     val url = freshUrl()
-    val conn0 = DriverManager.getConnection(url)
+    val conn0 = JdbcBatchSink.connect(url)
     try conn0.createStatement()
       .execute("""CREATE TABLE "t" ("id" BIGINT, "d" DECIMAL(4,0))""")
     finally conn0.close()
@@ -193,7 +191,7 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
       JdbcBatchSink.write(df, url, "t", batchRows = 3, flushMs = 600000L)
     }
     assert(e.getMessage != null)
-    val conn = DriverManager.getConnection(url)
+    val conn = JdbcBatchSink.connect(url)
     try {
       val rs = conn.createStatement()
         .executeQuery("""SELECT count(*), coalesce(max("id"), -1) FROM "t"""")

@@ -2109,4 +2109,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Array((4L, "a", 3L), (4L, "a", 4L), (4L, "b", 3L),
       (5L, "direct", 7L)))
   }
+
+  test("trustRank renormalizes teleport mass over PRESENT seeds only") {
+    import graft.operators.Graphs
+    val e = Seq(("s", "a"), ("a", "b")).toDF("src", "dst")
+    // a ghost seed absent from the graph must NOT siphon teleport mass:
+    // results equal the single-live-seed run exactly
+    val withGhost = Graphs.trustRank(e, "src", "dst",
+        seeds = Seq("s", "ghost"), iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val solo = Graphs.trustRank(e, "src", "dst",
+        seeds = Seq("s"), iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(withGhost === solo)
+    intercept[IllegalArgumentException] {
+      Graphs.trustRank(e, "src", "dst", seeds = Seq("ghost"), iterations = 1)
+    }
+  }
+
+  test("goldenRecord is deterministic when orderCols tie (content hash)") {
+    import graft.operators.KeepLatest
+    // three versions share ts=1: without a tiebreaker the fill and the
+    // pick float with shuffle arrival order — the full-row hash pins them
+    val u = Seq(
+      (1L, 1L, Some("a"), None),
+      (1L, 1L, None, Some("y")),
+      (1L, 1L, Some("b"), Some("x"))
+    ).toDF("e", "ts", "f1", "f2")
+    val runs = Seq(1, 3, 7).map { p =>
+      KeepLatest.goldenRecord(u.repartition(p), "e", Seq(col("ts")),
+          Seq("f1", "f2"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(runs.distinct.size === 1)
+  }
 }

@@ -361,4 +361,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2L) === GoldenRow(1L, Some("a"), Some("y"), 2L, 2L))
     assert(out(3L) === GoldenRow(1L, Some("c"), Some("y"), 3L, 3L))
   }
+
+  test("rateSpikeStream drops ordinal regressions instead of folding them") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{SpikeEvent, SpikeFlag}
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SpikeEvent]
+    input.addData(SpikeEvent("a", 1L, 10L), SpikeEvent("a", 2L, 10L),
+      SpikeEvent("a", 3L, 10L))
+    val q = StatefulOps.rateSpikeStream(input.toDS(), w = 3, z = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spikes_late").start()
+    q.processAllAvailable()
+    // batch 2: ordinal 2 REGRESSES (re-delivery) — must be dropped, not
+    // folded into the ring; ordinal 4 then sees the clean 10,10,10 window
+    input.addData(SpikeEvent("a", 2L, 999L), SpikeEvent("a", 4L, 100L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("spikes_late").as[SpikeFlag].collect()
+    assert(rows.length === 4)               // late row emitted nothing new
+    val out = rows.map(f => f.ordinal -> f).toMap
+    assert(out(2L).x === 10L)               // batch-1 row, not the replay
+    assert(out(4L).win_sum === 30L)         // 999 never entered the window
+    assert(out(4L).spike === true)
+  }
+
+  test("goldenUpsert: a stale re-delivery cannot wipe a newer field") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{GoldenRow, GoldenUpdate}
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GoldenUpdate]
+    input.addData(GoldenUpdate(1L, 5L, Some("new"), None))
+    val q = StatefulOps.goldenUpsert(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("golden_late").start()
+    q.processAllAvailable()
+    // batch 2 arrives OUT OF ORDER (ordinal 2 < 5): f1 must keep "new"
+    // (a newer write exists) while f2 still fills from the late row —
+    // exactly the batch goldenRecord fold, per-field latest-non-null
+    input.addData(GoldenUpdate(1L, 2L, Some("old"), Some("x")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("golden_late").as[GoldenRow].collect()
+      .map(g => g.n_versions -> g).toMap
+    assert(out(2L) === GoldenRow(1L, Some("new"), Some("x"), 2L, 5L))
+  }
 }

@@ -44,14 +44,20 @@ def render_cell(v) -> str:
 
 
 def rendered(df: pd.DataFrame) -> pd.DataFrame:
+    """Emulate the driver: sort the RAW frame (name-sorted columns), THEN
+    render each cell. An array/struct cell makes the raw lexsort throw
+    (numpy.ndarray is unhashable/unorderable) — that is an `err` row in the
+    driver's CORRECTNESS json, so it must throw → FAIL here too. r08's q241
+    shipped red because this function used to sort AFTER rendering."""
     df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
     out = pd.DataFrame()
     for c in df.columns:
         col = df[c]
         if str(col.dtype).startswith("datetime"):
             col = col.astype("datetime64[us]")
         out[c] = col.map(render_cell)
-    return out.sort_values(by=list(out.columns), ignore_index=True)
+    return out
 
 
 def dtypes_of(df: pd.DataFrame) -> dict:
@@ -82,7 +88,11 @@ def main(sf_dir: str, out_dir: str, only=()) -> int:
             want_raw = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        got, want = rendered(got_raw), rendered(want_raw)
+        try:
+            got, want = rendered(got_raw), rendered(want_raw)
+        except Exception as e:
+            print(f"FAIL {name}: driver raw-sort err: {type(e).__name__}: {e}")
+            n_fail += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}")
             n_fail += 1; continue
