@@ -42,4 +42,44 @@ object Adaptive {
     spark.conf.set(key, parts.toString)
     try body finally spark.conf.set(key, prev)
   }
+
+  /** Run `body` with arbitrary session confs set, restoring (or
+    * unsetting) them on exit. */
+  def withConf[T](spark: SparkSession, kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Run `body` with AQE allowed to coalesce post-shuffle partitions
+    * BELOW defaultParallelism (`parallelismFirst=false`): the SETUP
+    * stages of an iterative operator (initial distinct/count of an
+    * uncounted graph) can't use [[partsFor]] — the count doesn't exist
+    * yet — so without this they pay defaultParallelism near-empty tasks
+    * per shuffle. With it, AQE sizes those stages to the measured
+    * shuffle bytes: a tiny bench graph collapses to 1 task, a
+    * billion-edge graph keeps its width (bytes-targeted, 64 MB
+    * advisory) — the adaptive setup twin of the counted-loop pinning. */
+  def withSmallShuffleCoalesce[T](spark: SparkSession)(body: => T): T =
+    withConf(spark,
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      // a small advisory target (not the 64 MB default): these scopes
+      // hold graph-setup shuffles whose rows are CPU-dense relative to
+      // their bytes (string dedup ~2 µs/row) — 64 MB targets would
+      // serialize several cpu-seconds onto one task, 256 KB keeps
+      // ~10-way parallelism per shuffled MB while still collapsing the
+      // truly tiny iteration-state stages to one task
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256k",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
+      // persisted plans keep their exchanges outside AQE's reach unless
+      // this is on — and the iterative setup frames are persisted, so
+      // without it the coalesce above never fires on exactly the stages
+      // it exists for (measured: the distinct/count setup stayed at 32
+      // near-empty tasks)
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true"
+    )(body)
 }

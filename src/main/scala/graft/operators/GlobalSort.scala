@@ -63,8 +63,12 @@ object GlobalSort {
     // NULLs are excluded from the ranked universe entirely — they carry
     // no order, and counting them (while the census skips them) would
     // let k walk off the census and trip the invariant assert.
+    // Persisted across the ≤8 census passes: the cache holds ONE pruned
+    // long column (~1% of corpus bytes, spills to disk past memory), vs
+    // re-scanning the source once per pass.
     val base = df.select(col(valCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
+      .persist()
     val head = base.agg(count(lit(1)), min(col("__v")), max(col("__v")))
       .collect()(0)
     val n = head.getLong(0)
@@ -114,6 +118,7 @@ object GlobalSort {
       }
       assert(found, "rank walked off the census — concurrent mutation?")
     }
+    base.unpersist(blocking = false)
     Seq((n, k, lo)).toDF("n", "k", "kth")
   }
 }

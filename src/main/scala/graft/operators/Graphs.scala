@@ -41,6 +41,7 @@ object Graphs {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3): DataFrame = {
     val spark = edges.sparkSession
+    graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
     val nodesAll = e.select(col("src").as("node"))
@@ -65,7 +66,8 @@ object Graphs {
         val contrib = eo.join(pr, eo("src") === pr("node"))
           .select(col("dst"), expr("pr div outdeg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("c"))
-        val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        val next = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
             (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
           .localCheckpoint()
@@ -81,6 +83,7 @@ object Graphs {
       }
       pr
     }
+    }
   }
 
   /** TrustRank (Gyöngyi et al. 2004) — PageRank with the teleport mass
@@ -95,6 +98,7 @@ object Graphs {
       seeds: Seq[String], iterations: Int = 3): DataFrame = {
     require(seeds.nonEmpty, "need at least one trusted seed")
     val spark = edges.sparkSession
+    graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
     val nodesAll = e.select(col("src").as("node"))
@@ -129,7 +133,8 @@ object Graphs {
         val contrib = eo.join(tr, eo("src") === tr("node"))
           .select(col("dst"), expr("tr div outdeg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("c"))
-        val next = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        val next = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
             (when(isSeed, lit(base)).otherwise(lit(0L)) +
               expr("(85 * coalesce(c, 0L)) div 100")).as("tr"))
@@ -143,6 +148,7 @@ object Graphs {
         eo.unpersist(blocking = false)
       }
       tr
+    }
     }
   }
 
@@ -223,6 +229,7 @@ object Graphs {
   private[graft] def kCoreWithRounds(edges: DataFrame, srcCol: String,
       dstCol: String, k: Int, rounds: Int): (DataFrame, Int) = {
     val spark = edges.sparkSession
+    graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
     val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
     val sym0 = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
@@ -240,16 +247,16 @@ object Graphs {
       while (round <= rounds && !converged) {
         val keep = alive.groupBy("a").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select("a")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val next = alive.join(keep, Seq("a"), "left_semi")
           .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
           .select("a", "b")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
+        val nextEdges = next.count() // materializes keep + next lazily
         prev.unpersist(blocking = false)
         keep.unpersist(blocking = false)
         prev = next
         alive = next
-        val nextEdges = next.count()
         converged = nextEdges == aliveEdges || nextEdges == 0L
         aliveEdges = nextEdges
         executed = round
@@ -260,6 +267,7 @@ object Graphs {
         .localCheckpoint()
       alive.unpersist(blocking = false)
       (out, executed)
+    }
     }
   }
 
