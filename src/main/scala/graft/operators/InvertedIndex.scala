@@ -103,4 +103,75 @@ object InvertedIndex {
       .filter(col(textCol).contains(needle))
       .select(col(idCol))
   }
+
+  /** Okapi BM25 scores for a fixed query-term set over the corpus — the
+    * lexical ranker that pairs with dense cosine under [[rrfFuse]]
+    * (hybrid retrieval), and the classic relevance prior for
+    * "which training docs actually discuss X" audits.
+    *
+    * Spark-first shape: NO postings join and NO explode — `dl` and each
+    * term's `tf` are per-row codegen'd array expressions over ONE bound
+    * tokenization ([[TextFunctions.bindOnce]]; a naive per-term filter
+    * would re-tokenize the doc per query term), so the heavy pass is a
+    * zero-shuffle projection at scan speed. Corpus stats (N, Σdl, per-
+    * term df) are ONE scalar aggregate collected as a single row; the
+    * final score is a second zero-shuffle projection with the stats as
+    * literals. At 100 TB: two scans, no shuffle at all.
+    *
+    * Cross-engine FP discipline: idf = ln(1 + (N − df + 0.5)/(df + 0.5))
+    * rounded to scale 8 (the q82 ln-parity precedent), per-term scores
+    * rounded to scale 8 and summed as DECIMAL(28,8) (order-free), the
+    * sum rounded to `scale`. k1/b-derived constants are driver doubles
+    * embedded as literals on both sides. Output: (doc_id, n_terms,
+    * bm25) for every document, 0.0 where nothing matches. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      scale: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size, "duplicate terms")
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    val perDoc = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.bindOnce(TextFunctions.tokens(col(textCol))) { ts =>
+        struct(
+          size(ts).cast("long").as("dl") +:
+          queryTerms.zipWithIndex.map { case (t, i) =>
+            size(filter(ts, x => x === t)).cast("long").as(s"tf$i")
+          }: _*)
+      }.as("m"))
+      .select(col("doc_id") +: (col("m.dl").as("dl") +:
+        queryTerms.indices.map(i => col(s"m.tf$i").as(s"tf$i"))): _*)
+      .localCheckpoint() // doc-count-sized (few longs/row), read twice
+    val statCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("tot")) ++
+      queryTerms.indices.map(i =>
+        count(when(col(s"tf$i") > 0, lit(1))).as(s"df$i"))
+    val statRow = perDoc.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val n = statRow.getLong(0)
+    require(n > 0, "empty corpus")
+    val tot = statRow.getLong(1)
+    val avgdl = tot.toDouble / n.toDouble
+    val termScores = queryTerms.indices.map { i =>
+      val df = statRow.getLong(2 + i)
+      val idf8 = SafeMath.roundHalfUp(
+        log(lit(1.0) +
+          (lit(n.toDouble) - lit(df.toDouble) + lit(0.5)) /
+            (lit(df.toDouble) + lit(0.5))), 8)
+      val tf = col(s"tf$i").cast("double")
+      val tfNorm = (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) *
+          (col("dl").cast("double") / lit(avgdl))))
+      when(col(s"tf$i") > 0,
+          SafeMath.roundHalfUp(idf8 * tfNorm, 8))
+        .otherwise(lit(0.0))
+        .cast(DecimalType(28, 8))
+    }
+    perDoc.select(
+      col("doc_id"),
+      queryTerms.indices
+        .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
+        .reduce(_ + _).cast("long").as("n_terms"),
+      SafeMath.roundHalfUp(
+        termScores.reduce(_ + _).cast("double"), scale).as("bm25"))
+  }
 }

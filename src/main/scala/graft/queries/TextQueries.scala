@@ -303,6 +303,57 @@ object TextQueries {
         FROM t LEFT JOIN h ON h.bucket >= t.threshold_tenths
         GROUP BY t.threshold_tenths""")),
 
+
+    GraftQuery(
+      "q307_bm25_scores",
+      (s, dir) => graft.operators.InvertedIndex.bm25Scores(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "spark", "window")),
+      // the oracle replays the whole ranker: per-doc tf/dl from the same
+      // tokenization, the one-row stats (N, Σdl, df per term), ln-parity
+      // idf rounded at scale 8 (q82 precedent), mirrored tf
+      // normalization with driver-double constants spliced E0-exact,
+      // per-term scores decimal-summed, final rounding at scale 6
+      Some {
+        import graft.functions.SafeMath.roundHalfUpSql
+        val terms = Seq("join", "spark", "window")
+        def d17(x: Double) = java.lang.String.format("%.17e", Double.box(x))
+        val k1 = 1.2; val b = 0.75
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf$i"
+        }.mkString(",\n            ")
+        val dfCols = terms.indices.map(i =>
+          s"CAST(COUNT(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i")
+          .mkString(",\n            ")
+        val avgdl = "(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))"
+        val termSum = terms.indices.map { i =>
+          val idf = roundHalfUpSql(
+            s"""ln(1.0E0 + ((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE)
+              + 0.5E0) / (CAST(df$i AS DOUBLE) + 0.5E0)))""", 8)
+          val tfNorm = s"""((CAST(tf$i AS DOUBLE) * ${d17(k1 + 1.0)}) /
+            (CAST(tf$i AS DOUBLE) + ${d17(k1)} * (${d17(1.0 - b)} +
+              ${d17(b)} * (CAST(dl AS DOUBLE) / $avgdl))))"""
+          s"""CAST((CASE WHEN tf$i > 0 THEN
+              ${roundHalfUpSql(s"$idf * $tfNorm", 8)}
+            ELSE 0.0E0 END) AS DECIMAL(28,8))"""
+        }.reduce((a, x) => s"($a + $x)")
+        val nTerms = terms.indices
+          .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+          .reduce((a, x) => s"($a + $x)")
+        s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+          p AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+            $tfCols
+            FROM t),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(dl) AS BIGINT) AS tot,
+            $dfCols
+            FROM p)
+        SELECT doc_id, CAST($nTerms AS BIGINT) AS n_terms,
+          ${roundHalfUpSql(s"CAST($termSum AS DOUBLE)", 6)} AS bm25
+        FROM p, st"""
+      },
+      bench = true),
+
     GraftQuery(
       "q295_vocab_coverage",
       (s, dir) => graft.operators.Curation.vocabCoverage(

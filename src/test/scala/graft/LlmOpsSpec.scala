@@ -2143,4 +2143,36 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(runs.distinct.size === 1)
   }
+
+  test("bm25Scores: tf saturation, idf weighting, zero for no-match docs") {
+    import graft.operators.InvertedIndex
+    val docs = Seq(
+      (1L, "join join join window scan"),   // both terms, high tf
+      (2L, "join scan scan scan scan"),     // one common term
+      (3L, "window scan"),                  // one rare term
+      (4L, "scan merge"),                   // no query term
+      (5L, "")                              // empty doc
+    ).toDF("doc_id", "text")
+    val got = InvertedIndex.bm25Scores(docs, "doc_id", "text",
+        Seq("join", "window"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got(4L) === ((0L, 0.0)))
+    assert(got(5L) === ((0L, 0.0)))
+    assert(got(1L)._1 === 2L && got(2L)._1 === 1L && got(3L)._1 === 1L)
+    // doc 1 matches both terms -> strictly top
+    assert(got(1L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
+    // "window" (df=2) is rarer than "join" (df=2)... both df=2 here, but
+    // doc 3 is much shorter than doc 2 (dl 2 vs 5): same idf, higher
+    // length-normalized tf -> doc 3 beats doc 2
+    assert(got(3L)._2 > got(2L)._2)
+    // replay-stable: identical rerun, identical doubles
+    val again = InvertedIndex.bm25Scores(docs, "doc_id", "text",
+        Seq("join", "window"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.map { case (k, v) => k -> v._2 } === again)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.bm25Scores(docs, "doc_id", "text", Seq("a", "a"))
+    }
+  }
 }
