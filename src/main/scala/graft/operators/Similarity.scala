@@ -281,6 +281,22 @@ object Similarity {
     }
 
   /** Random-hyperplane sign bucket for a vector column. */
+  /** Sign-LSH blocking width sized to the corpus: the smallest b in
+    * [lo, hi] with n ≤ target·2^b, so expected bucket occupancy stays
+    * ≈ target as data grows — FIXED bits make blocked self/cross joins
+    * quadratic in n (the r08 sf3 sweep measured 5.6× growth on 3× data
+    * for q247's fixed 6 bits). Buckets are low-bit prefixes
+    * ([[lshBucket]] puts plane i at bit i), so `bucket(hi) % 2^b`
+    * equals `bucket(b)` — an oracle can mirror adaptive widths by
+    * computing the widest bucket once and reducing modulo a
+    * count-driven CASE over the same thresholds. */
+  def blockingBitsFor(n: Long, target: Long = 24L, lo: Int = 6,
+      hi: Int = 12): Int = {
+    var b = lo
+    while (b < hi && n > target * (1L << b)) b += 1
+    b
+  }
+
   def lshBucket(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
     val bitCols = (0 until bits).map { b =>
       when(dotLit(vec, plane(seed, b, dim)) >= 0, shiftleft(lit(1L), b))

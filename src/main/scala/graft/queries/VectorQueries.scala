@@ -1077,22 +1077,41 @@ object VectorQueries {
       "q247_bitext_margin",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
+        val xs = e.filter(col("vec_id") % 2 === 0)
+        val ys = e.filter(col("vec_id") % 2 === 1)
+        // count-driven blocking width (r09): fixed bits made the
+        // blocked cross join quadratic in corpus size (5.6x on 3x data
+        // in the sf3 sweep); the oracle mirrors the same thresholds
+        val bits = Similarity.blockingBitsFor(
+          math.max(xs.count(), ys.count()))
         Similarity.bitextMarginMine(
-          e.filter(col("vec_id") % 2 === 0),
-          e.filter(col("vec_id") % 2 === 1),
-          "vec_id", "embedding", Dim, k = 4, threshold = 1.0)
+          xs, ys, "vec_id", "embedding", Dim, k = 4, threshold = 1.0,
+          bits = bits)
       },
       // Artetxe-Schwenk margin mining between the two id-parity halves:
-      // the oracle replays the identical sign-LSH blocking, micro-unit
-      // cosines, per-endpoint top-k windows, and mirrored margin division
+      // the oracle replays the identical sign-LSH blocking (adaptive
+      // width: widest bucket reduced modulo the count-driven CASE —
+      // planes land at low bits, so bucket(12) % 2^b == bucket(b)),
+      // micro-unit cosines, per-endpoint top-k windows, and mirrored
+      // margin division
       Some {
         val den = """((((CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE)) +
           (CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE)))) / 2.0E0)"""
-        s"""WITH x AS (SELECT vec_id AS x_id, embedding AS xv,
-              ${bucketSql("embedding", 6)} AS b
+        // identical thresholds to Similarity.blockingBitsFor(target=24,
+        // lo=6, hi=12)
+        val powCase = (6 until 12).map(b =>
+          s"WHEN n <= ${24L * (1L << b)} THEN ${1L << b}")
+          .mkString("(CASE ", " ", s" ELSE ${1L << 12} END)")
+        s"""WITH cnt AS (SELECT GREATEST(
+              (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0),
+              (SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1))
+              AS n),
+          bw AS (SELECT $powCase AS pow FROM cnt),
+          x AS (SELECT vec_id AS x_id, embedding AS xv,
+              (${bucketSql("embedding", 12)}) % (SELECT pow FROM bw) AS b
             FROM embeddings WHERE vec_id % 2 = 0),
           y AS (SELECT vec_id AS y_id, embedding AS yv,
-              ${bucketSql("embedding", 6)} AS b
+              (${bucketSql("embedding", 12)}) % (SELECT pow FROM bw) AS b
             FROM embeddings WHERE vec_id % 2 = 1),
           cand AS (SELECT x_id, y_id,
               CAST(FLOOR((${cosSql("xv", "yv")}) * 1000000.0E0 + 0.5E0)

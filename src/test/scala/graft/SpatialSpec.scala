@@ -74,4 +74,28 @@ class SpatialSpec extends AnyFunSuite {
       .collect().head
     assert(only10.getLong(1) === 10L && only10.getLong(2) === R * R)
   }
+
+  test("staged search escalates exactly: fine hits, mid-ring, misses") {
+    import graft.operators.Spatial
+    // radius 1000, fine grid edge 250: site A inside the fine ring of
+    // p1; p2's nearest lies between r/4 and r (escalation path); p3 has
+    // nothing within r (null path); p4 ties two sites at equal d2
+    val sites = Seq((1L, 1000L, 1000L), (2L, 2600L, 1000L),
+      (3L, 9000L, 9000L), (4L, 5000L, 5000L), (5L, 5400L, 5000L))
+      .toDF("st", "sx", "sy")
+    val points = Seq((10L, 1100L, 1000L), (20L, 2000L, 1000L),
+      (30L, 6800L, 200L), (40L, 5200L, 5000L)).toDF("id", "px", "py")
+    def run(sf: Int) = Spatial.nearestWithin(points, "id", "px", "py",
+        sites, "st", "sx", "sy", radius = 1000L, stageFactor = sf)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    val staged = run(4)
+    assert(staged === run(0)) // bit-identical to the unstaged pass
+    assert(staged === Set(
+      (10L, Some(1L), Some(10000L)),   // fine-phase hit (d=100 ≤ 250)
+      (20L, Some(2L), Some(360000L)),  // escalated: d=600 ∈ (250, 1000]
+      (30L, None, None),               // nothing within r
+      (40L, Some(4L), Some(40000L)))) // tie d2=40000 → smaller site id
+  }
 }
