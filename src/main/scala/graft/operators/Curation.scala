@@ -2056,6 +2056,7 @@ object Curation {
     require(k >= 1 && n >= 1, "k and n must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
     val grams =
       if (n == 1) TextFunctions.tokens(col(textCol))
       else TextFunctions.shingles(col(textCol), n)
@@ -2092,6 +2093,7 @@ object Curation {
       uncov.unpersist(blocking = false)
       picks.toSeq.toDF("round", idCol, "covered")
     } finally dt.unpersist(blocking = false)
+    }
   }
 
   /** Deterministic m-out-of-n bootstrap confidence interval for a

@@ -1019,6 +1019,7 @@ object Dedup {
     val m = edgesAll.count()
     val parts = graft.core.Adaptive.partsFor(spark, m)
     val ambient = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
     val edges =
       if (parts < ambient) {
@@ -1058,7 +1059,10 @@ object Dedup {
       // truncate lineage every round: without this the plan re-derives
       // the whole iteration history on any executor loss, and the
       // optimizer walks an ever-growing tree
-      val next = ccRound(edges, labels).localCheckpoint()
+      // LAZY checkpoint: the convergence probe (labelSum / unchanged)
+      // is the round's single action, materializing the checkpoint in
+      // the same job — one driver round-trip per round, not two
+      val next = ccRound(edges, labels).localCheckpoint(eager = false)
       if (numericIds) {
         // no pairs at all → labels is empty and both sums are NULL;
         // that's the (trivially converged) fixpoint, not an NPE
@@ -1078,6 +1082,7 @@ object Dedup {
         s"clusterAssignments did not converge in $maxIter rounds — " +
           "raise maxIter (pointer jumping needs ~log2(component diameter))")
     labels
+    }
     }
   }
 

@@ -165,6 +165,7 @@ object Graphs {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.core.Adaptive.withSmallShuffleCoalesce(edges.sparkSession) {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
@@ -186,6 +187,7 @@ object Graphs {
       labels = next
     }
     labels
+    }
   }
 
   /** Single-source BFS hop distance over the undirected simple graph, the
@@ -281,6 +283,7 @@ object Graphs {
   private[graft] def bfsLevelsWithDepth(edges: DataFrame, srcCol: String,
       dstCol: String, source: String, maxDepth: Int): (DataFrame, Int) = {
     val s = edges.sparkSession
+    graft.core.Adaptive.withSmallShuffleCoalesce(s) {
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val und = sym.union(sym.select(col("b"), col("a"))).distinct()
@@ -318,6 +321,7 @@ object Graphs {
     frontier.unpersist(blocking = false)
     und.unpersist()
     (visited, depth - 1)
+    }
   }
 
   /** Common-neighbor link prediction over the undirected simple graph:

@@ -681,6 +681,7 @@ object Similarity {
   private def lloydLoop(e: DataFrame, idCol: String, k: Int, iters: Int,
       scale: Int): IndexedSeq[Seq[Double]] = {
     import org.apache.spark.sql.types.DecimalType
+    graft.core.Adaptive.withSmallShuffleCoalesce(e.sparkSession) {
     var cents: IndexedSeq[Seq[Double]] = e.orderBy(col(idCol)).limit(k)
       .select(col("__v")).collect().toIndexedSeq
       .map(_.getSeq[Double](0).toSeq)
@@ -707,6 +708,7 @@ object Similarity {
       cents = (0 until k).map(i => byCell.getOrElse(i, cents(i)))
     }
     cents
+    }
   }
 
   /** Lloyd-TRAINED centroids over an embedding column — the coarse
