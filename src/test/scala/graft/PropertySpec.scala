@@ -359,4 +359,34 @@ class PropertySpec extends AnyFunSuite {
       assert(spans.map(_._4).sum === ivs.size.toLong, s"$k: n_merged sum")
     }
   }
+
+  test("property: staged grid nearest equals unstaged and brute force") {
+    import graft.operators.Spatial
+    val rnd = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val radius = Seq(60L, 200L, 997L)(trial - 1) // incl. non-divisible
+      val pts = (1 to 150).map(i =>
+        (i.toLong, rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong))
+      val sts = (1 to 25).map(i =>
+        (i.toLong, rnd.nextInt(2000).toLong, rnd.nextInt(2000).toLong))
+      val points = pts.toDF("id", "px", "py")
+      val sites = sts.toDF("st", "sx", "sy")
+      def run(sf: Int) = Spatial.nearestWithin(points, "id", "px", "py",
+          sites, "st", "sx", "sy", radius, stageFactor = sf)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+        .toMap
+      val brute = pts.map { case (id, px, py) =>
+        val c = sts.flatMap { case (st, sx, sy) =>
+          val d2 = (px - sx) * (px - sx) + (py - sy) * (py - sy)
+          if (d2 <= radius * radius) Some((d2, st)) else None
+        }
+        id -> (if (c.isEmpty) None
+               else { val m = c.min; Some((m._2, m._1)) })
+      }.toMap
+      Seq(0, 2, 4, 7).foreach { sf =>
+        assert(run(sf) === brute, s"trial=$trial radius=$radius sf=$sf")
+      }
+    }
+  }
 }
