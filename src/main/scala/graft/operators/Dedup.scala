@@ -113,7 +113,12 @@ object Dedup {
       textCol: String, n: Int, minDocs: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    val src = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
+    // spread: the source parquet often has very few splits, and the
+    // tokenize/shingle/md5 work below is CPU-dense — without the widen
+    // it serializes onto those splits (q229's profile: 2 tasks at ~1
+    // cpu-second each while 30 cores idled)
+    val src = Similarity.spread(
+      docs.select(col(idCol).as("doc"), col(textCol).as("text")))
     val base = src
       .select(col("doc"), TextFunctions.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
@@ -207,7 +212,10 @@ object Dedup {
   private[graft] def removeCrossDocSpansPlan(docs: DataFrame, idCol: String,
       textCol: String, n: Int, minDocs: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val src = docs.select(col(idCol).as("doc"), col(textCol).as("text"))
+    // spread before the CPU-dense tokenize/shingle passes (see
+    // crossDocSpanStatsPlan)
+    val src = Similarity.spread(
+      docs.select(col(idCol).as("doc"), col(textCol).as("text")))
     val base = src
       .select(col("doc"), TextFunctions.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
@@ -419,15 +427,17 @@ object Dedup {
           .cast(DecimalType(18, 4)).as("w"))
       .localCheckpoint()
     tf.unpersist(blocking = false)
+    // materialized ONCE: the two legs need different distributions (a
+    // broadcast and a shuffle partner), so alias-identical subplans
+    // still computed norms twice (the q30 pairStats finding — measured
+    // in the plan book, not hypothesized)
     val norms = weighted.groupBy("doc")
       .agg(sum(col("w") * col("w")).as("n2"))
+      .localCheckpoint()
     val dots = weighted.as("x").join(weighted.as("y"),
         col("x.tok") === col("y.tok") && col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .agg(sum(col("x.w") * col("y.w")).as("dot"))
-    // identical `norms` subplan on both legs (aliased, not renamed) so
-    // the planner builds one exchange and reuses it — the per-leg
-    // renames computed norms twice (same fix as pairStats)
     dots
       .join(norms.as("__na"), col("doc_a") === col("__na.doc"))
       .join(norms.as("__nb"), col("doc_b") === col("__nb.doc"))
@@ -503,9 +513,9 @@ object Dedup {
     * hot-shingle anti-join. */
   private def pairStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int, dfCap: Int)(finish: DataFrame => DataFrame): DataFrame = {
-    val (out, byShingle) = pairStatsPlan(docs, idCol, textCol, k, dfCap)(finish)
+    val (out, pinned) = pairStatsPlan(docs, idCol, textCol, k, dfCap)(finish)
     try out.localCheckpoint()
-    finally byShingle.unpersist()
+    finally pinned.foreach(_.unpersist(blocking = false))
   }
 
   /** Lazy plan behind [[pairStats]] (pre-checkpoint), with the persisted
@@ -513,15 +523,20 @@ object Dedup {
     * (graft.Explain) and the shape the docs above describe. */
   private[graft] def pairStatsPlan(docs: DataFrame, idCol: String,
       textCol: String, k: Int, dfCap: Int)(
-      finish: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+      finish: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val byShingle = shingleIndex(docs, idCol, textCol, k)
       .groupBy("sh").agg(collect_list("doc").as("docs"))
       .filter(size(col("docs")) <= dfCap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // materialized ONCE: the two stats joins need DIFFERENT
+      // distributions of this frame (a shuffle partner for doc_a, a
+      // broadcast for doc_b), so ReuseExchange can never kick in and
+      // the explode+count over the posting cache ran twice (q30 plan)
       val sizes = byShingle.select(explode(col("docs")).as("doc"))
         .groupBy("doc").agg(count(lit(1)).as("n_sh"))
+        .localCheckpoint()
       // in-row pair generation via two stacked generators (posexplode,
       // then explode of the positional tail slice) + least/greatest for
       // the canonical (doc_a < doc_b) order — every expression here is
@@ -547,7 +562,7 @@ object Dedup {
         .join(sizes.as("__sb"), col("doc_b") === col("__sb.doc"))
         .select(col("doc_a"), col("doc_b"), col("inter"),
           col("__sa.n_sh").as("n_a"), col("__sb.n_sh").as("n_b"))
-      (finish(stats), byShingle)
+      (finish(stats), Seq(byShingle, sizes))
     } catch { case e: Throwable => byShingle.unpersist(); throw e }
   }
 
@@ -566,7 +581,7 @@ object Dedup {
     * the plan-book seam. */
   private[graft] def jaccardPairsPlan(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 3, threshold: Double = 0.8,
-      dfCap: Int = 100): (DataFrame, DataFrame) =
+      dfCap: Int = 100): (DataFrame, Seq[DataFrame]) =
     pairStatsPlan(docs, idCol, textCol, k, dfCap)(jaccardFinish(threshold))
 
   /** Duplicate-passage pairs (the exact-substring dedup family): document
