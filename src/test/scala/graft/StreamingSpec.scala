@@ -410,4 +410,41 @@ class StreamingSpec extends AnyFunSuite {
       .map(g => g.n_versions -> g).toMap
     assert(out(2L) === GoldenRow(1L, Some("new"), Some("x"), 2L, 5L))
   }
+
+  test("dedup state survives a stop + restart from the same checkpoint") {
+    // true T8 recovery: run 1 terminates (AvailableNow) and the process
+    // "dies"; run 2 is a NEW query over the SAME checkpoint with new
+    // files staged in between. The dropDuplicates state must come back
+    // from the state store — a resend of id 1 across the restart stays
+    // suppressed — and the source offset log must not replay wave 1.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val base = Files.createTempDirectory("graft-restart")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def put(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(in.resolve(name),
+        rows.map { case (i, pl) => s"""{"doc_id":$i,"payload":"$pl"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val sch = new StructType().add("doc_id", "long").add("payload", "string")
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamDedup.firstArrival(
+          spark.readStream.schema(sch).json(in.toString), Seq("doc_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+    }
+    put("w1.json", Seq(1L -> "a1", 2L -> "b1"))
+    runOnce()
+    put("w2.json", Seq(1L -> "a2", 3L -> "c1")) // id 1 is a cross-run resend
+    runOnce()
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("payload"))
+    assert(got.length === 3, s"duplicate or lost rows: ${got.toSeq}")
+    assert(got.toMap === Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+  }
 }
