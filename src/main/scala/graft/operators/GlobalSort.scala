@@ -69,6 +69,7 @@ object GlobalSort {
     val base = df.select(col(valCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
       .persist()
+    try {
     val head = base.agg(count(lit(1)), min(col("__v")), max(col("__v")))
       .collect()(0)
     val n = head.getLong(0)
@@ -86,8 +87,8 @@ object GlobalSort {
       // near bucket edges). Bound updates run in BigInt; the results
       // provably fit (newLo ≤ hi). ≤ 8 passes for a 64-bit domain.
       val span = BigInt(hi) - BigInt(lo) // > 0 here
-      val k = math.max(0, span.bitLength - 8) // span >> k < 2^8
-      val step = BigInt(1) << k
+      val shift = math.max(0, span.bitLength - 8) // span >> shift < 2^8
+      val step = BigInt(1) << shift
       // Long.MinValue can't be written as a SQL literal (unary-minus
       // overflow in the parser) — splice bounds through string casts
       val bucket =
@@ -118,7 +119,7 @@ object GlobalSort {
       }
       assert(found, "rank walked off the census — concurrent mutation?")
     }
-    base.unpersist(blocking = false)
     Seq((n, k, lo)).toDF("n", "k", "kth")
+    } finally base.unpersist(blocking = false) // also on require/assert throws
   }
 }

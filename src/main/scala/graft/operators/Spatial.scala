@@ -64,10 +64,21 @@ object Spatial {
     val fine = if (stageFactor > 1) radius / stageFactor else 0L
     val out =
       if (fine > 0L) {
-        val resolved = bestWithin(p, s(), fine, broadcastSites, leftSide = false)
+        // materialized ONCE: the anti-join (broadcast build) and the
+        // union leg need different distributions of the phase-1
+        // aggregate — identical subplans never hit ReuseExchange across
+        // exchange kinds (the q30/q133 finding), so without the
+        // checkpoint the dominant fine-grid pass ran twice. The final
+        // frame is checkpointed too so the phase-1 blocks can be
+        // released before returning.
+        val resolved = bestWithin(p, s(), fine, broadcastSites,
+          leftSide = false).localCheckpoint()
         val rest = p.join(resolved.select("__id"), Seq("__id"), "left_anti")
-        resolved.unionByName(
-          bestWithin(rest, s(), radius, broadcastSites, leftSide = true))
+        val merged = resolved.unionByName(
+            bestWithin(rest, s(), radius, broadcastSites, leftSide = true))
+          .localCheckpoint()
+        resolved.unpersist(blocking = false)
+        merged
       } else bestWithin(p, s(), radius, broadcastSites, leftSide = true)
     out.select(col("__id").as(idCol),
       col("__best.__site").as("site"),

@@ -71,8 +71,12 @@ object GraphQueries {
       },
       Some {
         val seedList = (0 until 5).map(i => s"'d$i'").mkString(", ")
+        // mirror the operator's renormalization over seeds PRESENT in
+        // the node set (r09 advice fix): s == 5 on this graph, but the
+        // oracle must replay the semantics, not the gate's coincidence
         val seedCase = s"CASE WHEN n.node IN ($seedList) " +
-          "THEN (1000000000000 * 15 // 100) // 5 ELSE 0 END"
+          "THEN (1000000000000 * 15 // 100) // (SELECT s FROM sc) " +
+          "ELSE 0 END"
         val rounds = (1 to 3).map { r =>
           s"""c$r AS (SELECT e.dst, CAST(SUM(p.tr // o.outdeg) AS BIGINT)
               AS c
@@ -86,9 +90,12 @@ object GraphQueries {
         s"""WITH e AS (SELECT DISTINCT 'd' || (o_custkey % 100) AS src,
               'd' || (o_orderkey % 100) AS dst FROM orders),
           nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM nodes
+            WHERE node IN ($seedList)),
           outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
           p0 AS (SELECT node, CASE WHEN node IN ($seedList)
-              THEN 1000000000000 // 5 ELSE 0 END AS tr FROM nodes),
+              THEN 1000000000000 // (SELECT s FROM sc) ELSE 0 END AS tr
+            FROM nodes),
           $rounds
         SELECT node, CAST(tr AS BIGINT) AS tr FROM p3"""
       }),
@@ -232,21 +239,29 @@ object LayoutQueries {
     * around a 0.3 s zero-shuffle read). q306 gates the build once;
     * q255's bench passes after the warmup only read. */
   private val q255Layouts =
-    scala.collection.concurrent.TrieMap.empty[String, Unit]
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** Returns the (lineitem, orders) bucketed table names for `dir`.
+    * Table names are DIR-KEYED: a fixed name plus per-(session, dir)
+    * memoization would let a second dir overwrite the first dir's
+    * tables while its memo entry still claimed them built (review r09). */
   private[queries] def ensureBucketedLayout(
-      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
     q255Layouts.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val (liT, ordT) = (s"graft_q255_li_$tag", s"graft_q255_ord_$tag")
       val tmp = java.nio.file.Files.createTempDirectory("graft-q255")
         .toFile.getAbsolutePath
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
       val ord = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority")
-      graft.sources.Bucketing.writeBucketed(li, "graft_q255_li",
+      graft.sources.Bucketing.writeBucketed(li, liT,
         s"$tmp/li", 8, Seq("l_orderkey"))
-      graft.sources.Bucketing.writeBucketed(ord, "graft_q255_ord",
+      graft.sources.Bucketing.writeBucketed(ord, ordT,
         s"$tmp/ord", 8, Seq("o_orderkey"))
+      (liT, ordT)
     })
 
   val queries: Seq[GraftQuery] = Seq(
@@ -392,13 +407,13 @@ object LayoutQueries {
         // read). Hash-gates that the bucketed tables land complete —
         // row counts and distinct join keys per table survive the
         // bucketBy/sortBy write round-trip.
-        ensureBucketedLayout(s, dir)
-        s.table("graft_q255_li")
+        val (liT, ordT) = ensureBucketedLayout(s, dir)
+        s.table(liT)
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("l_orderkey")).as("n_keys"))
           .select(lit("li").as("tbl"), col("n_rows"), col("n_keys"))
           .unionByName(
-            s.table("graft_q255_ord")
+            s.table(ordT)
               .agg(count(lit(1)).as("n_rows"),
                 countDistinct(col("o_orderkey")).as("n_keys"))
               .select(lit("ord").as("tbl"), col("n_rows"), col("n_keys")))
@@ -426,9 +441,9 @@ object LayoutQueries {
         // gate exists to prove). The layout build is memoized
         // ([[ensureBucketedLayout]], gated separately by q306) so timed
         // bench passes measure ONLY the read — the number that scales.
-        ensureBucketedLayout(s, dir)
-        s.table("graft_q255_li").hint("merge")
-          .join(s.table("graft_q255_ord"),
+        val (liT, ordT) = ensureBucketedLayout(s, dir)
+        s.table(liT).hint("merge")
+          .join(s.table(ordT),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderpriority")
           .agg(count(lit(1)).as("n_items"),

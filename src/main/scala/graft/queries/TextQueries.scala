@@ -317,7 +317,9 @@ object TextQueries {
       Some {
         import graft.functions.SafeMath.roundHalfUpSql
         val terms = Seq("join", "spark", "window")
-        def d17(x: Double) = java.lang.String.format("%.17e", Double.box(x))
+        // locale-safe, shortest-repr double literals (the "%.17e" draft
+        // rendered a comma decimal separator under e.g. de_DE — review r09)
+        def d17(x: Double) = graft.score.ScoreEngine.fmtD(x)
         val k1 = 1.2; val b = 0.75
         val tfCols = terms.zipWithIndex.map { case (t, i) =>
           s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf$i"

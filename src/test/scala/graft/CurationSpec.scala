@@ -713,9 +713,11 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("ksShift/emdShift clamp negative values into bin 0 — no lost mass") {
-    // -5 with binWidth=8 would land in ghost bin -1 (counted in totals,
-    // absent from the grid) without the clamp, deflating both meters
-    val df = Seq(("a", -5L), ("a", 1L), ("b", 9L), ("b", 17L))
+    // -9 with binWidth=8 lands in ghost bin -1 without the clamp
+    // (counted in totals, absent from the grid), deflating both meters;
+    // -5 would NOT exercise the fix — `div`//`//` truncate toward zero,
+    // so -5 div 8 = 0 already (review r09)
+    val df = Seq(("a", -9L), ("a", 1L), ("b", 9L), ("b", 17L))
       .toDF("src", "v")
     val emd = Curation.emdShift(df, "src", "v", binWidth = 8L, bins = 3)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
