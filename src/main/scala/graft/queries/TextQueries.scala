@@ -63,6 +63,51 @@ object TextQueries {
          ELSE 'und' END"""
   }
 
+  /** Full BM25 oracle query (doc_id, n_terms, bm25) over `documents` —
+    * shared by q307 and the hybrid-retrieval gate (q308 embeds it as a
+    * CTE). Replays the whole ranker: per-doc tf/dl from the same
+    * tokenization, one-row stats (N, Σdl, per-term df), ln-parity idf
+    * rounded at scale 8 (q82 precedent), mirrored tf normalization with
+    * locale-safe driver-double constants, per-term scores
+    * decimal-summed, final rounding at scale 6. */
+  private[queries] def bm25OracleSql(terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    import graft.functions.SafeMath.roundHalfUpSql
+    def d17(x: Double) = graft.score.ScoreEngine.fmtD(x)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n            ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(COUNT(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i")
+      .mkString(",\n            ")
+    val avgdl = "(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))"
+    val termSum = terms.indices.map { i =>
+      val idf = roundHalfUpSql(
+        s"""ln(1.0E0 + ((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE)
+          + 0.5E0) / (CAST(df$i AS DOUBLE) + 0.5E0)))""", 8)
+      val tfNorm = s"""((CAST(tf$i AS DOUBLE) * ${d17(k1 + 1.0)}) /
+        (CAST(tf$i AS DOUBLE) + ${d17(k1)} * (${d17(1.0 - b)} +
+          ${d17(b)} * (CAST(dl AS DOUBLE) / $avgdl))))"""
+      s"""CAST((CASE WHEN tf$i > 0 THEN
+          ${roundHalfUpSql(s"$idf * $tfNorm", 8)}
+        ELSE 0.0E0 END) AS DECIMAL(28,8))"""
+    }.reduce((a, x) => s"($a + $x)")
+    val nTerms = terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+      .reduce((a, x) => s"($a + $x)")
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
+      p AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+        $tfCols
+        FROM t),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(dl) AS BIGINT) AS tot,
+        $dfCols
+        FROM p)
+    SELECT doc_id, CAST($nTerms AS BIGINT) AS n_terms,
+      ${roundHalfUpSql(s"CAST($termSum AS DOUBLE)", 6)} AS bm25
+    FROM p, st"""
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q25_token_stats",
@@ -314,46 +359,7 @@ object TextQueries {
       // idf rounded at scale 8 (q82 precedent), mirrored tf
       // normalization with driver-double constants spliced E0-exact,
       // per-term scores decimal-summed, final rounding at scale 6
-      Some {
-        import graft.functions.SafeMath.roundHalfUpSql
-        val terms = Seq("join", "spark", "window")
-        // locale-safe, shortest-repr double literals (the "%.17e" draft
-        // rendered a comma decimal separator under e.g. de_DE — review r09)
-        def d17(x: Double) = graft.score.ScoreEngine.fmtD(x)
-        val k1 = 1.2; val b = 0.75
-        val tfCols = terms.zipWithIndex.map { case (t, i) =>
-          s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf$i"
-        }.mkString(",\n            ")
-        val dfCols = terms.indices.map(i =>
-          s"CAST(COUNT(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i")
-          .mkString(",\n            ")
-        val avgdl = "(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))"
-        val termSum = terms.indices.map { i =>
-          val idf = roundHalfUpSql(
-            s"""ln(1.0E0 + ((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE)
-              + 0.5E0) / (CAST(df$i AS DOUBLE) + 0.5E0)))""", 8)
-          val tfNorm = s"""((CAST(tf$i AS DOUBLE) * ${d17(k1 + 1.0)}) /
-            (CAST(tf$i AS DOUBLE) + ${d17(k1)} * (${d17(1.0 - b)} +
-              ${d17(b)} * (CAST(dl AS DOUBLE) / $avgdl))))"""
-          s"""CAST((CASE WHEN tf$i > 0 THEN
-              ${roundHalfUpSql(s"$idf * $tfNorm", 8)}
-            ELSE 0.0E0 END) AS DECIMAL(28,8))"""
-        }.reduce((a, x) => s"($a + $x)")
-        val nTerms = terms.indices
-          .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
-          .reduce((a, x) => s"($a + $x)")
-        s"""WITH t AS (SELECT doc_id, $ToksSql AS ts FROM documents),
-          p AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
-            $tfCols
-            FROM t),
-          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-            CAST(SUM(dl) AS BIGINT) AS tot,
-            $dfCols
-            FROM p)
-        SELECT doc_id, CAST($nTerms AS BIGINT) AS n_terms,
-          ${roundHalfUpSql(s"CAST($termSum AS DOUBLE)", 6)} AS bm25
-        FROM p, st"""
-      },
+      Some(bm25OracleSql(Seq("join", "spark", "window"))),
       bench = true),
 
     GraftQuery(

@@ -1073,6 +1073,53 @@ object VectorQueries {
             unnest(proj) AS value FROM p"""
       }),
 
+
+    GraftQuery(
+      "q308_hybrid_retrieval",
+      (s, dir) => {
+        // the production retrieval stack q167 only sketched: a REAL
+        // lexical ranker (q307's zero-shuffle BM25) fused with the dense
+        // cosine ranker via reciprocal-rank fusion — the standard RAG
+        // hybrid. Each ranker ranks its own universe (all documents /
+        // all embeddings) with GlobalSort (never a single-partition
+        // window); the fuse inner-joins on id, so only ids present in
+        // BOTH universes score. Top-50 by fused score.
+        val lex = graft.operators.InvertedIndex.bm25Scores(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            Seq("join", "spark", "window"))
+          .select(col("doc_id"), col("bm25").as("score"))
+        val dense = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"),
+            Similarity.cosineLit(col("embedding"), queryVec(s, dir))
+              .as("score"))
+        graft.operators.InvertedIndex.rrfFuse(
+            Seq(lex, dense), "doc_id", "score")
+          .orderBy(col("rrf").desc, col("doc_id")).limit(50)
+      },
+      // oracle: the full BM25 replay (shared builder) as one CTE, the
+      // q33 scale-6 cosine as the other, per-ranker row_number ranks,
+      // the same 1/(60+r) double fold at scale 8
+      Some {
+        val bm = TextQueries.bm25OracleSql(Seq("join", "spark", "window"))
+        s"""WITH bm AS ($bm),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          dn AS (SELECT vec_id AS doc_id, ${cosSql("embedding", "qv")}
+              AS score
+            FROM embeddings, q),
+          r1 AS (SELECT doc_id, CAST(row_number() OVER (
+              ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r1 FROM bm),
+          r2 AS (SELECT doc_id, CAST(row_number() OVER (
+              ORDER BY score DESC, doc_id) AS INTEGER) AS r2 FROM dn),
+          f AS (SELECT r1.doc_id, r1.r1, r2.r2,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "1.0E0 / CAST(60 + r1 AS DOUBLE) + " +
+                "1.0E0 / CAST(60 + r2 AS DOUBLE)", 8)} AS rrf
+            FROM r1 JOIN r2 USING (doc_id))
+        SELECT doc_id, r1, r2, rrf FROM f
+        ORDER BY rrf DESC, doc_id LIMIT 50"""
+      },
+      bench = true),
+
     GraftQuery(
       "q247_bitext_margin",
       (s, dir) => {
