@@ -31,7 +31,20 @@ Test / unmanagedJars ++= duckdbJdbcJar
 // seam (the socket itself) into a live integration target.
 libraryDependencies ++= (
   if (sys.props.get("graft.kafka").exists(_.toBoolean))
-    Seq("org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2")
+    Seq(
+      "org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2",
+      // embedded KRaft broker for the integration spec (server + tools;
+      // version pinned to the connector's kafka-clients line)
+      "org.apache.kafka" %% "kafka" % "3.9.0" % Test)
+  else Seq())
+// The Kafka integration spec lives in its own source dir, compiled ONLY
+// under the profile: in this sandbox the connector/broker artifacts can't
+// resolve (zero egress), so the spec must not even be compiled here — on
+// a networked build `sbt -Dgraft.kafka=true test` picks it up and drives
+// a real format("kafka") round-trip through KafkaIO (verdict r09 item 4).
+Test / unmanagedSourceDirectories ++= (
+  if (sys.props.get("graft.kafka").exists(_.toBoolean))
+    Seq(baseDirectory.value / "src" / "test-kafka" / "scala")
   else Seq())
 Test / fork := true
 run / fork := true

@@ -14,8 +14,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // per-session memo of the ANALYZED read: `spark.read.parquet` builds a
+  // fresh InMemoryFileIndex per call — a file-listing Spark job on every
+  // query, every bench pass, for immutable inputs. A catalog table would
+  // cache this metadata; the memo is that catalog. Keyed weakly on the
+  // session object (a GC'd session's reused hash must not leak plans
+  // across sessions) + the resolved path. DataFrames are immutable, so
+  // sharing the analyzed plan is safe.
+  private val loaded =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val m = loaded.synchronized {
+      var t = loaded.get(spark)
+      if (t == null) {
+        t = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        loaded.put(spark, t)
+      }
+      t
+    }
+    m.getOrElseUpdate(s"$dir/$name", spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** `events` with a proper TimestampType `ts`.
     *

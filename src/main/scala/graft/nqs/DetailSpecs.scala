@@ -55,7 +55,8 @@ object DetailSpecs {
       col("id").as("parent_id"),
       col("probe_id"), col("task_id"), col("task_param_id"),
       col("test_time"), col("test_time_h"), col("test_time_d"),
-      col("test_time_w"), col("test_time_m"), col("create_time"),
+      col("test_time_w"), col("test_time_m"), col("month_time"),
+      col("create_time"),
       posexplode(from_json(col("detail_json"), ArrayType(spec.elementSchema)))
         .as(Seq("element_idx", "e")))
     val flat = base.select(col("*"), col("e.*")).drop("e")

@@ -76,6 +76,10 @@ object TaskDataPipeline {
     val ts = to_timestamp(col("test_time"))
     TimeBuckets.withBuckets(
         derived.withColumn("__ts", ts), "__ts", "test_time")
+      // the reference also stamps a Date-typed begin-of-month column
+      // (`WindowDataParser.java:49` month_time) alongside the epoch
+      // buckets — carried for schema parity; same instant as test_time_m
+      .withColumn("month_time", to_date(date_trunc("month", col("__ts"))))
       .drop("__ts")
       .withColumn("create_time", lit(nowEpoch))
       .withColumn("id",
@@ -105,7 +109,8 @@ object TaskDataPipeline {
       col("id").as("parent_id"),
       col("probe_id"), col("task_id"), col("task_param_id"),
       col("test_time"), col("test_time_h"), col("test_time_d"),
-      col("test_time_w"), col("test_time_m"), col("create_time"),
+      col("test_time_w"), col("test_time_m"), col("month_time"),
+      col("create_time"),
       col("province_code"), col("city_code"),
       posexplode(col("detail")).as(Seq("element_idx", "e")))
     val flat = base.select(col("*"), col("e.*")).drop("e")

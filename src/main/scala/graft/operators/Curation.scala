@@ -1129,9 +1129,14 @@ object Curation {
     * approx_percentile and accept the sketch error); the filter itself is
     * then a zero-shuffle scan predicate. */
   def lengthBandFilter(docs: DataFrame, idCol: String, textCol: String,
-      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
-    val withN = docs.withColumn("n_tokens",
-      TextFunctions.tokenCount(col(textCol)).cast("long"))
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      precomputedTokens: Boolean = false): DataFrame = {
+    // precomputedTokens: caller already carries `n_tokens` (e.g. curate's
+    // checkpointed frame) — recomputing would tokenize twice per action
+    val withN =
+      if (precomputedTokens) docs
+      else docs.withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
     val cuts = withN.agg(
       percentile(col("n_tokens"), lit(pLo)).as("lo"),
       percentile(col("n_tokens"), lit(pHi)).as("hi")).collect()(0)
@@ -1155,11 +1160,24 @@ object Curation {
       rates: Map[String, Double] = Map.empty, defaultRate: Double = 1.0,
       salt: String = "graft-curate"): DataFrame = {
     val fpW = Window.partitionBy(col("__fp")).orderBy(col(idCol))
-    val deduped = docs
+    // the dedup window (fingerprint + shuffle) and the tokenization feed
+    // TWO actions — the percentile cutoff collect and the final pipeline
+    // run. localCheckpoint the tokenized post-dedup frame once so neither
+    // re-pays the scan+hash+shuffle (r09 verdict: q92's stages re-planned
+    // the corpus per stage); at 100 TB this trades one materialization of
+    // the deduped corpus for a full second dedup pass.
+    // spread first: the fingerprint+tokenize projection is CPU-dense and
+    // otherwise runs at the file's split count (2 splits at sf0.1 → 30 of
+    // 32 cores idle, the q229 r09 lesson); no-op when splits ≥ cores
+    val deduped = Similarity.spread(docs)
       .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(fpW))
       .filter(col("__rn") === 1).drop("__fp", "__rn")
-    val banded = lengthBandFilter(deduped, idCol, textCol)
+      .withColumn("n_tokens",
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .localCheckpoint()
+    val banded = lengthBandFilter(deduped, idCol, textCol,
+      precomputedTokens = true)
     val good = banded.filter(
       TextFunctions.qualityScore(col(textCol)) >= lit(qualityMin))
     val sampled = stratifiedSample(good, idCol, langCol,

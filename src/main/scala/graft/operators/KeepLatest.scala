@@ -38,8 +38,23 @@ object KeepLatest {
     // row_number pick could otherwise disagree across partitionings
     // (advice r08). A full-row content hash breaks ties identically in
     // both windows, restoring the hash-gating discipline; with a total
-    // order it never fires.
-    val base = df.withColumn("__tie", xxhash64(df.columns.map(col): _*))
+    // order it never fires. Only HASHABLE columns feed the hash — a
+    // MapType (or other xxhash64-unsupported) column would throw where
+    // the operator otherwise works (advice r10); exact-duplicate rows
+    // still tie, which is benign because tied rows are identical in
+    // every hashed column.
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => hasMap(et)
+      case StructType(fs) => fs.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    val hashable = df.schema.fields.collect {
+      case f if !hasMap(f.dataType) => col(f.name)
+    }.toSeq
+    val base = df.withColumn("__tie",
+      if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L))
     val w = Window.partitionBy(col(entityCol))
       .orderBy(orderCols :+ col("__tie").asc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1021,16 +1021,14 @@ object Similarity {
 
   /** First-min argmin over one subspace's codebook — [[kmeans]]'s
     * `nearest` on a subvector column (ties to the lowest code, matching
-    * `array_position` and the oracle's `row_number` order). The dists
-    * array is spelled twice INSTEAD of a `bindOnce` — a bound lambda
-    * would drop the whole scoring projection out of whole-stage codegen
-    * (HOFs have no doGenCode), the one property the ADC scan exists
-    * for; under WSCG the duplicated subtree is shared by subexpression
-    * elimination, so it still evaluates once per row. */
-  private[operators] def pqNearest(cents: IndexedSeq[Seq[Double]])(sl: Column): Column = {
-    def dists = array(cents.map(c => -dotLit(sl, c) / lit(normLit(c))): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+    * `array_position` and the oracle's `row_number` order). Routed
+    * through the native [[graft.expressions.NearestCentroid]] (identical
+    * FP fold and ordering): the former literal-array form carried
+    * ~2·ks·subDim Literal nodes per subspace, and the per-action driver
+    * planning over those trees — not the executors — dominated the PQ
+    * bench (q221 r09: 1.05 s wall vs 0.4 s of jobs). */
+  private[operators] def pqNearest(cents: IndexedSeq[Seq[Double]])(sl: Column): Column =
+    graft.expressions.NearestCentroid.nearest_centroid(sl, cents)
 
   /** PQ encode: every vector compressed to its m codebook codes
     * (`code_0..code_{m-1}` int columns) — m bytes of index payload per
@@ -1061,8 +1059,16 @@ object Similarity {
     * one-time encode. */
   def pqAdcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], topK: Int, m: Int = 4, ks: Int = 8,
-      iters: Int = 2, scale: Int = 6): DataFrame = {
-    val books = pqCodebooks(embeddings, idCol, vecCol, m, ks, iters)
+      iters: Int = 2, scale: Int = 6): DataFrame =
+    pqAdcTopKWith(embeddings, idCol, vecCol, query, topK,
+      pqCodebooks(embeddings, idCol, vecCol, m, ks, iters), scale)
+
+  /** ADC top-k over PRE-TRAINED codebooks — the probe path against a
+    * built index artifact (training is the amortized build step at
+    * 100 TB; a probe never retrains). */
+  def pqAdcTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], topK: Int,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]], scale: Int = 6): DataFrame = {
     pqEncode(embeddings, idCol, vecCol, books)
       .select(col(idCol),
         graft.functions.SafeMath.roundHalfUp(
@@ -1107,13 +1113,12 @@ object Similarity {
     trainedCentroids(embeddings, idCol, vecCol, nCells, iters)
 
   /** Coarse-cell assignment column (first-min argmin over the centroid
-    * list; spelled-twice dists — not bindOnce — so the probe filter and
-    * index build stay in whole-stage codegen). */
+    * list) — the native [[graft.expressions.NearestCentroid]]: one tree
+    * node instead of 2·k·dim literals, same FP fold, stays in
+    * whole-stage codegen for the probe filter and index build. */
   private[operators] def nearestCellExpr(cents: IndexedSeq[Seq[Double]])(
-      vec: Column): Column = {
-    def dists = array(cents.map(c => -dotLit(vec, c) / lit(normLit(c))): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+      vec: Column): Column =
+    graft.expressions.NearestCentroid.nearest_centroid(vec, cents)
 
   /** The nProbe cells nearest a query — driver arithmetic with the exact
     * FP fold of the cell-assignment expression (cosine distance to each

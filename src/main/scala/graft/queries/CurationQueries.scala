@@ -782,11 +782,14 @@ object CurationQueries {
         // the composed pipeline over a doubled corpus (so exact dedup has
         // real work): dedup → length band → quality ≥ 0.5 → en sampled at
         // 0.8 → split. One gate proves the stages compose.
-        val d = Tables.load(s, dir, "documents")
-          .select("doc_id", "text", "lang")
-        val corpus = d.unionByName(
-          d.select((col("doc_id") + 100000L).as("doc_id"),
-            col("text"), col("lang")))
+        // doubled corpus via ONE scan: explode a 2-offset array instead
+        // of a self-union (the union planned + scanned documents twice
+        // per action)
+        val corpus = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            explode(array(lit(0L), lit(100000L))).as("__off"))
+          .select((col("doc_id") + col("__off")).as("doc_id"),
+            col("text"), col("lang"))
         Curation.curate(corpus, "doc_id", "text", "lang",
             qualityMin = 0.5, rates = Map("en" -> 0.8),
             defaultRate = 1.0, salt = "graft-c92")

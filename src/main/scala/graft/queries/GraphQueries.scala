@@ -238,21 +238,34 @@ object LayoutQueries {
     * join gate measured the wrong thing (r08 verdict: 2.30 s of write
     * around a 0.3 s zero-shuffle read). q306 gates the build once;
     * q255's bench passes after the warmup only read. */
+  // keyed on the SESSION OBJECT (weak), not identityHashCode: a GC'd
+  // session's reused hash (or a collision) must not serve another
+  // session's tables (review r09/advice r10)
   private val q255Layouts =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, String)]]()
 
   /** Returns the (lineitem, orders) bucketed table names for `dir`.
     * Table names are DIR-KEYED: a fixed name plus per-(session, dir)
     * memoization would let a second dir overwrite the first dir's
     * tables while its memo entry still claimed them built (review r09). */
   private[queries] def ensureBucketedLayout(
-      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
-    q255Layouts.getOrElseUpdate(s"${System.identityHashCode(s)}:$dir", {
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val perSession = q255Layouts.synchronized {
+      var m = q255Layouts.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+        q255Layouts.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, {
       val tag = java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
       val (liT, ordT) = (s"graft_q255_li_$tag", s"graft_q255_ord_$tag")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q255")
-        .toFile.getAbsolutePath
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-q255")
+      val tmp = tmpPath.toFile.getAbsolutePath
+      tmpPath.toFile.deleteOnExit() // best-effort; contents removed below
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
       val ord = Tables.load(s, dir, "orders")
@@ -261,8 +274,16 @@ object LayoutQueries {
         s"$tmp/li", 8, Seq("l_orderkey"))
       graft.sources.Bucketing.writeBucketed(ord, ordT,
         s"$tmp/ord", 8, Seq("o_orderkey"))
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(tmpPath.toFile)
+      }
       (liT, ordT)
     })
+  }
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(

@@ -145,11 +145,18 @@ object PipelineQueries {
           lit("]")).as("value"))
         val facts = graft.nqs.TaskDataPipeline(
           raw, PipelineFixtures.dims(s, dir), nowEpoch = Now)
-        facts.select("id", "probe_id", "task_id", "task_param_id",
-          "task_type_name", "test_time", "rtt", "jitter", "lost_rate",
-          "probe_name", "province_code", "host_province", "host_city",
-          "operator", "task_param_name", "alarm_template_id", "score",
-          "test_time_h", "test_time_d", "create_time")
+        // month_time is DateType in the pipeline (reference parity,
+        // WindowDataParser.java:49); gate its yyyy-MM-dd rendering — raw
+        // DATE cells render differently per engine (pandas date vs
+        // datetime64) and would hash-mismatch on identical values
+        facts
+          .withColumn("month_time",
+            date_format(col("month_time"), "yyyy-MM-dd"))
+          .select("id", "probe_id", "task_id", "task_param_id",
+            "task_type_name", "test_time", "rtt", "jitter", "lost_rate",
+            "probe_name", "province_code", "host_province", "host_city",
+            "operator", "task_param_name", "alarm_template_id", "score",
+            "test_time_h", "test_time_d", "month_time", "create_time")
       },
       Some {
         val scoreSql = graft.score.ScoreEngine.scoreForSql(
@@ -202,6 +209,7 @@ object PipelineQueries {
             $scoreSql AS score,
             CAST(epoch(date_trunc('hour', make_timestamp(m.test_time * 1000000))) AS BIGINT) AS test_time_h,
             CAST(epoch(date_trunc('day', make_timestamp(m.test_time * 1000000))) AS BIGINT) AS test_time_d,
+            strftime(CAST(date_trunc('month', make_timestamp(m.test_time * 1000000)) AS DATE), '%Y-%m-%d') AS month_time,
             CAST($Now AS BIGINT) AS create_time
           FROM meas m
           LEFT JOIN probes p ON p.probe_id = m.probe_id
@@ -614,6 +622,42 @@ object PipelineQueries {
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         FROM orders WHERE o_totalprice >= 200000""")),
+
+    GraftQuery(
+      "q309_jdbc_schema_evolution",
+      (s, dir) => {
+        // write-side JDBC schema evolution (ClickhouseSink.java:70-125,
+        // dead code in the reference, live here): batch 1 lands (id,
+        // name); batch 2 arrives with a NEW acctbal column mid-stream —
+        // the sink diffs the frame against the table and ALTERs the
+        // column in before inserting, so batch-1 rows read back NULL
+        // acctbal and batch-2 rows carry values. The oracle predicts
+        // the union from the same parity split; a dropped ALTER, a
+        // misnamed column, or a clobbered old row all break the hash.
+        val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc_evolve")
+        val url = s"jdbc:duckdb:${dbDir.resolve("dims.db")}"
+        val sup = Tables.load(s, dir, "supplier")
+        val batch1 = sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+          .repartition(2, col("id"))
+        val batch2 = sup.filter(col("s_suppkey") % 2 === 1)
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+            col("s_acctbal").as("acctbal"))
+          .repartition(2, col("id"))
+        graft.sources.JdbcBatchSink.write(batch1, url, "dim_suppliers",
+          batchRows = 100)
+        graft.sources.JdbcBatchSink.write(batch2, url, "dim_suppliers",
+          batchRows = 100)
+        graft.sources.JdbcBatchSink.ensureDialect()
+        s.read.format("jdbc")
+          .option("url", url)
+          .option("dbtable", "dim_suppliers")
+          .option("driver", "org.duckdb.DuckDBDriver")
+          .load()
+      },
+      Some("""SELECT s_suppkey AS id, s_name AS name,
+          CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal ELSE NULL END AS acctbal
+        FROM supplier""")),
 
     GraftQuery(
       "q251_jsonl_quarantine",

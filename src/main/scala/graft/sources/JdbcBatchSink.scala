@@ -88,12 +88,61 @@ object JdbcBatchSink {
     }
   }
 
+  /** Write-side schema evolution — the reference's auto
+    * `ALTER TABLE ADD COLUMN` on drift (`ClickhouseSink.java:70-125`,
+    * dead code there, live here): diff the frame's schema against the
+    * target table's columns and add the missing ones (typed per
+    * [[sqlType]]; existing rows read back NULL). A table column absent
+    * from the frame is left alone — inserts name their columns. TYPE
+    * drift on a shared column is not auto-migrated: it throws, loudly,
+    * because a silent cast would corrupt either old or new rows.
+    * Driver-side, one metadata query per write — no-op when nothing
+    * drifted. */
+  def evolveTable(url: String, table: String, schema: StructType): Unit =
+    withConnection(url) { conn =>
+      val md = conn.getMetaData.getColumns(null, null, table, null)
+      val existing = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      try while (md.next()) {
+        existing += md.getString("COLUMN_NAME").toLowerCase -> md.getString("TYPE_NAME")
+      } finally md.close()
+      if (existing.nonEmpty) {
+        // type-drift guard on SHARED columns: compare base type names
+        // (driver spellings vary — only flag when both sides are
+        // recognizably different, e.g. VARCHAR vs BIGINT)
+        schema.fields.foreach { f =>
+          existing.get(f.name.toLowerCase).foreach { have =>
+            val haveBase = have.toUpperCase.takeWhile(_ != '(').trim
+            val wantBase = sqlType(f.dataType).takeWhile(_ != '(').trim
+            val families = Map("INT8" -> "BIGINT", "INT4" -> "INTEGER",
+              "INT2" -> "SMALLINT", "INT1" -> "TINYINT", "FLOAT8" -> "DOUBLE",
+              "FLOAT4" -> "REAL", "TEXT" -> "VARCHAR", "STRING" -> "VARCHAR")
+            val h = families.getOrElse(haveBase, haveBase)
+            if (h != wantBase)
+              throw new IllegalStateException(
+                s"JdbcBatchSink: column ${f.name} of $table is $have in the " +
+                  s"database but ${sqlType(f.dataType)} in the frame — type " +
+                  "drift is not auto-migrated")
+          }
+        }
+        val missing = schema.fields.filterNot(f =>
+          existing.contains(f.name.toLowerCase))
+        missing.foreach { f =>
+          val st = conn.createStatement()
+          try st.execute(
+            s"""ALTER TABLE "$table" ADD COLUMN "${f.name}" ${sqlType(f.dataType)}""")
+          finally st.close()
+        }
+      }
+    }
+
   /** Write `df` into `table` at `url` (creating it from the frame's
-    * schema), one batching writer per partition. */
+    * schema, ALTERing in any new columns), one batching writer per
+    * partition. */
   def write(df: DataFrame, url: String, table: String,
       batchRows: Int = DefaultBatchRows, flushMs: Long = DefaultFlushMs): Unit = {
     val schema = df.schema
     ensureTable(url, table, schema)
+    evolveTable(url, table, schema)
     val insert = s"""INSERT INTO "$table" (${schema.fields
         .map(f => s""""${f.name}"""").mkString(", ")}) VALUES (${schema.fields
         .map(_ => "?").mkString(", ")})"""
@@ -118,7 +167,10 @@ object JdbcBatchSink {
       flushMs: Long = DefaultFlushMs): Unit = {
     require(urls.nonEmpty, "writeSharded needs at least one shard url")
     val schema = df.schema
-    urls.foreach(u => ensureTable(u, table, schema))
+    urls.foreach { u =>
+      ensureTable(u, table, schema)
+      evolveTable(u, table, schema)
+    }
     val insert = s"""INSERT INTO "$table" (${schema.fields
         .map(f => s""""${f.name}"""").mkString(", ")}) VALUES (${schema.fields
         .map(_ => "?").mkString(", ")})"""

@@ -338,12 +338,19 @@ object StatefulOps {
     * emits its post-batch golden row. State is one small record per
     * entity in the state store (checkpointed, RocksDB-backed on a
     * cluster) — the MDM merge never re-reads the sink. Equivalent to
-    * the batch fold for ANY arrival order: the state carries each
-    * field's latest-non-null ORDINAL (not just its value), so an
-    * out-of-order update across micro-batches fills a field only when
-    * it is genuinely newer — a stale re-delivery can no longer wipe a
-    * newer value (advice r08), yet a late row still contributes fields
-    * no newer row has set. */
+    * the batch fold for ANY arrival order PROVIDED ordinals are
+    * distinct per key: the state carries each field's latest-non-null
+    * ORDINAL (not just its value), so an out-of-order update across
+    * micro-batches fills a field only when it is genuinely newer — a
+    * stale re-delivery can no longer wipe a newer value (advice r08),
+    * yet a late row still contributes fields no newer row has set.
+    * With DUPLICATE ordinals the `>=` take rule makes the
+    * last-arriving equal-ordinal row win, while the batch
+    * [[graft.operators.KeepLatest.goldenRecord]] breaks equal-ordinal
+    * ties with a content hash — the two can disagree on tied ordinals
+    * (advice r10), so feed distinct ordinals (e.g. an event timestamp
+    * plus a sequence number) when cross-checking against the batch
+    * fold. */
   def goldenUpsert(updates: Dataset[GoldenUpdate]): Dataset[GoldenRow] = {
     import updates.sparkSession.implicits._
     updates.groupByKey(_.key)

@@ -1,0 +1,180 @@
+package graft
+
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.kafka.clients.admin.{AdminClient, NewTopic}
+import org.apache.kafka.clients.consumer.KafkaConsumer
+import org.apache.kafka.clients.producer.{KafkaProducer, ProducerRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.KafkaIO
+
+/** LIVE `format("kafka")` round-trip through [[KafkaIO]] against an
+  * embedded single-node KRaft broker — the one seam KafkaIOSpec cannot
+  * reach without a broker (reference consumer:
+  * `nqs-console/.../env/BaseFlink.java:107-129`).
+  *
+  * Compiled ONLY under `sbt -Dgraft.kafka=true` (see build.sbt): the
+  * sandbox this project usually builds in has zero egress, so neither the
+  * connector nor the broker artifact resolves there — this file lives in
+  * the profile-gated `src/test-kafka` source dir and is absent from a
+  * default `sbt test`. On a networked machine:
+  *
+  *   sbt -Dgraft.kafka=true "testOnly graft.KafkaIntegrationSpec"
+  *
+  * Auth note: the broker is PLAINTEXT — the SASL/SCRAM *option plumbing*
+  * (jaas string, protocol, mechanism) is asserted broker-less in
+  * KafkaIOSpec; standing up SCRAM users inside an embedded broker tests
+  * Kafka, not this library. What this spec proves live: subscribe →
+  * consume → [[KafkaIO.decodeKafkaFrame]] byte fidelity (0x02 framing,
+  * CJK) → parse surface, and [[KafkaIO.sink]]'s produce side read back
+  * with a plain consumer.
+  */
+class KafkaIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private def freePort(): Int = {
+    val s = new ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  private val brokerPort = freePort()
+  private val controllerPort = freePort()
+  private val bootstrap = s"localhost:$brokerPort"
+  private var server: kafka.server.KafkaRaftServer = _
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    val logDir = Files.createTempDirectory("graft-kraft").toFile.getAbsolutePath
+    val props = new Properties()
+    props.put("process.roles", "broker,controller")
+    props.put("node.id", "1")
+    props.put("controller.quorum.voters", s"1@localhost:$controllerPort")
+    props.put("listeners",
+      s"PLAINTEXT://localhost:$brokerPort,CONTROLLER://localhost:$controllerPort")
+    props.put("advertised.listeners", s"PLAINTEXT://localhost:$brokerPort")
+    props.put("controller.listener.names", "CONTROLLER")
+    props.put("inter.broker.listener.name", "PLAINTEXT")
+    props.put("log.dirs", logDir)
+    props.put("offsets.topic.replication.factor", "1")
+    props.put("transaction.state.log.replication.factor", "1")
+    props.put("transaction.state.log.min.isr", "1")
+    props.put("group.initial.rebalance.delay.ms", "0")
+    val cfgFile = Files.createTempFile("graft-kraft", ".properties").toFile
+    val out = new java.io.FileOutputStream(cfgFile)
+    try props.store(out, "graft kafka integration") finally out.close()
+    // format the KRaft storage dir, then boot the combined-role server
+    val clusterId = org.apache.kafka.common.Uuid.randomUuid().toString
+    kafka.tools.StorageTool.main(
+      Array("format", "-t", clusterId, "-c", cfgFile.getAbsolutePath))
+    server = new kafka.server.KafkaRaftServer(
+      new kafka.server.KafkaConfig(props),
+      org.apache.kafka.common.utils.Time.SYSTEM)
+    server.startup()
+    val admin = AdminClient.create(Map[String, Object](
+      "bootstrap.servers" -> bootstrap).asJava)
+    try admin.createTopics(Seq(
+        new NewTopic("graft-in", 1, 1.toShort),
+        new NewTopic("graft-out", 1, 1.toShort)).asJava)
+      .all().get()
+    finally admin.close()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.shutdown()
+    spark.stop()
+  }
+
+  private def producerProps: Properties = {
+    val p = new Properties()
+    p.put("bootstrap.servers", bootstrap)
+    p.put("key.serializer",
+      "org.apache.kafka.common.serialization.ByteArraySerializer")
+    p.put("value.serializer",
+      "org.apache.kafka.common.serialization.ByteArraySerializer")
+    p
+  }
+
+  test("live source: subscribe -> decodeKafkaFrame keeps wire bytes exact") {
+    // the heartbeat topic's raw 0x02 separators and CJK payloads are the
+    // byte patterns the file fallback was proven on (KafkaIOSpec) — the
+    // live leg must deliver them IDENTICALLY through the socket
+    val messages = Seq(
+      "p-116817000000002",
+      """{"probe_id":"p-2","task_type_name":"PING","rtt":12}""",
+      "探针-3临时17000003005")
+    val producer = new KafkaProducer[Array[Byte], Array[Byte]](producerProps)
+    try {
+      messages.foreach { m =>
+        producer.send(new ProducerRecord("graft-in", null,
+          m.getBytes(StandardCharsets.UTF_8))).get()
+      }
+      producer.flush()
+    } finally producer.close()
+
+    val conf = KafkaIO.KafkaConf(
+      bootstrapServers = bootstrap, topic = "graft-in",
+      startingOffsets = "earliest")
+    val q = KafkaIO.source(spark, conf)
+      .writeStream
+      .format("memory")
+      .queryName("graft_kafka_in")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-kafka-ckpt").toString)
+      .start()
+    q.awaitTermination(60000L)
+    val got = spark.table("graft_kafka_in")
+      .select("value").collect().map(_.getString(0)).sorted
+    assert(got.toSeq === messages.sorted)
+  }
+
+  test("live sink: encodeForKafka JSON lands keyed and byte-stable") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    // sink() is a streaming writer; drive the same encode through the
+    // batch kafka writer for a deterministic one-shot produce
+    KafkaIO.encodeForKafka(df, "id")
+      .write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", "graft-out")
+      .save()
+
+    val cp = new Properties()
+    cp.put("bootstrap.servers", bootstrap)
+    cp.put("group.id", "graft-it")
+    cp.put("auto.offset.reset", "earliest")
+    cp.put("key.deserializer",
+      "org.apache.kafka.common.serialization.StringDeserializer")
+    cp.put("value.deserializer",
+      "org.apache.kafka.common.serialization.StringDeserializer")
+    val consumer = new KafkaConsumer[String, String](cp)
+    try {
+      consumer.subscribe(Seq("graft-out").asJava)
+      val got = scala.collection.mutable.Map.empty[String, String]
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (got.size < 2 && System.nanoTime() < deadline) {
+        consumer.poll(java.time.Duration.ofMillis(250)).asScala
+          .foreach(r => got(r.key()) = r.value())
+      }
+      assert(got.keySet === Set("1", "2"))
+      assert(got("1").contains(""""name":"alpha""""))
+      assert(got("2").contains(""""name":"beta""""))
+    } finally consumer.close()
+  }
+}

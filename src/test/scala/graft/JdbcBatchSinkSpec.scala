@@ -68,6 +68,46 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("schema evolution: a new column is ALTERed in, old rows read NULL") {
+    val url = freshUrl()
+    val v1 = spark.range(0, 50).select(col("id"), lit("old").as("tag"))
+    JdbcBatchSink.write(v1, url, "t")
+    val v2 = spark.range(50, 80).select(col("id"), lit("new").as("tag"),
+      (col("id") * 2.0).as("extra"))
+    JdbcBatchSink.write(v2, url, "t")
+    val conn = JdbcBatchSink.connect(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT count(*), count(extra), sum(extra), " +
+          "count(*) FILTER (WHERE tag = 'old' AND extra IS NULL) FROM t")
+      assert(rs.next())
+      assert(rs.getLong(1) === 80L)
+      assert(rs.getLong(2) === 30L) // only v2 rows carry extra
+      assert(rs.getDouble(3) === (50 until 80).map(_ * 2.0).sum)
+      assert(rs.getLong(4) === 50L) // every old row reads NULL
+    } finally conn.close()
+    // a SHRUNK frame still inserts (missing table columns untouched)
+    val v3 = spark.range(80, 90).select(col("id"), lit("slim").as("tag"))
+    JdbcBatchSink.write(v3, url, "t")
+    val c2 = JdbcBatchSink.connect(url)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT count(*) FILTER (WHERE tag = 'slim' AND extra IS NULL) FROM t")
+      assert(rs.next() && rs.getLong(1) === 10L)
+    } finally c2.close()
+  }
+
+  test("schema evolution: type drift on a shared column throws, loudly") {
+    val url = freshUrl()
+    JdbcBatchSink.write(
+      spark.range(0, 5).select(col("id"), lit("x").as("v")), url, "t")
+    val drift = spark.range(0, 5).select(col("id"), (col("id") * 1.0).as("v"))
+    val e = intercept[IllegalStateException] {
+      JdbcBatchSink.evolveTable(url, "t", drift.schema)
+    }
+    assert(e.getMessage.contains("type drift"))
+  }
+
   test("spark jdbc read-back matches what the sink wrote (q198 path)") {
     val url = freshUrl()
     val df = spark.range(0, 1000)

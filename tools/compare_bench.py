@@ -32,6 +32,18 @@ def load(path: str) -> dict:
             text = d["tail"].replace('\\"', '"')
     except json.JSONDecodeError:
         pass
+    # one statistic for BOTH input forms (advice r10): prefer the headline
+    # {"metric"...} payload's `queries` dict — the same thing a bare JSON
+    # file carries — and only fall back to min-of-pass fragments when the
+    # headline line is absent (e.g. a truncated driver `tail`).
+    m = re.search(r'\{"metric".*\}', text)
+    if m:
+        try:
+            d = json.loads(m.group(0))
+            if d.get("queries"):
+                return d
+        except json.JSONDecodeError:
+            pass
     best, sentinel = {}, []
     for frag in re.findall(r'\{"q[^{}]*\}', text):
         try:
@@ -43,11 +55,9 @@ def load(path: str) -> dict:
     if m:
         sentinel = json.loads(m.group(1))
     if not best:
-        m = re.search(r'\{"metric".*\}', text)
-        if m:
-            d = json.loads(m.group(0))
-            return d
         raise SystemExit(f"{path}: no bench payload found")
+    print(f"note: {path} had no headline payload — using per-query "
+          "min across pass fragments (biased low vs a headline side)")
     return {"queries": best, "load_sentinel": sentinel}
 
 

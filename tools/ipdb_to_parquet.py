@@ -18,8 +18,8 @@ and ipdb-java):
           offset}, node_count, total_size, fields: [...]}
   then    node area: node_count records of 2 big-endian int32 (bit-0 /
           bit-1 child), followed by the payload blob.
-  A child value v < node_count is an internal node; v == node_count means
-  "no record"; v > node_count is a leaf whose payload lives at blob
+  A child value v < node_count is an internal node; v >= node_count is a
+  leaf whose payload lives at blob
   offset v - node_count (2-byte big-endian length + UTF-8, fields joined
   by tabs, one run of len(fields) per language at its offset).
   IPv4 databases root the 32-bit trie under the ::ffff:0:0/96 path
@@ -75,17 +75,22 @@ class Ipdb:
         """DFS the IPv4 trie into (start, end, fields) leaf ranges."""
         out = []
         root = self.v4_root()
-        if root >= self.node_count:
-            return out
         stack = [(root, 0, 0)]  # node, depth, prefix
         while stack:
             node, depth, prefix = stack.pop()
-            if node == self.node_count:
-                continue  # no record under this branch
-            if node > self.node_count:
+            if node >= self.node_count:
+                # standard ipdb readers treat node >= node_count as a
+                # record pointer (node == node_count is payload offset 0),
+                # so resolve it — a real file storing a record at offset 0
+                # must not be silently dropped. The synthetic builder
+                # reserves offset 0 as an EMPTY payload for its unset
+                # branches; an all-empty record is that padding, skipped.
+                vals = self.resolve(node, lang)
+                if not any(vals):
+                    continue  # builder's no-record padding
                 lo = prefix << (32 - depth)
                 hi = lo | ((1 << (32 - depth)) - 1)
-                out.append((lo, hi, self.resolve(node, lang)))
+                out.append((lo, hi, vals))
                 continue
             if depth == 32:
                 raise ValueError("internal node at depth 32 — corrupt trie")
@@ -152,9 +157,10 @@ def write_parquet(rows, out_path: str):
 def build_ipdb(cidrs, fields, lang="CN"):
     """Build a minimal, reader-faithful v4 `.ipdb` from
     [(cidr, [field values])] — used by --selftest and reusable for
-    fixture generation. Payload offsets start at 4 so no leaf collides
-    with the node_count sentinel."""
-    nodes = [[-1, -1]]  # -1 = unset (becomes the node_count sentinel)
+    fixture generation. Blob offset 0 is a reserved EMPTY payload: unset
+    branches encode as node_count (offset 0), which readers resolve to an
+    all-empty record and this tool's iter_ranges skips as no-record."""
+    nodes = [[-1, -1]]  # -1 = unset (points at the reserved empty payload)
     # the ::ffff:0:0/96 chain the readers walk for v4
     cur = 0
     for i in range(96):
