@@ -17,25 +17,15 @@ object Tables {
   // per-session memo of the ANALYZED read: `spark.read.parquet` builds a
   // fresh InMemoryFileIndex per call — a file-listing Spark job on every
   // query, every bench pass, for immutable inputs. A catalog table would
-  // cache this metadata; the memo is that catalog. Keyed weakly on the
-  // session object (a GC'd session's reused hash must not leak plans
-  // across sessions) + the resolved path. DataFrames are immutable, so
-  // sharing the analyzed plan is safe.
-  private val loaded =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  // cache this metadata; the memo is that catalog. DataFrames reference
+  // their session, so SessionMemo holds them SOFTLY — the cache can
+  // never pin a dead session (review r10); a cleared entry just re-lists.
+  private val loaded = new SessionMemo[String, DataFrame]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val m = loaded.synchronized {
-      var t = loaded.get(spark)
-      if (t == null) {
-        t = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        loaded.put(spark, t)
-      }
-      t
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.softGetOrElseUpdate(spark, s"$dir/$name") {
+      spark.read.parquet(s"$dir/$name.parquet")
     }
-    m.getOrElseUpdate(s"$dir/$name", spark.read.parquet(s"$dir/$name.parquet"))
-  }
 
   /** `events` with a proper TimestampType `ts`.
     *

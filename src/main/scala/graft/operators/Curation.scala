@@ -1165,7 +1165,9 @@ object Curation {
     // run. localCheckpoint the tokenized post-dedup frame once so neither
     // re-pays the scan+hash+shuffle (r09 verdict: q92's stages re-planned
     // the corpus per stage); at 100 TB this trades one materialization of
-    // the deduped corpus for a full second dedup pass.
+    // the deduped corpus for a full second dedup pass. The blocks live
+    // until the RDD is GC'd — callers that loop (Verify/Bench) sweep
+    // getPersistentRDDs between queries, the q163 discipline.
     // spread first: the fingerprint+tokenize projection is CPU-dense and
     // otherwise runs at the file's split count (2 splits at sf0.1 → 30 of
     // 32 cores idle, the q229 r09 lesson); no-op when splits ≥ cores

@@ -38,11 +38,12 @@ object KeepLatest {
     // row_number pick could otherwise disagree across partitionings
     // (advice r08). A full-row content hash breaks ties identically in
     // both windows, restoring the hash-gating discipline; with a total
-    // order it never fires. Only HASHABLE columns feed the hash — a
-    // MapType (or other xxhash64-unsupported) column would throw where
-    // the operator otherwise works (advice r10); exact-duplicate rows
-    // still tie, which is benign because tied rows are identical in
-    // every hashed column.
+    // order it never fires. MapType columns are not xxhash64-hashable
+    // (the call would throw — advice r10), and silently DROPPING them
+    // would reintroduce the nondeterministic pick for rows differing
+    // only in a map (review r10) — so map-bearing columns feed the hash
+    // through their JSON serialization instead (per-row stable: the
+    // same row carries the same MapData bytes wherever it shuffles).
     import org.apache.spark.sql.types._
     def hasMap(dt: DataType): Boolean = dt match {
       case _: MapType => true
@@ -50,11 +51,10 @@ object KeepLatest {
       case StructType(fs) => fs.exists(f => hasMap(f.dataType))
       case _ => false
     }
-    val hashable = df.schema.fields.collect {
-      case f if !hasMap(f.dataType) => col(f.name)
+    val hashable = df.schema.fields.map { f =>
+      if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
     }.toSeq
-    val base = df.withColumn("__tie",
-      if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L))
+    val base = df.withColumn("__tie", xxhash64(hashable: _*))
     val w = Window.partitionBy(col(entityCol))
       .orderBy(orderCols :+ col("__tie").asc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

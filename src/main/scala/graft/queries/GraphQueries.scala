@@ -242,24 +242,15 @@ object LayoutQueries {
   // session's reused hash (or a collision) must not serve another
   // session's tables (review r09/advice r10)
   private val q255Layouts =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, (String, String)]]()
+    new graft.core.SessionMemo[String, (String, String)]
 
   /** Returns the (lineitem, orders) bucketed table names for `dir`.
     * Table names are DIR-KEYED: a fixed name plus per-(session, dir)
     * memoization would let a second dir overwrite the first dir's
     * tables while its memo entry still claimed them built (review r09). */
   private[queries] def ensureBucketedLayout(
-      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
-    val perSession = q255Layouts.synchronized {
-      var m = q255Layouts.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-        q255Layouts.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, {
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+    q255Layouts.getOrElseUpdate(s, dir) {
       val tag = java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
       val (liT, ordT) = (s"graft_q255_li_$tag", s"graft_q255_ord_$tag")
@@ -282,8 +273,7 @@ object LayoutQueries {
         rm(tmpPath.toFile)
       }
       (liT, ordT)
-    })
-  }
+    }
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(

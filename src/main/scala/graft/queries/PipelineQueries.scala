@@ -18,6 +18,21 @@ object PipelineQueries {
 
   private val Now = 1705708800L // fixed "now" → deterministic clamps
 
+  /** Temp dir for the embedded-database gates, swept at JVM exit —
+    * repeated verify/bench runs otherwise accumulate .db files in /tmp
+    * (review r10; same pattern as the q255 bucketed-layout dirs). */
+  private def tempDbDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
   /** `<json>\x02<ip>` heartbeat wire message derived from a key column.
     * When `withBad`, every 101st key omits the probe id (P4 reject). */
   private def hbMessage(k: Column, ip: Column, withBad: Boolean): Column = {
@@ -568,7 +583,7 @@ object PipelineQueries {
         // or commit bug anywhere in the sink breaks the gate. Batch size
         // is lowered to 1000 so sf0.01's ~7k rows exercise several
         // flush/commit cycles, not one.
-        val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc")
+        val dbDir = tempDbDir("graft_jdbc")
         val url = s"jdbc:duckdb:${dbDir.resolve("facts.db")}"
         val facts = Tables.load(s, dir, "lineitem")
           .filter(col("l_quantity") >= 45)
@@ -602,7 +617,7 @@ object PipelineQueries {
         // either node breaks it. Shard balance is asserted in
         // JdbcBatchSinkSpec (partition counts are a session property,
         // not gate-stable content).
-        val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc_shard")
+        val dbDir = tempDbDir("graft_jdbc_shard")
         val urls = Seq(s"jdbc:duckdb:${dbDir.resolve("shard0.db")}",
           s"jdbc:duckdb:${dbDir.resolve("shard1.db")}")
         val facts = Tables.load(s, dir, "orders")
@@ -634,7 +649,7 @@ object PipelineQueries {
         // acctbal and batch-2 rows carry values. The oracle predicts
         // the union from the same parity split; a dropped ALTER, a
         // misnamed column, or a clobbered old row all break the hash.
-        val dbDir = java.nio.file.Files.createTempDirectory("graft_jdbc_evolve")
+        val dbDir = tempDbDir("graft_jdbc_evolve")
         val url = s"jdbc:duckdb:${dbDir.resolve("dims.db")}"
         val sup = Tables.load(s, dir, "supplier")
         val batch1 = sup.filter(col("s_suppkey") % 2 === 0)

@@ -17,52 +17,33 @@ object VectorQueries {
 
   // memoized per (session, dir, id): a dozen gates re-collect the same
   // fixed query vector — one Spark job per gate per bench pass for an
-  // immutable value (same weak-session pattern as Tables.load)
+  // immutable value (graft.core.SessionMemo, plain-value form)
   private val queryVecs =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[(String, Long), Seq[Double]]]()
+    new graft.core.SessionMemo[(String, Long), Seq[Double]]
 
   private def queryVecAt(s: org.apache.spark.sql.SparkSession, dir: String,
-      id: Long): Seq[Double] = {
-    val m = queryVecs.synchronized {
-      var t = queryVecs.get(s)
-      if (t == null) {
-        t = scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[Double]]
-        queryVecs.put(s, t)
-      }
-      t
-    }
-    m.getOrElseUpdate((dir, id),
+      id: Long): Seq[Double] =
+    queryVecs.getOrElseUpdate(s, (dir, id)) {
       Tables.load(s, dir, "embeddings")
         .filter(col("vec_id") === id)
         .select("embedding").collect()(0)
-        .getSeq[Float](0).toSeq.map(_.toDouble))
-  }
+        .getSeq[Float](0).toSeq.map(_.toDouble)
+    }
 
   // memoized PQ codebooks per (session, dir): q221/q224 probe AGAINST the
   // trained index — retraining per probe is not what the read path does
   // at scale. q220 is the build gate and trains fresh (bench=true there
   // keeps the training cost a measured artifact, the q255/q306 split).
   private val pqBooksMemo =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String,
-        IndexedSeq[IndexedSeq[Seq[Double]]]]]()
+    new graft.core.SessionMemo[String, IndexedSeq[IndexedSeq[Seq[Double]]]]
 
   private def pqBooks(s: org.apache.spark.sql.SparkSession,
-      dir: String): IndexedSeq[IndexedSeq[Seq[Double]]] = {
-    val m = pqBooksMemo.synchronized {
-      var t = pqBooksMemo.get(s)
-      if (t == null) {
-        t = scala.collection.concurrent.TrieMap
-          .empty[String, IndexedSeq[IndexedSeq[Seq[Double]]]]
-        pqBooksMemo.put(s, t)
-      }
-      t
+      dir: String): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    pqBooksMemo.getOrElseUpdate(s, dir) {
+      Similarity.pqCodebooks(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, ks = 8, iters = 2)
     }
-    m.getOrElseUpdate(dir, Similarity.pqCodebooks(
-      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      m = 4, ks = 8, iters = 2))
-  }
 
   /** Left-fold dot of two vector columns — identical FP op order to
     * Similarity's zip-multiply-fold expressions (DuckDB list_reduce folds

@@ -78,14 +78,16 @@ object JdbcBatchSink {
   }
 
   /** CREATE TABLE IF NOT EXISTS matching `schema` (driver-side, once). */
-  def ensureTable(url: String, table: String, schema: StructType): Unit = {
+  def ensureTable(url: String, table: String, schema: StructType): Unit =
+    withConnection(url)(ensureTableOn(_, table, schema))
+
+  private def ensureTableOn(conn: Connection, table: String,
+      schema: StructType): Unit = {
     val cols = schema.fields
       .map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
-    withConnection(url) { conn =>
-      val st = conn.createStatement()
-      try st.execute(s"""CREATE TABLE IF NOT EXISTS "$table" ($cols)""")
-      finally st.close()
-    }
+    val st = conn.createStatement()
+    try st.execute(s"""CREATE TABLE IF NOT EXISTS "$table" ($cols)""")
+    finally st.close()
   }
 
   /** Write-side schema evolution — the reference's auto
@@ -99,11 +101,19 @@ object JdbcBatchSink {
     * Driver-side, one metadata query per write — no-op when nothing
     * drifted. */
   def evolveTable(url: String, table: String, schema: StructType): Unit =
-    withConnection(url) { conn =>
+    withConnection(url)(evolveTableOn(_, table, schema))
+
+  private def evolveTableOn(conn: Connection, table: String,
+      schema: StructType): Unit = {
+      // getColumns' table argument is a JDBC SEARCH PATTERN — `_` is a
+      // single-char wildcard, so "dim_suppliers" would also match a
+      // sibling "dimXsuppliers" and merge its columns in (review r10);
+      // filter rows by exact TABLE_NAME instead of trusting the pattern
       val md = conn.getMetaData.getColumns(null, null, table, null)
       val existing = scala.collection.mutable.LinkedHashMap.empty[String, String]
       try while (md.next()) {
-        existing += md.getString("COLUMN_NAME").toLowerCase -> md.getString("TYPE_NAME")
+        if (md.getString("TABLE_NAME") == table)
+          existing += md.getString("COLUMN_NAME").toLowerCase -> md.getString("TYPE_NAME")
       } finally md.close()
       if (existing.nonEmpty) {
         // type-drift guard on SHARED columns: compare base type names
@@ -133,6 +143,17 @@ object JdbcBatchSink {
           finally st.close()
         }
       }
+  }
+
+  /** One driver-side connection for BOTH create-if-absent and column
+    * evolution: two sequential opens per write doubled the embedded
+    * engine's open/close race surface (review r10 — the chaos spec
+    * tripped on the extra churn). */
+  private def prepareTable(url: String, table: String,
+      schema: StructType): Unit =
+    withConnection(url) { conn =>
+      ensureTableOn(conn, table, schema)
+      evolveTableOn(conn, table, schema)
     }
 
   /** Write `df` into `table` at `url` (creating it from the frame's
@@ -141,8 +162,7 @@ object JdbcBatchSink {
   def write(df: DataFrame, url: String, table: String,
       batchRows: Int = DefaultBatchRows, flushMs: Long = DefaultFlushMs): Unit = {
     val schema = df.schema
-    ensureTable(url, table, schema)
-    evolveTable(url, table, schema)
+    prepareTable(url, table, schema)
     val insert = s"""INSERT INTO "$table" (${schema.fields
         .map(f => s""""${f.name}"""").mkString(", ")}) VALUES (${schema.fields
         .map(_ => "?").mkString(", ")})"""
@@ -167,10 +187,7 @@ object JdbcBatchSink {
       flushMs: Long = DefaultFlushMs): Unit = {
     require(urls.nonEmpty, "writeSharded needs at least one shard url")
     val schema = df.schema
-    urls.foreach { u =>
-      ensureTable(u, table, schema)
-      evolveTable(u, table, schema)
-    }
+    urls.foreach(prepareTable(_, table, schema))
     val insert = s"""INSERT INTO "$table" (${schema.fields
         .map(f => s""""${f.name}"""").mkString(", ")}) VALUES (${schema.fields
         .map(_ => "?").mkString(", ")})"""

@@ -77,10 +77,16 @@ class KafkaIntegrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cfgFile = Files.createTempFile("graft-kraft", ".properties").toFile
     val out = new java.io.FileOutputStream(cfgFile)
     try props.store(out, "graft kafka integration") finally out.close()
-    // format the KRaft storage dir, then boot the combined-role server
+    // format the KRaft storage dir, then boot the combined-role server.
+    // StorageTool.main ends in Exit.exit (System.exit) — intercept it, or
+    // a SUCCESSFUL format kills the forked test JVM before the broker
+    // ever starts (review r10)
     val clusterId = org.apache.kafka.common.Uuid.randomUuid().toString
-    kafka.tools.StorageTool.main(
+    org.apache.kafka.common.utils.Exit.setExitProcedure((code, _) =>
+      if (code != 0) throw new IllegalStateException(s"format exited $code"))
+    try kafka.tools.StorageTool.main(
       Array("format", "-t", clusterId, "-c", cfgFile.getAbsolutePath))
+    finally org.apache.kafka.common.utils.Exit.resetExitProcedure()
     server = new kafka.server.KafkaRaftServer(
       new kafka.server.KafkaConfig(props),
       org.apache.kafka.common.utils.Time.SYSTEM)
