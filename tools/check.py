@@ -1,10 +1,13 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--timeout=SEC] [query ...]
 
 Extra args restrict the compare to the named queries (local iteration);
 with none, every query in oracle_sql.json + names.json is checked.
+--timeout=SEC interrupts any single oracle after SEC seconds and counts
+it SKIP (not FAIL) — for big-SF sweeps where one quadratic DuckDB oracle
+(q38-class LSH pair joins) would run hours while the Spark side is fine.
 
 Runs each oracle_sql.json query in DuckDB over the sfDir parquet tables,
 loads the corresponding Spark parquet result, sorts columns by name, and
@@ -70,24 +73,38 @@ def dtypes_of(df: pd.DataFrame) -> dict:
     return d
 
 
-def main(sf_dir: str, out_dir: str, only=()) -> int:
+def main(sf_dir: str, out_dir: str, only=(), timeout_sec: float = 0) -> int:
+    import threading
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(oracles):
         if only and name not in only:
             continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        timer = None
+        timed_out = []
+        if timeout_sec > 0:
+            timer = threading.Timer(
+                timeout_sec, lambda: (timed_out.append(1), con.interrupt()))
+            timer.start()
         try:
             got_raw = pd.concat([pd.read_parquet(f) for f in files])
             want_raw = con.execute(oracles[name]).df()
         except Exception as e:
+            if timed_out:
+                print(f"SKIP {name}: oracle exceeded {timeout_sec:.0f}s "
+                      "(Spark side wrote; DuckDB side interrupted)")
+                n_skip += 1; continue
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         try:
             got, want = rendered(got_raw), rendered(want_raw)
         except Exception as e:
@@ -122,9 +139,18 @@ def main(sf_dir: str, out_dir: str, only=()) -> int:
         print(f"{'PASS' if rows > 0 else 'FAIL'} {name} (rows-only: {rows})")
         if rows > 0: n_pass += 1
         else: n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    skipnote = f", {n_skip} skip (oracle timeout)" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skipnote}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], frozenset(sys.argv[3:])))
+    args = sys.argv[3:]
+    timeout = 0.0
+    names = []
+    for a in args:
+        if a.startswith("--timeout="):
+            timeout = float(a.split("=", 1)[1])
+        else:
+            names.append(a)
+    sys.exit(main(sys.argv[1], sys.argv[2], frozenset(names), timeout))
