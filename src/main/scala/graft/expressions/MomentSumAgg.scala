@@ -1,0 +1,208 @@
+package graft.expressions
+
+import java.math.BigInteger
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Exact-sum accumulator for one task's moment partials: a long per
+  * (i ≤ j) bucket on the fast path, banking into a lazily-allocated
+  * BigInteger lane the moment a long add would overflow — so the total
+  * is exact at ANY corpus size while the per-row cost stays a primitive
+  * add. */
+final class MomentBuffer(val n: Int) {
+  val longs = new Array[Long](n)
+  var bigs: Array[BigInteger] = _ // allocated on first overflow only
+
+  def addLong(k: Int, p: Long): Unit = {
+    val a = longs(k)
+    val s = a + p
+    if (((a ^ s) & (p ^ s)) < 0) { // signed overflow: bank `a`, restart at p
+      if (bigs == null) bigs = new Array[BigInteger](n)
+      val av = BigInteger.valueOf(a)
+      bigs(k) = if (bigs(k) == null) av else bigs(k).add(av)
+      longs(k) = p
+    } else longs(k) = s
+  }
+
+  def addBig(k: Int, b: BigInteger): Unit = {
+    if (b != null) {
+      if (bigs == null) bigs = new Array[BigInteger](n)
+      bigs(k) = if (bigs(k) == null) b else bigs(k).add(b)
+    }
+  }
+
+  def total(k: Int): BigInteger = {
+    val l = BigInteger.valueOf(longs(k))
+    if (bigs == null || bigs(k) == null) l else bigs(k).add(l)
+  }
+}
+
+/** One-pass upper-triangle second-moment sums — the aggregate form of
+  * [[graft.operators.Spectral]]'s moment scan: for each input vector,
+  * add `floor(v_i·v_j·10^snap + 0.5)` (Spark's LONG floor: NaN→0, ±∞
+  * saturate — identical to `floor(x).cast("long")`) into bucket
+  * k(i,j), i ≤ j. Output: array of d·(d+1)/2 exact DECIMAL(38,0) sums
+  * in row-major upper-triangle order.
+  *
+  * WHY an aggregate: the generator formulation explodes every row into
+  * d²/2 (i, j, p9) rows BEFORE the hash aggregate — at dim=64 that is a
+  * 2080× row fan-out paying per-fanned-row generate + hash-update +
+  * Decimal-sum costs (measured ~7 CPU-s for 2000 rows at sf0.1; at a
+  * 10⁹-row corpus the fan-out is 2×10¹² hash updates). Here each row is
+  * a tight d²/2 multiply-add loop into a long[] — the shuffle carries
+  * one serialized buffer per task instead of tasks × 2080 partial rows,
+  * and nothing allocates per row.
+  *
+  * Exactness: per-row p9 fits a long by the same bound as the generator
+  * path (callers assert Σ < 2^53 before converting to double anyway);
+  * partition sums bank into BigInteger lanes on overflow
+  * ([[MomentBuffer]]), so totals are exact at any scale — the DECIMAL
+  * sum's guarantee, without its per-row boxing.
+  *
+  * Row contract (matches the generator path bit-for-bit): null array →
+  * contributes nothing; wrong-length array → nothing (the generator
+  * path's `element_at` would raise under ANSI — a malformed row aborting
+  * a 100 TB scan is wrong, and the documented contract is dim-length
+  * vectors); a null ELEMENT skips exactly the (i, j) pairs that touch
+  * it (the generator's per-pair null product).
+  */
+case class MomentSumAgg(child: Expression, dim: Int, snap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MomentBuffer] with UnaryLike[Expression] {
+
+  require(dim >= 1 && snap >= 0)
+
+  private val n = dim * (dim + 1) / 2
+  @transient private lazy val p = math.pow(10, snap)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 0), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"moment_sums requires ARRAY<DOUBLE>, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): MomentBuffer = new MomentBuffer(n)
+
+  override def update(buf: MomentBuffer, input: InternalRow): MomentBuffer = {
+    val a = child.eval(input)
+    if (a == null) return buf
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return buf
+    val v = new Array[Double](dim)
+    val nul = new Array[Boolean](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) nul(i) = true else v(i) = arr.getDouble(i)
+      i += 1
+    }
+    var k = 0
+    i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        if (!nul(i) && !nul(j)) {
+          buf.addLong(k, math.floor(v(i) * v(j) * p + 0.5).toLong)
+        }
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buf: MomentBuffer, other: MomentBuffer): MomentBuffer = {
+    var k = 0
+    while (k < n) {
+      buf.addLong(k, other.longs(k))
+      if (other.bigs != null) buf.addBig(k, other.bigs(k))
+      k += 1
+    }
+    buf
+  }
+
+  override def eval(buf: MomentBuffer): Any =
+    new GenericArrayData(Array.tabulate[Any](n)(k =>
+      Decimal(scala.math.BigDecimal(buf.total(k)), 38, 0)))
+
+  override def serialize(buf: MomentBuffer): Array[Byte] = {
+    val bigBytes = new Array[Array[Byte]](n)
+    var extra = 0
+    var cnt = 0
+    if (buf.bigs != null) {
+      var k = 0
+      while (k < n) {
+        if (buf.bigs(k) != null) {
+          bigBytes(k) = buf.bigs(k).toByteArray
+          extra += 8 + bigBytes(k).length
+          cnt += 1
+        }
+        k += 1
+      }
+    }
+    val bb = ByteBuffer.allocate(8 + 8 * n + extra)
+    bb.putInt(n)
+    var k = 0
+    while (k < n) { bb.putLong(buf.longs(k)); k += 1 }
+    bb.putInt(cnt)
+    k = 0
+    while (k < n) {
+      if (bigBytes(k) != null) {
+        bb.putInt(k)
+        bb.putInt(bigBytes(k).length)
+        bb.put(bigBytes(k))
+      }
+      k += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MomentBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val m = bb.getInt()
+    val buf = new MomentBuffer(m)
+    var k = 0
+    while (k < m) { buf.longs(k) = bb.getLong(); k += 1 }
+    val cnt = bb.getInt()
+    var c = 0
+    while (c < cnt) {
+      val idx = bb.getInt()
+      val len = bb.getInt()
+      val a = new Array[Byte](len)
+      bb.get(a)
+      buf.addBig(idx, new BigInteger(a))
+      c += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): MomentSumAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): MomentSumAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildInternal(newChild: Expression): MomentSumAgg =
+    copy(child = newChild)
+
+  override def prettyName: String = "moment_sums"
+}
+
+object MomentSumAgg {
+  /** Column-API entry point (an aggregate Column: use under `.agg`). */
+  def moment_sums(vec: Column, dim: Int, snap: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MomentSumAgg(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec), dim, snap)
+        .toAggregateExpression())
+}

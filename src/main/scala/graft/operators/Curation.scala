@@ -1288,6 +1288,19 @@ object Curation {
       }
     }
 
+  /** The fused production form of `dequantCosine(quantizeInt8(v), q)`:
+    * one native codegen'd pass per row
+    * ([[graft.expressions.Int8QueryCosine]]), bit-identical to the
+    * Column composition (parity-spec'd on real embeddings). The split
+    * quantize/dequant Columns stay for pipelines that MATERIALIZE the
+    * int8 codes (index build writes codes, probes dequantize); a scan
+    * that quantizes and scores in place — the q58 shape — pays four
+    * interpreted HOF lambdas per row through the split form, which at
+    * dim=64 measured ~0.4 ms/row, three orders over this loop. */
+  def int8QueryCosine(vec: Column, query: Seq[Double],
+      scale: Int = 6): Column =
+    graft.expressions.Int8QueryCosine.int8_query_cosine(vec, query, scale)
+
   /** Exactly-k-per-group deterministic sample: keep the `k` rows of each
     * group whose salted md5 key sorts lowest — the balanced-subset
     * primitive (k examples per class for an eval set, k docs per domain

@@ -655,7 +655,7 @@ object Similarity {
   def kmeans(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2, scale: Int = 10): DataFrame = {
     val e = embeddings
-      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .cache()
     val cents = lloydLoop(e, idCol, k, iters, scale)
     // materialize the assignment, then release the cached projection —
@@ -724,7 +724,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, iters: Int,
       scale: Int = 10): IndexedSeq[Seq[Double]] = {
     val e = embeddings
-      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .cache()
     try lloydLoop(e, idCol, k, iters, scale)
     finally e.unpersist(blocking = false)
@@ -748,7 +748,7 @@ object Similarity {
       vecCol: String, assign: DataFrame, threshold: Double,
       scale: Int): DataFrame = {
     val e = embeddings.select(col(idCol),
-      transform(col(vecCol), _.cast("double")).as("__v"))
+      col(vecCol).cast("array<double>").as("__v"))
     saltedCellPairs(e.join(assign, Seq(idCol)), idCol, threshold, scale)
   }
 
@@ -816,7 +816,7 @@ object Similarity {
       dim: Int, bits: Int, threshold: Double = 0.95, scale: Int = 6,
       seed: Int = 42): DataFrame = {
     val withCell = embeddings.select(col(idCol),
-      transform(col(vecCol), _.cast("double")).as("__v"),
+      col(vecCol).cast("array<double>").as("__v"),
       lshBucket(col(vecCol), dim, bits, seed).as("cluster"))
     val pairs = saltedCellPairs(withCell, idCol, threshold, scale)
     val dropped = pairs.select(col("id_b").as(idCol)).distinct()
@@ -853,10 +853,10 @@ object Similarity {
       "corpus and benchmark id columns must have distinct names")
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol),
-      transform(col(vecCol), _.cast("double")).as("__v"),
+      col(vecCol).cast("array<double>").as("__v"),
       lshBucket(col(vecCol), dim, bits, seed).as("__b"))
     val b = bench.select(col(benchIdCol),
-      transform(col(benchVecCol), _.cast("double")).as("__bv"),
+      col(benchVecCol).cast("array<double>").as("__bv"),
       lshBucket(col(benchVecCol), dim, bits, seed).as("__b"))
     val cand = c.join(broadcast(b), Seq("__b"))
       .select(col(idCol), col(benchIdCol),
@@ -892,10 +892,10 @@ object Similarity {
       "corpus and query id columns must have distinct names")
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol), col(tokCol).as("n_tokens"),
-      transform(col(vecCol), _.cast("double")).as("__v"),
+      col(vecCol).cast("array<double>").as("__v"),
       lshBucket(col(vecCol), dim, bits, seed).as("__b"))
     val q = queries.select(col(qidCol),
-      transform(col(qvecCol), _.cast("double")).as("__qv"),
+      col(qvecCol).cast("array<double>").as("__qv"),
       lshBucket(col(qvecCol), dim, bits, seed).as("__b"))
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("cos").desc, col(idCol).asc)

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -18,13 +17,14 @@ import graft.functions.SafeMath
   * driver (d² doubles of state) with mirrored IEEE arithmetic so a DuckDB
   * oracle replays every round bit-for-bit.
   *
-  * Scale shape: the moment matrix is computed by exploding each row into its
-  * d·(d+1)/2 upper-triangle (i, j) products — the standard outer-product
-  * cost of covariance, O(d²/2) per row — snapped to scale-`snap` BIGINTs and
-  * summed with full map-side combine, so the shuffle carries at most
-  * `tasks · d²/2` partial rows and only d²/2 totals reach the driver. The
-  * power iteration and normalization touch no corpus data; the final
-  * projection is one codegen'd [[graft.expressions.ArrayDot]] scan.
+  * Scale shape: the moment matrix is ONE custom aggregate
+  * ([[graft.expressions.MomentSumAgg]]) — each row folds its d·(d+1)/2
+  * upper-triangle products (the standard outer-product cost of
+  * covariance) into a per-task long[] with BigInteger overflow banking,
+  * so the shuffle carries one serialized buffer per task and only d²/2
+  * exact totals reach the driver. The power iteration and normalization
+  * touch no corpus data; the final projection is one codegen'd
+  * [[graft.expressions.ArrayDot]] scan.
   */
 object Spectral {
 
@@ -38,23 +38,31 @@ object Spectral {
   private[graft] def momentPlan(embeddings: DataFrame, vecCol: String,
       dim: Int, snap: Int = 9): DataFrame =
     momentSums(
-      embeddings.select(transform(col(vecCol), _.cast("double")).as("__v")),
+      embeddings.select(col(vecCol).cast("array<double>").as("__v")),
       dim, snap)
 
   private def momentSums(e: DataFrame, dim: Int, snap: Int): DataFrame = {
-    val p = math.pow(10, snap)
-    // stacked generators for the in-row (i, j) fan-out (the CLAUDE-book
-    // pair-generation recipe) — a literal 2080-struct array would codegen
-    // one giant CreateArray and blow the janino method limit
-    e.select(col("__v"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
-      .select(col("__v"), col("i"),
-        explode(sequence(col("i"), lit(dim - 1))).as("j"))
-      .select(col("i"), col("j"),
-        floor(element_at(col("__v"), col("i") + 1) *
-          element_at(col("__v"), col("j") + 1) * lit(p) + lit(0.5))
-          .cast("long").cast(DecimalType(38, 0)).as("p9"))
-      .groupBy("i", "j")
-      .agg(sum(col("p9")).as("s"))
+    // ONE custom aggregate instead of a d²/2-per-row generator fan-out:
+    // graft.expressions.MomentSumAgg folds each vector's upper-triangle
+    // products into a long[] per task (BigInteger-banked on overflow, so
+    // exact at any scale) — the generator form paid a 2080× row fan-out
+    // through generate + hash-update + Decimal-sum per fanned row
+    // (~7 CPU-s at sf0.1; 2×10¹² hash updates at a 10⁹-row corpus).
+    // spread first: the per-row d²/2 loop is CPU-dense and otherwise
+    // runs at the file's split count (the q229 lesson; no-op when splits
+    // ≥ cores, as any real corpus read has).
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = (for { i <- 0 until dim; j <- i until dim } yield (i, j))
+      .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+    Similarity.spread(e)
+      .agg(graft.expressions.MomentSumAgg.moment_sums(col("__v"), dim, snap)
+        .as("__s"))
+      .select(posexplode(col("__s")).as(Seq("__k", "s")))
+      // the k → (i, j) map is a broadcast of d·(d+1)/2 rows, never a
+      // giant literal array (the janino method-limit trap)
+      .join(broadcast(pairs.toDF("__k", "i", "j")), Seq("__k"))
+      .select(col("i"), col("j"), col("s"))
   }
 
   /** Top principal direction of the uncentered second-moment matrix,
@@ -71,7 +79,7 @@ object Spectral {
       iters: Int = 4, snap: Int = 9): IndexedSeq[Double] = {
     require(dim >= 1 && iters >= 1)
     val e = embeddings
-      .select(transform(col(vecCol), _.cast("double")).as("__v"))
+      .select(col(vecCol).cast("array<double>").as("__v"))
     componentFromMoments(momentSums(e, dim, snap).collect(), dim, iters, snap)
   }
 
@@ -101,7 +109,7 @@ object Spectral {
     * anything less would double-count). */
   def appendMomentsBatch(batch: DataFrame, statePath: String,
       vecCol: String, dim: Int, batchId: Long, snap: Int = 9): Unit = {
-    val e = batch.select(transform(col(vecCol), _.cast("double")).as("__v"))
+    val e = batch.select(col(vecCol).cast("array<double>").as("__v"))
     momentSums(e, dim, snap)
       .withColumn("__batch", lit(batchId))
       .write.mode("overwrite")
@@ -144,7 +152,9 @@ object Spectral {
     val comp = pc1Component(embeddings, vecCol, dim, iters, snap)
     embeddings.select(col(idCol),
       SafeMath.roundHalfUp(
-        Similarity.dotLit(transform(col(vecCol), _.cast("double")), comp),
+        // ArrayDot folds toDouble(elem) itself — the raw float column
+        // feeds it directly, no per-element cast projection
+        Similarity.dotLit(col(vecCol), comp),
         scale).as("pc1"))
   }
 
@@ -156,7 +166,7 @@ object Spectral {
     * no shuffle at all. Output: (idCol, proj: array<double> rounded). */
   def randomProject(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, outDim: Int, seed: Int = 7, scale: Int = 6): DataFrame = {
-    val vd = transform(col(vecCol), _.cast("double"))
+    val vd = col(vecCol) // ArrayDot casts elements itself
     val comps = (0 until outDim).map { b =>
       val row = Similarity.plane(seed, b, dim)
       SafeMath.roundHalfUp(

@@ -831,15 +831,15 @@ object CurationQueries {
       "q58_quantized_cosine_topk",
       (s, dir) => {
         // int8 max-abs quantization (4× smaller vectors at scale), then
-        // brute-force top-k on the dequantized values.
-        val e = Tables.load(s, dir, "embeddings")
-        val query = e.filter(col("vec_id") === 0)
-          .select("embedding").collect()(0)
-          .getSeq[Float](0).toSeq.map(_.toDouble)
-        e.select(col("vec_id"),
-            Curation.quantizeInt8(col("embedding")).as("q"))
+        // brute-force top-k on the dequantized values. Quantize + score
+        // run as ONE native pass (Int8QueryCosine — bit-identical fused
+        // form of dequantCosine ∘ quantizeInt8, parity-spec'd); the
+        // split Columns remain the API for pipelines that materialize
+        // the codes.
+        val query = VectorQueries.queryVec(s, dir)
+        Tables.load(s, dir, "embeddings")
           .select(col("vec_id"),
-            Curation.dequantCosine(col("q"), query).as("cos"))
+            Curation.int8QueryCosine(col("embedding"), query).as("cos"))
           .orderBy(col("cos").desc, col("vec_id").asc)
           .limit(10)
       },

@@ -12,7 +12,7 @@ object VectorQueries {
 
   private val Dim = 64
 
-  private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
+  private[queries] def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
     queryVecAt(s, dir, 0L)
 
   // memoized per (session, dir, id): a dozen gates re-collect the same

@@ -33,7 +33,7 @@ object Profile {
       val emb = Tables.load(spark, sfDir, "embeddings")
       time("emb count")(emb.count())
       val e = emb.select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("__v")).cache()
+        col("embedding").cast("array<double>").as("__v")).cache()
       val cents0 = time("init collect")(e.orderBy(col("vec_id")).limit(8)
         .select(col("__v")).collect().toIndexedSeq
         .map(_.getSeq[Double](0).toSeq))
