@@ -730,6 +730,60 @@ object Similarity {
     finally e.unpersist(blocking = false)
   }
 
+  /** Simplified-silhouette audit of the [[kmeans]] clustering — the
+    * "did Lloyd produce real clusters" check run before trusting
+    * SemDedup cells or IVF lists: per point, a = Euclidean distance to
+    * its OWN trained centroid, b = the nearest OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1]; output one row per cluster
+    * (cluster, n, mean_sil). The classic O(n²) silhouette is replaced by
+    * the standard centroid form — O(n·k), one scan over the corpus after
+    * training, so the audit costs no more than one extra assignment
+    * round at any scale.
+    *
+    * Determinism/oracle discipline: assignment is the Lloyd argmin
+    * (cosine ordering — the clustering being audited), distances are
+    * `sqrt(max(v·v − 2·v·c + c·c, 0))` with the ArrayDot fold on both
+    * engines (the max-0 clamp kills FP-cancellation NaNs when v ≈ c,
+    * mirrored in SQL), per-point s is roundHalfUp'd at scale 8 and
+    * summed as DECIMAL(28,8), the mean at `scale`. Duplicate centroids
+    * (a cell that lost its members carries its previous centroid) give
+    * a = b ⇒ s = 0, not an error. */
+  def simplifiedSilhouette(embeddings: DataFrame, idCol: String,
+      vecCol: String, k: Int = 8, iters: Int = 2,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2, "silhouette needs k >= 2 (b = nearest OTHER centroid)")
+    val cents = trainedCentroids(embeddings, idCol, vecCol, k, iters)
+    val v = col(vecCol)
+    // ONE reference-object node (never 2·k·dim literals — the q221
+    // driver-compile lesson); codegen CSE dedups the repeated refs
+    val assigned = graft.expressions.NearestCentroid.nearest_centroid(v, cents)
+    val vv = graft.expressions.ArrayDot.array_dot(v, v)
+    val dists = cents.map { c =>
+      // same fold as the oracle's dotSql(c, c) (+0.0 identity)
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      sqrt(greatest(vv - (lit(2.0) * dotLit(v, c)) + lit(cc), lit(0.0)))
+    }
+    val a = dists.init.zipWithIndex
+      .foldRight(dists.last: Column) { case ((d, j), rest) =>
+        when(assigned === j, d).otherwise(rest)
+      }
+    val b = least(dists.zipWithIndex.map { case (d, j) =>
+      // k ≥ 2 real candidates: the sentinel can never win
+      when(assigned === j, lit(Double.MaxValue)).otherwise(d)
+    }: _*)
+    val g = greatest(a, b)
+    val sil = when(g === 0.0, lit(0.0))
+      .otherwise(graft.functions.SafeMath.roundHalfUp((b - a) / g, 8))
+    embeddings
+      .select(assigned.as("cluster"), sil.as("__s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.SafeMath.roundHalfUp(
+          sum(col("__s").cast(DecimalType(28, 8))).cast("double") /
+            count(lit(1)).cast("double"), scale).as("mean_sil"))
+  }
+
   /** SemDedup-style semantic near-duplicate pairs: coarse [[kmeans]]
     * clustering, then pairwise cosine ONLY within a cluster. The cell
     * granularity bounds the quadratic term — at 100 TB pick `k` so the

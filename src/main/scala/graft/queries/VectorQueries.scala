@@ -1145,6 +1145,44 @@ object VectorQueries {
       bench = true),
 
     GraftQuery(
+      "q309_silhouette",
+      // cluster-quality audit of the q78 clustering: per-cluster mean
+      // simplified silhouette (O(n·k) centroid form, one scan after
+      // training) — the "are these cells real" check run before
+      // trusting SemDedup cells or IVF lists
+      (s, dir) => graft.operators.Similarity.simplifiedSilhouette(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2),
+      // oracle: the SHARED Lloyd replay (kmeansCte — trained centroids
+      // c1, final assignment a2), Euclidean distances as the mirrored
+      // sqrt(max(v·v − 2·v·c + c·c, 0)) fold, a via the assigned cell,
+      // b as the MIN over the other cells, per-point s rounded at 8 and
+      // DECIMAL-summed (order-free), the mean at 6
+      Some {
+        val round8 = graft.functions.SafeMath.roundHalfUpSql(
+          "(b - a) / GREATEST(a, b)", 8)
+        val mean6 = graft.functions.SafeMath.roundHalfUpSql(
+          "CAST(SUM(CAST(s AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)
+        s"""WITH ${kmeansCte("embeddings")},
+          dist AS (SELECT e.vec_id, c1.cell,
+              sqrt(GREATEST(((${dotSql("e.v", "e.v")})
+                - (2.0E0 * (${dotSql("e.v", "c1.v")})))
+                + (${dotSql("c1.v", "c1.v")}), 0.0E0)) AS d
+            FROM e, c1),
+          ab AS (SELECT d.vec_id, a2.cell AS cluster,
+              MAX(CASE WHEN d.cell = a2.cell THEN d.d END) AS a,
+              MIN(CASE WHEN d.cell <> a2.cell THEN d.d END) AS b
+            FROM dist d JOIN a2 ON a2.vec_id = d.vec_id
+            GROUP BY 1, 2),
+          sil AS (SELECT cluster,
+              CASE WHEN GREATEST(a, b) = 0.0E0 THEN 0.0E0
+                   ELSE $round8 END AS s
+            FROM ab)
+        SELECT cluster, COUNT(*) AS n, $mean6 AS mean_sil
+        FROM sil GROUP BY 1"""
+      }),
+
+    GraftQuery(
       "q247_bitext_margin",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")

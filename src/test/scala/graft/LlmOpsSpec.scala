@@ -167,6 +167,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(even.size === 1 && odd.size === 1 && even != odd)
   }
 
+  test("silhouette: tight planted clusters score near 1, split ones lower") {
+    // same two-direction fixture as the kmeans test: every point sits
+    // far closer to its own centroid than to the other → s near 1
+    val vecs = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(i % 2) = 1.0f
+      v(2 + i % 3) = 0.05f * (i % 3)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.simplifiedSilhouette(
+        vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.size === 2)
+    assert(rows.values.map(_._1).sum === 40L)
+    rows.foreach { case (c, (_, s)) =>
+      assert(s > 0.8, s"cluster $c must be cohesive, mean_sil=$s")
+    }
+    // one smeared blob forced into k=2: the split is arbitrary, so the
+    // mean silhouette must be far from 1 (boundary points sit between)
+    val blob = (0 until 40).map { i =>
+      val v = Array.fill(8)(1.0f)
+      v(i % 8) = 1.0f + 0.01f * (i % 5)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val blobRows = Similarity.simplifiedSilhouette(
+        blob, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getDouble(2))
+    assert(blobRows.forall(_ < 0.8),
+      s"an arbitrary split must score low: ${blobRows.toSeq}")
+    // determinism: replay-identical
+    val again = Similarity.simplifiedSilhouette(
+        vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again === rows)
+  }
+
   test("pq: hand-traced codebooks, encode, and ADC ranking") {
     // dim 4, m=2 subspaces of 2, ks=2 codes; iters=1 keeps the codebook
     // at its init (the first two vectors' subvectors) so every
