@@ -755,28 +755,17 @@ object Similarity {
     require(k >= 2, "silhouette needs k >= 2 (b = nearest OTHER centroid)")
     val cents = trainedCentroids(embeddings, idCol, vecCol, k, iters)
     val v = col(vecCol)
-    // ONE reference-object node (never 2·k·dim literals — the q221
-    // driver-compile lesson); codegen CSE dedups the repeated refs
-    val assigned = graft.expressions.NearestCentroid.nearest_centroid(v, cents)
-    val vv = graft.expressions.ArrayDot.array_dot(v, v)
-    val dists = cents.map { c =>
-      // same fold as the oracle's dotSql(c, c) (+0.0 identity)
-      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
-      sqrt(greatest(vv - (lit(2.0) * dotLit(v, c)) + lit(cc), lit(0.0)))
-    }
-    val a = dists.init.zipWithIndex
-      .foldRight(dists.last: Column) { case ((d, j), rest) =>
-        when(assigned === j, d).otherwise(rest)
-      }
-    val b = least(dists.zipWithIndex.map { case (d, j) =>
-      // k ≥ 2 real candidates: the sentinel can never win
-      when(assigned === j, lit(Double.MaxValue)).otherwise(d)
-    }: _*)
-    val g = greatest(a, b)
-    val sil = when(g === 0.0, lit(0.0))
-      .otherwise(graft.functions.SafeMath.roundHalfUp((b - a) / g, 8))
+    // both the argmin and the score are single reference-object nodes
+    // (never 2·k·dim literal CaseWhen chains — the q221 driver-compile
+    // lesson; the Column form of this projection measured 26.7 s at sf1
+    // vs 2.7 s for the identical Lloyd training, all of it Catalyst +
+    // janino re-processing ~2k literal nodes per action)
     embeddings
-      .select(assigned.as("cluster"), sil.as("__s"))
+      .select(
+        graft.expressions.NearestCentroid.nearest_centroid(v, cents)
+          .as("cluster"),
+        graft.expressions.SilhouetteScore.silhouette_score(v, cents)
+          .as("__s"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
         graft.functions.SafeMath.roundHalfUp(
