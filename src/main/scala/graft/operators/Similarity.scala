@@ -686,25 +686,34 @@ object Similarity {
       .select(col("__v")).collect().toIndexedSeq
       .map(_.getSeq[Double](0).toSeq)
     require(cents.size == k, s"need at least $k vectors, got ${cents.size}")
+    val dim = cents.head.size
     for (_ <- 1 until iters) {
-      // two selects, NOT one: with `select(expr, posexplode(...))`,
-      // ExtractGenerator leaves `expr` in the Project ABOVE the Generate,
-      // re-evaluating the whole k×dim distance scan once per exploded
-      // element (64× — measured 7.6 s vs 0.4 s at sf0.1). Binding the
-      // cell in its own projection below the explode makes the outer
-      // project a plain attribute reference.
+      // the recompute is ONE custom aggregate per cell (VectorMeanAgg):
+      // each row folds its snapped components into a per-task long[]
+      // (BigInteger-banked — exact at any scale) instead of fanning out
+      // dim× through posexplode + hash-update + Decimal sum per element.
+      // The per-position mean finishes on the driver with the identical
+      // IEEE ops the Column form used (Decimal→double, /count-as-double);
+      // null cells (a malformed row the argmin rejects) are filtered —
+      // the posexplode form crashed the collect on them.
+      // (Historical trap, still load-bearing for any reformulation:
+      // `select(expr, posexplode(...))` re-evaluates expr once per
+      // exploded element — bind the cell below any generator.)
       val byCell = e
         .select(nearestCellExpr(cents)(col("__v")).as("__cell"), col("__v"))
-        .select(col("__cell"), posexplode(col("__v")).as(Seq("pos", "v")))
-        .groupBy("__cell", "pos")
-        .agg((sum(graft.functions.SafeMath.roundHalfUp(col("v"), scale)
-            .cast(DecimalType(28, scale))).cast("double") / count(lit(1)))
-          .as("m"))
+        .filter(col("__cell").isNotNull)
+        .groupBy("__cell")
+        .agg(graft.expressions.VectorMeanAgg
+          .vector_mean(col("__v"), dim, scale).as("__m"))
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rs) =>
-          c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
+        .map { r =>
+          val m = r.getStruct(1)
+          val sums = m.getSeq[java.math.BigDecimal](0)
+          val counts = m.getSeq[Long](1)
+          r.getInt(0) -> sums.indices.collect {
+            case i if counts(i) > 0 => sums(i).doubleValue / counts(i).toDouble
+          }.toSeq
+        }.toMap
       cents = (0 until k).map(i => byCell.getOrElse(i, cents(i)))
     }
     cents
