@@ -68,11 +68,14 @@ final class MomentBuffer(val n: Int) {
   * sum's guarantee, without its per-row boxing.
   *
   * Row contract (matches the generator path bit-for-bit): null array →
-  * contributes nothing; wrong-length array → nothing (the generator
-  * path's `element_at` would raise under ANSI — a malformed row aborting
-  * a 100 TB scan is wrong, and the documented contract is dim-length
-  * vectors); a null ELEMENT skips exactly the (i, j) pairs that touch
-  * it (the generator's per-pair null product).
+  * contributes nothing; an array LONGER than dim contributes its
+  * top-left dim×dim block (the generator's `element_at` reads are all
+  * in range — e.g. pc1 over the first 32 of 64 components); an array
+  * SHORTER than dim contributes only its in-range pairs (the
+  * generator's out-of-range `element_at` is a null product skipped by
+  * SUM under non-ANSI; under ANSI it would abort the scan, which is
+  * the wrong behavior for one malformed row in 100 TB); a null ELEMENT
+  * skips exactly the (i, j) pairs that touch it.
   */
 case class MomentSumAgg(child: Expression, dim: Int, snap: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -95,16 +98,22 @@ case class MomentSumAgg(child: Expression, dim: Int, snap: Int,
 
   override def createAggregationBuffer(): MomentBuffer = new MomentBuffer(n)
 
+  // per-buffer scratch (update is single-threaded per buffer): zero
+  // per-row allocation in the hot aggregate
+  @transient private lazy val scratchV = new Array[Double](dim)
+  @transient private lazy val scratchNul = new Array[Boolean](dim)
+
   override def update(buf: MomentBuffer, input: InternalRow): MomentBuffer = {
     val a = child.eval(input)
     if (a == null) return buf
     val arr = a.asInstanceOf[ArrayData]
-    if (arr.numElements() != dim) return buf
-    val v = new Array[Double](dim)
-    val nul = new Array[Boolean](dim)
+    val n = math.min(arr.numElements(), dim)
+    val v = scratchV
+    val nul = scratchNul
     var i = 0
-    while (i < dim) {
-      if (arr.isNullAt(i)) nul(i) = true else v(i) = arr.getDouble(i)
+    while (i < n) {
+      if (arr.isNullAt(i)) { nul(i) = true }
+      else { nul(i) = false; v(i) = arr.getDouble(i) }
       i += 1
     }
     var k = 0
@@ -112,7 +121,7 @@ case class MomentSumAgg(child: Expression, dim: Int, snap: Int,
     while (i < dim) {
       var j = i
       while (j < dim) {
-        if (!nul(i) && !nul(j)) {
+        if (j < n && !nul(i) && !nul(j)) {
           buf.addLong(k, math.floor(v(i) * v(j) * p + 0.5).toLong)
         }
         k += 1

@@ -32,6 +32,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * kmeans benches (driver gap: q221 1.05 s wall vs 0.4 s of jobs). Here
   * the codebook rides along as ONE reference object (a double[][]), the
   * tree is a single node, and the generated code is a tight loop.
+  *
+  * LOCKSTEP: [[SilhouetteScore]] replicates this argmin rule internally
+  * (its a/b distances key off the same assignment q310 groups by) —
+  * any change to the ordering or null contract here must be mirrored
+  * there, or q310's per-point scores silently desync from its cluster
+  * column.
   */
 case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
     extends UnaryExpression {

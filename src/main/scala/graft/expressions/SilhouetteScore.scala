@@ -17,7 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * distances are `sqrt(max((v·v − 2·v·c_j) + c_j·c_j, 0))` with
   * ArrayDot's left fold, v·v folded once, c_j·c_j the driver-side fold;
   * the rounding numerator is Spark's LONG floor. Null contract: null
-  * array / length mismatch / null element → null.
+  * array / length mismatch / null element → null. One deliberate
+  * divergence: the Column form masked the assigned cell with a
+  * Double.MaxValue sentinel inside least(), so if every OTHER distance
+  * overflows to Infinity (components ~1e155) the sentinel itself wins
+  * there; here b is the true min over the others (Infinity), s = NaN →
+  * rounds to 0.0 — the q310 oracle computes this form.
+  *
+  * The argmin pass replicates [[NearestCentroid]]'s rule EXACTLY (and
+  * must stay in lockstep with it — q310 groups by NearestCentroid's
+  * cluster and the oracle assigns once for both, so a desync flips the
+  * gate): first-min, NaN-greatest, -dot/|c| with the same norm fold.
   *
   * WHY an Expression: the Column form spells the k distance expressions
   * as CaseWhen chains over 2·k literal-array dots — ~2k literal nodes
@@ -55,6 +65,8 @@ case class SilhouetteScore(child: Expression, cents: Seq[Seq[Double]])
   // c·c with the ArrayDot fold (+0.0 identity makes foldLeft identical)
   @transient private lazy val ccs: Array[Double] =
     cents.map(_.foldLeft(0.0)((acc, x) => acc + x * x)).toArray
+  // per-instance scratch (eval is single-threaded per task)
+  @transient private lazy val scratchDots = new Array[Double](cents.size)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -71,7 +83,10 @@ case class SilhouetteScore(child: Expression, cents: Seq[Seq[Double]])
     var vv = 0.0
     i = 0
     while (i < dim) { vv += v(i) * v(i); i += 1 }
-    // pass 1: the cosine argmin (NearestCentroid's exact rule)
+    // pass 1: the cosine argmin (NearestCentroid's exact rule), caching
+    // the k dot products for pass 2 (per-buffer scratch — zero per-row
+    // allocation, and half the multiply-adds)
+    val dots = scratchDots
     var best = -1
     var bestD = 0.0
     var aDist = 0.0
@@ -81,6 +96,7 @@ case class SilhouetteScore(child: Expression, cents: Seq[Seq[Double]])
       var dot = 0.0
       var p = 0
       while (p < dim) { dot += v(p) * mat(j)(p); p += 1 }
+      dots(j) = dot
       val d = -dot / norms(j)
       if (best < 0 || d < bestD ||
           (java.lang.Double.isNaN(bestD) && !java.lang.Double.isNaN(d))) {
@@ -88,14 +104,11 @@ case class SilhouetteScore(child: Expression, cents: Seq[Seq[Double]])
       }
       j += 1
     }
-    // pass 2: Euclidean a (assigned) and min-other b
+    // pass 2: Euclidean a (assigned) and min-other b from the cached dots
     var haveB = false
     j = 0
     while (j < mat.length) {
-      var dot = 0.0
-      var p = 0
-      while (p < dim) { dot += v(p) * mat(j)(p); p += 1 }
-      val e = math.sqrt(math.max((vv - (2.0 * dot)) + ccs(j), 0.0))
+      val e = math.sqrt(math.max((vv - (2.0 * dots(j))) + ccs(j), 0.0))
       if (j == best) aDist = e
       else if (!haveB || java.lang.Double.compare(e, bDist) < 0) {
         bDist = e; haveB = true
@@ -132,6 +145,10 @@ case class SilhouetteScore(child: Expression, cents: Seq[Seq[Double]])
       val haveB = ctx.freshName("ssHaveB")
       val g = ctx.freshName("ssG")
       val row = ctx.freshName("ssRow")
+      // operator-lifetime scratch for the k cached dot products (one
+      // allocation per task, not per row)
+      val dots = ctx.addMutableState("double[]", "ssDots",
+        n => s"$n = new double[${mat.length}];")
       s"""
          |if ($av.numElements() != $dim) {
          |  ${ev.isNull} = true;
@@ -150,6 +167,7 @@ case class SilhouetteScore(child: Expression, cents: Seq[Seq[Double]])
          |      double[] $row = $matRef[$j];
          |      double $dot = 0.0;
          |      for (int $p = 0; $p < $dim; $p++) $dot += $v[$p] * $row[$p];
+         |      $dots[$j] = $dot;
          |      double $d = -$dot / $normRef[$j];
          |      if ($best < 0 || $d < $bestD ||
          |          (Double.isNaN($bestD) && !Double.isNaN($d))) {
@@ -157,10 +175,7 @@ case class SilhouetteScore(child: Expression, cents: Seq[Seq[Double]])
          |      }
          |    }
          |    for (int $j = 0; $j < ${mat.length}; $j++) {
-         |      double[] $row = $matRef[$j];
-         |      double $dot = 0.0;
-         |      for (int $p = 0; $p < $dim; $p++) $dot += $v[$p] * $row[$p];
-         |      double $e = Math.sqrt(Math.max(($vv - (2.0 * $dot)) + $ccRef[$j], 0.0));
+         |      double $e = Math.sqrt(Math.max(($vv - (2.0 * $dots[$j])) + $ccRef[$j], 0.0));
          |      if ($j == $best) $aD = $e;
          |      else if (!$haveB || Double.compare($e, $bD) < 0) {
          |        $bD = $e; $haveB = true;

@@ -67,7 +67,16 @@ final class VecSumBuffer(val dim: Int) {
   * position pos iff pos < numElements (positions past `dim` are
   * ignored — the trainers define dim from the data's fixed width); a
   * null ELEMENT counts in the denominator but adds nothing to the sum —
-  * exactly `count(lit(1))` vs null-skipping `sum`. */
+  * exactly `count(lit(1))` vs null-skipping `sum`.
+  *
+  * Magnitude bound (same class as componentFromMoments' 2⁵³ assert):
+  * the long floor here is EXACT, while the Column form it replaces —
+  * and the kmeansCte oracle that replays it — round-trips each snapped
+  * value through a double (`floor→long / 10^snap` then the DECIMAL
+  * cast). The round trip is lossless while |v·10^snap| < ~2⁵²; past it
+  * (|v| ≳ 4.5·10⁵ at snap=10) the engines can disagree by 1 ulp of the
+  * snap. Unit-scale embeddings are orders of magnitude inside the
+  * bound; training on unnormalized data should lower `snap`. */
 case class VectorMeanAgg(child: Expression, dim: Int, snap: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[VecSumBuffer] with UnaryLike[Expression] {

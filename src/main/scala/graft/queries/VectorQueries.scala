@@ -1145,7 +1145,7 @@ object VectorQueries {
       bench = true),
 
     GraftQuery(
-      "q309_silhouette",
+      "q310_silhouette",
       // cluster-quality audit of the q78 clustering: per-cluster mean
       // simplified silhouette (O(n·k) centroid form, one scan after
       // training) — the "are these cells real" check run before

@@ -74,24 +74,36 @@ class MomentSumAggSpec extends AnyFunSuite {
     assert(a((1, 1)).compareTo(java.math.BigDecimal.ZERO) === 0)
   }
 
-  test("null rows, wrong-length rows, and null elements contribute nothing") {
+  test("null rows, short rows, and null elements follow the row contract") {
     val dim = 3
     val rows = Seq(
       Tuple1(Array[java.lang.Double](1.0, 2.0, 3.0)),
       Tuple1(null.asInstanceOf[Array[java.lang.Double]]),     // null row
-      Tuple1(Array[java.lang.Double](1.0, 2.0)),               // wrong length
+      Tuple1(Array[java.lang.Double](1.0, 2.0)),               // short: in-range pairs
       Tuple1(Array[java.lang.Double](1.0, null, 2.0)))         // null element
     val df = rows.toDF("__v").select(col("__v").cast("array<double>").as("__v"))
     val a = aggForm(df, dim, snap = 9)
-    // row 1 contributes fully; row 4 contributes only pairs not touching
-    // element 1: (0,0)=1, (0,2)=2, (2,2)=4
+    // row 1 full; row 3 contributes its in-range pairs (the non-ANSI
+    // generator's out-of-range element_at was a skipped null product);
+    // row 4 contributes only pairs not touching the null element
     def bd(x: Long) = java.math.BigDecimal.valueOf(x)
-    assert(a((0, 0)).compareTo(bd(2000000000L)) === 0)   // 1 + 1
-    assert(a((0, 1)).compareTo(bd(2000000000L)) === 0)   // 2 (row1 only)
+    assert(a((0, 0)).compareTo(bd(3000000000L)) === 0)   // 1 + 1 + 1
+    assert(a((0, 1)).compareTo(bd(4000000000L)) === 0)   // 2 + 2
     assert(a((0, 2)).compareTo(bd(5000000000L)) === 0)   // 3 + 2
-    assert(a((1, 1)).compareTo(bd(4000000000L)) === 0)   // 4 (row1 only)
+    assert(a((1, 1)).compareTo(bd(8000000000L)) === 0)   // 4 + 4
     assert(a((1, 2)).compareTo(bd(6000000000L)) === 0)   // 6 (row1 only)
     assert(a((2, 2)).compareTo(bd(13000000000L)) === 0)  // 9 + 4
+  }
+
+  test("arrays longer than dim contribute their top-left block (matches generator)") {
+    val rnd = new scala.util.Random(53)
+    val dim = 3 // over 5-wide vectors: element_at stays in range both ways
+    val df = (1 to 100).map(_ => Tuple1(Array.fill(5)(rnd.nextDouble() * 2 - 1)))
+      .toDF("__v").repartition(2)
+    val a = aggForm(df, dim, snap = 9)
+    val g = generatorForm(df, dim, snap = 9)
+    assert(a.keySet === g.keySet)
+    g.foreach { case (k, v) => assert(a(k).compareTo(v) === 0, s"at $k") }
   }
 
   test("serialize/deserialize round-trips the banked buffer") {
