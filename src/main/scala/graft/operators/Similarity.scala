@@ -624,7 +624,10 @@ object Similarity {
     * crosses the wire. Values are roundHalfUp'd before the DECIMAL cast
     * (per the cross-engine rules) so the partial-aggregation order can't
     * perturb the mean — the result is bit-identical on any partitioning
-    * and reproducible by the DuckDB oracle. */
+    * and reproducible by the DuckDB oracle. (Iterative/hot callers use
+    * [[graft.expressions.VectorMeanAgg]] instead — same exact sums with
+    * no dim× fan-out; this lazy form stays signature-free of `dim` for
+    * one-shot prototype/drift composition.) */
   def centroids(embeddings: DataFrame, groupCol: String, vecCol: String,
       scale: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
