@@ -297,13 +297,14 @@ object Similarity {
     b
   }
 
-  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column = {
-    val bitCols = (0 until bits).map { b =>
-      when(dotLit(vec, plane(seed, b, dim)) >= 0, shiftleft(lit(1L), b))
-        .otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(vec: Column, dim: Int, bits: Int, seed: Int = 42): Column =
+    // ONE reference-object node (graft.expressions.SignBucket) — the
+    // former when/shiftleft chain spelled bits×dim literals that the
+    // driver re-analyzed and re-compiled per action, on BOTH sides of
+    // every blocking join in the family (the q221/q310 compile class);
+    // bit-for-bit including the null-dot → bucket-0 contract
+    graft.expressions.SignBucket.sign_bucket(vec,
+      (0 until bits).map(b => plane(seed, b, dim)))
 
   /** Same bucket computed driver-side for a known query vector — plain
     * Scala arithmetic with the exact FP fold order of [[dotLit]] (zip,
