@@ -166,12 +166,14 @@ object Spectral {
     * no shuffle at all. Output: (idCol, proj: array<double> rounded). */
   def randomProject(embeddings: DataFrame, idCol: String, vecCol: String,
       dim: Int, outDim: Int, seed: Int = 7, scale: Int = 6): DataFrame = {
-    val vd = col(vecCol) // ArrayDot casts elements itself
-    val comps = (0 until outDim).map { b =>
-      val row = Similarity.plane(seed, b, dim)
-      SafeMath.roundHalfUp(
-        Similarity.dotLit(vd, row) / lit(outDim.toDouble), scale)
-    }
-    embeddings.select(col(idCol), array(comps: _*).as("proj"))
+    // ONE reference-object node (graft.expressions.PlaneProject) — the
+    // former array-of-rounded-dots spelled outDim×dim literal nodes the
+    // driver re-analyzed/compiled per action (q241 8.2 s at sf1, all
+    // driver; the q221/q310 compile class); bit-for-bit the same folds,
+    // LONG-floor rounding, and null-component contract
+    embeddings.select(col(idCol),
+      graft.expressions.PlaneProject.plane_project(col(vecCol),
+        (0 until outDim).map(b => Similarity.plane(seed, b, dim)),
+        outDim.toDouble, scale).as("proj"))
   }
 }
