@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Double.MaxValue sentinel inside least(), so if every OTHER distance
   * overflows to Infinity (components ~1e155) the sentinel itself wins
   * there; here b is the true min over the others (Infinity), s = NaN →
-  * rounds to 0.0 — the q310 oracle computes this form.
+  * collapses to 0.0 through the LONG floor. DuckDB's double FLOOR keeps
+  * NaN (and a NaN DECIMAL cast would error), so the q310 oracle mirrors
+  * the collapse with an explicit `isnan((b-a)/max) → 0.0` branch
+  * (advice r10) rather than relying on its roundHalfUpSql.
   *
   * The argmin pass replicates [[NearestCentroid]]'s rule EXACTLY (and
   * must stay in lockstep with it — q310 groups by NearestCentroid's

@@ -76,7 +76,10 @@ final class VecSumBuffer(val dim: Int) {
   * cast). The round trip is lossless while |v·10^snap| < ~2⁵²; past it
   * (|v| ≳ 4.5·10⁵ at snap=10) the engines can disagree by 1 ulp of the
   * snap. Unit-scale embeddings are orders of magnitude inside the
-  * bound; training on unnormalized data should lower `snap`. */
+  * bound; training on unnormalized data should lower `snap`. The bound
+  * is ENFORCED in `update` (throws past 2⁵², like
+  * componentFromMoments' 2⁵³ assert) — the divergence can never flip a
+  * gate hash silently. */
 case class VectorMeanAgg(child: Expression, dim: Int, snap: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[VecSumBuffer] with UnaryLike[Expression] {
@@ -109,7 +112,20 @@ case class VectorMeanAgg(child: Expression, dim: Int, snap: Int,
     while (i < n) {
       buf.counts(i) += 1
       if (!arr.isNullAt(i)) {
-        buf.addLong(i, math.floor(arr.getDouble(i) * p + 0.5).toLong)
+        val snapped = math.floor(arr.getDouble(i) * p + 0.5)
+        // docstring's magnitude bound, ENFORCED (advice r10, the
+        // componentFromMoments discipline): past |v·10^snap| ~ 2^52 the
+        // oracle's double round-trip of the same snap can differ by an
+        // ulp — fail loudly instead of flipping gate hashes silently.
+        // NaN passes (the comparison is false) and keeps the Column
+        // form's NaN→0 long cast.
+        if (math.abs(snapped) >= 4503599627370496.0) {
+          throw new IllegalArgumentException(
+            s"vector_mean: |value * 10^$snap| = ${math.abs(snapped)} " +
+              "exceeds the 2^52 double-round-trip bound shared with the " +
+              "oracle replay - lower `snap` for unnormalized data")
+        }
+        buf.addLong(i, snapped.toLong)
       }
       i += 1
     }

@@ -1291,7 +1291,13 @@ object Curation {
   /** The fused production form of `dequantCosine(quantizeInt8(v), q)`:
     * one native codegen'd pass per row
     * ([[graft.expressions.Int8QueryCosine]]), bit-identical to the
-    * Column composition (parity-spec'd on real embeddings). The split
+    * Column composition (parity-spec'd on real embeddings) — under the
+    * NON-ANSI mode the gates run in: on a zero denominator (all-zero
+    * vector or zero query norm) the native form returns NULL where the
+    * split Column chain's division RAISES under ANSI mode (Spark 4's
+    * default), so callers enabling ANSI lose the bit-identity claim on
+    * exactly those degenerate rows (divergence detailed in the
+    * expression's own doc). The split
     * quantize/dequant Columns stay for pipelines that MATERIALIZE the
     * int8 codes (index build writes codes, probes dequantize); a scan
     * that quantizes and scores in place — the q58 shape — pays four

@@ -779,6 +779,10 @@ object Similarity {
           .as("cluster"),
         graft.expressions.SilhouetteScore.silhouette_score(v, cents)
           .as("__s"))
+      // malformed rows (null/short vector) assign to a null cluster —
+      // drop them so the gated domain equals the oracle's assigned
+      // universe (advice r10), matching the Lloyd trainer's own filter
+      .filter(col("cluster").isNotNull)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
         graft.functions.SafeMath.roundHalfUp(
@@ -1243,6 +1247,8 @@ object Similarity {
     val spark = embeddings.sparkSession
     val kMax = ks.max
     def ids(df: DataFrame): IndexedSeq[Long] =
+      // ≤ kMax rows — each input is a cosineTopK limit(kMax) result,
+      // bounded by construction (the MMR-pool discipline)
       df.select(col(idCol)).collect().map(_.getLong(0)).toIndexedSeq
     val full = ids(cosineTopK(embeddings, idCol, vecCol, query, kMax))
     val trunc = ids(cosineTopK(

@@ -80,6 +80,8 @@ object SkewTools {
     val hot = facts.filter(col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= hotThreshold)
+      // ≤ |facts| / hotThreshold rows by pigeonhole — a handful of keys
+      // for any threshold worth salting, bounded by construction
       .select(col(key)).collect().map(_.get(0))
     if (hot.isEmpty) return facts.join(dim, Seq(key), joinType)
     val saltF = when(col(key).isin(hot: _*),

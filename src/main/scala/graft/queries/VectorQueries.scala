@@ -1176,6 +1176,7 @@ object VectorQueries {
             GROUP BY 1, 2),
           sil AS (SELECT cluster,
               CASE WHEN GREATEST(a, b) = 0.0E0 THEN 0.0E0
+                   WHEN isnan((b - a) / GREATEST(a, b)) THEN 0.0E0
                    ELSE $round8 END AS s
             FROM ab)
         SELECT cluster, COUNT(*) AS n, $mean6 AS mean_sil

@@ -108,6 +108,8 @@ object FactWriter {
     val affected = fact
       .join(subj, fact(keyCol) === col("__subject"), "left_semi")
       .select(col(dayBucketCol)).distinct()
+      // ≤ distinct day partitions touched — bounded by the table's
+      // partition count, never its row count
       .collect().map(_.get(0)).toSeq
     if (affected.isEmpty)
       return fact.select(col(dayBucketCol).as("partition_value"),

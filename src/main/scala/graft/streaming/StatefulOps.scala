@@ -326,8 +326,11 @@ object StatefulOps {
 
   final case class GoldenUpdate(key: Long, ordinal: Long,
       f1: Option[String], f2: Option[String])
+  final case class GoldenUpdateTied(key: Long, ordinal: Long,
+      f1: Option[String], f2: Option[String], tie: Long)
   final case class GoldenState(ordinal: Long, f1: Option[String],
-      f1Ord: Long, f2: Option[String], f2Ord: Long, versions: Long)
+      f1Ord: Long, f1Tie: Long, f2: Option[String], f2Ord: Long,
+      f2Tie: Long, versions: Long)
   final case class GoldenRow(key: Long, f1: Option[String],
       f2: Option[String], n_versions: Long, last_ordinal: Long)
 
@@ -344,31 +347,40 @@ object StatefulOps {
     * micro-batches fills a field only when it is genuinely newer — a
     * stale re-delivery can no longer wipe a newer value (advice r08),
     * yet a late row still contributes fields no newer row has set.
-    * With DUPLICATE ordinals the `>=` take rule makes the
-    * last-arriving equal-ordinal row win, while the batch
-    * [[graft.operators.KeepLatest.goldenRecord]] breaks equal-ordinal
-    * ties with a content hash — the two can disagree on tied ordinals
-    * (advice r10), so feed distinct ordinals (e.g. an event timestamp
-    * plus a sequence number) when cross-checking against the batch
-    * fold. */
+    * DUPLICATE ordinals break ties exactly like the batch fold
+    * (advice r10): each row carries the same full-row `xxhash64` the
+    * batch `goldenRecord` window orders by (computed over the input's
+    * (key, ordinal, f1, f2) columns BEFORE the state fold, so both
+    * engines hash identical bytes), and a field is taken only when
+    * (ordinal, tie) is >= the stored pair — so stream and batch agree
+    * on ANY input, arrival order and partitioning included. */
   def goldenUpsert(updates: Dataset[GoldenUpdate]): Dataset[GoldenRow] = {
     import updates.sparkSession.implicits._
-    updates.groupByKey(_.key)
+    val src = updates.toDF()
+    val tied = src
+      .withColumn("tie", xxhash64(src.columns.map(col).toSeq: _*))
+      .as[GoldenUpdateTied]
+    tied.groupByKey(_.key)
       .flatMapGroupsWithState[GoldenState, GoldenRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[GoldenUpdate],
+        (key: Long, rows: Iterator[GoldenUpdateTied],
             state: GroupState[GoldenState]) =>
           var st = state.getOption.getOrElse(GoldenState(
-            Long.MinValue, None, Long.MinValue, None, Long.MinValue, 0L))
-          rows.toSeq.sortBy(_.ordinal).foreach { u =>
-            val takeF1 = u.f1.isDefined && u.ordinal >= st.f1Ord
-            val takeF2 = u.f2.isDefined && u.ordinal >= st.f2Ord
+            Long.MinValue, None, Long.MinValue, Long.MinValue,
+            None, Long.MinValue, Long.MinValue, 0L))
+          rows.toSeq.sortBy(u => (u.ordinal, u.tie)).foreach { u =>
+            def newer(ord: Long, tie: Long): Boolean =
+              u.ordinal > ord || (u.ordinal == ord && u.tie >= tie)
+            val takeF1 = u.f1.isDefined && newer(st.f1Ord, st.f1Tie)
+            val takeF2 = u.f2.isDefined && newer(st.f2Ord, st.f2Tie)
             st = GoldenState(
               math.max(st.ordinal, u.ordinal),
               if (takeF1) u.f1 else st.f1,
               if (takeF1) u.ordinal else st.f1Ord,
+              if (takeF1) u.tie else st.f1Tie,
               if (takeF2) u.f2 else st.f2,
               if (takeF2) u.ordinal else st.f2Ord,
+              if (takeF2) u.tie else st.f2Tie,
               st.versions + 1L)
           }
           state.update(st)

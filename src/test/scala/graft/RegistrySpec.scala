@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Registry integrity: `Registry.byName`/`SparkEntry.queries` are built
+  * with a last-wins `toMap` (Registry.scala), so a duplicated FULL name
+  * would silently drop a gate from the driver set while CORRECTNESS
+  * stays green — and a duplicated qNNN prefix (two different full names
+  * sharing a number, the r10 q309 collision) compiles and passes with
+  * one gate shadowing the other in every human-facing list. Both
+  * classes must fail a test, not an audit. */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every query name is unique (a duplicate silently drops a gate)") {
+    val names = Registry.all.map(_.name)
+    val dups = names.groupBy(identity).collect {
+      case (n, occ) if occ.size > 1 => n
+    }
+    assert(dups.isEmpty, s"duplicate full names: ${dups.mkString(", ")}")
+    assert(Registry.byName.size === Registry.all.size)
+  }
+
+  test("every qNNN prefix is unique and well-formed") {
+    val prefixes = Registry.all.map(_.name.takeWhile(_ != '_'))
+    prefixes.foreach { p =>
+      assert(p.matches("q[0-9]+[a-z]?"), s"malformed query prefix: $p")
+    }
+    val dups = prefixes.groupBy(identity).collect {
+      case (p, occ) if occ.size > 1 => p
+    }
+    assert(dups.isEmpty,
+      s"colliding numeric prefixes (new gates take the NEXT FREE qNNN): " +
+        dups.mkString(", "))
+  }
+
+  test("the guards actually fire on a deliberate duplicate") {
+    // the hazard the spec exists for: last-wins toMap shrinks the set
+    val doubled = Registry.all ++ Registry.all.take(1)
+    assert(doubled.map(q => q.name -> q).toMap.size < doubled.size)
+  }
+}

@@ -411,6 +411,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2L) === GoldenRow(1L, Some("new"), Some("x"), 2L, 5L))
   }
 
+  test("goldenUpsert breaks duplicate-ordinal ties exactly like the batch fold") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{GoldenRow, GoldenUpdate}
+    implicit val sqlCtx = spark.sqlContext
+    // deliberately TIED ordinals, per field and across keys — the r10
+    // caveat case. Batch goldenRecord breaks ties with the full-row
+    // xxhash64; the stream must pick the SAME winners for ANY arrival
+    // order (the tie hash is computed over the identical (key, ordinal,
+    // f1, f2) columns before the state fold).
+    val rows = Seq(
+      GoldenUpdate(1L, 7L, Some("b1"), Some("y1")),
+      GoldenUpdate(1L, 7L, Some("b2"), None),
+      GoldenUpdate(1L, 7L, None, Some("y2")),
+      GoldenUpdate(1L, 3L, Some("a"), Some("x")),
+      GoldenUpdate(2L, 5L, Some("p"), Some("q")),
+      GoldenUpdate(2L, 5L, Some("p2"), Some("q2")))
+    val batch = graft.operators.KeepLatest.goldenRecord(
+        rows.toDF(), "key", Seq(col("ordinal")), Seq("f1", "f2"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), r.getLong(3))))
+      .toMap
+
+    def streamed(waves: Seq[Seq[GoldenUpdate]], name: String) = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[GoldenUpdate]
+      val q = StatefulOps.goldenUpsert(input.toDS()).writeStream
+        .outputMode("append").format("memory").queryName(name).start()
+      waves.foreach { w => input.addData(w: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[GoldenRow].collect()
+        .groupBy(_.key).map { case (k, g) => k -> g.maxBy(_.n_versions) }
+    }
+    val fwd = streamed(Seq(rows.take(3), rows.drop(3)), "golden_tied_f")
+    val rev = streamed(
+      Seq(rows.reverse.take(2), rows.reverse.drop(2)), "golden_tied_r")
+    for (m <- Seq(fwd, rev); (k, (bf1, bf2, bn)) <- batch) {
+      val s = m(k)
+      assert((s.f1, s.f2, s.n_versions) === ((bf1, bf2, bn)),
+        s"key $k diverged from the batch fold")
+    }
+  }
+
   test("dedup state survives a stop + restart from the same checkpoint") {
     // true T8 recovery: run 1 terminates (AvailableNow) and the process
     // "dies"; run 2 is a NEW query over the SAME checkpoint with new

@@ -77,11 +77,25 @@ class VectorMeanAggSpec extends AnyFunSuite {
 
   test("long-overflow banking keeps the mean exact past 2^63") {
     val dim = 1
-    // p10 = 9e5·1e10 = 9e15 per row; 2000 rows → 1.8e19 > Long.MaxValue
-    val df = (1 to 2000).map(_ => (0, Array(900000.0))).toDF("__cell", "__v")
+    // p10 = 4e5·1e10 = 4e15 per row (inside the 2^52 per-value guard);
+    // 3000 rows → 1.2e19 > Long.MaxValue, so the sum banks
+    val df = (1 to 3000).map(_ => (0, Array(400000.0))).toDF("__cell", "__v")
       .repartition(3)
     val a = aggForm(df, dim, snap = 10)
-    assert(a((0, 0)) === 900000.0)
+    assert(a((0, 0)) === 400000.0)
+  }
+
+  test("per-value 2^52 oracle-round-trip bound throws loudly (advice r10)") {
+    // |9e5 * 10^10| = 9e15 > 2^52: past the double round-trip the oracle
+    // replays, the engines could silently disagree by an ulp — the
+    // guard must fail the job instead
+    val df = Seq((0, Array(900000.0))).toDF("__cell", "__v")
+    val ex = intercept[org.apache.spark.SparkException] {
+      aggForm(df, 1, snap = 10)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("2^52")))
   }
 
   test("serialize/deserialize round-trips sums, counts, and banked lanes") {
