@@ -17,6 +17,13 @@ import graft.queries.Registry
   *     is emitted alongside, so a contaminated pass is self-identifying:
   *     sentinel times are data-independent and should be flat; a pass
   *     whose sentinel is several× the others ran on a loaded host.
+  *   - a paired DuckDB denominator — five fixed oracle replays through
+  *     embedded DuckDB, warmup + per-pass min like the suite — rides in
+  *     the same JSON (`duckdb_denom_total`). DuckDB is parallel, so its
+  *     time moves with the host property the suite depends on (the
+  *     single-thread sentinel missed r10's 60% parallel-throughput dip);
+  *     every artifact carries its own denominator and
+  *     tools/compare_bench.py normalizes by the ratio.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,11 +70,51 @@ object Bench {
       timed
     }
 
+    // paired DuckDB denominator (advice r10): five representative oracle
+    // replays timed in THIS process window through embedded DuckDB (the
+    // JDBC jar is already on the unmanaged classpath for q198). Unlike
+    // the single-thread sentinel, DuckDB is a PARALLEL engine, so this
+    // denominator moves with the same host property the suite does —
+    // r10's ambiguity (29.9 s vs 48.0 s, sentinel only 15% apart while
+    // parallel throughput halved) becomes a ratio carried by the
+    // artifact itself instead of a cross-file forensic.
+    // five sub-second probes + one multi-second CPU-parallel anchor
+    // (q30's posting-list self-join) so the denominator has real signal
+    // (~5 s at sf0.1) without stretching the run
+    val denomNames = Seq("q01_agg_pricing", "q04_dim_enrich",
+      "q25_token_stats", "q29_exact_dedup", "q33_cosine_topk",
+      "q30_jaccard_pairs")
+    def duckPass(): Seq[(String, Double)] =
+      try {
+        val conn = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+        try {
+          val st = conn.createStatement()
+          Seq("region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings").foreach { t =>
+            if (new java.io.File(s"$sfDir/$t.parquet").exists())
+              st.execute(
+                s"CREATE VIEW $t AS SELECT * FROM read_parquet('$sfDir/$t.parquet')")
+          }
+          denomNames.flatMap { n =>
+            Registry.byName.get(n).flatMap(_.oracle).map { sql =>
+              n -> time {
+                val rs = st.executeQuery(sql)
+                while (rs.next()) {}
+                rs.close()
+              }
+            }
+          }
+        } finally conn.close()
+      } catch { case _: Throwable => Seq.empty } // denominator is optional
+
     sentinel() // JVM-warm the sentinel path itself before trusting it
     pass()     // warmup
+    duckPass() // warmup (catalog + page cache), discarded
     val sentinels = collection.mutable.ArrayBuffer[Double]()
+    val duckPasses = collection.mutable.ArrayBuffer[Map[String, Double]]()
     val passes = (1 to 3).map { _ =>
       sentinels += sentinel()
+      duckPasses += duckPass().toMap
       pass().toMap
     }
     val results = headline.map { q =>
@@ -78,6 +125,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sj = sentinels.mkString("[", ",", "]")
+    // min across passes, the suite's own discipline
+    val duckMin: Map[String, Double] =
+      duckPasses.flatMap(_.keys).distinct.map { n =>
+        n -> duckPasses.flatMap(_.get(n)).min
+      }.toMap
+    val duckTotal = duckMin.values.sum
+    val dj = duckMin.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // per-pass times alongside the min: round-over-round deltas are then
     // attributable at a glance (a one-pass spike reads as load, a
     // uniform shift across passes reads as code)
@@ -85,7 +140,7 @@ object Bench {
         "\"" + q.name + "\":" + p(q.name)).mkString("{", ",", "}"))
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sentinel":$sj,"passes":$pj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sentinel":$sj,"duckdb_denom":$dj,"duckdb_denom_total":$duckTotal,"passes":$pj,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info], which broke the driver's JSON
     // extraction in round 1 — emit on BOTH channels it might scrape and
     // also drop the line in a file next to the data dir for good measure

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Compare two graft bench JSONs with host-speed normalization.
 
-Usage: python3 tools/compare_bench.py <old.json|log> <new.json|log> [--raw]
+Usage: python3 tools/compare_bench.py <old.json|log> <new.json|log>
+           [--raw] [--force]
 
 Bench runs on this box vary up to 2x with HOST load invisible to local
 loadavg (measured r09: identical code, 30.4s vs 50.7s full-suite, while
@@ -9,8 +10,14 @@ the fixed-work load_sentinel went 0.05s -> 0.18s). Each bench JSON
 carries `load_sentinel` (per-pass wall time of a constant tiny job);
 this tool scales the newer run's per-query times by the sentinel ratio
 (mean old / mean new) before diffing, so a "regression" that is
-really a slow host window reads as ~1.0x normalized. --raw skips the
-normalization. Accepts either a bare JSON file or any log containing
+really a slow host window reads as ~1.0x normalized. Runs also carry
+`duckdb_denom_total` (a paired PARALLEL fixed-work DuckDB pass, r11) —
+preferred for normalization when both sides have it, since the
+single-thread sentinel misses parallel-throughput dips. A sentinel or
+denominator ratio outside [0.5, 2] REFUSES the comparison (exit 3)
+unless --force: past 2x no normalization is trustworthy. --raw skips
+normalization AND the refusal guard. Accepts either a bare JSON file
+or any log containing
 the one-line {"metric": ...} payload (BENCH_r*.json's `tail` field is
 also handled).
 """
@@ -63,6 +70,7 @@ def load(path: str) -> dict:
 
 def main(argv):
     raw = "--raw" in argv
+    force = "--force" in argv
     paths = [a for a in argv[1:] if not a.startswith("--")]
     if len(paths) != 2:
         print(__doc__)
@@ -70,6 +78,7 @@ def main(argv):
     old, new = load(paths[0]), load(paths[1])
     so = old.get("load_sentinel") or []
     sn = new.get("load_sentinel") or []
+    do, dn = old.get("duckdb_denom_total"), new.get("duckdb_denom_total")
     scale = 1.0
     if not raw and so and sn:
         # MEAN, not median: degradation is often intermittent within a
@@ -78,9 +87,31 @@ def main(argv):
         scale = statistics.mean(so) / statistics.mean(sn)
         print(f"sentinels: old={[round(x,3) for x in so]} "
               f"new={[round(x,3) for x in sn]} -> host-speed scale "
-              f"{scale:.2f} applied to new times")
+              f"{scale:.2f}")
+        if not (0.5 <= scale <= 2.0) and not force:
+            print(f"REFUSED: sentinel ratio {scale:.2f} is outside [0.5, 2] "
+                  "— the two runs saw hosts too different for any "
+                  "normalization to be trusted. Re-run one side in a "
+                  "cleaner window, or pass --force.")
+            return 3
     elif not raw:
         print("no sentinels on one side — raw comparison")
+    # the paired DuckDB denominator (r10 advice): a PARALLEL fixed-work
+    # pass, so it tracks the host property the suite actually depends on
+    # (the single-thread sentinel missed a 60% parallel-throughput dip).
+    # When both sides carry it, prefer it as the normalization scale.
+    if not raw and do and dn:
+        dscale = do / dn
+        print(f"duckdb denominators: old={do:.3f}s new={dn:.3f}s -> "
+              f"parallel host-speed scale {dscale:.2f} (used for "
+              "normalization; sentinel kept as the refusal guard)")
+        if not (0.5 <= dscale <= 2.0) and not force:
+            print(f"REFUSED: duckdb denominator ratio {dscale:.2f} outside "
+                  "[0.5, 2] — windows not comparable; pass --force.")
+            return 3
+        scale = dscale
+    if not raw and scale != 1.0:
+        print(f"normalization scale {scale:.2f} applied to new times")
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
     rows = sorted(((qn[k] * scale / qo[k], k, qo[k], qn[k] * scale)
