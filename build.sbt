@@ -46,6 +46,25 @@ Test / unmanagedSourceDirectories ++= (
   if (sys.props.get("graft.kafka").exists(_.toBoolean))
     Seq(baseDirectory.value / "src" / "test-kafka" / "scala")
   else Seq())
+// OPT-IN ClickHouse integration profile: `sbt -Dgraft.clickhouse=true ...`
+// adds the real ClickHouse JDBC driver + a testcontainer so
+// ClickhouseIntegrationSpec can verify the DIALECT surface of
+// JdbcBatchSink (Nullable(T)/DateTime mapping, ENGINE ddlSuffix,
+// evolveTable's ALTER semantics) against the engine the reference sink
+// actually targets. Same zero-egress story as the Kafka profile: the
+// artifacts/image can't resolve here, so both the deps and the source
+// dir are gated off by default.
+libraryDependencies ++= (
+  if (sys.props.get("graft.clickhouse").exists(_.toBoolean))
+    Seq(
+      ("com.clickhouse" % "clickhouse-jdbc" % "0.6.5" % Test)
+        .classifier("all"),
+      "org.testcontainers" % "clickhouse" % "1.20.1" % Test)
+  else Seq())
+Test / unmanagedSourceDirectories ++= (
+  if (sys.props.get("graft.clickhouse").exists(_.toBoolean))
+    Seq(baseDirectory.value / "src" / "test-clickhouse" / "scala")
+  else Seq())
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

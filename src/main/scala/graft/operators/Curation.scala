@@ -1177,11 +1177,15 @@ object Curation {
       .filter(col("__rn") === 1).drop("__fp", "__rn")
       .withColumn("n_tokens",
         TextFunctions.tokenCount(col(textCol)).cast("long"))
+      // quality is the other CPU-dense per-doc expression — compute it
+      // here too, so it rides the wide checkpoint stage (32 tasks) once
+      // instead of re-running inside the narrow final job (r10 verdict:
+      // the tail stages were 2-task AQE-coalesced, 30 cores idle)
+      .withColumn("__q", TextFunctions.qualityScore(col(textCol)))
       .localCheckpoint()
     val banded = lengthBandFilter(deduped, idCol, textCol,
       precomputedTokens = true)
-    val good = banded.filter(
-      TextFunctions.qualityScore(col(textCol)) >= lit(qualityMin))
+    val good = banded.filter(col("__q") >= lit(qualityMin)).drop("__q")
     val sampled = stratifiedSample(good, idCol, langCol,
       rates, defaultRate, salt)
     splitAssign(sampled, idCol)

@@ -45,6 +45,44 @@ object GlobalSort {
     out
   }
 
+  /** Per-group global rank in ONE machinery pass — N independent
+    * [[withGlobalRank]] legs (rank fusion's shape) each pay a range
+    * sample + localCheckpoint + census job; tagging the legs with an
+    * INT `groupCol` and range-partitioning on (group, keys) ranks them
+    * all with a single sample/checkpoint/census (advice r10: q308's two
+    * rank legs). Within a partition, rows of one group are contiguous
+    * and ordered by `keys`; a group's rows across partitions ascend
+    * with partition id (group leads the range key), so per-(pid, group)
+    * counts prefix-summed per group give exact offsets — rank within
+    * each group is identical to that group's own withGlobalRank.
+    * Census is ≤ numParts × |groups| rows to the driver (groups = the
+    * leg count, 2..3 — bounded by construction). */
+  def withGroupedRank(df: DataFrame, groupCol: String, keys: Seq[Column],
+      numParts: Int = 32, rankCol: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df
+      .repartitionByRange(numParts, col(groupCol) +: keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val byPid = rows.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3).init)
+        .map { case (pid, off) => (pid, g, off) }
+    }
+    val offDf = offsets.toDF("__pid", groupCol, "__off")
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(keys: _*)
+    parted
+      .withColumn("__lr", row_number().over(w))
+      .join(broadcast(offDf), Seq("__pid", groupCol))
+      .withColumn(rankCol, col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
+
   /** Exact k-th smallest of an integer column WITHOUT any global sort —
     * the distributed selection algorithm: iteratively census the
     * candidate value range into ≤256 equal-width buckets (one scalar

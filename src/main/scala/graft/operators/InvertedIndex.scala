@@ -61,12 +61,26 @@ object InvertedIndex {
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
       kConst: Int = 60, scale: Int = 8): DataFrame = {
     require(rankings.nonEmpty, "no rankings")
-    val ranked = rankings.zipWithIndex.map { case (r, i) =>
-      GlobalSort.withGlobalRank(r.select(col(idCol), col(scoreCol)),
-          Seq(col(scoreCol).desc, col(idCol)), rankCol = s"r${i + 1}")
-        .select(col(idCol), col(s"r${i + 1}").cast("int").as(s"r${i + 1}"))
-    }
-    val joined = ranked.reduce(_.join(_, Seq(idCol)))
+    // ONE grouped-rank machinery pass for ALL legs (advice r10: per-leg
+    // GlobalSort paid sample + checkpoint + census jobs × legs). Scores
+    // ride the union as doubles: the cast is monotone and injective at
+    // gated magnitudes (longs < 2^53; DECIMAL(28,8) BM25 sums < ~9e7
+    // round-trip a double exactly), so (score desc, id) is the same
+    // total order each leg ranked by on its own.
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col(scoreCol).cast("double").as("__s"),
+        lit(i + 1).as("__leg"))
+    }.reduce(_.unionByName(_))
+    val ranked = GlobalSort.withGroupedRank(tagged, "__leg",
+      Seq(col("__s").desc, col(idCol)), rankCol = "__r")
+    // ids are unique within a leg, so the former inner join across legs
+    // = one groupBy keeping ids present in ALL legs
+    val legCols = (1 to rankings.size).map(i =>
+      max(when(col("__leg") === i, col("__r"))).cast("int").as(s"r$i"))
+    val joined = ranked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), legCols: _*)
+      .filter(col("__n") === rankings.size)
+      .drop("__n")
     val rrf = (1 to rankings.size)
       .map(i => lit(1.0) / (lit(kConst) + col(s"r$i")).cast("double"))
       .reduce(_ + _)

@@ -77,16 +77,28 @@ object JdbcBatchSink {
       s"JdbcBatchSink: unsupported column type ${other.sql}")
   }
 
-  /** CREATE TABLE IF NOT EXISTS matching `schema` (driver-side, once). */
-  def ensureTable(url: String, table: String, schema: StructType): Unit =
-    withConnection(url)(ensureTableOn(_, table, schema))
+  /** CREATE TABLE IF NOT EXISTS matching `schema` (driver-side, once).
+    * Nullability is EXPLICIT in the DDL (`NULL`/`NOT NULL` per field):
+    * DuckDB/MySQL/Postgres default columns nullable but ClickHouse
+    * defaults them NOT NULL — an implicit DDL would make the same frame
+    * reject its first null row on ClickHouse only. `ddlSuffix` carries
+    * engine-mandatory clauses a generic CREATE can't know (ClickHouse's
+    * `ENGINE = MergeTree ORDER BY ...`); empty for engines that need
+    * none. */
+  def ensureTable(url: String, table: String, schema: StructType,
+      ddlSuffix: String = ""): Unit =
+    withConnection(url)(ensureTableOn(_, table, schema, ddlSuffix))
 
   private def ensureTableOn(conn: Connection, table: String,
-      schema: StructType): Unit = {
+      schema: StructType, ddlSuffix: String = ""): Unit = {
     val cols = schema.fields
-      .map(f => s""""${f.name}" ${sqlType(f.dataType)}""").mkString(", ")
+      .map(f => s""""${f.name}" ${sqlType(f.dataType)}""" +
+        (if (f.nullable) " NULL" else " NOT NULL"))
+      .mkString(", ")
+    val suffix = if (ddlSuffix.isEmpty) "" else s" $ddlSuffix"
     val st = conn.createStatement()
-    try st.execute(s"""CREATE TABLE IF NOT EXISTS "$table" ($cols)""")
+    try st.execute(
+      s"""CREATE TABLE IF NOT EXISTS "$table" ($cols)$suffix""")
     finally st.close()
   }
 
@@ -121,11 +133,29 @@ object JdbcBatchSink {
         // recognizably different, e.g. VARCHAR vs BIGINT)
         schema.fields.foreach { f =>
           existing.get(f.name.toLowerCase).foreach { have =>
-            val haveBase = have.toUpperCase.takeWhile(_ != '(').trim
+            // ClickHouse metadata spells types as Nullable(T) — unwrap
+            // before comparing the base name; nullability is not drift
+            val haveUp = {
+              val up = have.toUpperCase.trim
+              if (up.startsWith("NULLABLE(") && up.endsWith(")"))
+                up.stripPrefix("NULLABLE(").stripSuffix(")")
+              else up
+            }
+            val haveBase = haveUp.takeWhile(_ != '(').trim
             val wantBase = sqlType(f.dataType).takeWhile(_ != '(').trim
+            // driver spellings → the sqlType names. NOTE the INT8 clash:
+            // Postgres int8 is 8 BYTES, ClickHouse Int8 is 8 BITS — we
+            // keep the Postgres reading, so a ClickHouse TINYINT column
+            // reads as drift and THROWS (loud, safe side) rather than
+            // silently matching the wrong width.
             val families = Map("INT8" -> "BIGINT", "INT4" -> "INTEGER",
               "INT2" -> "SMALLINT", "INT1" -> "TINYINT", "FLOAT8" -> "DOUBLE",
-              "FLOAT4" -> "REAL", "TEXT" -> "VARCHAR", "STRING" -> "VARCHAR")
+              "FLOAT4" -> "REAL", "TEXT" -> "VARCHAR", "STRING" -> "VARCHAR",
+              // ClickHouse spellings
+              "INT64" -> "BIGINT", "INT32" -> "INTEGER", "INT16" -> "SMALLINT",
+              "FLOAT64" -> "DOUBLE", "FLOAT32" -> "REAL",
+              "DATETIME" -> "TIMESTAMP", "DATETIME64" -> "TIMESTAMP",
+              "BOOL" -> "BOOLEAN")
             val h = families.getOrElse(haveBase, haveBase)
             if (h != wantBase)
               throw new IllegalStateException(
@@ -150,19 +180,21 @@ object JdbcBatchSink {
     * engine's open/close race surface (review r10 — the chaos spec
     * tripped on the extra churn). */
   private def prepareTable(url: String, table: String,
-      schema: StructType): Unit =
+      schema: StructType, ddlSuffix: String = ""): Unit =
     withConnection(url) { conn =>
-      ensureTableOn(conn, table, schema)
+      ensureTableOn(conn, table, schema, ddlSuffix)
       evolveTableOn(conn, table, schema)
     }
 
   /** Write `df` into `table` at `url` (creating it from the frame's
     * schema, ALTERing in any new columns), one batching writer per
-    * partition. */
+    * partition. `ddlSuffix` goes verbatim after the CREATE column list
+    * (ClickHouse's mandatory `ENGINE = ...` clause). */
   def write(df: DataFrame, url: String, table: String,
-      batchRows: Int = DefaultBatchRows, flushMs: Long = DefaultFlushMs): Unit = {
+      batchRows: Int = DefaultBatchRows, flushMs: Long = DefaultFlushMs,
+      ddlSuffix: String = ""): Unit = {
     val schema = df.schema
-    prepareTable(url, table, schema)
+    prepareTable(url, table, schema, ddlSuffix)
     val insert = s"""INSERT INTO "$table" (${schema.fields
         .map(f => s""""${f.name}"""").mkString(", ")}) VALUES (${schema.fields
         .map(_ => "?").mkString(", ")})"""
@@ -184,10 +216,11 @@ object JdbcBatchSink {
     * Readers union the shard nodes (`spark.read.jdbc` per url). */
   def writeSharded(df: DataFrame, urls: Seq[String], table: String,
       batchRows: Int = DefaultBatchRows,
-      flushMs: Long = DefaultFlushMs): Unit = {
+      flushMs: Long = DefaultFlushMs,
+      ddlSuffix: String = ""): Unit = {
     require(urls.nonEmpty, "writeSharded needs at least one shard url")
     val schema = df.schema
-    urls.foreach(prepareTable(_, table, schema))
+    urls.foreach(prepareTable(_, table, schema, ddlSuffix))
     val insert = s"""INSERT INTO "$table" (${schema.fields
         .map(f => s""""${f.name}"""").mkString(", ")}) VALUES (${schema.fields
         .map(_ => "?").mkString(", ")})"""
