@@ -2317,4 +2317,39 @@ object Curation {
         expr("(__p * 1000000L) div __n").as("rate_micro"),
         col("iso_micro"))
   }
+
+  /** N-gram diversity audit — the synthetic-data mode-collapse check
+    * (self-BLEU's scalable cousin): per document, how many of its
+    * DISTINCT word k-grams also occur in at least one OTHER document.
+    * A generated corpus whose docs re-tread the same phrasings shows
+    * self_sim drifting toward 1.0 long before exact/near-dup finds
+    * whole-document copies — this is the standard pre-training screen
+    * for distilled or model-generated data (distinct-n family).
+    *
+    * Scale shape: never pairwise. One distinct over (doc, gram-md5),
+    * a gram-keyed window count (df), then a doc-keyed aggregate —
+    * shuffles carry (doc, 32-char md5) only, text never leaves the
+    * scan; the gram hash partitions uniformly at any corpus size.
+    * Docs shorter than k tokens have no k-grams and no output row on
+    * either engine.
+    *
+    * Output per doc: (doc_id, n_distinct, n_shared,
+    * self_sim = roundHalfUp(n_shared / n_distinct, scale)). */
+  def ngramDiversity(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, scale: Int = 6): DataFrame = {
+    val grams = Similarity.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), k)).as("__sh"))
+      .select(col("doc_id"), md5(col("__sh")).as("__h"))
+      .distinct()
+    val w = Window.partitionBy(col("__h"))
+    grams
+      .withColumn("__df", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("self_sim", graft.functions.SafeMath.roundHalfUp(
+        col("n_shared").cast("double") / col("n_distinct").cast("double"),
+        scale))
+  }
 }

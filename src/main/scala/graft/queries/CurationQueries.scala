@@ -38,7 +38,31 @@ object CurationQueries {
         range(0, greatest(len($Toks5Sql) - 1, 0)),
         i -> array_to_string(list_slice($Toks5Sql, i + 1, i + 2), ' '))"""
 
+  /** DuckDB twin of TextFunctions.shingles with k=3 (word trigrams). */
+  private val Trigrams = s"""list_transform(
+        range(0, greatest(len($Toks5Sql) - 2, 0)),
+        i -> array_to_string(list_slice($Toks5Sql, i + 1, i + 3), ' '))"""
+
   val queries: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "q311_ngram_diversity",
+      // synthetic-data mode-collapse screen (distinct-n / self-BLEU's
+      // scalable cousin): per doc, distinct word trigrams and how many
+      // occur in at least one OTHER doc — never pairwise, shuffles
+      // carry (doc, md5) only
+      (s, dir) => Curation.ngramDiversity(
+        Tables.load(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some(s"""WITH g AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM (
+            SELECT doc_id, unnest($Trigrams) AS sh FROM documents)),
+          d AS (SELECT doc_id,
+              COUNT(*) OVER (PARTITION BY h) AS df FROM g)
+        SELECT doc_id, COUNT(*) AS n_distinct,
+          CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_shared,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)" +
+              " / CAST(COUNT(*) AS DOUBLE)", 6)} AS self_sim
+        FROM d GROUP BY 1""")),
     GraftQuery(
       "q73_line_quality_filter",
       (s, dir) => {

@@ -17,6 +17,24 @@ class CurationSpec extends AnyFunSuite {
     .getOrCreate()
   import spark.implicits._
 
+  test("ngramDiversity counts shared trigrams across docs, never within") {
+    val docs = Seq(
+      (1L, "a b c d"),     // trigrams: "a b c", "b c d"
+      (2L, "a b c x"),     // trigrams: "a b c", "b c x"
+      (3L, "z z z z z"),   // "z z z" ×3 positions → ONE distinct gram
+      (4L, "q w")          // shorter than k → no grams, no output row
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramDiversity(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // hand-traced: "a b c" is the only cross-doc gram (docs 1 and 2);
+    // doc 3's repeated gram stays df=1 because (doc, gram) is distinct
+    assert(out === Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 0L, 0.0))))
+  }
+
   test("stratified sample is deterministic and rate-shaped") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("id", "lang")
