@@ -2352,4 +2352,166 @@ object Curation {
         col("n_shared").cast("double") / col("n_distinct").cast("double"),
         scale))
   }
+
+  /** Weak-supervision label-model diagnostics (the Snorkel LFAnalysis
+    * card): given K labeling functions — each a Column voting 1L
+    * (keep), -1L (drop), or NULL (abstain) per row — report, per LF,
+    * its vote counts and the three standard health ratios: coverage
+    * (non-abstain fraction), overlaps (votes alongside ≥1 other LF),
+    * conflicts (votes against ≥1 other LF). A synthetic `__majority` row
+    * carries the resolved label: sign of (pos − neg) votes, abstaining
+    * on ties — so the same frame answers both "are my LFs healthy" and
+    * "what does the vote produce". This is the labeling leg of a
+    * curation pipeline: rules in, one audited weak label out.
+    *
+    * Scale shape: one projection evaluates every LF once per row
+    * (row-local Columns — no joins inside LFs), one `stack` to
+    * (lf, vote) rows carrying the row-level tallies, one K·(K+1)-group
+    * aggregate. No driver-side step at all. Ratios are
+    * roundHalfUp(x, scale) over exact counts. */
+  def labelModel(df: DataFrame, lfs: Seq[(String, Column)],
+      scale: Int = 6): DataFrame = {
+    require(lfs.size >= 2, "label model needs >= 2 labeling functions")
+    import graft.functions.SafeMath
+    val voteCols = lfs.zipWithIndex.map { case ((_, c), j) =>
+      c.cast("long").as(s"__v$j") }
+    val vs = lfs.indices.map(j => col(s"__v$j"))
+    val base = df.select(voteCols: _*)
+      .withColumn("__npos",
+        vs.map(v => when(v === 1L, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("__nneg",
+        vs.map(v => when(v === -1L, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("__nvot", col("__npos") + col("__nneg"))
+      .withColumn("__majority",
+        when(col("__npos") > col("__nneg"), 1L)
+          .when(col("__nneg") > col("__npos"), -1L))
+    val stackArgs = (lfs.zipWithIndex.map { case ((name, _), j) =>
+      s"'$name', __v$j" } :+ s"'__majority', __majority").mkString(", ")
+    val stacked = base.select(
+      expr(s"stack(${lfs.size + 1}, $stackArgs) AS (lf, vote)"),
+      col("__npos"), col("__nneg"))
+    def ratio(c: Column): Column =
+      SafeMath.roundHalfUp(
+        c.cast("double") / count(lit(1)).cast("double"), scale)
+    stacked.groupBy("lf").agg(
+      sum(when(col("vote") === 1L, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("vote") === -1L, 1L).otherwise(0L)).as("n_neg"),
+      ratio(sum(when(col("vote").isNotNull, 1L).otherwise(0L)))
+        .as("coverage"),
+      // this LF voted AND at least one OTHER vote exists on the row
+      ratio(sum(when(col("vote").isNotNull &&
+          (col("__npos") + col("__nneg")
+            - when(col("lf") =!= "__majority", 1L).otherwise(0L)) >= 1L,
+        1L).otherwise(0L))).as("overlaps"),
+      // this LF voted AND at least one (other) vote disagrees; for the
+      // majority pseudo-LF: the vote resolved against a dissenting LF
+      ratio(sum(when(
+        (col("vote") === 1L && col("__nneg") >= 1L) ||
+          (col("vote") === -1L && col("__npos") >= 1L),
+        1L).otherwise(0L))).as("conflicts"))
+  }
+
+  /** Leakage-free train/val/test split: assign every document's
+    * near-duplicate GROUP — not the document — to a split, so two
+    * near-copies can never land on opposite sides of the eval boundary
+    * (the classic benchmark-inflation bug near-dup detection exists to
+    * prevent). `clusters` is a (node → cluster) frame, e.g.
+    * [[Dedup.clusterAssignments]] over near-dup pairs; docs absent from
+    * it form singleton groups of themselves. The group key is hashed
+    * (md5-60bit, salted — deterministic, engine-portable, replay-safe)
+    * into 100 buckets: [0, trainPct) → train, [trainPct,
+    * trainPct+valPct) → val, rest → test. Same group ⇒ same bucket ⇒
+    * same split, structurally — no post-hoc leakage check needed.
+    *
+    * Output is the split census (split, n_docs, n_groups,
+    * n_clustered_docs): 3 rows. For the per-doc assignment apply
+    * [[splitBucket]] to the same (salt, group) directly in a pipeline.
+    * Scale shape: one broadcast-or-shuffle left join (clusters is the
+    * near-dup minority), one hash projection, one 3-group aggregate. */
+  def groupSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "graft"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val cl = clusters.select(col("node").as(idCol),
+      col("cluster").as("__cl"))
+    docs.select(col(idCol)).join(cl, Seq(idCol), "left")
+      .select(col(idCol), col("__cl"),
+        coalesce(col("__cl"), col(idCol)).cast("string").as("__g"))
+      .select(col(idCol), col("__cl"),
+        col("__g"), splitBucket(col("__g"), trainPct, valPct, salt)
+          .as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__g")).as("n_groups"),
+        sum(when(col("__cl").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered_docs"))
+  }
+
+  /** The split decision itself: md5-60bit(salt || group) mod 100 →
+    * 'train' / 'val' / 'test'. Exposed so pipelines can stamp the
+    * assignment on rows with the exact arithmetic [[groupSplit]]
+    * censuses. */
+  def splitBucket(group: Column, trainPct: Int, valPct: Int,
+      salt: String): Column = {
+    val b = TextFunctions.md5Key60(concat(lit(salt), group)) % 100L
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** χ² keyword selection against a binary target (Pearson chi-square
+    * with document-level presence counts) — the classic supervised
+    * feature-selection screen: which tokens are most associated with the
+    * target slice (a language, a quality label, a source)? Complements
+    * [[dsirScore]] (which WEIGHTS docs by such features) by naming the
+    * features themselves — the audit artifact for "what is my classifier
+    * keying on".
+    *
+    * Per token over distinct (doc, token): a = target docs containing
+    * it, b = rest docs containing it, c/d their complements;
+    * χ² = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), computed in DOUBLE with
+    * this exact parenthesization (counts are 2^53-exact in double, and
+    * IEEE mul/div are correctly rounded, so both engines produce the
+    * same bits; margins of zero score 0). Tokens seen in < minDf docs
+    * are dropped (rare-token χ² is noise). Top-`topK` by (χ², token).
+    *
+    * Scale shape: one distinct over (doc, token, flag) — shuffles carry
+    * tokens, text stays in the scan; one token-keyed aggregate; the two
+    * doc totals are a 1-row aggregate collected to the driver (bounded)
+    * and spliced as literals; TakeOrdered for the top-k. */
+  def chi2Keywords(docs: DataFrame, idCol: String, textCol: String,
+      target: Column, topK: Int = 50, minDf: Long = 5,
+      scale: Int = 6): DataFrame = {
+    import graft.functions.SafeMath
+    val base = docs.select(col(idCol).as("__doc"),
+      target.cast("boolean").as("__t"), col(textCol).as("__text"))
+    val totRow = base.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)),
+      count(lit(1))).collect()(0) // 1 row — bounded
+    val nT = totRow.getLong(0)
+    val nAll = totRow.getLong(1)
+    val nF = nAll - nT
+    val pres = Similarity.spread(base)
+      .select(col("__doc"), col("__t"),
+        explode(TextFunctions.tokens(col("__text"))).as("token"))
+      .distinct()
+    val a = col("__a").cast("double")
+    val b = col("__b").cast("double")
+    val c = (lit(nT) - col("__a")).cast("double")
+    val d = (lit(nF) - col("__b")).cast("double")
+    val num = (a * d) - (b * c)
+    val denom = ((a + b) * (c + d)) * ((a + c) * (b + d))
+    pres.groupBy("token")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__a"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__b"))
+      .filter(col("__a") + col("__b") >= minDf)
+      .select(col("token"), col("__a").as("df_target"),
+        col("__b").as("df_rest"),
+        SafeMath.roundHalfUp(
+          when(denom === 0.0, 0.0)
+            .otherwise((lit(nAll.toDouble) * (num * num)) / denom),
+          scale).as("chi2"))
+      .orderBy(col("chi2").desc, col("token").asc)
+      .limit(topK)
+  }
 }

@@ -773,7 +773,7 @@ object Dedup {
     bandedFrames.map(_.select(col("band"), col("bh"))).reduce(_.unionAll(_))
       .groupBy("band", "bh")
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBandBucket)
-      .collect()
+      .collect() // over-full buckets only: ≤ bands·n/maxBandBucket rows
       .map(r => (r.getInt(0).toLong * MinhashP + r.getLong(1)) ->
         ((r.getLong(2) + maxBandBucket - 1) / maxBandBucket).toInt)
       .toMap

@@ -65,6 +65,8 @@ object GlobalSort {
       .repartitionByRange(numParts, col(groupCol) +: keys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    // ≤ numParts·|groups| rows to the driver — the only non-distributed
+    // step (groups are small tag sets: rank legs, not data-sized keys)
     val counts = parted.groupBy(col("__pid"), col(groupCol))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))

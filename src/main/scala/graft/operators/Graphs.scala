@@ -431,4 +431,71 @@ object Graphs {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** HITS (Kleinberg 1999) hubs & authorities over `iterations`
+    * synchronous rounds — the complementary prior to [[pageRank]] for
+    * link-graph curation: authorities are the pages worth keeping, hubs
+    * the index/listing pages that FIND them (and that dedup should often
+    * drop). Same fixed-point integer discipline as [[pageRank]]: scores
+    * are longs at scale 10¹², each half-round is one edge⋈score join +
+    * one map-side-combined shuffle, and the L1 normalization is exact
+    * integer arithmetic — raw sums and the ×Scale product run in
+    * DECIMAL(38,0) (raw ≤ maxdeg·Scale, product ≤ m·10²⁴ ≪ 10³⁸), the
+    * normalized score `raw·Scale div sum` is back in [0, Scale] so the
+    * output columns are plain BIGINT (never DECIMAL — the gate-render
+    * rule). Per round the two L1 sums are 1-row aggregates collected to
+    * the driver (bounded by construction) and spliced back as literals.
+    *
+    * h⁰ = Scale for every node; a = normalize(Σ_{u→v} h(u)),
+    * h = normalize(Σ_{u→v} a(v)). Nodes with no in-edges get auth 0,
+    * no out-edges get hub 0. Returns (node, hub, auth). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iterations >= 1)
+    val spark = edges.sparkSession
+    graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val nodesAll = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst"))).distinct().persist()
+    val n = nodesAll.count()
+    val m = e0.count()
+    val parts = graft.core.Adaptive.partsFor(spark, math.max(n, m))
+    graft.core.Adaptive.withShufflePartitions(spark, parts) {
+      val nodes = nodesAll.coalesce(parts).localCheckpoint()
+      val e = e0.coalesce(parts).localCheckpoint()
+      e0.unpersist(blocking = false)
+      nodesAll.unpersist(blocking = false)
+      // one half-round: raw(v) = Σ over the joined side, then exact L1
+      // normalization to [0, Scale]; scoreOf joins on the given edge end
+      def halfRound(scores: DataFrame, joinEnd: String,
+          groupEnd: String): DataFrame = {
+        val raw = e.join(scores, e(joinEnd) === scores("node"))
+          .groupBy(col(groupEnd).as("node"))
+          .agg(sum(col("s").cast(DecimalType(38, 0))).as("raw"))
+        val tot = raw.agg(sum(col("raw"))).collect()(0) // 1 row — bounded
+          .getDecimal(0).toBigInteger
+        require(tot.signum > 0, "HITS needs at least one live edge")
+        nodes.join(raw, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(
+              expr(s"CAST(raw * ${Scale}L AS DECIMAL(38,0)) div " +
+                s"CAST('$tot' AS DECIMAL(38,0))"),
+              lit(0L)).as("s"))
+      }
+      var h = nodes.withColumn("s", lit(Scale))
+      var a: DataFrame = null
+      var prevCheckpointed: Seq[DataFrame] = Nil
+      (1 to iterations).foreach { _ =>
+        a = halfRound(h, "src", "dst").localCheckpoint()
+        h = halfRound(a, "dst", "src").localCheckpoint()
+        prevCheckpointed.foreach(_.unpersist(blocking = false))
+        prevCheckpointed = Seq(a, h)
+      }
+      h.select(col("node"), col("s").as("hub"))
+        .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
+    }
+    }
+  }
 }

@@ -709,7 +709,7 @@ object Similarity {
         .groupBy("__cell")
         .agg(graft.expressions.VectorMeanAgg
           .vector_mean(col("__v"), dim, scale).as("__m"))
-        .collect()
+        .collect() // ≤ k rows (one per cell) — bounded by construction
         .map { r =>
           val m = r.getStruct(1)
           val sums = m.getSeq[java.math.BigDecimal](0)
@@ -1067,7 +1067,7 @@ object Similarity {
               col("v").cast("double"), scale)
             .cast(DecimalType(28, scale))).cast("double") / count(lit(1)))
           .as("m"))
-        .collect()
+        .collect() // ≤ m·ks·sub rows (codebook cells) — bounded by construction
         .groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (jc, rs) =>
           jc -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq

@@ -80,6 +80,7 @@ object Spectral {
     require(dim >= 1 && iters >= 1)
     val e = embeddings
       .select(col(vecCol).cast("array<double>").as("__v"))
+    // ≤ dim² moment rows to the driver — bounded by construction
     componentFromMoments(momentSums(e, dim, snap).collect(), dim, iters, snap)
   }
 
@@ -126,7 +127,7 @@ object Spectral {
       snap: Int = 9): IndexedSeq[Double] = {
     val rows = spark.read.parquet(statePath)
       .groupBy("i", "j").agg(sum(col("s")).as("s"))
-      .collect()
+      .collect() // ≤ dim² moment rows — bounded by construction
     componentFromMoments(rows, dim, iters, snap)
   }
 

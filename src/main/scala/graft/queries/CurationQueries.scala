@@ -45,6 +45,112 @@ object CurationQueries {
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
+      "q313_label_model",
+      // weak-supervision labeling card (Snorkel LFAnalysis): four
+      // deterministic labeling functions over documents → per-LF vote
+      // counts + coverage/overlaps/conflicts, plus the resolved
+      // __majority pseudo-LF — the labeling leg of a curation pipeline
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Curation.labelModel(d, Seq(
+          "lf_kw" -> when(col("text").contains("slow"), -1L)
+            .when(col("text").contains("fast"), 1L),
+          "lf_len" -> when(col("n_chars") < 100L, -1L)
+            .when(col("n_chars").between(150L, 450L), 1L),
+          "lf_lang" -> when(col("lang") === "en", 1L)
+            .when(col("lang") === "zh", -1L),
+          "lf_src" -> when(col("source").isin("src0", "src1", "src2"), 1L)
+            .when(col("source") === "src19", -1L)))
+      },
+      Some {
+        def r6(x: String) = graft.functions.SafeMath.roundHalfUpSql(x, 6)
+        s"""WITH base AS (SELECT
+              CASE WHEN text LIKE '%slow%' THEN -1
+                   WHEN text LIKE '%fast%' THEN 1 END AS v0,
+              CASE WHEN n_chars < 100 THEN -1
+                   WHEN n_chars BETWEEN 150 AND 450 THEN 1 END AS v1,
+              CASE WHEN lang = 'en' THEN 1
+                   WHEN lang = 'zh' THEN -1 END AS v2,
+              CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1
+                   WHEN source = 'src19' THEN -1 END AS v3
+            FROM documents),
+          tal AS (SELECT v0, v1, v2, v3,
+              (CASE WHEN v0 = 1 THEN 1 ELSE 0 END
+                + CASE WHEN v1 = 1 THEN 1 ELSE 0 END
+                + CASE WHEN v2 = 1 THEN 1 ELSE 0 END
+                + CASE WHEN v3 = 1 THEN 1 ELSE 0 END) AS npos,
+              (CASE WHEN v0 = -1 THEN 1 ELSE 0 END
+                + CASE WHEN v1 = -1 THEN 1 ELSE 0 END
+                + CASE WHEN v2 = -1 THEN 1 ELSE 0 END
+                + CASE WHEN v3 = -1 THEN 1 ELSE 0 END) AS nneg
+            FROM base),
+          stk AS (
+            SELECT 'lf_kw' AS lf, v0 AS vote, npos, nneg, TRUE AS own FROM tal
+            UNION ALL
+            SELECT 'lf_len', v1, npos, nneg, TRUE FROM tal
+            UNION ALL
+            SELECT 'lf_lang', v2, npos, nneg, TRUE FROM tal
+            UNION ALL
+            SELECT 'lf_src', v3, npos, nneg, TRUE FROM tal
+            UNION ALL
+            SELECT '__majority',
+              CASE WHEN npos > nneg THEN 1
+                   WHEN nneg > npos THEN -1 END, npos, nneg, FALSE
+            FROM tal)
+        SELECT lf,
+          CAST(SUM(CASE WHEN vote = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos,
+          CAST(SUM(CASE WHEN vote = -1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_neg,
+          ${r6("CAST(SUM(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END)" +
+            " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS coverage,
+          ${r6("CAST(SUM(CASE WHEN vote IS NOT NULL AND" +
+            " npos + nneg - (CASE WHEN own THEN 1 ELSE 0 END) >= 1" +
+            " THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+            AS overlaps,
+          ${r6("CAST(SUM(CASE WHEN (vote = 1 AND nneg >= 1)" +
+            " OR (vote = -1 AND npos >= 1)" +
+            " THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+            AS conflicts
+        FROM stk GROUP BY lf"""
+      }),
+    GraftQuery(
+      "q314_chi2_keywords",
+      // supervised feature-selection screen: which tokens are most
+      // associated with the lang='en' slice (Pearson chi-square on
+      // document-level presence, top-50) — names the features dsirScore
+      // (q120) weights by
+      (s, dir) => Curation.chi2Keywords(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", topK = 50, minDf = 5L),
+      Some(s"""WITH base AS (
+            SELECT doc_id, (lang = 'en') AS t, text FROM documents),
+          tot AS (SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END)
+                AS BIGINT) AS nt,
+              CAST(COUNT(*) AS BIGINT) AS n FROM base),
+          pres AS (SELECT DISTINCT doc_id, t,
+              unnest($Toks5Sql) AS token FROM base),
+          cnt AS (SELECT token,
+              CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+              CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM pres GROUP BY 1),
+          x AS (SELECT token, ca, cb,
+              CAST(ca AS DOUBLE) AS fa, CAST(cb AS DOUBLE) AS fb,
+              CAST(nt - ca AS DOUBLE) AS fc,
+              CAST((n - nt) - cb AS DOUBLE) AS fd,
+              CAST(n AS DOUBLE) AS fn
+            FROM cnt, tot WHERE ca + cb >= 5),
+          sc AS (SELECT token, ca AS df_target, cb AS df_rest,
+              CASE WHEN ((fa + fb) * (fc + fd)) * ((fa + fc) * (fb + fd))
+                     = 0.0E0 THEN 0.0E0
+                ELSE ${graft.functions.SafeMath.roundHalfUpSql(
+                  "(fn * (((fa * fd) - (fb * fc)) * ((fa * fd) - (fb * fc))))" +
+                    " / (((fa + fb) * (fc + fd)) * ((fa + fc) * (fb + fd)))",
+                  6)} END AS chi2
+            FROM x)
+        SELECT token, df_target, df_rest, chi2 FROM sc
+        ORDER BY chi2 DESC, token LIMIT 50""")),
+    GraftQuery(
       "q311_ngram_diversity",
       // synthetic-data mode-collapse screen (distinct-n / self-BLEU's
       // scalable cousin): per doc, distinct word trigrams and how many

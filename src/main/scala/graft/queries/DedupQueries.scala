@@ -245,6 +245,55 @@ object DedupQueries {
         WHERE cl.node IS NULL OR cl.cluster = c.doc_id""")),
 
     GraftQuery(
+      "q312_group_split",
+      (s, dir) => {
+        // leakage-free train/val/test split: near-dup GROUPS (q47's
+        // components — here every doc pairs with its shifted copy) are
+        // hashed to a split as a unit, so two near-copies can never
+        // straddle the eval boundary; output is the 3-row split census
+        val c = corpus(s, dir)
+        val pairs = Dedup.jaccardPairs(c, "doc_id", "text",
+          k = 3, threshold = 0.8)
+        graft.operators.Curation.groupSplit(
+          c, "doc_id", Dedup.clusterAssignments(pairs))
+      },
+      Some(s"""WITH RECURSIVE
+        edges AS (
+          SELECT doc_a, doc_b FROM (
+            WITH $CappedIdxSql,
+            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+            co AS (
+              SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
+              FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
+            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM edges
+          UNION SELECT doc_b, doc_a FROM edges),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        cl AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src),
+        asg AS (SELECT c.doc_id, cl.cluster,
+            CAST(COALESCE(cl.cluster, c.doc_id) AS VARCHAR) AS grp
+          FROM $CorpusSql c LEFT JOIN cl ON cl.node = c.doc_id),
+        bkt AS (SELECT doc_id, cluster, grp,
+            ${md5FoldSql("md5('graft' || grp)")} % 100 AS b
+          FROM asg)
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+          CAST(SUM(CASE WHEN cluster IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clustered_docs
+        FROM bkt GROUP BY 1""")),
+
+    GraftQuery(
       "q114_containment_pairs",
       (s, dir) => Dedup.containmentPairs(corpus(s, dir), "doc_id", "text",
         k = 3, threshold = 0.9),

@@ -56,6 +56,54 @@ object GraphQueries {
       bench = true),
 
     GraftQuery(
+      "q315_hits",
+      (s, dir) => {
+        // hubs & authorities over the q103 link graph
+        // ([[graft.operators.Graphs.hits]]): authorities = the pages
+        // worth keeping, hubs = the listing pages that find them — the
+        // complementary curation prior to PageRank. Exact fixed-point
+        // integer arithmetic (scale 10^12, L1-normalized), 2 rounds.
+        val o = Tables.load(s, dir, "orders")
+        val edges = o.select(
+          concat(lit("d"), col("o_custkey") % 100).as("src"),
+          concat(lit("d"), col("o_orderkey") % 100).as("dst"))
+        graft.operators.Graphs.hits(edges, "src", "dst", iterations = 2)
+      },
+      // four unrolled half-rounds of the identical integer fixed point:
+      // raw = sum of the joined side's scores, then exact L1
+      // normalization raw·10^12 // sum(raw) in HUGEINT. Every CTE is
+      // MATERIALIZED — each is referenced twice (join + the scalar-sum
+      // subquery) and plain CTEs re-evaluate per reference.
+      Some {
+        def half(prev: String, cur: String, joinEnd: String,
+            groupEnd: String): String =
+          s"""${cur}r AS MATERIALIZED (
+              SELECT e.$groupEnd AS node, SUM(p.s) AS raw
+              FROM e JOIN $prev p ON p.node = e.$joinEnd GROUP BY 1),
+            $cur AS MATERIALIZED (
+              SELECT n.node,
+                COALESCE(r.raw * 1000000000000 //
+                  (SELECT SUM(raw) FROM ${cur}r), 0) AS s
+              FROM nodes n LEFT JOIN ${cur}r r USING (node))"""
+        s"""WITH e AS MATERIALIZED (
+            SELECT DISTINCT 'd' || (o_custkey % 100) AS src,
+              'd' || (o_orderkey % 100) AS dst FROM orders),
+          nodes AS MATERIALIZED (
+            SELECT src AS node FROM e UNION SELECT dst FROM e),
+          h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS s
+            FROM nodes),
+          ${half("h0", "a1", "src", "dst")},
+          ${half("a1", "h1", "dst", "src")},
+          ${half("h1", "a2", "src", "dst")},
+          ${half("a2", "h2", "dst", "src")}
+        SELECT n.node, CAST(h2.s AS BIGINT) AS hub,
+          CAST(a2.s AS BIGINT) AS auth
+        FROM nodes n
+        JOIN h2 ON h2.node = n.node
+        JOIN a2 ON a2.node = n.node"""
+      }),
+
+    GraftQuery(
       "q298_trustrank",
       (s, dir) => {
         // seeded quality propagation over the q103 link graph

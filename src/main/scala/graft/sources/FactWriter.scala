@@ -135,7 +135,8 @@ object FactWriter {
     // fully-emptied partitions produce no rows for dynamic overwrite to
     // replace — drop their directories explicitly
     report.filter(col("rows_after") === 0L)
-      .select(col("partition_value").cast("string")).collect()
+      .select(col("partition_value").cast("string"))
+      .collect() // ≤ one row per day partition — bounded by construction
       .foreach { r =>
         val d = new java.io.File(dir, s"$dayBucketCol=${r.getString(0)}")
         Option(d.listFiles()).foreach(_.foreach(_.delete()))

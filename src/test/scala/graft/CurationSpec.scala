@@ -17,6 +17,71 @@ class CurationSpec extends AnyFunSuite {
     .getOrCreate()
   import spark.implicits._
 
+  test("labelModel reports per-LF coverage/overlaps/conflicts + majority") {
+    // rows: (x, y) drive two LFs; hand-traced 4-row matrix
+    //   r1: +1, +1   → both vote, agree;        majority +1
+    //   r2: +1, -1   → both vote, conflict;     majority tie → abstain
+    //   r3: null, -1 → only lf_y votes;         majority -1
+    //   r4: null, null → nobody votes;          majority abstains
+    val df = Seq((1, 1), (1, -1), (0, -1), (0, 0)).toDF("x", "y")
+    val out = Curation.labelModel(df, Seq(
+        "lf_x" -> when(col("x") =!= 0, col("x").cast("long")),
+        "lf_y" -> when(col("y") =!= 0, col("y").cast("long"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("lf_x") === ((2L, 0L, 0.5, 0.5, 0.25)))
+    assert(out("lf_y") === ((1L, 2L, 0.75, 0.5, 0.25)))
+    // majority: votes on r1 (+1) and r3 (−1); r2's tie abstains; its
+    // only conflict is r3? no — r3 has no dissent; zero conflicts
+    assert(out("__majority") === ((1L, 1L, 0.5, 0.5, 0.0)))
+  }
+
+  test("groupSplit keeps every group in exactly one split") {
+    val docs = (0L until 40L).toDF("doc_id")
+    // pair 2k with 2k+1: clusters of two, canonical id = the even one
+    val clusters = (0L until 40L).map(i => (i, i - (i % 2)))
+      .toDF("node", "cluster")
+    val census = Curation.groupSplit(docs, "doc_id", clusters)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // every doc is clustered; docs = 2 × groups in every split (a split
+    // never receives half a group)
+    assert(census.values.map(_._1).sum === 40L)
+    census.values.foreach { case (nDocs, nGroups, nClustered) =>
+      assert(nDocs === 2 * nGroups)
+      assert(nClustered === nDocs)
+    }
+    // per-doc assignment is a pure function of the group: both members
+    // land identically under splitBucket
+    val asg = docs.join(clusters, col("doc_id") === col("node"))
+      .select(col("doc_id"),
+        Curation.splitBucket(col("cluster").cast("string"), 80, 10,
+          "graft").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 40L by 2).foreach(i => assert(asg(i) === asg(i + 1)))
+  }
+
+  test("chi2Keywords scores a perfectly-separating token highest") {
+    // 6 docs: 3 target all contain "pos", 3 rest all contain "neg";
+    // "both" appears everywhere (chi2 = 0), "rare" once (df < minDf cut)
+    val docs = Seq(
+      (1L, "pos both", true), (2L, "pos both", true),
+      (3L, "pos both rare", true),
+      (4L, "neg both", false), (5L, "neg both", false),
+      (6L, "neg both", false)
+    ).toDF("doc_id", "text", "t")
+    val out = Curation.chi2Keywords(docs, "doc_id", "text", col("t"),
+        topK = 10, minDf = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!out.contains("rare"))
+    // perfect separation: chi2 = n = 6; uniform token: 0
+    assert(out("pos") === ((3L, 0L, 6.0)))
+    assert(out("neg") === ((0L, 3L, 6.0)))
+    assert(out("both") === ((3L, 3L, 0.0)))
+  }
+
   test("ngramDiversity counts shared trigrams across docs, never within") {
     val docs = Seq(
       (1L, "a b c d"),     // trigrams: "a b c", "b c d"

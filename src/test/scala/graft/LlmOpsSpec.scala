@@ -2028,6 +2028,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got("c") === 0L)                       // unreachable: ZERO
   }
 
+  test("hits: two hand-traced rounds of the integer fixed point") {
+    import graft.operators.Graphs
+    // 1→2, 1→3, 2→3: node 1 is the pure hub, node 3 the pure authority
+    val e = Seq(("1", "2"), ("1", "3"), ("2", "3")).toDF("src", "dst")
+    val got = Graphs.hits(e, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // round 1: a = (0, S/3, 2S/3); h ∝ (a2+a3, a3, 0) = exactly (0.6S,
+    //   0.4S, 0). round 2: a_raw = (0, h1, h1+h2) → a = (0, 0.375S,
+    //   0.625S); h_raw = (a2+a3, a3, 0) = (S, 0.625S, 0) over 1.625S
+    assert(got("1") === ((615384615384L, 0L)))    // 1e24 div 1.625e12
+    assert(got("2") === ((384615384615L, 375000000000L)))
+    assert(got("3") === ((0L, 625000000000L)))
+    // L1 mass: hubs and auths each sum to ~Scale (≤ n truncation loss)
+    assert(got.values.map(_._1).sum > Graphs.Scale - 3)
+    assert(got.values.map(_._2).sum > Graphs.Scale - 3)
+  }
+
   test("goldenRecord merges fields from their latest non-null versions") {
     import graft.operators.KeepLatest
     val u = Seq(
