@@ -2459,6 +2459,54 @@ object Curation {
       .otherwise("test")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with the in-engine LM ([[knBigramLogProb]]), rank within
+    * its language, and cut each language into `buckets` equal-size
+    * tiers — bucket 1 = head (most fluent), last = tail. The canonical
+    * "keep head+middle, drop tail per language" curation move; output
+    * is the per-(lang, bucket) census with the NLL band each tier spans.
+    *
+    * The tier rule is explicit integer arithmetic shared with the
+    * oracle: bucket = ((rank−1)·buckets) div n_lang + 1 over the
+    * (kn_nll, id)-ordered per-language GLOBAL rank — not an engine
+    * NTILE (remainder placement differs between engines; this formula
+    * is engine-free). Ranking rides [[GlobalSort.withGroupedRank]]: all
+    * languages rank in ONE range-sample/checkpoint/census pass, never a
+    * per-language single-partition window (a language IS a near-global
+    * partition at corpus scale). The language list is a bounded driver
+    * collect (languages are an enum, not data-sized).
+    *
+    * Output: (lang, bucket, n_docs, min_nll, max_nll, mean_nll);
+    * mean is a DECIMAL(28,6) sum of the already-scale-6 NLLs (exact,
+    * order-free) divided at the end. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, buckets: Int = 3, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SafeMath
+    require(buckets >= 2, "need >= 2 perplexity tiers")
+    val nll = knBigramLogProb(docs, idCol, textCol)
+    val withLang = nll.join(
+      docs.select(col(idCol), col(langCol).cast("string").as("lang")),
+      Seq(idCol))
+    val langs = docs.select(col(langCol).cast("string").as("l"))
+      .distinct().collect().map(_.getString(0)).sorted // bounded: enum
+    val tagged = withLang.withColumn("__g",
+      array_position(typedLit(langs.toSeq), col("lang")).cast("int"))
+    val ranked = GlobalSort.withGroupedRank(tagged, "__g",
+      Seq(col("kn_nll").asc, col(idCol).asc), rankCol = "__r")
+    val ng = ranked.groupBy(col("lang")).agg(count(lit(1)).as("__ng"))
+    ranked.join(broadcast(ng), Seq("lang"))
+      .withColumn("bucket",
+        expr(s"((__r - 1) * $buckets) div __ng") + lit(1L))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("kn_nll")).as("min_nll"),
+        max(col("kn_nll")).as("max_nll"),
+        SafeMath.roundHalfUp(
+          sum(col("kn_nll").cast(DecimalType(28, 6))).cast("double") /
+            count(lit(1)).cast("double"), scale).as("mean_nll"))
+  }
+
   /** χ² keyword selection against a binary target (Pearson chi-square
     * with document-level presence counts) — the classic supervised
     * feature-selection screen: which tokens are most associated with the

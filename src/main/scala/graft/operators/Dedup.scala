@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -1274,5 +1275,51 @@ object Dedup {
         graft.functions.SafeMath.roundHalfUp(
           lit(1.0) / coalesce(col("__n"), lit(1L)).cast("double"), scale)
           .as("weight"))
+  }
+
+  /** Global line-level exact dedup — the C4/RefinedWeb step BETWEEN
+    * document dedup and span dedup: a line (boilerplate header, cookie
+    * banner, nav footer) that recurs across the corpus keeps only its
+    * FIRST occurrence in (doc, position) order; every later copy is
+    * dropped and the surviving lines are reassembled in document order.
+    * Exact-match, line-granular — [[crossDocSpans]] handles sub-line
+    * n-gram overlap, this kills the verbatim template tax.
+    *
+    * Scale shape: one posexplode (line position preserved), one
+    * md5-keyed window (row_number over the 128-bit line hash — uniform
+    * partitions at any corpus size, the shuffle carries (doc, pos,
+    * hash, line)), one doc-keyed regroup where `array_sort` on the
+    * (pos, line) struct restores document order. Docs whose every line
+    * was claimed elsewhere survive with clean_text = ''. Output:
+    * (idCol, clean_text, n_kept, n_dropped). */
+  def lineDedup(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = Similarity.spread(docs)
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .select(col("__doc"), col("__pos"), col("__line"),
+        md5(col("__line")).as("__h"))
+      .localCheckpoint() // read twice: first-occurrence pass + per-doc totals
+    val w = Window.partitionBy(col("__h"))
+      .orderBy(col("__doc").asc, col("__pos").asc)
+    val kept = lines
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__doc"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = lines.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__total"))
+    totals.join(kept, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
   }
 }

@@ -43,6 +43,35 @@ object CurationQueries {
         range(0, greatest(len($Toks5Sql) - 2, 0)),
         i -> array_to_string(list_slice($Toks5Sql, i + 1, i + 3), ' '))"""
 
+  /** Shared Kneser–Ney NLL CTE chain (the q237 oracle's WITH body):
+    * ends at `agg(doc, n_bigrams, kn_nll)`. Declared ABOVE the registry
+    * Seq — object vals initialize in declaration order. */
+  private val KnNllCteSql =
+    s"""d AS (SELECT doc_id AS doc, $Toks5Sql AS toks
+            FROM documents),
+          big AS (SELECT doc,
+              unnest(list_slice(toks, 1, len(toks) - 1)) AS p,
+              unnest(list_slice(toks, 2, len(toks))) AS c
+            FROM d WHERE len(toks) >= 2),
+          bc AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS bc FROM big
+            GROUP BY 1, 2),
+          ps AS (SELECT p, CAST(SUM(bc) AS BIGINT) AS pc,
+              CAST(COUNT(*) AS BIGINT) AS n1p FROM bc GROUP BY p),
+          cs AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS ncp FROM bc
+            GROUP BY c),
+          tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bc),
+          per AS (SELECT big.doc, ${graft.functions.SafeMath.roundHalfUpSql(
+            "-ln(((CAST(bc.bc AS DOUBLE) - 0.75E0) / CAST(ps.pc AS DOUBLE)) + " +
+              "(((0.75E0 * CAST(ps.n1p AS DOUBLE)) / CAST(ps.pc AS DOUBLE)) * " +
+              "(CAST(cs.ncp AS DOUBLE) / CAST(tb.b AS DOUBLE))))", 8)} AS nll8
+            FROM big JOIN bc ON bc.p = big.p AND bc.c = big.c
+            JOIN ps ON ps.p = big.p JOIN cs ON cs.c = big.c, tb),
+          agg AS (SELECT doc, COUNT(*) AS n_bigrams,
+            ${graft.functions.SafeMath.roundHalfUpSql(
+              "CAST(SUM(CAST(nll8 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)",
+              6)} AS kn_nll
+            FROM per GROUP BY doc)"""
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q313_label_model",
@@ -150,6 +179,75 @@ object CurationQueries {
             FROM x)
         SELECT token, df_target, df_rest, chi2 FROM sc
         ORDER BY chi2 DESC, token LIMIT 50""")),
+    GraftQuery(
+      "q316_line_dedup",
+      // the C4/RefinedWeb line-level global dedup: a line recurring
+      // anywhere in the corpus keeps only its FIRST (doc, pos)
+      // occurrence; docs reassemble from surviving lines. Synthesized
+      // multi-line docs (q73's idiom): a corpus-wide boilerplate header,
+      // a per-doc unique line, mod-50 / mod-7 shared lines, a mod-2
+      // conditional line
+      (s, dir) => {
+        val k = col("c_custkey")
+        val text = concat_ws("\n",
+          lit("shared boilerplate header."),
+          concat(lit("unique line for customer "), k, lit(".")),
+          concat(lit("group line "), k % 50, lit(".")),
+          when(k % 2 === 0, lit("even cohort notice.")),
+          concat(lit("tail line "), k % 7, lit(".")))
+        val docs = Tables.load(s, dir, "customer")
+          .select(k.as("doc_id"), text.as("text"))
+        graft.operators.Dedup.lineDedup(docs, "doc_id", "text")
+      },
+      Some("""WITH t AS (SELECT c_custkey AS doc_id, concat_ws(chr(10),
+            'shared boilerplate header.',
+            'unique line for customer ' || c_custkey || '.',
+            'group line ' || (c_custkey % 50) || '.',
+            CASE WHEN c_custkey % 2 = 0 THEN 'even cohort notice.' END,
+            'tail line ' || (c_custkey % 7) || '.') AS text FROM customer),
+          l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+          l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+            unnest(ls) AS line FROM l0),
+          r AS (SELECT doc_id, pos, line,
+            row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+              AS rn FROM l),
+          kept AS (SELECT doc_id,
+              string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+              CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM r WHERE rn = 1 GROUP BY doc_id),
+          tot AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS total FROM l0)
+        SELECT tot.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+          COALESCE(kept.n_kept, 0) AS n_kept,
+          tot.total - COALESCE(kept.n_kept, 0) AS n_dropped
+        FROM tot LEFT JOIN kept USING (doc_id)""")),
+    GraftQuery(
+      "q317_perplexity_buckets",
+      // CCNet head/middle/tail: rank every doc by the q237 KN NLL
+      // within its language, cut into 3 equal tiers with explicit
+      // integer arithmetic (never an engine NTILE), report the
+      // per-(lang, bucket) census and NLL band. All languages rank in
+      // ONE GlobalSort.withGroupedRank pass
+      (s, dir) => Curation.perplexityBuckets(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang",
+        buckets = 3),
+      Some(s"""WITH $KnNllCteSql,
+          nl AS (SELECT dd.doc_id, dd.lang,
+              COALESCE(a.kn_nll, 0.0E0) AS kn_nll
+            FROM documents dd LEFT JOIN agg a ON a.doc = dd.doc_id),
+          r AS (SELECT lang, kn_nll,
+              CAST(row_number() OVER (
+                PARTITION BY lang ORDER BY kn_nll, doc_id) AS BIGINT)
+                AS rnk,
+              CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS ng
+            FROM nl),
+          b AS (SELECT lang, ((rnk - 1) * 3) // ng + 1 AS bucket, kn_nll
+            FROM r)
+        SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(kn_nll) AS min_nll, MAX(kn_nll) AS max_nll,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            "CAST(SUM(CAST(kn_nll AS DECIMAL(28,6))) AS DOUBLE) / " +
+              "CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_nll
+        FROM b GROUP BY 1, 2""")),
     GraftQuery(
       "q311_ngram_diversity",
       // synthetic-data mode-collapse screen (distinct-n / self-BLEU's
@@ -1300,30 +1398,7 @@ object CurationQueries {
       // all stats derive from the distinct-bigram count table; the
       // probability is pure IEEE arithmetic on integer counts with
       // mirrored parenthesization, ln rounded at scale 8 (q82 recipe)
-      Some(s"""WITH d AS (SELECT doc_id AS doc, $Toks5Sql AS toks
-            FROM documents),
-          big AS (SELECT doc,
-              unnest(list_slice(toks, 1, len(toks) - 1)) AS p,
-              unnest(list_slice(toks, 2, len(toks))) AS c
-            FROM d WHERE len(toks) >= 2),
-          bc AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS bc FROM big
-            GROUP BY 1, 2),
-          ps AS (SELECT p, CAST(SUM(bc) AS BIGINT) AS pc,
-              CAST(COUNT(*) AS BIGINT) AS n1p FROM bc GROUP BY p),
-          cs AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS ncp FROM bc
-            GROUP BY c),
-          tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bc),
-          per AS (SELECT big.doc, ${graft.functions.SafeMath.roundHalfUpSql(
-            "-ln(((CAST(bc.bc AS DOUBLE) - 0.75E0) / CAST(ps.pc AS DOUBLE)) + " +
-              "(((0.75E0 * CAST(ps.n1p AS DOUBLE)) / CAST(ps.pc AS DOUBLE)) * " +
-              "(CAST(cs.ncp AS DOUBLE) / CAST(tb.b AS DOUBLE))))", 8)} AS nll8
-            FROM big JOIN bc ON bc.p = big.p AND bc.c = big.c
-            JOIN ps ON ps.p = big.p JOIN cs ON cs.c = big.c, tb),
-          agg AS (SELECT doc, COUNT(*) AS n_bigrams,
-            ${graft.functions.SafeMath.roundHalfUpSql(
-              "CAST(SUM(CAST(nll8 AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)",
-              6)} AS kn_nll
-            FROM per GROUP BY doc)
+      Some(s"""WITH $KnNllCteSql
         SELECT dd.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
           COALESCE(a.kn_nll, 0.0E0) AS kn_nll
         FROM documents dd LEFT JOIN agg a ON a.doc = dd.doc_id""")),

@@ -82,6 +82,50 @@ class CurationSpec extends AnyFunSuite {
     assert(out("both") === ((3L, 3L, 0.0)))
   }
 
+  test("lineDedup keeps only the first (doc, pos) occurrence of a line") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "header\nalpha\nfooter"),
+      (2L, "header\nbeta\nfooter"),   // header+footer claimed by doc 1
+      (3L, "header\nfooter"),         // every line claimed → empty doc
+      (4L, "alpha\nalpha\ngamma")     // within-doc repeat: alpha already
+                                      // doc 1's; 2nd copy also drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("header\nalpha\nfooter", 3L, 0L)))
+    assert(out(2L) === (("beta", 1L, 2L)))
+    assert(out(3L) === (("", 0L, 2L)))
+    assert(out(4L) === (("gamma", 1L, 2L)))
+  }
+
+  test("perplexityBuckets cuts each language into rank tiers") {
+    // two langs; per-doc NLL ordering is driven by text repetitiveness.
+    // 6 docs per lang → tiers of exactly 2 by the ((r-1)·3) div n rule.
+    val docs = (0 until 12).map { i =>
+      val lang = if (i < 6) "aa" else "bb"
+      // i-dependent texts with increasingly rare continuations
+      val text = (0 to (i % 6) + 1).map(j => s"w${i % 6} x$j").mkString(" ")
+      (i.toLong, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = Curation.perplexityBuckets(docs, "doc_id", "text", "lang",
+      buckets = 3)
+    val rows = out.collect()
+    // every (lang, bucket) tier holds exactly 2 of its language's 6 docs
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getLong(2) === 2L)
+      assert(r.getDouble(3) <= r.getDouble(4)) // min_nll <= max_nll
+    }
+    // tiers are ordered: bucket 1's max never exceeds bucket 3's min
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getDouble(4) <= sorted.last.getDouble(3))
+    }
+  }
+
   test("ngramDiversity counts shared trigrams across docs, never within") {
     val docs = Seq(
       (1L, "a b c d"),     // trigrams: "a b c", "b c d"
