@@ -35,11 +35,17 @@ object DedupQueries {
   /** Shared CTE fragment: distinct (doc, shingle) inverted index over the
     * df-capped shingle universe — the twin of Dedup's shingleIndex +
     * hot-shingle drop (dfCap=100). */
+  // MATERIALIZED: idx0 is referenced twice and idx three-plus times by
+  // every consumer (sizes + both self-join legs) — plain CTEs inline
+  // per reference, so an un-pinned idx re-runs the shingle explode per
+  // leg; inside q312's RECURSIVE reach that re-evaluation repeats PER
+  // ITERATION (measured: a >77 GB duckdb spill at sf3). Same results,
+  // one evaluation.
   private val CappedIdxSql =
-    s"""idx0 AS (
+    s"""idx0 AS MATERIALIZED (
           SELECT DISTINCT doc_id AS doc, sh FROM (
             SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
-        idx AS (
+        idx AS MATERIALIZED (
           SELECT doc, sh FROM idx0
           WHERE sh NOT IN (SELECT sh FROM idx0 GROUP BY sh HAVING COUNT(*) > 100))"""
 
@@ -69,22 +75,22 @@ object DedupQueries {
     val bandSelects = (0 until bands).map(j =>
       s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
       .mkString(" UNION ALL ")
-    s"""WITH shingled AS (
+    s"""WITH shingled AS MATERIALIZED (
         SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $corpusSql),
-      keys AS (
+      keys AS MATERIALIZED (
         SELECT doc, (${md5FoldSql("h")}) % $P AS key
         FROM (SELECT doc, md5(sh) AS h FROM shingled)),
-      sigs AS (SELECT doc, $sigCols FROM keys GROUP BY doc),
-      banded AS ($bandSelects),
-      cand AS (
+      sigs AS MATERIALIZED (SELECT doc, $sigCols FROM keys GROUP BY doc),
+      banded AS MATERIALIZED ($bandSelects),
+      cand AS MATERIALIZED (
         SELECT DISTINCT x.doc AS doc_new, y.doc AS doc_old
         FROM banded x JOIN banded y
           ON x.band = y.band AND x.bh = y.bh
         WHERE $candWhere),
-      idx AS (
+      idx AS MATERIALIZED (
         SELECT DISTINCT doc_id AS doc, sh FROM (
           SELECT doc_id, unnest($ShinglesSql) AS sh FROM $corpusSql)),
-      sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+      sizes AS MATERIALIZED (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
       inter AS (
         SELECT c.doc_new, c.doc_old, COUNT(*) AS inter
         FROM cand c
@@ -187,7 +193,7 @@ object DedupQueries {
         Dedup.clusterAssignments(pairs)
       },
       Some(s"""WITH RECURSIVE
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a, doc_b FROM (
             WITH $CappedIdxSql,
             sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
@@ -198,7 +204,7 @@ object DedupQueries {
             SELECT doc_a, doc_b
             FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
             WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
-        sym AS (
+        sym AS MATERIALIZED (
           SELECT doc_a AS src, doc_b AS dst FROM edges
           UNION SELECT doc_b, doc_a FROM edges),
         reach(src, dst) AS (
@@ -220,7 +226,7 @@ object DedupQueries {
         Dedup.applyClusters(c, "doc_id", Dedup.clusterAssignments(pairs))
       },
       Some(s"""WITH RECURSIVE
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a, doc_b FROM (
             WITH $CappedIdxSql,
             sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
@@ -231,7 +237,7 @@ object DedupQueries {
             SELECT doc_a, doc_b
             FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
             WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
-        sym AS (
+        sym AS MATERIALIZED (
           SELECT doc_a AS src, doc_b AS dst FROM edges
           UNION SELECT doc_b, doc_a FROM edges),
         reach(src, dst) AS (
@@ -258,7 +264,7 @@ object DedupQueries {
           c, "doc_id", Dedup.clusterAssignments(pairs))
       },
       Some(s"""WITH RECURSIVE
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a, doc_b FROM (
             WITH $CappedIdxSql,
             sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
@@ -269,7 +275,7 @@ object DedupQueries {
             SELECT doc_a, doc_b
             FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
             WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
-        sym AS (
+        sym AS MATERIALIZED (
           SELECT doc_a AS src, doc_b AS dst FROM edges
           UNION SELECT doc_b, doc_a FROM edges),
         reach(src, dst) AS (
@@ -866,7 +872,7 @@ object DedupQueries {
       // SoftDeDup: q47's component census extended with 1/|cluster|
       // training weights; singletons weigh 1.0
       Some(s"""WITH RECURSIVE
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT doc_a, doc_b FROM (
             WITH $CappedIdxSql,
             sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
@@ -877,7 +883,7 @@ object DedupQueries {
             SELECT doc_a, doc_b
             FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
             WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
-        sym AS (
+        sym AS MATERIALIZED (
           SELECT doc_a AS src, doc_b AS dst FROM edges
           UNION SELECT doc_b, doc_a FROM edges),
         reach(src, dst) AS (

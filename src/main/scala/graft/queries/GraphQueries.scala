@@ -438,19 +438,24 @@ object LayoutQueries {
           concat(lit("n"), col("o_orderkey") % 1000).as("dst"))
         graft.operators.Graphs.kCore(edges, "src", "dst", k = 22, rounds = 4)
       },
+      // every e_i is referenced THREE times by round i+1 (degree scan +
+      // both join legs) and each k_i twice — plain CTEs inline per
+      // reference, so the unrolled chain re-evaluates e0 ~3^rounds times
+      // (measured: a >77 GB duckdb spill at sf3). AS MATERIALIZED pins
+      // each round to one evaluation (the q279 lesson).
       Some {
         val rounds = (1 to 4).map { i =>
-          s"""k$i AS (SELECT a FROM (
+          s"""k$i AS MATERIALIZED (SELECT a FROM (
                 SELECT a, COUNT(*) AS deg FROM e${i - 1} GROUP BY a)
               WHERE deg >= 22),
-            e$i AS (SELECT e.a, e.b FROM e${i - 1} e
+            e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
               JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)"""
         }.mkString(",\n")
-        s"""WITH dd AS (
+        s"""WITH dd AS MATERIALIZED (
             SELECT 'n' || (o_custkey % 1000) AS a,
               'n' || (o_orderkey % 1000) AS b
             FROM orders WHERE 'n' || (o_custkey % 1000) <> 'n' || (o_orderkey % 1000)),
-          e0 AS (SELECT DISTINCT a, b FROM (
+          e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
             SELECT a, b FROM dd UNION ALL SELECT b AS a, a AS b FROM dd)),
           $rounds
           SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
