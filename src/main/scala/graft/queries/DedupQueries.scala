@@ -335,21 +335,24 @@ object DedupQueries {
         val bandSelects = (0 until bands).map(j =>
           s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
           .mkString(" UNION ALL ")
-        s"""WITH shingled AS (
+        // MATERIALIZED throughout: sigs is referenced once per band and
+        // idx three times — inlined re-evaluation re-ran the shingle
+        // explode per reference (sf3: disk-filling spill, r11)
+        s"""WITH shingled AS MATERIALIZED (
             SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $CorpusSql),
-          keys AS (
+          keys AS MATERIALIZED (
             SELECT doc, (${md5FoldSql("h")}) % $P AS key
             FROM (SELECT doc, md5(sh) AS h FROM shingled)),
-          sigs AS (SELECT doc, $sigCols FROM keys GROUP BY doc),
-          banded AS ($bandSelects),
-          cand AS (
+          sigs AS MATERIALIZED (SELECT doc, $sigCols FROM keys GROUP BY doc),
+          banded AS MATERIALIZED ($bandSelects),
+          cand AS MATERIALIZED (
             SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
             FROM banded x JOIN banded y
               ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc),
-          idx AS (
+          idx AS MATERIALIZED (
             SELECT DISTINCT doc_id AS doc, sh FROM (
               SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
-          sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+          sizes AS MATERIALIZED (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
           inter AS (
             SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
             FROM cand c
@@ -929,19 +932,19 @@ object DedupQueries {
           truth AS (SELECT doc_a, doc_b
             FROM tco JOIN tsz a ON a.doc = doc_a JOIN tsz b ON b.doc = doc_b
             WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0),
-          shingled AS (
+          shingled AS MATERIALIZED (
             SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $CorpusSql),
-          keys AS (
+          keys AS MATERIALIZED (
             SELECT doc, (${md5FoldSql("h")}) % $P AS key
             FROM (SELECT doc, md5(sh) AS h FROM shingled)),
-          sigs AS (SELECT doc, $sigCols FROM keys GROUP BY doc),
-          banded AS ($bandSelects),
-          cand AS (
+          sigs AS MATERIALIZED (SELECT doc, $sigCols FROM keys GROUP BY doc),
+          banded AS MATERIALIZED ($bandSelects),
+          cand AS MATERIALIZED (
             SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
             FROM banded x JOIN banded y
               ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc),
-          uidx AS (SELECT DISTINCT doc, sh FROM shingled),
-          usz AS (SELECT doc, COUNT(*) AS n_sh FROM uidx GROUP BY doc),
+          uidx AS MATERIALIZED (SELECT DISTINCT doc, sh FROM shingled),
+          usz AS MATERIALIZED (SELECT doc, COUNT(*) AS n_sh FROM uidx GROUP BY doc),
           uinter AS (
             SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
             FROM cand c
