@@ -121,6 +121,23 @@ object Bench {
       q.name -> passes.map(_(q.name)).min
     }
 
+    // Fingerprint of the FULL benched oracle set (names + SQL, sorted),
+    // independent of SPARK_GRAFT_BENCH_ONLY: the headline "graft vs
+    // DuckDB identical SQL" ratio is only meaningful when both artifacts
+    // were generated from the same oracle texts — r11 rewrote benched
+    // oracles (AS MATERIALIZED) and the committed denominator went
+    // silently stale. tools/bench_ratio.py refuses a mismatched pair;
+    // tools/bench_duckdb.py emits the identical hash.
+    val oracleSetHash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Registry.all.filter(q => q.bench && q.oracle.isDefined)
+        .sortBy(_.name).foreach { q =>
+          md.update(q.name.getBytes("UTF-8")); md.update('\n'.toByte)
+          md.update(q.oracle.get.getBytes("UTF-8")); md.update(0.toByte)
+        }
+      md.digest().map("%02x".format(_)).mkString
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -140,7 +157,7 @@ object Bench {
         "\"" + q.name + "\":" + p(q.name)).mkString("{", ",", "}"))
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sentinel":$sj,"duckdb_denom":$dj,"duckdb_denom_total":$duckTotal,"passes":$pj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sentinel":$sj,"duckdb_denom":$dj,"duckdb_denom_total":$duckTotal,"oracle_set_hash":"$oracleSetHash","passes":$pj,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info], which broke the driver's JSON
     // extraction in round 1 — emit on BOTH channels it might scrape and
     // also drop the line in a file next to the data dir for good measure

@@ -2372,6 +2372,13 @@ object Curation {
   def labelModel(df: DataFrame, lfs: Seq[(String, Column)],
       scale: Int = 6): DataFrame = {
     require(lfs.size >= 2, "label model needs >= 2 labeling functions")
+    // Names are spliced into a stack() SQL expression: restrict to
+    // identifier characters (a quote/backtick would break parsing) and
+    // reserve the synthetic majority row's name (advice r11).
+    lfs.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+") && name != "__majority",
+        s"LF name must be [A-Za-z0-9_]+ and not '__majority': '$name'")
+    }
     import graft.functions.SafeMath
     val voteCols = lfs.zipWithIndex.map { case ((_, c), j) =>
       c.cast("long").as(s"__v$j") }
@@ -2408,6 +2415,89 @@ object Curation {
       ratio(sum(when(
         (col("vote") === 1L && col("__nneg") >= 1L) ||
           (col("vote") === -1L && col("__npos") >= 1L),
+        1L).otherwise(0L))).as("conflicts"))
+  }
+
+  /** K-CLASS weak-supervision label model — [[labelModel]] generalized
+    * from binary ±1 to arbitrary class ids (Snorkel's LFAnalysis is
+    * k-class; real curation taxonomies are quality tiers / language
+    * families, not keep-drop). Each LF votes a CLASS ID (any long;
+    * NULL = abstain). Per LF: vote count, distinct classes voted, and
+    * the three health ratios — coverage (non-abstain fraction),
+    * overlaps (voted alongside ≥1 other LF), conflicts (voted and ≥1
+    * other LF voted a DIFFERENT class). The `__majority` pseudo-LF
+    * carries the resolved label: the row's PLURALITY class, abstaining
+    * on ties (no class-order bias); its conflicts ratio = resolved
+    * against ≥1 dissenting LF.
+    *
+    * Row-local arithmetic (K is a handful of rules, so the k² vote
+    * comparisons are a few dozen codegen'd terms over projected
+    * attributes): matches_j = #votes equal to LF j's vote (self
+    * included); maxc = the plurality count; tie ⟺ two DIFFERENT
+    * classes both reach maxc; majority = the unique class at maxc.
+    * Dissent against a vote with m matches is exactly nv − m ≥ 1 — the
+    * SAME formula resolves per-LF conflicts AND majority conflicts (for
+    * the majority row m = maxc), which is what the binary form's
+    * npos/nneg test reduces to at k = 2. Scale shape identical to
+    * [[labelModel]]: one staged projection, one `stack` to (lf, vote,
+    * m) rows carrying the row tallies, one (K+1)-group aggregate — no
+    * joins, no extra shuffle, no driver step. */
+  def labelModelK(df: DataFrame, lfs: Seq[(String, Column)],
+      scale: Int = 6): DataFrame = {
+    require(lfs.size >= 2, "label model needs >= 2 labeling functions")
+    lfs.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+") && name != "__majority",
+        s"LF name must be [A-Za-z0-9_]+ and not '__majority': '$name'")
+    }
+    import graft.functions.SafeMath
+    val vs = lfs.indices.map(j => col(s"__v$j"))
+    val voteCols = lfs.zipWithIndex.map { case ((_, c), j) =>
+      c.cast("long").as(s"__v$j") }
+    // staged selects: each stage references only ATTRIBUTES of the one
+    // below, so no subtree is duplicated through the when-chains
+    val base = df.select(voteCols: _*)
+    val withM = base.select(vs ++ lfs.indices.map { j =>
+      when(col(s"__v$j").isNotNull,
+        vs.map(v => when(v === col(s"__v$j"), 1L).otherwise(0L))
+          .reduce(_ + _)).as(s"__m$j")
+    } :+ lfs.indices.map(j =>
+      when(col(s"__v$j").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _).as("__nv"): _*)
+    val ms = lfs.indices.map(j => col(s"__m$j"))
+    val withMax = withM.withColumn("__maxc",
+      greatest(ms.map(coalesce(_, lit(0L))): _*))
+    val tiePairs = for {
+      j <- lfs.indices; i <- lfs.indices if i > j
+    } yield (col(s"__v$j").isNotNull && col(s"__v$i").isNotNull &&
+      col(s"__v$j") =!= col(s"__v$i") &&
+      col(s"__m$j") === col("__maxc") && col(s"__m$i") === col("__maxc"))
+    val withMaj = withMax
+      .withColumn("__tie", tiePairs.reduce(_ || _))
+      .withColumn("__maj",
+        when(col("__maxc") >= 1L && !col("__tie"),
+          coalesce(lfs.indices.map(j =>
+            when(col(s"__m$j") === col("__maxc"), col(s"__v$j"))): _*)))
+    val stackArgs = (lfs.zipWithIndex.map { case ((name, _), j) =>
+      s"'$name', __v$j, __m$j" } :+
+      s"'__majority', __maj, IF(__maj IS NOT NULL, __maxc, NULL)")
+      .mkString(", ")
+    val stacked = withMaj.select(
+      expr(s"stack(${lfs.size + 1}, $stackArgs) AS (lf, vote, m)"),
+      col("__nv"))
+    def ratio(c: Column): Column =
+      SafeMath.roundHalfUp(
+        c.cast("double") / count(lit(1)).cast("double"), scale)
+    stacked.groupBy("lf").agg(
+      sum(when(col("vote").isNotNull, 1L).otherwise(0L)).as("n_votes"),
+      countDistinct(col("vote")).as("n_classes"),
+      ratio(sum(when(col("vote").isNotNull, 1L).otherwise(0L)))
+        .as("coverage"),
+      ratio(sum(when(col("vote").isNotNull &&
+          (col("__nv") -
+            when(col("lf") =!= "__majority", 1L).otherwise(0L)) >= 1L,
+        1L).otherwise(0L))).as("overlaps"),
+      ratio(sum(when(col("vote").isNotNull &&
+          col("__nv") - col("m") >= 1L,
         1L).otherwise(0L))).as("conflicts"))
   }
 
@@ -2484,6 +2574,12 @@ object Curation {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.SafeMath
     require(buckets >= 2, "need >= 2 perplexity tiers")
+    // A NULL language would map to a NULL group tag below and silently
+    // drop/mis-rank those docs (the oracle's PARTITION BY lang keeps a
+    // NULL partition) — fail loudly instead (advice r11). 1-row bounded.
+    require(docs.filter(col(langCol).isNull).isEmpty,
+      s"perplexityBuckets: NULL $langCol rows present — coalesce to a " +
+        "sentinel language first")
     val nll = knBigramLogProb(docs, idCol, textCol)
     val withLang = nll.join(
       docs.select(col(idCol), col(langCol).cast("string").as("lang")),

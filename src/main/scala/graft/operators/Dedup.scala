@@ -1289,9 +1289,12 @@ object Dedup {
     * md5-keyed window (row_number over the 128-bit line hash — uniform
     * partitions at any corpus size, the shuffle carries (doc, pos,
     * hash, line)), one doc-keyed regroup where `array_sort` on the
-    * (pos, line) struct restores document order. Docs whose every line
-    * was claimed elsewhere survive with clean_text = ''. Output:
-    * (idCol, clean_text, n_kept, n_dropped). */
+    * (pos, line) struct restores document order. Kept and total line
+    * counts fold into that SAME aggregate (collect_list skips the
+    * nulls a non-kept line's `when` produces), so the exploded corpus
+    * is read once — no checkpoint, nothing left pinned (advice r11).
+    * Docs whose every line was claimed elsewhere survive with
+    * clean_text = ''. Output: (idCol, clean_text, n_kept, n_dropped). */
   def lineDedup(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val lines = Similarity.spread(docs)
@@ -1299,27 +1302,22 @@ object Dedup {
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .select(col("__doc"), col("__pos"), col("__line"),
         md5(col("__line")).as("__h"))
-      .localCheckpoint() // read twice: first-occurrence pass + per-doc totals
     val w = Window.partitionBy(col("__h"))
       .orderBy(col("__doc").asc, col("__pos").asc)
-    val kept = lines
+    lines
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
       .groupBy(col("__doc"))
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            array_sort(collect_list(when(col("__rn") === 1,
+              struct(col("__pos"), col("__line"))))),
             x => x.getField("__line")),
           "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val totals = lines.groupBy(col("__doc"))
-      .agg(count(lit(1)).as("__total"))
-    totals.join(kept, Seq("__doc"), "left")
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("__total"))
       .select(col("__doc").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__total") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_dropped"))
+        col("clean_text"), col("n_kept"),
+        (col("__total") - col("n_kept")).as("n_dropped"))
   }
 }

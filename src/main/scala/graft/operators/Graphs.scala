@@ -46,10 +46,23 @@ object Graphs {
       .distinct().persist()
     val nodesAll = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().persist()
-    val n = nodesAll.count()
-    val m = e.count()
+    // both setup counts in ONE action (each job is a driver round-trip
+    // that the tiny-graph bench pays at full price); keyed rows — union
+    // output order is an implementation detail
+    val cnts = nodesAll.groupBy().agg(count(lit(1)).as("c"))
+      .withColumn("k", lit("n"))
+      .unionAll(e.groupBy().agg(count(lit(1)).as("c"))
+        .withColumn("k", lit("m")))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val n = cnts("n")
+    val m = cnts("m")
     val parts = graft.core.Adaptive.partsFor(spark, math.max(n, m))
     val base = Scale * 15 / 100 / n
+    // AQE off for the pinned loop: width is already counted, every loop
+    // input is a checkpoint at that width — AQE would only split each
+    // round into a job per shuffle stage (measured ~25 jobs for 3
+    // rounds at sf0.1, pure driver floor)
+    graft.core.Adaptive.withNoAqe(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
       // re-materialize the loop-invariant frames at the loop width: the
       // per-round stages then scan `parts` blocks, not the ambient-width
@@ -82,6 +95,7 @@ object Graphs {
         eo.unpersist(blocking = false)
       }
       pr
+    }
     }
     }
   }
@@ -448,7 +462,9 @@ object Graphs {
     *
     * h⁰ = Scale for every node; a = normalize(Σ_{u→v} h(u)),
     * h = normalize(Σ_{u→v} a(v)). Nodes with no in-edges get auth 0,
-    * no out-edges get hub 0. Returns (node, hub, auth). */
+    * no out-edges get hub 0. Returns (node, hub, auth) — a node-sized
+    * localCheckpoint (every intermediate block is released before
+    * return); the CALLER unpersists the returned frame when done. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -493,8 +509,15 @@ object Graphs {
         prevCheckpointed.foreach(_.unpersist(blocking = false))
         prevCheckpointed = Seq(a, h)
       }
-      h.select(col("node"), col("s").as("hub"))
+      // materialize the node-sized result, then release every block this
+      // call pinned (final a/h rounds, nodes, e) — advice r11
+      val out = h.select(col("node"), col("s").as("hub"))
         .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
+        .localCheckpoint()
+      prevCheckpointed.foreach(_.unpersist(blocking = false))
+      nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      out
     }
     }
   }

@@ -144,6 +144,91 @@ object CurationQueries {
         FROM stk GROUP BY lf"""
       }),
     GraftQuery(
+      "q318_label_model_k",
+      // K-CLASS weak supervision (verdict r11 task 5): four LFs voting
+      // quality tiers 0/1/2 (abstain = NULL) over documents → per-LF
+      // health card + the plurality-resolved __majority pseudo-LF
+      // (ties abstain). Same one-projection/stack/aggregate shape as
+      // the binary q313; conflicts = dissent via the nv − matches test.
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        Curation.labelModelK(d, Seq(
+          "lf_len" -> when(col("n_chars") < 100L, 0L)
+            .when(col("n_chars").between(100L, 300L), 1L)
+            .when(col("n_chars").between(301L, 450L), 2L),
+          "lf_kw" -> when(col("text").contains("slow"), 0L)
+            .when(col("text").contains("fast"), 2L)
+            .when(col("text").contains("data"), 1L),
+          "lf_lang" -> when(col("lang") === "zh", 0L)
+            .when(col("lang") === "de", 1L)
+            .when(col("lang") === "en", 2L),
+          "lf_src" -> when(col("source") === "src19", 0L)
+            .when(col("source").isin("src0", "src1", "src2"), 2L)))
+      },
+      Some {
+        def r6(x: String) = graft.functions.SafeMath.roundHalfUpSql(x, 6)
+        def m(j: Int) =
+          s"""CASE WHEN v$j IS NOT NULL THEN
+              (CASE WHEN v0 = v$j THEN 1 ELSE 0 END
+               + CASE WHEN v1 = v$j THEN 1 ELSE 0 END
+               + CASE WHEN v2 = v$j THEN 1 ELSE 0 END
+               + CASE WHEN v3 = v$j THEN 1 ELSE 0 END) END"""
+        val tie = (for { j <- 0 to 3; i <- 0 to 3 if i > j } yield
+          s"""(v$j IS NOT NULL AND v$i IS NOT NULL AND v$j <> v$i
+               AND m$j = maxc AND m$i = maxc)""").mkString(" OR ")
+        val majPick = (0 to 3).map(j =>
+          s"CASE WHEN m$j = maxc THEN v$j END").mkString(", ")
+        s"""WITH base AS (SELECT
+              CASE WHEN n_chars < 100 THEN 0
+                   WHEN n_chars BETWEEN 100 AND 300 THEN 1
+                   WHEN n_chars BETWEEN 301 AND 450 THEN 2 END AS v0,
+              CASE WHEN text LIKE '%slow%' THEN 0
+                   WHEN text LIKE '%fast%' THEN 2
+                   WHEN text LIKE '%data%' THEN 1 END AS v1,
+              CASE WHEN lang = 'zh' THEN 0
+                   WHEN lang = 'de' THEN 1
+                   WHEN lang = 'en' THEN 2 END AS v2,
+              CASE WHEN source = 'src19' THEN 0
+                   WHEN source IN ('src0', 'src1', 'src2') THEN 2 END AS v3
+            FROM documents),
+          tal AS (SELECT v0, v1, v2, v3,
+              ${m(0)} AS m0, ${m(1)} AS m1, ${m(2)} AS m2, ${m(3)} AS m3,
+              (CASE WHEN v0 IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN v3 IS NOT NULL THEN 1 ELSE 0 END) AS nv
+            FROM base),
+          mx AS (SELECT *, GREATEST(COALESCE(m0, 0), COALESCE(m1, 0),
+              COALESCE(m2, 0), COALESCE(m3, 0)) AS maxc FROM tal),
+          fin AS (SELECT *,
+              CASE WHEN maxc >= 1 AND NOT ($tie)
+                THEN COALESCE($majPick) END AS maj
+            FROM mx),
+          stk AS (
+            SELECT 'lf_len' AS lf, v0 AS vote, m0 AS m, nv, TRUE AS own
+            FROM fin
+            UNION ALL SELECT 'lf_kw', v1, m1, nv, TRUE FROM fin
+            UNION ALL SELECT 'lf_lang', v2, m2, nv, TRUE FROM fin
+            UNION ALL SELECT 'lf_src', v3, m3, nv, TRUE FROM fin
+            UNION ALL SELECT '__majority', maj,
+              CASE WHEN maj IS NOT NULL THEN maxc END, nv, FALSE FROM fin)
+        SELECT lf,
+          CAST(SUM(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_votes,
+          CAST(COUNT(DISTINCT vote) AS BIGINT) AS n_classes,
+          ${r6("CAST(SUM(CASE WHEN vote IS NOT NULL THEN 1 ELSE 0 END)" +
+            " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS coverage,
+          ${r6("CAST(SUM(CASE WHEN vote IS NOT NULL AND" +
+            " nv - (CASE WHEN own THEN 1 ELSE 0 END) >= 1" +
+            " THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+            AS overlaps,
+          ${r6("CAST(SUM(CASE WHEN vote IS NOT NULL AND nv - m >= 1" +
+            " THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+            AS conflicts
+        FROM stk GROUP BY lf"""
+      }),
+
+    GraftQuery(
       "q314_chi2_keywords",
       // supervised feature-selection screen: which tokens are most
       // associated with the lang='en' slice (Pearson chi-square on
@@ -2011,15 +2096,15 @@ object CurationQueries {
       "q283_exact_kth",
       (s, dir) => {
         // exact corpus median price in cents WITHOUT a global sort
-        // ([[graft.operators.GlobalSort.exactKth]]): iterative 256-way
-        // range census, ≤8 filtered scans, no SinglePartition exchange
-        // and no TakeOrdered materializing n/2 rows — the selection
-        // algorithm an exact median needs at 100 TB.
+        // ([[graft.operators.GlobalSort.exactMedian]]): iterative
+        // 2^16-way range census, ≤4 filtered scans, no SinglePartition
+        // exchange and no TakeOrdered materializing n/2 rows — the
+        // selection algorithm an exact median needs at 100 TB. k comes
+        // from the census's own head aggregate (no separate count job).
         val li = Tables.load(s, dir, "lineitem").select(
           floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
             .cast("long").as("cents"))
-        val n = li.count()
-        graft.operators.GlobalSort.exactKth(li, "cents", (n + 1L) / 2L)
+        graft.operators.GlobalSort.exactMedian(li, "cents")
       },
       Some("""WITH t AS (SELECT CAST(FLOOR(l_extendedprice * 100.0E0
               + 0.5E0) AS BIGINT) AS v FROM lineitem),

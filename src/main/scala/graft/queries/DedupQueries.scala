@@ -57,6 +57,39 @@ object DedupQueries {
           j -> CAST(strpos('0123456789abcdef', substr($hexExpr, j, 1)) - 1 AS BIGINT))),
         (a, v) -> a * 16 + v)"""
 
+  /** Shared connected-components oracle chain over the q47-style exact
+    * Jaccard near-dup edges: edges → sym → RECURSIVE reach. Interpolate
+    * right after `WITH RECURSIVE` and follow with a consumer of `reach`
+    * (or of `cl` via [[JaccardClCteSql]]). Every multi-referenced CTE is
+    * MATERIALIZED — plain CTEs inline per reference; this chain was
+    * copy-pasted in four oracles and the MATERIALIZED fix had to land
+    * four times (advice r11 — factored here, the KnNllCteSql precedent). */
+  private val JaccardCcCteSql =
+    s"""edges AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            WITH $CappedIdxSql,
+            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+            co AS (
+              SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
+              FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
+            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
+        sym AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM edges
+          UNION SELECT doc_b, doc_a FROM edges),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)"""
+
+  /** [[JaccardCcCteSql]] plus the min-id cluster census `cl`. */
+  private val JaccardClCteSql =
+    s"""$JaccardCcCteSql,
+        cl AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
+          FROM reach GROUP BY src)"""
+
   /** Banded-minhash ingest oracle skeleton (shared by q215 and the
     * streamed q218): the q31 sig/band pipeline over `corpusSql`, with
     * candidate pairs filtered by `candWhere` (x = new side, y = old
@@ -193,24 +226,7 @@ object DedupQueries {
         Dedup.clusterAssignments(pairs)
       },
       Some(s"""WITH RECURSIVE
-        edges AS MATERIALIZED (
-          SELECT doc_a, doc_b FROM (
-            WITH $CappedIdxSql,
-            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
-            co AS (
-              SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
-              FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b
-            FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
-            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
-        sym AS MATERIALIZED (
-          SELECT doc_a AS src, doc_b AS dst FROM edges
-          UNION SELECT doc_b, doc_a FROM edges),
-        reach(src, dst) AS (
-          SELECT src, dst FROM sym
-          UNION
-          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        $JaccardCcCteSql
         SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
         FROM reach GROUP BY src"""),
       bench = true),
@@ -226,26 +242,7 @@ object DedupQueries {
         Dedup.applyClusters(c, "doc_id", Dedup.clusterAssignments(pairs))
       },
       Some(s"""WITH RECURSIVE
-        edges AS MATERIALIZED (
-          SELECT doc_a, doc_b FROM (
-            WITH $CappedIdxSql,
-            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
-            co AS (
-              SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
-              FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b
-            FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
-            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
-        sym AS MATERIALIZED (
-          SELECT doc_a AS src, doc_b AS dst FROM edges
-          UNION SELECT doc_b, doc_a FROM edges),
-        reach(src, dst) AS (
-          SELECT src, dst FROM sym
-          UNION
-          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-        cl AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
-          FROM reach GROUP BY src)
+        $JaccardClCteSql
         SELECT c.doc_id, c.text
         FROM $CorpusSql c LEFT JOIN cl ON cl.node = c.doc_id
         WHERE cl.node IS NULL OR cl.cluster = c.doc_id""")),
@@ -264,26 +261,7 @@ object DedupQueries {
           c, "doc_id", Dedup.clusterAssignments(pairs))
       },
       Some(s"""WITH RECURSIVE
-        edges AS MATERIALIZED (
-          SELECT doc_a, doc_b FROM (
-            WITH $CappedIdxSql,
-            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
-            co AS (
-              SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
-              FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b
-            FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
-            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
-        sym AS MATERIALIZED (
-          SELECT doc_a AS src, doc_b AS dst FROM edges
-          UNION SELECT doc_b, doc_a FROM edges),
-        reach(src, dst) AS (
-          SELECT src, dst FROM sym
-          UNION
-          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-        cl AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
-          FROM reach GROUP BY src),
+        $JaccardClCteSql,
         asg AS (SELECT c.doc_id, cl.cluster,
             CAST(COALESCE(cl.cluster, c.doc_id) AS VARCHAR) AS grp
           FROM $CorpusSql c LEFT JOIN cl ON cl.node = c.doc_id),
@@ -875,26 +853,7 @@ object DedupQueries {
       // SoftDeDup: q47's component census extended with 1/|cluster|
       // training weights; singletons weigh 1.0
       Some(s"""WITH RECURSIVE
-        edges AS MATERIALIZED (
-          SELECT doc_a, doc_b FROM (
-            WITH $CappedIdxSql,
-            sizes AS (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
-            co AS (
-              SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS inter
-              FROM idx x JOIN idx y ON x.sh = y.sh AND x.doc < y.doc
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b
-            FROM co JOIN sizes a ON a.doc = doc_a JOIN sizes b ON b.doc = doc_b
-            WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0)),
-        sym AS MATERIALIZED (
-          SELECT doc_a AS src, doc_b AS dst FROM edges
-          UNION SELECT doc_b, doc_a FROM edges),
-        reach(src, dst) AS (
-          SELECT src, dst FROM sym
-          UNION
-          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-        cl AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster
-          FROM reach GROUP BY src),
+        $JaccardClCteSql,
         sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
           FROM cl GROUP BY 1)
         SELECT i.doc_id, COALESCE(cl.cluster, i.doc_id) AS cluster,

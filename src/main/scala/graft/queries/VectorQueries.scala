@@ -137,8 +137,14 @@ object VectorQueries {
         FROM q LEFT JOIN hits h ON h.qid = q.qid)"""
 
   /** DuckDB twin of the q154 multi-table sweep: per-table bucket exprs
-    * with [[Similarity.tableSeed]] seeds; t_min via first-true CASE. */
-  private def annMultiTableOracle(tables: Int, bits: Int = 8): String = {
+    * with [[Similarity.tableSeed]] seeds; t_min via first-true CASE.
+    * `probeMod` samples the probe set (q154 uses 50; the sf3 stress
+    * gate q319 uses 500 — the brute ground-truth leg is |q|·|corpus|
+    * BY DESIGN, so stress scale bounds |q| instead of dropping the
+    * family from the sf3 table). q and cand are multi-referenced →
+    * MATERIALIZED (the r11 inlining rule). */
+  private def annMultiTableOracle(tables: Int, bits: Int = 8,
+      probeMod: Int = 50): String = {
     def seedT(t: Int) = Similarity.tableSeed(42, t)
     val ebCols = (0 until tables).map(t =>
       s"${bucketSql("embedding", bits, seedT(t))} AS b$t").mkString(", ")
@@ -148,8 +154,9 @@ object VectorQueries {
     val tMin = "CASE " + (0 until tables).map(t =>
       s"WHEN ${matchT(t)} THEN $t").mkString(" ") + " END"
     val anyMatch = (0 until tables).map(matchT).mkString(" OR ")
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-          WHERE vec_id % 50 = 0),
+    s"""WITH q AS MATERIALIZED (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % $probeMod = 0),
         brute AS (SELECT qid, vid FROM (
             SELECT q.qid, e.vec_id AS vid,
               row_number() OVER (PARTITION BY q.qid
@@ -161,7 +168,8 @@ object VectorQueries {
         matched AS (SELECT qb.qid, eb.vec_id AS vid, $tMin AS t_min,
             ${cosSql("eb.embedding", "qb.qv")} AS cos
           FROM eb JOIN qb ON ($anyMatch)),
-        cand AS (SELECT CAST(r.l AS INTEGER) AS l_tables, m.qid, m.vid, m.cos
+        cand AS MATERIALIZED (
+          SELECT CAST(r.l AS INTEGER) AS l_tables, m.qid, m.vid, m.cos
           FROM matched m, range(1, ${tables + 1}) r(l) WHERE m.t_min < r.l),
         cost AS (SELECT l_tables, qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
           FROM cand GROUP BY 1, 2),
@@ -206,6 +214,25 @@ object VectorQueries {
         SELECT CAST(6 AS INTEGER) AS bits, o2.*
           FROM (${annMultiTableOracle(6, 6)}) o2"""),
       bench = true),
+
+    GraftQuery(
+      "q319_ann_recall_probe_sample",
+      (s, dir) => {
+        // q154's operating grid with a SAMPLED probe set (every 500th
+        // vector): the brute ground-truth leg is |probes|·|corpus| BY
+        // DESIGN, so the stress-scale (sf3) hash row bounds |probes|
+        // instead of exempting the ANN-recall family from the sf3 table
+        // (verdict r11 task 7). The full q154 stays the small-SF gate.
+        Similarity.annRecallOperatingPoints(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 500 === 0, dim = Dim, k = 10,
+          configs = Seq((8, 3), (6, 6)))
+      },
+      Some(s"""SELECT CAST(8 AS INTEGER) AS bits, o.*
+          FROM (${annMultiTableOracle(3, 8, probeMod = 500)}) o
+        UNION ALL
+        SELECT CAST(6 AS INTEGER) AS bits, o2.*
+          FROM (${annMultiTableOracle(6, 6, probeMod = 500)}) o2""")),
 
     GraftQuery(
       "q182_ann_ndcg",

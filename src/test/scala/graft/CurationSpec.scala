@@ -37,6 +37,42 @@ class CurationSpec extends AnyFunSuite {
     assert(out("__majority") === ((1L, 1L, 0.5, 0.5, 0.0)))
   }
 
+  test("labelModelK resolves plurality, abstains ties, flags dissent") {
+    // 3 class-voting LFs over 4 hand-traced rows (classes 0/1/2):
+    //   rA: (1, 1, 2)        → plurality 1; every voter sees dissent
+    //   rB: (0, null, 2)     → 0 vs 2 tie of DIFFERENT classes → abstain
+    //   rC: (null,null,null) → nobody votes
+    //   rD: (2, 2, 2)        → unanimous 2; zero conflicts
+    val df = Seq((1, 1, 2), (0, -1, 2), (-1, -1, -1), (2, 2, 2))
+      .toDF("a", "b", "c")
+    def lf(c: String) = when(col(c) >= 0, col(c).cast("long"))
+    val out = Curation.labelModelK(df, Seq(
+        "lf_a" -> lf("a"), "lf_b" -> lf("b"), "lf_c" -> lf("c")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    //                 n_votes n_classes coverage overlaps conflicts
+    assert(out("lf_a") === ((3L, 3L, 0.75, 0.75, 0.5)))
+    assert(out("lf_b") === ((2L, 2L, 0.5, 0.5, 0.25)))
+    assert(out("lf_c") === ((3L, 1L, 0.75, 0.75, 0.5)))
+    // majority: rA → 1, rD → 2; rB's cross-class tie abstains; rA's
+    // resolution overrode a dissenting LF (conflicts), rD's did not
+    assert(out("__majority") === ((2L, 2L, 0.5, 0.5, 0.25)))
+  }
+
+  test("labelModelK same-class tie is NOT a tie (plurality stands)") {
+    // (1, 1, 0): class 1 reaches maxc through two DIFFERENT LFs — same
+    // class, so the plurality stands (n_votes 1, against one dissenter)
+    // where a DIFFERENT-class pair at maxc would abstain (n_votes 0)
+    val df = Seq((1, 1, 0)).toDF("a", "b", "c")
+    val out = Curation.labelModelK(df, Seq(
+        "lf_a" -> col("a").cast("long"), "lf_b" -> col("b").cast("long"),
+        "lf_c" -> col("c").cast("long")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(5)))).toMap
+    assert(out("__majority") === ((1L, 1.0))) // resolved, over dissent
+  }
+
   test("groupSplit keeps every group in exactly one split") {
     val docs = (0L until 40L).toDF("doc_id")
     // pair 2k with 2k+1: clusters of two, canonical id = the even one
@@ -745,10 +781,17 @@ class CurationSpec extends AnyFunSuite {
     val small = Seq(5L, 1L, 9L, 3L, 7L).toDF("v")
     val r = GlobalSort.exactKth(small, "v", 3L).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 3L, 5L)))
-    // wide domain forces multiple census passes (width 10⁶ > 256)
+    // wide domain forces multiple census passes (width 10⁶ > 2^16 radix)
     val wide = (1L to 1000L).map(_ * 1000L).toDF("v")
     val r2 = GlobalSort.exactKth(wide, "v", 500L).collect().head
     assert(r2.getLong(2) === 500000L)
+    // exactMedian = exactKth at k=(n+1)/2, k derived from the head agg
+    val m = GlobalSort.exactMedian(wide, "v").collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) ===
+      ((1000L, 500L, 500000L)))
+    val modd = GlobalSort.exactMedian(Seq(3L, 1L, 2L).toDF("v"), "v")
+      .collect().head
+    assert((modd.getLong(1), modd.getLong(2)) === ((2L, 2L)))
   }
 
   test("isotonicFitMicro pools adjacent violators (minimax form)") {

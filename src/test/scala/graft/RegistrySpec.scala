@@ -40,4 +40,20 @@ class RegistrySpec extends AnyFunSuite {
     val doubled = Registry.all ++ Registry.all.take(1)
     assert(doubled.map(q => q.name -> q).toMap.size < doubled.size)
   }
+
+  test("QUERIES.md is regenerated (row count == Registry.all.size)") {
+    // Generated artifacts drift when a gate lands without regenerating
+    // the index (r11 verdict: QUERIES.md said 320 while the registry
+    // held 322). The index is generated, so equality IS freshness.
+    val f = new java.io.File("QUERIES.md")
+    assert(f.exists(), "QUERIES.md missing — run tools/gen_queries_md.py")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val rows = try src.getLines().count(_.matches("""^\| q[0-9]+[a-z]?_.*"""))
+    finally src.close()
+    assert(rows === Registry.all.size,
+      s"QUERIES.md has $rows gate rows but Registry.all has " +
+        s"${Registry.all.size} — regenerate: sbt 'runMain graft.Meta' " +
+        "> /tmp/meta.jsonl && python3 tools/gen_queries_md.py " +
+        "/tmp/meta.jsonl > QUERIES.md")
+  }
 }

@@ -13,7 +13,7 @@ skipped.
 meta.jsonl is the output of `sbt "runMain graft.Meta"` (lines starting
 with "META "); if omitted, runs sbt to produce it.
 """
-import sys, json, subprocess, time
+import sys, json, subprocess, time, hashlib
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -57,6 +57,14 @@ def main(sf_dir, meta_path=None):
             times[m["name"]] = round(best, 3)
         except Exception as e:
             skipped.append({"name": m["name"], "error": str(e).split("\n")[0]})
+    # fingerprint of the benched oracle set (names + SQL, sorted) —
+    # graft.Bench emits the identical hash, and tools/bench_ratio.py
+    # refuses a ratio between artifacts whose hashes differ (an oracle
+    # rewrite otherwise leaves this denominator silently stale, r11)
+    h = hashlib.md5()
+    for m in sorted(metas, key=lambda m: m["name"]):
+        h.update(m["name"].encode()); h.update(b"\n")
+        h.update(m["oracle"].encode()); h.update(b"\x00")
     doc = {
         "metric": "duckdb_oracle_total", "unit": "sec",
         "sf_dir": sf_dir,
@@ -64,6 +72,7 @@ def main(sf_dir, meta_path=None):
         "n_queries": len(times),
         "queries": dict(sorted(times.items())),
         "skipped": skipped,
+        "oracle_set_hash": h.hexdigest(),
         "protocol": "3 passes per query, min; identical oracle SQL to the "
                     "correctness gate; duckdb " + duckdb.__version__,
     }

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Headline "graft vs DuckDB on the identical SQL" ratio, staleness-guarded.
+
+Usage: python3 tools/bench_ratio.py <spark_bench.json|log> <BENCH_DUCKDB.json>
+
+Both artifacts carry `oracle_set_hash` — an md5 over the sorted
+(name, oracle SQL) pairs of every bench=true gate (emitted by
+graft.Bench and tools/bench_duckdb.py respectively). When the hashes
+differ, an oracle rewrite happened on one side since the other was
+generated and NO ratio between them is meaningful: exit 3 and
+regenerate the stale side (the r11 AS MATERIALIZED rewrites left the
+committed denominator silently stale in the engine's favor).
+Artifacts predating the hash (r11 and earlier) also refuse — regenerate.
+"""
+import json
+import re
+import sys
+
+
+def load(path: str) -> dict:
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if d.get("queries"):
+            return d
+        if "tail" in d:  # driver-style wrapper
+            text = d["tail"].replace('\\"', '"')
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric".*\}', text)
+    if m:
+        d = json.loads(m.group(0))
+        if d.get("queries"):
+            return d
+    raise SystemExit(f"{path}: no bench payload found")
+
+
+def main(argv):
+    if len(argv) != 3:
+        print(__doc__)
+        return 2
+    spark, duck = load(argv[1]), load(argv[2])
+    hs, hd = spark.get("oracle_set_hash"), duck.get("oracle_set_hash")
+    if not hs or not hd:
+        missing = [p for p, h in ((argv[1], hs), (argv[2], hd)) if not h]
+        print(f"REFUSED: no oracle_set_hash in {', '.join(missing)} — "
+              "artifact predates the staleness guard; regenerate it "
+              "(graft.Bench / tools/bench_duckdb.py both emit the hash).")
+        return 3
+    if hs != hd:
+        print(f"REFUSED: oracle_set_hash mismatch ({hs[:12]}… vs "
+              f"{hd[:12]}…) — a benched oracle's SQL changed since one "
+              "side was generated. Regenerate the stale artifact:\n"
+              "  sbt -batch 'runMain graft.Meta' > /tmp/meta.jsonl\n"
+              "  python3 tools/bench_duckdb.py <sfDir> /tmp/meta.jsonl "
+              "> BENCH_DUCKDB.json")
+        return 3
+    qs, qd = spark["queries"], duck["queries"]
+    common = sorted(set(qs) & set(qd))
+    ts, td = sum(qs[k] for k in common), sum(qd[k] for k in common)
+    print(f"{len(common)} common queries "
+          f"(spark-only: {sorted(set(qs)-set(qd)) or '-'}, "
+          f"duckdb-only: {sorted(set(qd)-set(qs)) or '-'})")
+    print(f"graft (Spark) total: {ts:.1f}s   DuckDB identical-SQL total: "
+          f"{td:.1f}s   ratio: {ts/td:.2f}x  (bar: <= 2x)")
+    worst = sorted(((qs[k] / qd[k], k, qs[k], qd[k])
+                    for k in common if qd[k] > 0), reverse=True)
+    print("\nworst per-query ratios (>=1s spark-side):")
+    shown = 0
+    for r, k, a, b in worst:
+        if a >= 1.0 and r > 2.0:
+            print(f"  {k:36s} {a:6.2f}s vs {b:6.3f}s  ({r:6.1f}x)")
+            shown += 1
+    if not shown:
+        print("  none >=1s and >2x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
