@@ -6,13 +6,19 @@ package graft
   * artifact). No SparkSession: Registry construction is pure. */
 object Meta {
   def main(args: Array[String]): Unit = {
+    // Escape EVERYTHING outside printable ASCII: println writes through
+    // the JVM default charset, and a bare `java graft.Meta` under a
+    // POSIX locale silently turned the q48 oracle's CJK literals into
+    // '?' (caught by the r12 oracle_set_hash parity check — the Python
+    // and Scala hashes of "the same" oracle set disagreed). Pure-ASCII
+    // output is charset-proof; json.loads restores the exact string.
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     graft.queries.Registry.all.foreach { q =>

@@ -1036,6 +1036,10 @@ object Dedup {
     val parts = graft.core.Adaptive.partsFor(spark, m)
     val ambient = spark.conf.get("spark.sql.shuffle.partitions").toInt
     graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
+    // AQE off for the pinned pointer-jumping loop (the q103 rationale):
+    // inputs are checkpoints at the counted width; AQE would only add a
+    // job per shuffle stage per round of pure driver floor
+    graft.core.Adaptive.withNoAqe(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
     val edges =
       if (parts < ambient) {
@@ -1098,6 +1102,7 @@ object Dedup {
         s"clusterAssignments did not converge in $maxIter rounds — " +
           "raise maxIter (pointer jumping needs ~log2(component diameter))")
     labels
+    }
     }
     }
   }

@@ -133,6 +133,8 @@ object Graphs {
     val s = liveSeeds.size.toLong
     val isSeed = col("node").isin(liveSeeds: _*)
     val base = Scale * 15 / 100 / s
+    // AQE off for the pinned loop — the q103/pageRank rationale
+    graft.core.Adaptive.withNoAqe(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
       val nodes = nodesAll.coalesce(parts).localCheckpoint()
       val eo = e.join(
@@ -162,6 +164,7 @@ object Graphs {
         eo.unpersist(blocking = false)
       }
       tr
+    }
     }
     }
   }
@@ -252,6 +255,10 @@ object Graphs {
       .distinct().persist()
     val m = sym0.count()
     val parts = graft.core.Adaptive.partsFor(spark, m)
+    // AQE off for the pinned loop (q103's rationale): every input is a
+    // checkpoint at the counted width, so AQE only adds a job per
+    // shuffle stage per round — pure driver floor on a small graph
+    graft.core.Adaptive.withNoAqe(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
       var alive = sym0.coalesce(parts).localCheckpoint()
       sym0.unpersist(blocking = false)
@@ -283,6 +290,7 @@ object Graphs {
         .localCheckpoint()
       alive.unpersist(blocking = false)
       (out, executed)
+    }
     }
     }
   }
@@ -478,6 +486,8 @@ object Graphs {
     val n = nodesAll.count()
     val m = e0.count()
     val parts = graft.core.Adaptive.partsFor(spark, math.max(n, m))
+    // AQE off for the pinned loop — the q103/pageRank rationale
+    graft.core.Adaptive.withNoAqe(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
       val nodes = nodesAll.coalesce(parts).localCheckpoint()
       val e = e0.coalesce(parts).localCheckpoint()
@@ -518,6 +528,7 @@ object Graphs {
       nodes.unpersist(blocking = false)
       e.unpersist(blocking = false)
       out
+    }
     }
     }
   }

@@ -293,6 +293,8 @@ class PlanSpec extends AnyFunSuite {
       "q37_embedding_near_dup", // brute near-dup: ditto (both spread())
       "q138_ann_recall",        // recall harness joins brute vs LSH truth
       "q154_ann_multitable_recall", // ditto, multi-table
+      "q319_ann_recall_probe_sample", // q154 on a 1/500 probe sample —
+                                // same BY-DESIGN brute ground-truth leg
       "q182_ann_ndcg",          // NDCG against brute ground truth
       // crossJoin(broadcast(<one-row aggregate>)) also plans as BNLJ —
       // a single-row build side is O(n), not O(n²), so these are fine:
