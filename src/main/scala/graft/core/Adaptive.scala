@@ -64,21 +64,6 @@ object Adaptive {
     * shuffle bytes: a tiny bench graph collapses to 1 task, a
     * billion-edge graph keeps its width (bytes-targeted, 64 MB
     * advisory) — the adaptive setup twin of the counted-loop pinning. */
-  /** Run `body` with AQE OFF. For the PINNED-WIDTH loop of an iterative
-    * operator ([[withShufflePartitions]] around [[partsFor]]) AQE has
-    * nothing left to decide — the width is already data-proportional and
-    * every loop input is a localCheckpoint at that width — but it still
-    * splits each round into one JOB PER SHUFFLE STAGE (materialize,
-    * re-optimize, continue), and on a small iteration state those extra
-    * driver round-trips ARE the cost (q103: ~25 jobs for 3 rounds,
-    * ~40 ms floor each). With AQE off each round compiles once and runs
-    * as one job. Big graphs lose nothing: the loop width is already
-    * counted, skew inside a pinned loop is bounded by the graph's own
-    * key distribution, and the setup stages (which DO need adaptive
-    * coalescing) stay under [[withSmallShuffleCoalesce]]. */
-  def withNoAqe[T](spark: SparkSession)(body: => T): T =
-    withConf(spark, "spark.sql.adaptive.enabled" -> "false")(body)
-
   def withSmallShuffleCoalesce[T](spark: SparkSession)(body: => T): T =
     withConf(spark,
       "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
@@ -97,4 +82,19 @@ object Adaptive {
       // near-empty tasks)
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true"
     )(body)
+
+  /** Run `body` with AQE OFF. For the PINNED-WIDTH loop of an iterative
+    * operator ([[withShufflePartitions]] around [[partsFor]]) AQE has
+    * nothing left to decide — the width is already data-proportional and
+    * every loop input is a localCheckpoint at that width — but it still
+    * splits each round into one JOB PER SHUFFLE STAGE (materialize,
+    * re-optimize, continue), and on a small iteration state those extra
+    * driver round-trips ARE the cost (q103: ~25 jobs for 3 rounds,
+    * ~40 ms floor each). With AQE off each round compiles once and runs
+    * as one job. Big graphs lose nothing: the loop width is already
+    * counted, skew inside a pinned loop is bounded by the graph's own
+    * key distribution, and the setup stages (which DO need adaptive
+    * coalescing) stay under [[withSmallShuffleCoalesce]]. */
+  def withNoAqe[T](spark: SparkSession)(body: => T): T =
+    withConf(spark, "spark.sql.adaptive.enabled" -> "false")(body)
 }

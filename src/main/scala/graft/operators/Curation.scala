@@ -2576,15 +2576,17 @@ object Curation {
     require(buckets >= 2, "need >= 2 perplexity tiers")
     // A NULL language would map to a NULL group tag below and silently
     // drop/mis-rank those docs (the oracle's PARTITION BY lang keeps a
-    // NULL partition) — fail loudly instead (advice r11). 1-row bounded.
-    require(docs.filter(col(langCol).isNull).isEmpty,
-      s"perplexityBuckets: NULL $langCol rows present — coalesce to a " +
-        "sentinel language first")
+    // NULL partition) — fail loudly instead (advice r11), INSIDE the
+    // scans the operator already pays (a separate up-front guard scan
+    // would double the input reads per call; review r12).
+    val langG = when(col(langCol).isNull, raise_error(lit(
+        s"perplexityBuckets: NULL $langCol — coalesce to a sentinel " +
+          "language first")))
+      .otherwise(col(langCol).cast("string"))
     val nll = knBigramLogProb(docs, idCol, textCol)
     val withLang = nll.join(
-      docs.select(col(idCol), col(langCol).cast("string").as("lang")),
-      Seq(idCol))
-    val langs = docs.select(col(langCol).cast("string").as("l"))
+      docs.select(col(idCol), langG.as("lang")), Seq(idCol))
+    val langs = docs.select(langG.as("l"))
       .distinct().collect().map(_.getString(0)).sorted // bounded: enum
     val tagged = withLang.withColumn("__g",
       array_position(typedLit(langs.toSeq), col("lang")).cast("int"))

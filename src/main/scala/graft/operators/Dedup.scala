@@ -1035,10 +1035,11 @@ object Dedup {
     val m = edgesAll.count()
     val parts = graft.core.Adaptive.partsFor(spark, m)
     val ambient = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
     // AQE off for the pinned pointer-jumping loop (the q103 rationale):
     // inputs are checkpoints at the counted width; AQE would only add a
-    // job per shuffle stage per round of pure driver floor
+    // job per shuffle stage per round of pure driver floor. (The setup
+    // distinct/count above runs OUTSIDE this scope with ambient AQE —
+    // a small-coalesce wrapper here would be dead code; review r12.)
     graft.core.Adaptive.withNoAqe(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
     val edges =
@@ -1102,7 +1103,6 @@ object Dedup {
         s"clusterAssignments did not converge in $maxIter rounds — " +
           "raise maxIter (pointer jumping needs ~log2(component diameter))")
     labels
-    }
     }
     }
   }

@@ -140,9 +140,10 @@ object GlobalSort {
     selectKth(df, valCol, Some(k))
   }
 
-  /** Exact median (upper-median rank (n+1)/2) — [[exactKth]] with k
-    * derived from the SAME head aggregate that seeds the census bounds,
-    * so callers don't pay a separate count() job to compute k. */
+  /** Exact median (LOWER median for even n: rank ceil(n/2) = (n+1)/2 —
+    * n=1000 selects rank 500, not 501) — [[exactKth]] with k derived
+    * from the SAME head aggregate that seeds the census bounds, so
+    * callers don't pay a separate count() job to compute k. */
   def exactMedian(df: DataFrame, valCol: String): DataFrame =
     selectKth(df, valCol, None)
 

@@ -513,21 +513,27 @@ object Graphs {
       var h = nodes.withColumn("s", lit(Scale))
       var a: DataFrame = null
       var prevCheckpointed: Seq[DataFrame] = Nil
-      (1 to iterations).foreach { _ =>
-        a = halfRound(h, "src", "dst").localCheckpoint()
-        h = halfRound(a, "dst", "src").localCheckpoint()
+      // try/finally: halfRound's require (edgeless graph / zero score
+      // mass) throws MID-LOOP — without the finally the nodes/e
+      // checkpoints and the last rounds' blocks stay pinned for the
+      // session (review r12; the doc promises full release)
+      try {
+        (1 to iterations).foreach { _ =>
+          a = halfRound(h, "src", "dst").localCheckpoint()
+          h = halfRound(a, "dst", "src").localCheckpoint()
+          prevCheckpointed.foreach(_.unpersist(blocking = false))
+          prevCheckpointed = Seq(a, h)
+        }
+        // materialize the node-sized result, then release every block
+        // this call pinned (final a/h rounds, nodes, e) — advice r11
+        h.select(col("node"), col("s").as("hub"))
+          .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
+          .localCheckpoint()
+      } finally {
         prevCheckpointed.foreach(_.unpersist(blocking = false))
-        prevCheckpointed = Seq(a, h)
+        nodes.unpersist(blocking = false)
+        e.unpersist(blocking = false)
       }
-      // materialize the node-sized result, then release every block this
-      // call pinned (final a/h rounds, nodes, e) — advice r11
-      val out = h.select(col("node"), col("s").as("hub"))
-        .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
-        .localCheckpoint()
-      prevCheckpointed.foreach(_.unpersist(blocking = false))
-      nodes.unpersist(blocking = false)
-      e.unpersist(blocking = false)
-      out
     }
     }
     }

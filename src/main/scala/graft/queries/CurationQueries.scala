@@ -200,7 +200,7 @@ object CurationQueries {
             FROM base),
           mx AS (SELECT *, GREATEST(COALESCE(m0, 0), COALESCE(m1, 0),
               COALESCE(m2, 0), COALESCE(m3, 0)) AS maxc FROM tal),
-          fin AS (SELECT *,
+          fin AS MATERIALIZED (SELECT *,
               CASE WHEN maxc >= 1 AND NOT ($tie)
                 THEN COALESCE($majPick) END AS maj
             FROM mx),

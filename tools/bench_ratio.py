@@ -27,11 +27,17 @@ def load(path: str) -> dict:
             text = d["tail"].replace('\\"', '"')
     except json.JSONDecodeError:
         pass
+    # greedy to the LAST '}' on the line — trailing noise (Bench emits
+    # the payload on stdout AND stderr, logs may interleave) makes this
+    # invalid JSON, so parse failures fall through to the clean error
     m = re.search(r'\{"metric".*\}', text)
     if m:
-        d = json.loads(m.group(0))
-        if d.get("queries"):
-            return d
+        try:
+            d = json.loads(m.group(0))
+            if d.get("queries"):
+                return d
+        except json.JSONDecodeError:
+            pass
     raise SystemExit(f"{path}: no bench payload found")
 
 
@@ -58,6 +64,10 @@ def main(argv):
     qs, qd = spark["queries"], duck["queries"]
     common = sorted(set(qs) & set(qd))
     ts, td = sum(qs[k] for k in common), sum(qd[k] for k in common)
+    if not common or td == 0:
+        print("REFUSED: no common queries or zero DuckDB total — "
+              "nothing to ratio.")
+        return 3
     print(f"{len(common)} common queries "
           f"(spark-only: {sorted(set(qs)-set(qd)) or '-'}, "
           f"duckdb-only: {sorted(set(qd)-set(qs)) or '-'})")
