@@ -21,6 +21,16 @@ object Graphs {
 
   val Scale = 1000000000000L // 10^12 fixed-point
 
+  /** Below this many (distinct, symmetric where applicable) edges,
+    * [[pageRank]] runs its rounds UNROLLED in one lazy plan (single
+    * driver job) instead of a localCheckpoint per round: on a small
+    * graph the per-round driver round-trips ARE the cost (q103's r12
+    * floor decomposition — ~16 data-independent jobs on a 100-node
+    * bench graph), while the plan depth is only linear in iterations.
+    * At or above the threshold the checkpointed form keeps O(1)
+    * lineage and per-round fault containment — the 100 TB shape. */
+  private[graft] val UnrollEdges = 2000000L
+
   /** PageRank with damping 0.85 over `iterations` synchronous rounds.
     * Node set = every id appearing as src or dst; dangling nodes (no
     * out-edges) contribute nothing (their mass decays into the teleport
@@ -39,7 +49,14 @@ object Graphs {
     * billion-edge graph keeps the session's configured width.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, UnrollEdges)
+
+  /** [[pageRank]] with the unroll threshold injectable — specs force
+    * each form (`unrollBelow = 0` → always checkpointed, `Long.MaxValue`
+    * → always unrolled) and assert bit-identical ranks. */
+  private[graft] def pageRankImpl(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int, unrollBelow: Long): DataFrame = {
     val spark = edges.sparkSession
     graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -48,7 +65,10 @@ object Graphs {
       .union(e.select(col("dst"))).distinct().persist()
     // both setup counts in ONE action (each job is a driver round-trip
     // that the tiny-graph bench pays at full price); keyed rows — union
-    // output order is an implementation detail
+    // output order is an implementation detail. (r13 measured the
+    // AQE-off one-job setup variant SLOWER — the adaptive stage-jobs
+    // here are small-coalesced and cheaper than 32-task fixed-width
+    // stages; see ARCHITECTURE §perf-floor.)
     val cnts = nodesAll.groupBy().agg(count(lit(1)).as("c"))
       .withColumn("k", lit("n"))
       .unionAll(e.groupBy().agg(count(lit(1)).as("c"))
@@ -64,6 +84,32 @@ object Graphs {
     // rounds at sf0.1, pure driver floor)
     graft.core.Adaptive.withNoAqe(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
+    if (m < unrollBelow) {
+      // small graph: all rounds in ONE lazy plan, materialized by a
+      // single localCheckpoint — no per-round driver jobs. eo is a
+      // lazy cache (computed inside the one job, read by later rounds);
+      // name-keyed (`usingColumns`) joins keep the pr-derives-from-
+      // nodesAll self-reference unambiguous.
+      val eo = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src").persist()
+      var pr = nodesAll.select(col("node"), lit(Scale / n).as("pr"))
+      (1 to iterations).foreach { _ =>
+        val contrib = eo
+          .join(pr.select(col("node").as("src"), col("pr")), "src")
+          .select(col("dst"), expr("pr div outdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("c"))
+        pr = nodesAll
+          .join(contrib.select(col("dst").as("node"), col("c")),
+            Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
+      }
+      val out = pr.localCheckpoint()
+      eo.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      nodesAll.unpersist(blocking = false)
+      out
+    } else {
       // re-materialize the loop-invariant frames at the loop width: the
       // per-round stages then scan `parts` blocks, not the ambient-width
       // cache (a 32-block scan of 200 rows costs more than the rounds)
@@ -95,6 +141,7 @@ object Graphs {
         eo.unpersist(blocking = false)
       }
       pr
+    }
     }
     }
     }
@@ -251,8 +298,14 @@ object Graphs {
     graft.core.Adaptive.withSmallShuffleCoalesce(spark) {
     val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
+    // ONE materialization: checkpoint the AQE-coalesced distinct, then
+    // count the checkpoint (near-free). The former persist→count→
+    // coalesce→re-checkpoint shape paid two full passes over the edge
+    // set before round 1 — over half of q231's bench wall (r12 floor
+    // decomposition). Round 1 reads the checkpoint at its coalesced
+    // width; every later round is checkpointed at the counted width.
     val sym0 = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     val m = sym0.count()
     val parts = graft.core.Adaptive.partsFor(spark, m)
     // AQE off for the pinned loop (q103's rationale): every input is a
@@ -260,8 +313,7 @@ object Graphs {
     // shuffle stage per round — pure driver floor on a small graph
     graft.core.Adaptive.withNoAqe(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
-      var alive = sym0.coalesce(parts).localCheckpoint()
-      sym0.unpersist(blocking = false)
+      var alive = sym0
       var prev: DataFrame = alive
       var aliveEdges = m
       var round = 1
@@ -530,7 +582,11 @@ object Graphs {
           .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
           .localCheckpoint()
       } finally {
-        prevCheckpointed.foreach(_.unpersist(blocking = false))
+        // unpersist a/h directly (null-guarded): if the SECOND halfRound
+        // of a round throws, the just-checkpointed `a` is not yet in
+        // prevCheckpointed and would otherwise stay pinned (advice r12)
+        (Seq(a, h).filter(_ != null) ++ prevCheckpointed).distinct
+          .foreach(_.unpersist(blocking = false))
         nodes.unpersist(blocking = false)
         e.unpersist(blocking = false)
       }

@@ -887,6 +887,58 @@ object Similarity {
         coalesce(col("__d"), lit(false)).unary_!.as("is_kept"))
   }
 
+  /** [[semDedupLsh]] for a STANDING corpus — the day-2/streamed form
+    * (the [[Dedup.minhashLshIngest]] shape, semantic flavor): decide
+    * keep/drop for the `batch` vectors only, against (a) the standing
+    * cell store and (b) lower-id vectors of the same batch. When batch
+    * ids are strictly greater than every standing id (the ingest
+    * contract — wave-encoded ids), the union of per-wave results equals
+    * one [[semDedupLsh]] over the whole corpus, without ever re-pairing
+    * the standing corpus against itself.
+    *
+    * `standing` is the materialized cell store: (idCol, cluster, vec)
+    * as written by previous waves — at 100 TB it lives
+    * directory-partitioned by ingest batch, so the `batch < id` read
+    * prunes to real predecessors and this call scans it exactly once.
+    * Scale shape: the wave is SMALL relative to the store, so the
+    * cross leg broadcasts the wave's cells against the store scan —
+    * zero store shuffle, candidates only within matching buckets; the
+    * in-wave leg reuses the salted cell-pair join on the wave alone.
+    * Returns (id, cluster, is_kept) for the batch rows only. */
+  def semDedupLshIngest(standing: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int, bits: Int,
+      threshold: Double = 0.95, scale: Int = 6, seed: Int = 42)
+      : DataFrame = {
+    val newCells = batch.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"),
+      lshBucket(col(vecCol), dim, bits, seed).as("cluster"))
+      .localCheckpoint()
+    val store = standing.select(col("cluster"),
+      col(vecCol).cast("array<double>").as("__sv"))
+    // cross leg: any standing vector within the threshold drops the new
+    // doc (standing ids are lower by the ingest contract — no id
+    // comparison needed, and the store never joins itself)
+    val crossDrops = store
+      .join(broadcast(newCells.select(col(idCol), col("cluster"),
+        col("__v"))), Seq("cluster"))
+      .filter(cosineCols(col("__sv"), col("__v"), scale) >= threshold)
+      .select(col(idCol))
+    // in-wave leg: the same greedy lower-id-keeps rule as the batch form
+    val waveDrops = saltedCellPairs(newCells, idCol, threshold, scale)
+      .select(col("id_b").as(idCol))
+    val dropped = crossDrops.unionByName(waveDrops).distinct()
+      .withColumn("__d", lit(true))
+    // materialize the (wave-sized) result so the newCells checkpoint can
+    // be released here instead of leaking per micro-batch
+    val out = newCells.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__d"), lit(false)).unary_!.as("is_kept"))
+      .localCheckpoint()
+    newCells.unpersist(blocking = false)
+    out
+  }
+
   /** SEMANTIC benchmark decontamination — the embedding-space complement
     * of the n-gram overlap decontamination in
     * [[Curation.decontaminate]]: a paraphrased eval item shares no

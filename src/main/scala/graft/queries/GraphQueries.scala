@@ -18,10 +18,15 @@ object GraphQueries {
       "q103_pagerank",
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
+        // rank on INT node ids ('d'||x is a bijection of x over the
+        // 0..99 domain — identical edges, degrees and fixed-point
+        // ranks) and stringify only the ≤100-row output (the q231
+        // discipline: per-round hash/join work on longs, not strings)
         val edges = o.select(
-          concat(lit("d"), col("o_custkey") % 100).as("src"),
-          concat(lit("d"), col("o_orderkey") % 100).as("dst"))
+          (col("o_custkey") % 100).as("src"),
+          (col("o_orderkey") % 100).as("dst"))
         graft.operators.Graphs.pageRank(edges, "src", "dst", iterations = 3)
+          .select(concat(lit("d"), col("node")).as("node"), col("pr"))
       },
       // three unrolled synchronous rounds of the identical fixed-point
       // arithmetic: pr0 = S//N, pr' = (S*15//100)//N + (85*contrib)//100
@@ -433,10 +438,16 @@ object LayoutQueries {
         // the graph densifies and the core saturates. The oracle
         // unrolls the identical rounds.
         val o = Tables.load(s, dir, "orders")
+        // peel on INT node ids ('n'||x is a bijection of x over the
+        // 0..999 domain, so inequality, degrees and the core are
+        // identical) and stringify only the ≤1000-row output — every
+        // per-round hash/dedup/join then works on longs, not strings
+        // (r12: the string setup dominated the bench wall)
         val edges = o.select(
-          concat(lit("n"), col("o_custkey") % 1000).as("src"),
-          concat(lit("n"), col("o_orderkey") % 1000).as("dst"))
+          (col("o_custkey") % 1000).as("src"),
+          (col("o_orderkey") % 1000).as("dst"))
         graft.operators.Graphs.kCore(edges, "src", "dst", k = 22, rounds = 4)
+          .select(concat(lit("n"), col("node")).as("node"), col("degree"))
       },
       // every e_i is referenced THREE times by round i+1 (degree scan +
       // both join legs) and each k_i twice — plain CTEs inline per

@@ -1103,6 +1103,76 @@ object StreamQueries {
         "(x.doc // 1000000) > (y.doc // 1000000)"))),
 
     GraftQuery(
+      "q320_stream_semdedup_cells",
+      (s, dir) => {
+        // q200's sign-bucket SEMANTIC dedup maintained AS A STREAM —
+        // the cell store is the state (the q218 ingest-store shape,
+        // embedding flavor): each arrival wave decides keep/drop for
+        // ITS vectors against (a) the partition-pruned standing cell
+        // store (`batch < id` — the store never re-pairs itself) and
+        // (b) its own lower ids, then appends its cells under
+        // batch=<id>. Wave ids are strictly increasing across waves,
+        // so the union of per-wave verdicts must equal ONE batch
+        // semDedupLsh over the whole corpus — the oracle is exactly
+        // q200's batch semantics on the three-wave union. Batch 1 runs
+        // twice to exercise replay idempotence. Wave 2 exact-duplicates
+        // wave 1 (every verdict false via the cross leg), wave 3's
+        // evens duplicate both (dropped against standing, not re-paired
+        // in-wave beyond its own organics).
+        val W = 1000000L
+        val emb = Tables.load(s, dir, "embeddings")
+          .select("vec_id", "embedding")
+        val k = col("vec_id")
+        def wave(w: Int, p: Column) = emb.filter(p)
+          .select(to_json(struct((col("vec_id") + w * W).as("vec_id"),
+            col("embedding"))).as("value"))
+        val frames = Seq(wave(0, lit(true)), wave(1, lit(true)),
+          wave(2, k % 2 === 0))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id LONG, embedding ARRAY<FLOAT>")
+        runStaged(s, frames, "kept") { (raw, out, ckpt) =>
+          val store = s"$out/cells"
+          emb.limit(0).select(col("vec_id"), lit(0L).as("cluster"),
+              col("embedding"))
+            .write.mode("overwrite").parquet(s"$store/batch=-1")
+          raw.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              val batch = b
+                .select(from_json(col("value"), schema).as("j"))
+                .select(col("j.*"))
+                .localCheckpoint()
+              def run(): Unit = {
+                val ss = batch.sparkSession
+                val standing = ss.read.parquet(store)
+                  .filter(col("batch") < id)
+                graft.operators.Similarity.semDedupLshIngest(
+                    standing, batch, "vec_id", "embedding",
+                    dim = 64, bits = 10, threshold = 0.95)
+                  .write.mode("overwrite").parquet(s"$out/kept/batch=$id")
+                batch.select(col("vec_id"),
+                    graft.operators.Similarity.lshBucket(
+                      col("embedding"), 64, 10).as("cluster"),
+                    col("embedding"))
+                  .write.mode("overwrite").parquet(s"$store/batch=$id")
+              }
+              run()
+              if (id == 1) run() // replayed batch: idempotent rewrite
+              batch.unpersist(blocking = false)
+              ()
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }.select("vec_id", "cluster", "is_kept")
+      },
+      Some(VectorQueries.semDedupCellsOracleSql(
+        """(SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding
+            FROM embeddings
+          UNION ALL SELECT vec_id + 2000000 AS vec_id, embedding
+            FROM embeddings WHERE vec_id % 2 = 0)"""))),
+
+    GraftQuery(
       "q262_stream_vocab_novelty",
       (s, dir) => {
         // the vocabulary-growth curve (q259's signal) maintained ONLINE:

@@ -76,6 +76,20 @@ object VectorQueries {
           THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
     }.mkString("(", " + ", ")")
 
+  /** One oracle for sign-bucket semantic dedup over any corpus subquery
+    * (q200 one-shot, q320 streamed ingest — the streamed union must
+    * equal exactly this batch semantics). eb is referenced three times
+    * → MATERIALIZED per the CTE-inlining rule. */
+  private[queries] def semDedupCellsOracleSql(corpus: String): String =
+    s"""WITH eb AS MATERIALIZED (SELECT vec_id, embedding,
+          ${bucketSql("embedding", 10)} AS bucket FROM $corpus),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${cosSql("a.embedding", "b.embedding")} AS cos
+        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      drops AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.95E0)
+    SELECT eb.vec_id, eb.bucket AS cluster, (d.id_b IS NULL) AS is_kept
+    FROM eb LEFT JOIN drops d ON d.id_b = eb.vec_id"""
+
   /** One oracle for both LSH probes (q34 scan-time, q70 materialized):
     * the pruning is the same hamming ≤ 1 bucket set; only the Spark-side
     * I/O differs. */
@@ -766,18 +780,9 @@ object VectorQueries {
         Similarity.semDedupLsh(corpus, "vec_id", "embedding", Dim,
           bits = 10, threshold = 0.95)
       },
-      Some {
-        val corpus = s"""(SELECT vec_id, embedding FROM embeddings
-          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)"""
-        s"""WITH eb AS (SELECT vec_id, embedding,
-              ${bucketSql("embedding", 10)} AS bucket FROM $corpus),
-          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              ${cosSql("a.embedding", "b.embedding")} AS cos
-            FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-          drops AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.95E0)
-        SELECT eb.vec_id, eb.bucket AS cluster, (d.id_b IS NULL) AS is_kept
-        FROM eb LEFT JOIN drops d ON d.id_b = eb.vec_id"""
-      }),
+      Some(semDedupCellsOracleSql(
+        s"""(SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)"""))),
 
     GraftQuery(
       "q220_pq_encode",

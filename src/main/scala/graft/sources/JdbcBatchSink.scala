@@ -327,9 +327,11 @@ object JdbcBatchSink {
   /** Bounded-retry open (public: recovery paths and tests reconnecting to
     * a file a just-failed writer may still be closing need the identical
     * policy — a raw `DriverManager.getConnection` there reintroduces the
-    * race). 8 attempts, exponential backoff to ~12 s total: a loaded
-    * full-suite JVM stretches the close/checkpoint window well past the
-    * ~1.5 s the old 4-attempt policy covered. A real corruption still
+    * race). 10 attempts, exponential backoff to ~51 s total: the ~12 s
+    * 8-attempt window was measured insufficient once under heavy
+    * external disk load (r13 — a concurrent multi-GB scan stretched the
+    * close/checkpoint interval past it), and a batch sink should prefer
+    * a slow open to a spurious task failure. A real corruption still
     * fails every attempt and propagates. */
   def connect(url: String): Connection = {
     var attempt = 0
@@ -337,7 +339,7 @@ object JdbcBatchSink {
     while (conn == null) {
       try conn = DriverManager.getConnection(url)
       catch {
-        case _: SQLException if attempt < 8 =>
+        case _: SQLException if attempt < 10 =>
           attempt += 1
           Thread.sleep(25L << attempt)
       }

@@ -955,6 +955,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(core3.count() === 0L)
   }
 
+  test("pageRank unrolled and checkpointed forms produce identical ranks") {
+    // a graph with a dangling node (z has no out-edges) and asymmetric
+    // degrees — exercises the left join's coalesce(0) and `div outdeg`
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "z"))
+      .toDF("src", "dst")
+    def ranks(unrollBelow: Long) = graft.operators.Graphs
+      .pageRankImpl(e, "src", "dst", iterations = 3, unrollBelow)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pr")).toMap
+    val unrolled = ranks(Long.MaxValue)
+    val checkpointed = ranks(0L)
+    assert(unrolled === checkpointed)
+    // fixed-point mass sanity: every rank positive, z (dangling, one
+    // in-edge from the hub c) below the hub's rank
+    assert(unrolled.values.forall(_ > 0L))
+    assert(unrolled("z") < unrolled("c"))
+  }
+
   test("iterative graph ops stop early once converged (rounds are a cap)") {
     // a triangle IS its own 2-core: round 1 removes nothing → converged,
     // the other 49 budgeted rounds never run

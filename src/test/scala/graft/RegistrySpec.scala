@@ -41,19 +41,25 @@ class RegistrySpec extends AnyFunSuite {
     assert(doubled.map(q => q.name -> q).toMap.size < doubled.size)
   }
 
-  test("QUERIES.md is regenerated (row count == Registry.all.size)") {
+  test("QUERIES.md is regenerated (gate names == Registry.all names)") {
     // Generated artifacts drift when a gate lands without regenerating
     // the index (r11 verdict: QUERIES.md said 320 while the registry
-    // held 322). The index is generated, so equality IS freshness.
+    // held 322). Compare NAME SETS, not counts — a simultaneous
+    // rename+add (or add+remove) keeps the count equal while the index
+    // is stale (advice r12).
     val f = new java.io.File("QUERIES.md")
     assert(f.exists(), "QUERIES.md missing — run tools/gen_queries_md.py")
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    val rows = try src.getLines().count(_.matches("""^\| q[0-9]+[a-z]?_.*"""))
+    val rowNames = try src.getLines()
+      .filter(_.matches("""^\| q[0-9]+[a-z]?_.*"""))
+      .map(_.stripPrefix("| ").takeWhile(_ != ' ').trim).toSet
     finally src.close()
-    assert(rows === Registry.all.size,
-      s"QUERIES.md has $rows gate rows but Registry.all has " +
-        s"${Registry.all.size} — regenerate: sbt 'runMain graft.Meta' " +
-        "> /tmp/meta.jsonl && python3 tools/gen_queries_md.py " +
-        "/tmp/meta.jsonl > QUERIES.md")
+    val regNames = Registry.all.map(_.name).toSet
+    val msg = "regenerate: sbt 'runMain graft.Meta' > /tmp/meta.jsonl && " +
+      "python3 tools/gen_queries_md.py /tmp/meta.jsonl > QUERIES.md"
+    assert((regNames -- rowNames).isEmpty,
+      s"QUERIES.md missing gates ${(regNames -- rowNames).toSeq.sorted.take(5)} — $msg")
+    assert((rowNames -- regNames).isEmpty,
+      s"QUERIES.md has stale rows ${(rowNames -- regNames).toSeq.sorted.take(5)} — $msg")
   }
 }

@@ -44,7 +44,11 @@ def main(sf_dir, meta_path=None):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
-    metas = [m for m in load_meta(meta_path) if m["bench"] and m["oracle"]]
+    # `is not None`, not truthiness: Bench.scala includes Some("") in the
+    # hash set, so an empty-string oracle must be included here too or the
+    # oracle_set_hash would permanently mismatch (advice r12)
+    metas = [m for m in load_meta(meta_path)
+             if m["bench"] and m["oracle"] is not None]
     times, skipped = {}, []
     for m in metas:
         best = None
