@@ -138,6 +138,53 @@ object DedupQueries {
       WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""
   }
 
+  /** The q31 banded-minhash SELF-JOIN oracle over any corpus subquery
+    * (q31 raw, q322 composed-after-exact-dedup). MATERIALIZED
+    * throughout: corp is scanned by shingled AND idx, sigs is referenced
+    * once per band and idx three times — inlined re-evaluation re-ran
+    * the shingle explode per reference (sf3: disk-filling spill, r11). */
+  private[queries] def bandedSelfJoinOracleSql(corpusSql: String): String = {
+    val P = Dedup.MinhashP
+    val numHashes = 16; val bands = 4; val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map(i =>
+      s"MIN((key * ${Dedup.mhA(i)} + ${Dedup.mhB(i)}) % $P) AS s$i")
+      .mkString(", ")
+    def bh(j: Int): String =
+      (0 until rows).foldLeft(s"CAST(${j + 1} AS BIGINT)")((acc, r) =>
+        s"(($acc * ${Dedup.BandM} + s${j * rows + r}) % $P)")
+    val bandSelects = (0 until bands).map(j =>
+      s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""WITH corp AS MATERIALIZED (SELECT doc_id, text FROM $corpusSql),
+      shingled AS MATERIALIZED (
+        SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM corp),
+      keys AS MATERIALIZED (
+        SELECT doc, (${md5FoldSql("h")}) % $P AS key
+        FROM (SELECT doc, md5(sh) AS h FROM shingled)),
+      sigs AS MATERIALIZED (SELECT doc, $sigCols FROM keys GROUP BY doc),
+      banded AS MATERIALIZED ($bandSelects),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc),
+      idx AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS doc, sh FROM (
+          SELECT doc_id, unnest($ShinglesSql) AS sh FROM corp)),
+      sizes AS MATERIALIZED (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN idx xa ON xa.doc = c.doc_a
+        JOIN idx xb ON xb.doc = c.doc_b AND xa.sh = xb.sh
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) AS jaccard
+      FROM inter
+      JOIN sizes a ON a.doc = doc_a
+      JOIN sizes b ON b.doc = doc_b
+      WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q29_exact_dedup",
@@ -301,6 +348,108 @@ object DedupQueries {
       "q31_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(corpus(s, dir), "doc_id", "text",
         numHashes = 16, bands = 4, k = 3, threshold = 0.8),
+      Some(bandedSelfJoinOracleSql(CorpusSql)),
+      bench = true),
+
+    GraftQuery(
+      "q322_dedup_then_neardup",
+      (s, dir) => {
+        // exact-dedup-FIRST composition: collapse the corpus to one
+        // canonical doc per normalized fingerprint, THEN run banded
+        // minhash over the survivors. This is the claim behind q31's
+        // measured super-linear growth (5.8x at 3x data = pair OUTPUT
+        // on a duplicate-amplified corpus): composed, the near-dup
+        // stage's input is exact-deduped, clique pairs collapse to
+        // their canonical representatives, and the stage's runtime and
+        // output stay linear — measured beside the raw path in SF3.md.
+        val c = corpus(s, dir)
+        val ded = graft.operators.KeepLatest(
+          c.withColumn("fp",
+            graft.functions.TextFunctions.fingerprint(col("text"))),
+          Seq("fp"), Seq(col("doc_id").asc))
+          .select("doc_id", "text")
+        Dedup.minhashLsh(ded, "doc_id", "text",
+          numHashes = 16, bands = 4, k = 3, threshold = 0.8)
+      },
+      Some(bandedSelfJoinOracleSql(
+        s"""(SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (
+              PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+              ORDER BY doc_id) AS rn
+            FROM $CorpusSql) WHERE rn = 1)"""))),
+
+    GraftQuery(
+      "q321_mutation_recall",
+      (s, dir) => {
+        // LSH recall on a corpus with GRADED near-dup structure, not
+        // clique-world: every doc gets three mutated copies with every
+        // p-th token substituted by a variant-unique marker (p = 64 /
+        // 16 / 8 ≈ 1.6% / 6% / 12.5% edit rates — straddling the 0.8
+        // Jaccard threshold, so truth pairs thin out and banding at
+        // b=4, r=4 has a real miss probability). Truth = exact shingle
+        // Jaccard per (orig, variant) via a KEYED join (each doc pairs
+        // only with its own variants — never all-pairs); detected =
+        // minhashLsh's verified pairs restricted to the same set.
+        // Output: per variant, n_true / n_detected / recall — the
+        // mutation-graded recall curve the clique corpora can't show.
+        // spread BEFORE the token mutation (an interpreted HOF over a
+        // 2-split scan leaves 30 of 32 cores idle — the q229 lesson),
+        // and checkpoint the mutated corpus ONCE: both the LSH leg and
+        // the truth leg consume it, and without the materialization the
+        // per-token transform evaluates twice (measured 68.6 s at sf1
+        // before, the mutation dominating)
+        val d = graft.operators.Similarity.spread(
+          Tables.load(s, dir, "documents").select("doc_id", "text"))
+        def mutated(v: Int, p: Int) = d.select(
+          (col("doc_id") + v * Shift).as("doc_id"),
+          array_join(transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            (t, tix) => when(pmod(tix, lit(p)) === 0,
+              concat(lit(s"zzmut${v}x"), tix)).otherwise(t)),
+            " ").as("text"))
+        val mc = d.unionByName(mutated(1, 64))
+          .unionByName(mutated(2, 16)).unionByName(mutated(3, 8))
+          .localCheckpoint()
+        val detected = Dedup.minhashLsh(mc, "doc_id", "text",
+            numHashes = 16, bands = 4, k = 3, threshold = 0.8)
+          .filter(col("doc_a") < Shift && col("doc_b") >= Shift &&
+            col("doc_a") === pmod(col("doc_b"), lit(Shift)))
+          .select(expr(s"doc_b div $Shift").as("variant"),
+            col("doc_a").as("orig"))
+        // exact-truth leg: distinct shingles per doc, checkpointed once
+        // (three consumers), then a join KEYED on (orig id, shingle) —
+        // volume is linear in corpus size by construction
+        val sh = graft.operators.Similarity.spread(mc)
+          .select(col("doc_id"), explode(array_distinct(
+            graft.functions.TextFunctions.shingles(col("text"), 3)))
+            .as("sh"))
+          .localCheckpoint()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val aLeg = sh.filter(col("doc_id") < Shift)
+          .select(col("doc_id").as("orig"), col("sh"))
+        val bLeg = sh.filter(col("doc_id") >= Shift)
+          .select(pmod(col("doc_id"), lit(Shift)).as("orig"),
+            expr(s"doc_id div $Shift").as("variant"), col("sh"))
+        val inter = aLeg.join(bLeg, Seq("orig", "sh"))
+          .groupBy("orig", "variant").agg(count(lit(1)).as("inter"))
+        val truth = inter
+          .join(sizes.select(col("doc_id").as("orig"),
+            col("n_sh").as("na")), "orig")
+          .join(sizes.select(col("doc_id").as("bid"),
+            col("n_sh").as("nb")),
+            col("bid") === col("orig") + col("variant") * Shift)
+          .filter(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")) >= 0.8)
+          .select("variant", "orig")
+        truth.join(detected.withColumn("hit", lit(true)),
+            Seq("variant", "orig"), "left")
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_detected"))
+          .select(col("variant"), col("n_true"), col("n_detected"),
+            graft.functions.SafeMath.roundHalfUp(
+              col("n_detected") / col("n_true"), 6).as("recall"))
+      },
       Some {
         val P = Dedup.MinhashP
         val numHashes = 16; val bands = 4; val rows = numHashes / bands
@@ -313,38 +462,64 @@ object DedupQueries {
         val bandSelects = (0 until bands).map(j =>
           s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
           .mkString(" UNION ALL ")
-        // MATERIALIZED throughout: sigs is referenced once per band and
-        // idx three times — inlined re-evaluation re-ran the shingle
-        // explode per reference (sf3: disk-filling spill, r11)
-        s"""WITH shingled AS MATERIALIZED (
-            SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $CorpusSql),
+        def mutSql(v: Int, p: Int) =
+          s"""SELECT doc_id + ${v * Shift} AS doc_id,
+              array_to_string(list_transform(range(1, len(toks) + 1),
+                tk -> CASE WHEN ((tk - 1) % $p) = 0
+                  THEN 'zzmut${v}x' || CAST(tk - 1 AS VARCHAR)
+                  ELSE toks[tk] END), ' ') AS text
+            FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '\\s+'),
+                  x -> x <> '') AS toks
+              FROM documents)"""
+        val hitSum = "CAST(SUM(CASE WHEN d.orig IS NOT NULL " +
+          "THEN 1 ELSE 0 END) AS BIGINT)"
+        // the banding-candidate det needs no jaccard verification of its
+        // own: hits are counted only on truth rows (LEFT JOIN), and
+        // candidate ∧ jaccard≥0.8 IS the verified-detected set
+        s"""WITH mc AS MATERIALIZED (
+            SELECT doc_id, text FROM documents
+            UNION ALL ${mutSql(1, 64)}
+            UNION ALL ${mutSql(2, 16)}
+            UNION ALL ${mutSql(3, 8)}),
+          shingled AS MATERIALIZED (
+            SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM mc),
           keys AS MATERIALIZED (
             SELECT doc, (${md5FoldSql("h")}) % $P AS key
             FROM (SELECT doc, md5(sh) AS h FROM shingled)),
           sigs AS MATERIALIZED (SELECT doc, $sigCols FROM keys GROUP BY doc),
           banded AS MATERIALIZED ($bandSelects),
-          cand AS MATERIALIZED (
-            SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+          det AS MATERIALIZED (
+            SELECT DISTINCT x.doc AS orig, y.doc // $Shift AS variant
             FROM banded x JOIN banded y
-              ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc),
+              ON x.band = y.band AND x.bh = y.bh
+            WHERE x.doc < $Shift AND y.doc >= $Shift
+              AND y.doc % $Shift = x.doc),
           idx AS MATERIALIZED (
             SELECT DISTINCT doc_id AS doc, sh FROM (
-              SELECT doc_id, unnest($ShinglesSql) AS sh FROM $CorpusSql)),
-          sizes AS MATERIALIZED (SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
-          inter AS (
-            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-            FROM cand c
-            JOIN idx xa ON xa.doc = c.doc_a
-            JOIN idx xb ON xb.doc = c.doc_b AND xa.sh = xb.sh
-            GROUP BY 1, 2)
-          SELECT doc_a, doc_b,
-            CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) AS jaccard
-          FROM inter
-          JOIN sizes a ON a.doc = doc_a
-          JOIN sizes b ON b.doc = doc_b
-          WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""
-      },
-      bench = true),
+              SELECT doc_id, unnest($ShinglesSql) AS sh FROM mc)),
+          sizes AS MATERIALIZED (
+            SELECT doc, COUNT(*) AS n_sh FROM idx GROUP BY doc),
+          tj AS (
+            SELECT y.doc // $Shift AS variant, x.doc AS orig,
+              COUNT(*) AS inter
+            FROM idx x JOIN idx y ON x.sh = y.sh
+              AND x.doc < $Shift AND y.doc >= $Shift
+              AND y.doc % $Shift = x.doc
+            GROUP BY 1, 2),
+          truth AS MATERIALIZED (
+            SELECT variant, orig FROM tj
+            JOIN sizes sa ON sa.doc = orig
+            JOIN sizes sb ON sb.doc = orig + variant * $Shift
+            WHERE CAST(inter AS DOUBLE) /
+              (sa.n_sh + sb.n_sh - inter) >= 0.8E0)
+        SELECT t.variant, COUNT(*) AS n_true, $hitSum AS n_detected,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            s"(CAST($hitSum AS DOUBLE) / COUNT(*))", 6)} AS recall
+        FROM truth t
+        LEFT JOIN det d ON d.variant = t.variant AND d.orig = t.orig
+        GROUP BY t.variant"""
+      }),
 
     GraftQuery(
       "q215_minhash_ingest",

@@ -206,6 +206,50 @@ object VectorQueries {
         LEFT JOIN hits h ON h.l_tables = g.l_tables AND h.qid = g.qid"""
   }
 
+  /** DuckDB twin of Similarity.annNdcg (radius-2 probe, NDCG@10), probe
+    * set sampled at `probeMod` (q182 = 50, the sf3 stress gate q323 =
+    * 500). q is referenced three times and brute twice — MATERIALIZED
+    * so the |q|·|corpus| brute window runs once, not per reference. */
+  private def annNdcgOracle(probeMod: Int): String = {
+    val k = 10
+    val ws = Similarity.dcgWeights8(k)
+      .map(_.toPlainString).mkString("[", ", ", "]")
+    s"""WITH q AS MATERIALIZED (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % $probeMod = 0),
+        brute AS MATERIALIZED (SELECT qid, vid, r FROM (
+            SELECT q.qid, e.vec_id AS vid,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${cosSql("e.embedding", "q.qv")} DESC,
+                  e.vec_id ASC) AS r
+            FROM embeddings e, q) WHERE r <= $k),
+        eb AS (SELECT vec_id, embedding,
+            ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
+        qb AS (SELECT qid, qv, ${bucketSql("qv", 8)} AS qbucket FROM q),
+        lsh AS (SELECT qid, vid, r AS pos FROM (
+            SELECT qb.qid, eb.vec_id AS vid,
+              row_number() OVER (PARTITION BY qb.qid
+                ORDER BY ${cosSql("eb.embedding", "qb.qv")} DESC,
+                  eb.vec_id ASC) AS r
+            FROM eb JOIN qb
+              ON bit_count(xor(eb.bucket, qb.qbucket)) <= 2)
+          WHERE r <= $k),
+        idcg AS (SELECT qid,
+            SUM((${k + 1} - r) * ($ws)[r]) AS idcg8
+          FROM brute GROUP BY 1),
+        dcg AS (SELECT l.qid,
+            SUM(COALESCE(${k + 1} - b.r, 0) * ($ws)[l.pos]) AS dcg8
+          FROM lsh l LEFT JOIN brute b
+            ON b.qid = l.qid AND b.vid = l.vid
+          GROUP BY 1)
+        SELECT q.qid, CAST(COALESCE(d.dcg8, 0) AS DOUBLE) AS dcg,
+          CAST(COALESCE(d.dcg8, 0) AS DOUBLE) / CAST(i.idcg8 AS DOUBLE)
+            AS ndcg
+        FROM q
+        JOIN idcg i ON i.qid = q.qid
+        LEFT JOIN dcg d ON d.qid = q.qid"""
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q154_ann_multitable_recall",
@@ -261,44 +305,23 @@ object VectorQueries {
           col("vec_id") % 50 === 0, dim = Dim, k = 10, bits = 8,
           probeRadius = 2)
       },
-      Some {
-        val k = 10
-        val ws = Similarity.dcgWeights8(k)
-          .map(_.toPlainString).mkString("[", ", ", "]")
-        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-              WHERE vec_id % 50 = 0),
-            brute AS (SELECT qid, vid, r FROM (
-                SELECT q.qid, e.vec_id AS vid,
-                  row_number() OVER (PARTITION BY q.qid
-                    ORDER BY ${cosSql("e.embedding", "q.qv")} DESC,
-                      e.vec_id ASC) AS r
-                FROM embeddings e, q) WHERE r <= $k),
-            eb AS (SELECT vec_id, embedding,
-                ${bucketSql("embedding", 8)} AS bucket FROM embeddings),
-            qb AS (SELECT qid, qv, ${bucketSql("qv", 8)} AS qbucket FROM q),
-            lsh AS (SELECT qid, vid, r AS pos FROM (
-                SELECT qb.qid, eb.vec_id AS vid,
-                  row_number() OVER (PARTITION BY qb.qid
-                    ORDER BY ${cosSql("eb.embedding", "qb.qv")} DESC,
-                      eb.vec_id ASC) AS r
-                FROM eb JOIN qb
-                  ON bit_count(xor(eb.bucket, qb.qbucket)) <= 2)
-              WHERE r <= $k),
-            idcg AS (SELECT qid,
-                SUM((${k + 1} - r) * ($ws)[r]) AS idcg8
-              FROM brute GROUP BY 1),
-            dcg AS (SELECT l.qid,
-                SUM(COALESCE(${k + 1} - b.r, 0) * ($ws)[l.pos]) AS dcg8
-              FROM lsh l LEFT JOIN brute b
-                ON b.qid = l.qid AND b.vid = l.vid
-              GROUP BY 1)
-            SELECT q.qid, CAST(COALESCE(d.dcg8, 0) AS DOUBLE) AS dcg,
-              CAST(COALESCE(d.dcg8, 0) AS DOUBLE) / CAST(i.idcg8 AS DOUBLE)
-                AS ndcg
-            FROM q
-            JOIN idcg i ON i.qid = q.qid
-            LEFT JOIN dcg d ON d.qid = q.qid"""
-      }),
+      Some(annNdcgOracle(50))),
+
+    GraftQuery(
+      "q323_ann_ndcg_probe_sample",
+      (s, dir) => {
+        // q182's NDCG audit with a SAMPLED probe set (every 500th
+        // vector): the brute ideal-ordering leg is |probes|·|corpus| BY
+        // DESIGN, and q182's full-probe oracle OOMs DuckDB at sf3 (the
+        // q154/q138 class, r12 sweep) — this bounds |probes| so the
+        // NDCG family has a stress-scale hash row (the q319 precedent).
+        // The full-probe q182 stays the small-SF gate.
+        Similarity.annNdcg(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 500 === 0, dim = Dim, k = 10, bits = 8,
+          probeRadius = 2)
+      },
+      Some(annNdcgOracle(500))),
 
     GraftQuery(
       "q138_ann_recall",
