@@ -28,8 +28,16 @@ object Graphs {
     * floor decomposition — ~16 data-independent jobs on a 100-node
     * bench graph), while the plan depth is only linear in iterations.
     * At or above the threshold the checkpointed form keeps O(1)
-    * lineage and per-round fault containment — the 100 TB shape. */
+    * lineage and per-round fault containment — the 100 TB shape.
+    * [[UnrollIterCap]] bounds the unrolled PLAN DEPTH as well: the
+    * lazy form nests one join+agg+join round per iteration, so a
+    * small graph with many iterations would otherwise build an
+    * arbitrarily deep single plan (Catalyst analysis cost grows with
+    * nesting, and a 100-stage job has none of the per-round fault
+    * containment) — above the cap the checkpointed loop runs even on
+    * tiny graphs (review r13). */
   private[graft] val UnrollEdges = 2000000L
+  private[graft] val UnrollIterCap = 8
 
   /** PageRank with damping 0.85 over `iterations` synchronous rounds.
     * Node set = every id appearing as src or dst; dangling nodes (no
@@ -84,7 +92,7 @@ object Graphs {
     // rounds at sf0.1, pure driver floor)
     graft.core.Adaptive.withNoAqe(spark) {
     graft.core.Adaptive.withShufflePartitions(spark, parts) {
-    if (m < unrollBelow) {
+    if (m < unrollBelow && iterations <= UnrollIterCap) {
       // small graph: all rounds in ONE lazy plan, materialized by a
       // single localCheckpoint — no per-round driver jobs. eo is a
       // lazy cache (computed inside the one job, read by later rounds);

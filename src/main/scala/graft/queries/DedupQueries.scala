@@ -96,25 +96,8 @@ object DedupQueries {
     * side) instead of the self-join's x.doc < y.doc, verified with
     * exact Jaccard at 0.8. */
   private[queries] def bandedIngestOracleSql(corpusSql: String,
-      candWhere: String): String = {
-    val P = Dedup.MinhashP
-    val numHashes = 16; val bands = 4; val rows = numHashes / bands
-    val sigCols = (0 until numHashes).map(i =>
-      s"MIN((key * ${Dedup.mhA(i)} + ${Dedup.mhB(i)}) % $P) AS s$i")
-      .mkString(", ")
-    def bh(j: Int): String =
-      (0 until rows).foldLeft(s"CAST(${j + 1} AS BIGINT)")((acc, r) =>
-        s"(($acc * ${Dedup.BandM} + s${j * rows + r}) % $P)")
-    val bandSelects = (0 until bands).map(j =>
-      s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
-      .mkString(" UNION ALL ")
-    s"""WITH shingled AS MATERIALIZED (
-        SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $corpusSql),
-      keys AS MATERIALIZED (
-        SELECT doc, (${md5FoldSql("h")}) % $P AS key
-        FROM (SELECT doc, md5(sh) AS h FROM shingled)),
-      sigs AS MATERIALIZED (SELECT doc, $sigCols FROM keys GROUP BY doc),
-      banded AS MATERIALIZED ($bandSelects),
+      candWhere: String): String =
+    s"""WITH ${sigBandCtesSql(corpusSql)},
       cand AS MATERIALIZED (
         SELECT DISTINCT x.doc AS doc_new, y.doc AS doc_old
         FROM banded x JOIN banded y
@@ -136,14 +119,15 @@ object DedupQueries {
       JOIN sizes a ON a.doc = doc_new
       JOIN sizes b ON b.doc = doc_old
       WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""
-  }
 
-  /** The q31 banded-minhash SELF-JOIN oracle over any corpus subquery
-    * (q31 raw, q322 composed-after-exact-dedup). MATERIALIZED
-    * throughout: corp is scanned by shingled AND idx, sigs is referenced
-    * once per band and idx three times — inlined re-evaluation re-ran
-    * the shingle explode per reference (sf3: disk-filling spill, r11). */
-  private[queries] def bandedSelfJoinOracleSql(corpusSql: String): String = {
+  /** Shared sig/band CTE chain — shingled → keys → sigs → banded over
+    * `corpusRef` (a prior CTE name or a parenthesized subquery). This is
+    * THE twin of Dedup's 16-hash/4-band minhash signatures; it exists
+    * once so a banding-constant change cannot silently diverge between
+    * the q31/q322 self-join, the q215/q218 ingest, and the q321 recall
+    * oracles (review r13). All MATERIALIZED: sigs is referenced once per
+    * band and the chain's consumers re-reference banded per leg. */
+  private def sigBandCtesSql(corpusRef: String): String = {
     val P = Dedup.MinhashP
     val numHashes = 16; val bands = 4; val rows = numHashes / bands
     val sigCols = (0 until numHashes).map(i =>
@@ -155,14 +139,23 @@ object DedupQueries {
     val bandSelects = (0 until bands).map(j =>
       s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
       .mkString(" UNION ALL ")
-    s"""WITH corp AS MATERIALIZED (SELECT doc_id, text FROM $corpusSql),
-      shingled AS MATERIALIZED (
-        SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM corp),
+    s"""shingled AS MATERIALIZED (
+        SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM $corpusRef),
       keys AS MATERIALIZED (
-        SELECT doc, (${md5FoldSql("h")}) % $P AS key
+        SELECT doc, (${md5FoldSql("h")}) % ${Dedup.MinhashP} AS key
         FROM (SELECT doc, md5(sh) AS h FROM shingled)),
       sigs AS MATERIALIZED (SELECT doc, $sigCols FROM keys GROUP BY doc),
-      banded AS MATERIALIZED ($bandSelects),
+      banded AS MATERIALIZED ($bandSelects)"""
+  }
+
+  /** The q31 banded-minhash SELF-JOIN oracle over any corpus subquery
+    * (q31 raw, q322 composed-after-exact-dedup). MATERIALIZED
+    * throughout: corp is scanned by shingled AND idx, sigs is referenced
+    * once per band and idx three times — inlined re-evaluation re-ran
+    * the shingle explode per reference (sf3: disk-filling spill, r11). */
+  private[queries] def bandedSelfJoinOracleSql(corpusSql: String): String =
+    s"""WITH corp AS MATERIALIZED (SELECT doc_id, text FROM $corpusSql),
+      ${sigBandCtesSql("corp")},
       cand AS MATERIALIZED (
         SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
         FROM banded x JOIN banded y
@@ -183,7 +176,6 @@ object DedupQueries {
       JOIN sizes a ON a.doc = doc_a
       JOIN sizes b ON b.doc = doc_b
       WHERE CAST(inter AS DOUBLE) / (a.n_sh + b.n_sh - inter) >= 0.8E0"""
-  }
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -451,17 +443,6 @@ object DedupQueries {
               col("n_detected") / col("n_true"), 6).as("recall"))
       },
       Some {
-        val P = Dedup.MinhashP
-        val numHashes = 16; val bands = 4; val rows = numHashes / bands
-        val sigCols = (0 until numHashes).map(i =>
-          s"MIN((key * ${Dedup.mhA(i)} + ${Dedup.mhB(i)}) % $P) AS s$i")
-          .mkString(", ")
-        def bh(j: Int): String =
-          (0 until rows).foldLeft(s"CAST(${j + 1} AS BIGINT)")((acc, r) =>
-            s"(($acc * ${Dedup.BandM} + s${j * rows + r}) % $P)")
-        val bandSelects = (0 until bands).map(j =>
-          s"SELECT doc, $j AS band, ${bh(j)} AS bh FROM sigs")
-          .mkString(" UNION ALL ")
         def mutSql(v: Int, p: Int) =
           s"""SELECT doc_id + ${v * Shift} AS doc_id,
               array_to_string(list_transform(range(1, len(toks) + 1),
@@ -482,13 +463,7 @@ object DedupQueries {
             UNION ALL ${mutSql(1, 64)}
             UNION ALL ${mutSql(2, 16)}
             UNION ALL ${mutSql(3, 8)}),
-          shingled AS MATERIALIZED (
-            SELECT doc_id AS doc, unnest($ShinglesSql) AS sh FROM mc),
-          keys AS MATERIALIZED (
-            SELECT doc, (${md5FoldSql("h")}) % $P AS key
-            FROM (SELECT doc, md5(sh) AS h FROM shingled)),
-          sigs AS MATERIALIZED (SELECT doc, $sigCols FROM keys GROUP BY doc),
-          banded AS MATERIALIZED ($bandSelects),
+          ${sigBandCtesSql("mc")},
           det AS MATERIALIZED (
             SELECT DISTINCT x.doc AS orig, y.doc // $Shift AS variant
             FROM banded x JOIN banded y
