@@ -62,4 +62,27 @@ class RegistrySpec extends AnyFunSuite {
     assert((rowNames -- regNames).isEmpty,
       s"QUERIES.md has stale rows ${(rowNames -- regNames).toSeq.sorted.take(5)} — $msg")
   }
+
+  test("PLANS.md is regenerated (plan headers == benched gate names)") {
+    // The plan book was the one generated artifact refreshed only by
+    // convention (verdict r12 task 8) — pin its NAME SET to the
+    // bench=true gates the same way QUERIES.md is pinned. Content
+    // staleness is still a judgement call (plans change legitimately),
+    // but a benched gate added/renamed without a regen now fails a test.
+    val f = new java.io.File("PLANS.md")
+    assert(f.exists(), "PLANS.md missing — run graft.Explain")
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val headers = try src.getLines()
+      .filter(_.startsWith("========== "))
+      .map(_.stripPrefix("========== ").stripSuffix(" ==========").trim)
+      .toSet
+    finally src.close()
+    val benched = Registry.all.filter(_.bench).map(_.name).toSet
+    val msg = "regenerate: SPARK_GRAFT_CPUS=4 sbt -batch " +
+      "\"runMain graft.Explain /root/testdata/sf0.001 PLANS.md\""
+    assert((benched -- headers).isEmpty,
+      s"PLANS.md missing plans ${(benched -- headers).toSeq.sorted.take(5)} — $msg")
+    assert((headers -- benched).isEmpty,
+      s"PLANS.md has stale plans ${(headers -- benched).toSeq.sorted.take(5)} — $msg")
+  }
 }
