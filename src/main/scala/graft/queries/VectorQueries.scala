@@ -808,6 +808,85 @@ object VectorQueries {
           UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)"""))),
 
     GraftQuery(
+      "q324_semantic_mutation_recall",
+      (s, dir) => {
+        // the semantic analog of q321: semDedupLsh's cell-collision
+        // recall on GRADED embedding perturbations instead of
+        // clique-world exact copies. Each vector gets three variants
+        // e'_i = e_i · (1 + s·±1) with a deterministic per-(id, dim,
+        // variant) sign pattern at s = 0.1 / 0.3 / 0.5 — cosines land
+        // ≈0.995 / ≈0.96 / ≈0.89, straddling the 0.95 threshold, and a
+        // 10-bit sign bucket has a real per-hyperplane flip probability
+        // at each angle. Truth = exact cosine ≥ 0.95 per (orig,
+        // variant) KEYED pair (never all-pairs); detected = same
+        // 10-bit bucket (the exact collision event semDedupLsh's cell
+        // join prunes by). Output: per variant, n_true / n_detected /
+        // recall — the measured per-angle recall curve of the semantic
+        // dedup operating point.
+        val W = 1000000L
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val base = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        def pert(v: Int, sTxt: String) = e.select(
+          (col("vec_id") + v * W).as("vec_id"),
+          transform(col("embedding"), (x, di) =>
+            x.cast("double") * (lit(1.0) + lit(sTxt.toDouble) *
+              when(pmod(col("vec_id") + di + lit(v), lit(2)) === 0, lit(1.0))
+                .otherwise(lit(-1.0)))).as("embedding"))
+        val mc = base.unionByName(pert(1, "0.1"))
+          .unionByName(pert(2, "0.3")).unionByName(pert(3, "0.5"))
+        val wc = mc.select(col("vec_id"), col("embedding"),
+          Similarity.lshBucket(col("embedding"), Dim, 10).as("bucket"))
+        val aLeg = wc.filter(col("vec_id") < W)
+          .select(col("vec_id").as("orig"), col("bucket").as("ba"),
+            col("embedding").as("va"))
+        val bLeg = wc.filter(col("vec_id") >= W)
+          .select(pmod(col("vec_id"), lit(W)).as("orig"),
+            expr(s"vec_id div $W").as("variant"),
+            col("bucket").as("bb"), col("embedding").as("vb"))
+        aLeg.join(bLeg, Seq("orig"))
+          .select(col("variant"), col("orig"),
+            (col("ba") === col("bb")).as("same_bucket"),
+            Similarity.cosineCols(col("va"), col("vb"), 6).as("cos"))
+          .filter(col("cos") >= 0.95)
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("same_bucket"), 1L).otherwise(0L)).as("n_detected"))
+          .select(col("variant"), col("n_true"), col("n_detected"),
+            graft.functions.SafeMath.roundHalfUp(
+              col("n_detected") / col("n_true"), 6).as("recall"))
+      },
+      Some {
+        def pertSql(v: Int, sTxt: String) =
+          s"""SELECT vec_id + ${v * 1000000L} AS vec_id,
+              list_transform(range(1, ${Dim + 1}),
+                di -> CAST(embedding[di] AS DOUBLE) * (1.0E0 + ${sTxt}E0 *
+                  CASE WHEN (vec_id + (di - 1) + $v) % 2 = 0
+                    THEN 1.0E0 ELSE -1.0E0 END)) AS embedding
+            FROM embeddings"""
+        val hitSum =
+          "CAST(SUM(CASE WHEN same_bucket THEN 1 ELSE 0 END) AS BIGINT)"
+        s"""WITH mc AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings
+            UNION ALL ${pertSql(1, "0.1")}
+            UNION ALL ${pertSql(2, "0.3")}
+            UNION ALL ${pertSql(3, "0.5")}),
+          wc AS MATERIALIZED (SELECT vec_id, embedding,
+            ${bucketSql("embedding", 10)} AS bucket FROM mc),
+          pr AS (SELECT y.vec_id // 1000000 AS variant, x.vec_id AS orig,
+              (x.bucket = y.bucket) AS same_bucket,
+              ${cosSql("x.embedding", "y.embedding")} AS cos
+            FROM wc x JOIN wc y ON y.vec_id % 1000000 = x.vec_id
+              AND x.vec_id < 1000000 AND y.vec_id >= 1000000)
+        SELECT variant, COUNT(*) AS n_true, $hitSum AS n_detected,
+          ${graft.functions.SafeMath.roundHalfUpSql(
+            s"(CAST($hitSum AS DOUBLE) / COUNT(*))", 6)} AS recall
+        FROM pr WHERE cos >= 0.95E0
+        GROUP BY variant"""
+      }),
+
+    GraftQuery(
       "q220_pq_encode",
       (s, dir) => {
         // product-quantization index build: 4 subspaces × 8-entry
