@@ -51,17 +51,26 @@ object Similarity {
   def norm(vec: Column): Column =
     sqrt(graft.expressions.ArrayDot.array_dot(vec, vec))
 
+  /** Cosine against a ZERO-NORM vector is NULL, explicitly: at corpus
+    * scale zero embeddings (failed encoder calls, padded rows) DO occur,
+    * a raw `x / 0.0` THROWS under Spark 4's default ANSI mode (found by
+    * the r13 ingest property test), and NULL is the semantics every
+    * comparison then handles sanely — `cos >= thr` is NULL → the zero
+    * vector never matches anything and is never dropped. The CaseWhen
+    * short-circuits per row, so the division only runs on live norms. */
+  private def safeCos(dot: Column, denom: Column, scale: Int): Column =
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(graft.functions.SafeMath.roundHalfUp(dot / denom, scale))
+
   /** Cosine similarity against a literal query vector, rounded to `scale`
     * so downstream top-k cuts are reproducible. */
   def cosineLit(vec: Column, q: Seq[Double], scale: Int = 6): Column =
-    graft.functions.SafeMath.roundHalfUp(
-      dotLit(vec, q) / (norm(vec) * lit(normLit(q))), scale)
+    safeCos(dotLit(vec, q), norm(vec) * lit(normLit(q)), scale)
 
   /** Cosine similarity of two array columns (same rounding contract). */
-  def cosineCols(a: Column, b: Column, scale: Int = 6): Column = {
-    val dot = graft.expressions.ArrayDot.array_dot(a, b)
-    graft.functions.SafeMath.roundHalfUp(dot / (norm(a) * norm(b)), scale)
-  }
+  def cosineCols(a: Column, b: Column, scale: Int = 6): Column =
+    safeCos(graft.expressions.ArrayDot.array_dot(a, b),
+      norm(a) * norm(b), scale)
 
   /** Brute-force cosine top-k: returns (idCol, cos) for the k nearest. */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,

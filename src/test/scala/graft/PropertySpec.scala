@@ -389,4 +389,77 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: streamed semDedupLshIngest wave-union equals batch semDedupLsh") {
+    // the q320 contract as an invariant over random corpora: for ANY
+    // id-monotone wave split (including empty waves), the union of
+    // per-wave ingest verdicts equals one batch pass. Vectors cluster
+    // around shared prototypes (exact dups + near dups + noise) so the
+    // 0.9 threshold and the 3-bit buckets both really fire; an all-zero
+    // vector exercises the NaN-cosine comparison path identically on
+    // both sides.
+    import graft.operators.Similarity
+    val dim = 4; val bits = 3; val thr = 0.9
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val protos = Array.fill(6)(Array.fill(dim)(rnd.nextInt(9) - 4.0f))
+      val rows: Seq[(Long, Array[Float])] = (0 until 40).map { i =>
+        val v: Array[Float] =
+          if (i == 17) Array.fill(dim)(0.0f) // zero vector: NaN cosine
+          else {
+            val p = protos(rnd.nextInt(protos.length))
+            if (rnd.nextBoolean()) p.clone()
+            else p.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+          }
+        (i.toLong, v)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val batch = Similarity
+        .semDedupLsh(df, "vec_id", "embedding", dim, bits, thr)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      // random monotone split into 3 waves (cutpoints may coincide →
+      // an empty middle wave)
+      val c1 = rnd.nextInt(41); val c2 = c1 + rnd.nextInt(41 - c1)
+      val waves = Seq(
+        df.filter(col("vec_id") < c1),
+        df.filter(col("vec_id") >= c1 && col("vec_id") < c2),
+        df.filter(col("vec_id") >= c2))
+      var standing = df.limit(0).select(col("vec_id"),
+        lit(0L).as("cluster"), col("embedding"))
+      val streamed = waves.flatMap { w =>
+        val out = Similarity.semDedupLshIngest(standing, w,
+          "vec_id", "embedding", dim, bits, thr)
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+        standing = standing.unionByName(w.select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), dim, bits).as("cluster"),
+          col("embedding")))
+        out
+      }.toMap
+      assert(streamed === batch, s"trial=$trial cut=($c1,$c2)")
+    }
+  }
+
+  test("property: pageRank unrolled and checkpointed agree on random graphs") {
+    import graft.operators.Graphs
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val n = 12 + trial * 5
+      val edges = (1 to n * 3).map(_ =>
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      def ranks(unrollBelow: Long) = Graphs
+        .pageRankImpl(df, "src", "dst", iterations = 3, unrollBelow)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val u = ranks(Long.MaxValue)
+      val c = ranks(0L)
+      assert(u === c, s"trial=$trial n=$n edges=${edges.size}")
+      // total fixed-point mass stays within the truncation slack:
+      // each node's rank loses < outdeg from integer division per round
+      assert(u.values.sum <= Graphs.Scale)
+      assert(u.values.forall(_ > 0L))
+    }
+  }
 }
