@@ -64,8 +64,13 @@ object TextFunctions {
     val lengthTerm = least(n / lit(100.0), lit(1.0)) // saturates at 100 tokens
     val stopTerm = least(stopwordRatio(text) * lit(4.0), lit(1.0))
     val punctTerm = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
-    SafeMath.roundHalfUp(
-      lengthTerm * lit(0.4) + stopTerm * lit(0.3) + punctTerm * lit(0.3), 4)
+    // explicit null-in → null-out: least/greatest SKIP nulls, so without
+    // the guard a NULL document scored a nonsense 0.7 (lengthTerm and
+    // stopTerm silently collapse to their clamps — r13 degenerate-input
+    // audit). Non-null rows take the identical expression as before.
+    when(text.isNull, lit(null).cast("double")).otherwise(
+      SafeMath.roundHalfUp(
+        lengthTerm * lit(0.4) + stopTerm * lit(0.3) + punctTerm * lit(0.3), 4))
   }
 
   /** N-gram-heuristic language ID over a handful of scripts/languages:

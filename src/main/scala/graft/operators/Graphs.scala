@@ -84,6 +84,10 @@ object Graphs {
       .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
     val n = cnts("n")
     val m = cnts("m")
+    // loud contract instead of a bare driver ArithmeticException on
+    // `Scale / 0` — an empty edge frame is a real upstream condition
+    // (a filtered day with no links), not a programming error
+    require(n > 0, "pageRank needs at least one edge (empty edge frame)")
     val parts = graft.core.Adaptive.partsFor(spark, math.max(n, m))
     val base = Scale * 15 / 100 / n
     // AQE off for the pinned loop: width is already counted, every loop
