@@ -66,11 +66,11 @@ object Explain {
       },
       "q228_cross_doc_spans" -> { s =>
         graft.operators.Dedup.crossDocSpanStatsPlan(
-          spanCorpus(s, sfDir), "doc_id", "text", n = 5, minDocs = 2)._1
+          spanCorpus(s, sfDir), "doc_id", "text", n = 5, minDocs = 2)
       },
       "q229_remove_cross_doc_spans" -> { s =>
         graft.operators.Dedup.removeCrossDocSpansPlan(
-          spanCorpus(s, sfDir), "doc_id", "text", n = 5, minDocs = 2)._1
+          spanCorpus(s, sfDir), "doc_id", "text", n = 5, minDocs = 2)
       },
       "q231_k_core" -> { s =>
         // the bounded-round peel checkpoints per round by design; the

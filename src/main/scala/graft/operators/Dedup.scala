@@ -102,18 +102,14 @@ object Dedup {
     * (n_tokens, dup_windows, dup_spans, dup_tokens) where dup_tokens is
     * the runs' total token coverage. */
   def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val (out, grams) = crossDocSpanStatsPlan(docs, idCol, textCol, n, minDocs)
-    try out.localCheckpoint()
-    finally grams.unpersist()
-  }
+      n: Int = 5, minDocs: Int = 2): DataFrame =
+    crossDocSpanStatsPlan(docs, idCol, textCol, n, minDocs).localCheckpoint()
 
-  /** Lazy [[crossDocSpanStats]] plan (pre-checkpoint) + its persisted
-    * gram frame — the plan-book seam. */
+  /** Lazy [[crossDocSpanStats]] plan (pre-checkpoint) — the plan-book
+    * seam. */
   private[graft] def crossDocSpanStatsPlan(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, minDocs: Int): (DataFrame, DataFrame) = {
+      textCol: String, n: Int, minDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
     // spread: the source parquet often has very few splits, and the
     // tokenize/shingle/md5 work below is CPU-dense — without the widen
     // it serializes onto those splits (q229's profile: 2 tasks at ~1
@@ -123,36 +119,46 @@ object Dedup {
     val base = src
       .select(col("doc"), TextFunctions.tokens(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
-    val grams = hashedGrams(src, n).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val dupKeys = grams.groupBy("gk")
-        .agg(countDistinct(col("doc")).as("nd"))
-        .filter(col("nd") >= minDocs)
-        .select("gk")
-      val w = Window.partitionBy(col("doc")).orderBy(col("i"))
-      val islands = grams.join(dupKeys, Seq("gk"), "left_semi")
-        .withColumn("pmax", max(col("i") + n)
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("ns",
-          when(col("pmax").isNull || col("i") > col("pmax"), 1L)
-            .otherwise(0L))
-        .withColumn("isl", sum(col("ns")).over(w))
-      val perDoc = islands
-        .groupBy(col("doc"), col("isl"))
-        .agg(count(lit(1)).as("nw"),
-          (max(col("i")) + n - min(col("i"))).cast("long").as("cov"))
-        .groupBy(col("doc"))
-        .agg(sum(col("nw")).as("dup_windows"), count(lit(1)).as("dup_spans"),
-          sum(col("cov")).as("dup_tokens"))
-      val out = base
-        .select(col("doc"), col("nt").cast("long").as("n_tokens"))
-        .join(perDoc, Seq("doc"), "left")
-        .select(col("doc").as(idCol), col("n_tokens"),
-          coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
-          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
-          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
-      (out, grams)
-    } catch { case e: Throwable => grams.unpersist(); throw e }
+    // EAGER checkpoint: the gram frame feeds two consumers (the
+    // duplicated-key aggregate and the membership join). The previous
+    // lazy MEMORY_AND_DISK persist did NOT dodge the double compute —
+    // AQE materializes independent shuffle stages CONCURRENTLY, so both
+    // consumer map stages cache-missed and re-ran the CPU-dense
+    // tokenize+shingle+md5 pass in parallel (r13 profile: two ~7
+    // cpu-second stages each reading the 3.5 MB base). A shared
+    // repartition(gk) exchange was tried and REJECTED: Catalyst pushes
+    // the semi-join below RepartitionByExpression on one leg and melts
+    // the other into the aggregate's own exchange, so the subtrees stop
+    // being canonically identical and the gram pass still ran twice,
+    // plus a pointless extra shuffle. localCheckpoint materializes the
+    // pass ONCE, serially, before either consumer plans.
+    val grams = hashedGrams(src, n).localCheckpoint()
+    val dupKeys = grams.groupBy("gk")
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gk")
+    val w = Window.partitionBy(col("doc")).orderBy(col("i"))
+    val islands = grams.join(dupKeys, Seq("gk"), "left_semi")
+      .withColumn("pmax", max(col("i") + n)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ns",
+        when(col("pmax").isNull || col("i") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("ns")).over(w))
+    val perDoc = islands
+      .groupBy(col("doc"), col("isl"))
+      .agg(count(lit(1)).as("nw"),
+        (max(col("i")) + n - min(col("i"))).cast("long").as("cov"))
+      .groupBy(col("doc"))
+      .agg(sum(col("nw")).as("dup_windows"), count(lit(1)).as("dup_spans"),
+        sum(col("cov")).as("dup_tokens"))
+    base
+      .select(col("doc"), col("nt").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
   /** Hashed per-position n-gram frame (doc, i, gk) over a (doc, text)
@@ -200,19 +206,15 @@ object Dedup {
     * (n_tokens, n_kept, cleaned) — empty-out documents kept with
     * n_kept = 0. */
   def removeCrossDocSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val (out, grams) =
-      removeCrossDocSpansPlan(docs, idCol, textCol, n, minDocs)
-    try out.localCheckpoint()
-    finally grams.unpersist(blocking = false)
-  }
+      n: Int = 5, minDocs: Int = 2): DataFrame =
+    removeCrossDocSpansPlan(docs, idCol, textCol, n, minDocs)
+      .localCheckpoint()
 
-  /** Lazy [[removeCrossDocSpans]] plan (pre-checkpoint) + its persisted
-    * gram frame — the plan-book seam. The tokenized base is still
-    * materialized eagerly (it feeds the packing-bounds guard). */
+  /** Lazy [[removeCrossDocSpans]] plan (pre-checkpoint) — the plan-book
+    * seam. The tokenized base is still materialized eagerly (it feeds
+    * the packing-bounds guard). */
   private[graft] def removeCrossDocSpansPlan(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, minDocs: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.storage.StorageLevel
+      textCol: String, n: Int, minDocs: Int): DataFrame = {
     // spread before the CPU-dense tokenize/shingle passes (see
     // crossDocSpanStatsPlan)
     val src = Similarity.spread(
@@ -237,33 +239,34 @@ object Dedup {
     require(bounds.getLong(1) >= 0L && bounds.getLong(2) < (1L << 43),
       s"removeCrossDocSpans: doc ids must be in [0, 2^43), got " +
         s"[${bounds.getLong(1)}, ${bounds.getLong(2)}]")
-    val grams = hashedGrams(src, n).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val firsts = grams.groupBy("gk")
-        .agg(countDistinct(col("doc")).as("nd"),
-          min(col("doc") * lit(1048576L) + col("i")).as("fk"))
-        .filter(col("nd") >= minDocs)
-        .select(col("gk"), col("fk"))
-      val dupOcc = grams.join(firsts, Seq("gk"))
-        .filter(col("doc") * lit(1048576L) + col("i") =!= col("fk"))
-      val covered = dupOcc.select(col("doc"),
-        explode(sequence(col("i"), col("i") + n - 1)).as("t")).distinct()
-      val kept = base
-        .select(col("doc"), posexplode(col("toks")).as(Seq("t", "tok")))
-        .join(covered, Seq("doc", "t"), "left_anti")
-      val agg = kept.groupBy(col("doc"))
-        .agg(count(lit(1)).as("n_kept"),
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("t"), col("tok")))),
-            p => p.getField("tok"))).as("cleaned"))
-      val out = base
-        .select(col("doc"), col("nt").cast("long").as("n_tokens"))
-        .join(agg, Seq("doc"), "left")
-        .select(col("doc").as(idCol), col("n_tokens"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("cleaned"), lit("")).as("cleaned"))
-      (out, grams)
-    } catch { case e: Throwable => grams.unpersist(); throw e }
+    // eager checkpoint: one gram pass feeds the first-occurrence
+    // aggregate AND the dup-occurrence join — see crossDocSpanStatsPlan
+    // for the measured rationale (AQE materializes both consumers of a
+    // lazily-persisted frame concurrently, so the gram pass ran twice)
+    val grams = hashedGrams(src, n).localCheckpoint()
+    val firsts = grams.groupBy("gk")
+      .agg(countDistinct(col("doc")).as("nd"),
+        min(col("doc") * lit(1048576L) + col("i")).as("fk"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gk"), col("fk"))
+    val dupOcc = grams.join(firsts, Seq("gk"))
+      .filter(col("doc") * lit(1048576L) + col("i") =!= col("fk"))
+    val covered = dupOcc.select(col("doc"),
+      explode(sequence(col("i"), col("i") + n - 1)).as("t")).distinct()
+    val kept = base
+      .select(col("doc"), posexplode(col("toks")).as(Seq("t", "tok")))
+      .join(covered, Seq("doc", "t"), "left_anti")
+    val agg = kept.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          p => p.getField("tok"))).as("cleaned"))
+    base
+      .select(col("doc"), col("nt").cast("long").as("n_tokens"))
+      .join(agg, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
   /** Exact duplicate groups: canonical id = min doc id per fingerprint.
