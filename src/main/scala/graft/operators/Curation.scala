@@ -2107,33 +2107,47 @@ object Curation {
       explode(array_distinct(grams)).as("__tk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var uncov = dt.select("__tk").distinct().localCheckpoint()
+      // one setup job: populate the dt cache and size the pinned loop.
+      // The uncovered-gram universe is NEVER materialized as state — a
+      // doc's uncovered count equals its grams anti-joined against the
+      // union of the ≤ k already-picked docs' grams (doc_tks ∩ u_{r-1}
+      // = doc_tks \ ∪picked_tks since u_{r-1} = all_tks \ ∪picked), so
+      // the per-round state the old form checkpointed (a corpus-VOCAB-
+      // sized frame, shrinking by one doc's grams per round) collapses
+      // to a broadcast bounded by k documents' gram sets.
+      val m = dt.count()
+      val parts = graft.core.Adaptive.partsFor(spark, m)
       val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      // greedy rounds are inherently driver-sequential (each pick
+      // depends on the previous); the job-count floor is the cost, so
+      // the loop runs AQE-OFF at counted width (the q103/ccRound
+      // rationale: AQE adds one driver job per shuffle stage per
+      // round). Per round: one broadcast build (picked grams) + one
+      // TakeOrdered collect — down from ~5 driver jobs per round.
+      graft.core.Adaptive.withNoAqe(spark) {
+      graft.core.Adaptive.withShufflePartitions(spark, parts) {
       var round = 1
       var done = false
       while (round <= k && !done) {
         val prior = picks.map(_._2).toSeq
-        val best = dt.join(uncov, Seq("__tk"))
-          .filter(if (prior.isEmpty) lit(true)
-            else !col("__doc").isin(prior: _*))
+        val cand =
+          if (prior.isEmpty) dt
+          else dt.filter(!col("__doc").isin(prior: _*))
+            .join(broadcast(dt.filter(col("__doc").isin(prior: _*))
+              .select("__tk")), Seq("__tk"), "left_anti")
+        val best = cand
           .groupBy(col("__doc")).agg(count(lit(1)).as("__c"))
           .orderBy(col("__c").desc, col("__doc").asc).limit(1)
           .collect().headOption
         best match {
           case Some(r) =>
             picks += ((round, r.getLong(0), r.getLong(1)))
-            if (round < k) {
-              val next = uncov.join(
-                dt.filter(col("__doc") === r.getLong(0)).select("__tk"),
-                Seq("__tk"), "left_anti").localCheckpoint()
-              uncov.unpersist(blocking = false)
-              uncov = next
-            }
             round += 1
           case None => done = true
         }
       }
-      uncov.unpersist(blocking = false)
+      }
+      }
       picks.toSeq.toDF("round", idCol, "covered")
     } finally dt.unpersist(blocking = false)
     }
